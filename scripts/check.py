@@ -1,0 +1,86 @@
+#!/usr/bin/env python3
+"""Local replica of the driver's correctness gate.
+
+Usage: python3 scripts/check.py <sfDir> <verifyOutDir>
+
+Reads each <verifyOutDir>/<name> parquet (written by graft.Verify),
+runs the matching oracle SQL from oracle_sql.json in DuckDB over the
+same parquet tables, canonicalizes (columns sorted by name, rows
+sorted by all columns, doubles rounded to 1e-9), and compares hashes.
+"""
+import sys, os, json, hashlib
+import duckdb
+
+def canon(rows, colnames):
+    order = sorted(range(len(colnames)), key=lambda i: colnames[i])
+    out = []
+    for row in rows:
+        vals = []
+        for i in order:
+            v = row[i]
+            if isinstance(v, float):
+                v = round(v, 9)
+                if v == 0.0:
+                    v = 0.0  # normalize -0.0
+            # decimals -> float for cross-engine parity
+            import decimal
+            if isinstance(v, decimal.Decimal):
+                v = round(float(v), 9)
+            if hasattr(v, 'isoformat'):
+                v = v.isoformat()
+            vals.append(repr(v))
+        out.append('\x01'.join(vals))
+    out.sort()
+    return hashlib.sha256('\n'.join(out).encode()).hexdigest(), len(out)
+
+def main():
+    sf_dir, out_dir = sys.argv[1], sys.argv[2]
+    con = duckdb.connect()
+    for t in ["region","nation","customer","supplier","part","orders",
+              "lineitem","events","documents","embeddings"]:
+        con.execute(f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{sf_dir}/{t}.parquet')")
+    oracle = json.load(open(os.path.join(out_dir, 'oracle_sql.json')))
+    n_pass = n_fail = 0
+    only = sys.argv[3:] or None
+    for name in sorted(oracle):
+        if only and name not in only:
+            continue
+        qdir = os.path.join(out_dir, name)
+        if not os.path.isdir(qdir):
+            print(f"MISSING  {name} (no engine output)")
+            n_fail += 1
+            continue
+        try:
+            eng = con.execute(f"SELECT * FROM read_parquet('{qdir}/*.parquet')")
+            eng_cols = [d[0] for d in eng.description]
+            eng_rows = eng.fetchall()
+            ora = con.execute(oracle[name])
+            ora_cols = [d[0] for d in ora.description]
+            ora_rows = ora.fetchall()
+        except Exception as e:
+            print(f"ERROR    {name}: {e}")
+            n_fail += 1
+            continue
+        if sorted(eng_cols) != sorted(ora_cols):
+            print(f"SCHEMA   {name}: engine={sorted(eng_cols)} oracle={sorted(ora_cols)}")
+            n_fail += 1
+            continue
+        h1, c1 = canon(eng_rows, eng_cols)
+        h2, c2 = canon(ora_rows, ora_cols)
+        if h1 == h2:
+            print(f"PASS     {name} ({c1} rows)")
+            n_pass += 1
+        else:
+            print(f"HASHDIFF {name}: engine {c1} rows, oracle {c2} rows")
+            # show first diffs
+            s1 = set(['|'.join(map(repr, r)) for r in eng_rows])
+            s2 = set(['|'.join(map(repr, r)) for r in ora_rows])
+            for x in list(s1 - s2)[:3]:
+                print(f"  engine-only: {x[:300]}")
+            for x in list(s2 - s1)[:3]:
+                print(f"  oracle-only: {x[:300]}")
+            n_fail += 1
+    print(f"\n{n_pass} pass, {n_fail} fail")
+    sys.exit(1 if n_fail else 0)
+
+main()
