@@ -18,8 +18,8 @@ object SparkEntry {
     queries("q1_pricing_summary")(spark, "/root/testdata/sf0.001")
 
   def queries: Map[String, (SparkSession, String) => DataFrame] =
-    Relational.queries
+    Relational.queries ++ Events.queries ++ TextOps.queries ++ VectorOps.queries
 
   def oracleSql: Map[String, String] =
-    Relational.oracles
+    Relational.oracles ++ Events.oracles ++ TextOps.oracles ++ VectorOps.oracles
 }

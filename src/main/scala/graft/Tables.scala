@@ -17,7 +17,14 @@ object Tables {
     "orders", "lineitem", "events", "documents", "embeddings")
 
   def load(spark: SparkSession, dir: String, name: String): DataFrame =
-    spark.read.parquet(s"$dir/$name.parquet")
+    if (name == "events") {
+      // events.ts is parquet TIMESTAMP(NANOS) which Spark 4 refuses to
+      // read as a timestamp; read the raw int64 nanos and truncate to
+      // micros (the data is µs-granular, so this is lossless).
+      spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+      spark.read.parquet(s"$dir/$name.parquet")
+        .withColumn("ts", org.apache.spark.sql.functions.expr("timestamp_micros(ts div 1000)"))
+    } else spark.read.parquet(s"$dir/$name.parquet")
 
   /** Register all tables as temp views so `spark.sql` works too. */
   def registerAll(spark: SparkSession, dir: String): Unit =

@@ -1,0 +1,179 @@
+package graft.queries
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.types.DecimalType
+import graft.Tables
+
+/** Event-time operator battery — the batch-mode counterparts of the
+  * reference's streaming surface (SURVEY.md §2.4 window aggs, §2.3
+  * interval join, §2.5 deduplicate, §2.9 window TVFs). The same
+  * operators run incrementally in `graft.streaming` (Structured
+  * Streaming); here they run over the bounded `events` table so the
+  * DuckDB oracle can check them.
+  *
+  * Window semantics match Flink's TVFs (reference:
+  * flink-table/flink-table-planner/.../sql/SqlTumbleTableFunction.java,
+  * SqlHopTableFunction.java; session merging RT/window/assigners/
+  * SessionWindowAssigner.java): epoch-aligned TUMBLE/HOP; SESSION =
+  * [first_ts, last_ts + gap) with a new session iff gap exceeded.
+  */
+object Events {
+
+  private def dec(c: Column): Column = c.cast(DecimalType(18, 4))
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // ---- TUMBLE window agg — StreamExecWindowAggregate ----------------
+    "q20_tumble_window" -> ((s, dir) => {
+      val e = Tables.load(s, dir, "events")
+      e.groupBy(window(col("ts"), "1 hour").as("w"), col("event_type"))
+        .agg(count(lit(1)).as("n_events"), sum(dec(col("value"))).as("total_value"))
+        .select(col("w.start").as("window_start"), col("event_type"),
+                col("n_events"), col("total_value"))
+    }),
+
+    // ---- HOP (sliding) window agg — 1h size / 15m slide ---------------
+    "q21_hop_window" -> ((s, dir) => {
+      val e = Tables.load(s, dir, "events")
+      e.groupBy(window(col("ts"), "1 hour", "15 minutes").as("w"))
+        .agg(count(lit(1)).as("n_events"), sum(dec(col("value"))).as("total_value"))
+        .select(col("w.start").as("window_start"), col("n_events"), col("total_value"))
+    }),
+
+    // ---- SESSION window agg (30m gap, keyed by user) ------------------
+    "q22_session_window" -> ((s, dir) => {
+      val e = Tables.load(s, dir, "events")
+      e.groupBy(session_window(col("ts"), "30 minutes").as("w"), col("user_id"))
+        .agg(count(lit(1)).as("n_events"), sum(dec(col("value"))).as("total_value"))
+        .select(col("user_id"), col("w.start").as("session_start"),
+                col("w.end").as("session_end"), col("n_events"), col("total_value"))
+    }),
+
+    // ---- Deduplicate keep-first — StreamExecDeduplicate ---------------
+    // ROW_NUMBER()=1 pattern, Flink's dedup specialization (SURVEY §2.5).
+    "q23_dedup_first" -> ((s, dir) => {
+      val e = Tables.load(s, dir, "events")
+      val w = Window.partitionBy(col("user_id"), col("event_type"))
+        .orderBy(col("ts"), col("event_id"))
+      e.withColumn("rn", row_number().over(w))
+        .filter(col("rn") === 1)
+        .select(col("user_id"), col("event_type"), col("event_id"), col("ts"))
+    }),
+
+    // ---- Interval join — StreamExecIntervalJoin -----------------------
+    // purchases within 30 minutes after the same user's signup.
+    "q24_interval_join" -> ((s, dir) => {
+      val e = Tables.load(s, dir, "events")
+      val signup = e.filter(col("event_type") === "signup")
+        .select(col("user_id").as("s_user"), col("event_id").as("signup_id"), col("ts").as("s_ts"))
+      val purchase = e.filter(col("event_type") === "purchase")
+        .select(col("user_id").as("p_user"), col("event_id").as("purchase_id"), col("ts").as("p_ts"))
+      signup.join(purchase,
+          col("s_user") === col("p_user") &&
+          col("p_ts") >= col("s_ts") &&
+          col("p_ts") <= col("s_ts") + expr("INTERVAL 30 MINUTES"))
+        .select(col("s_user").as("user_id"), col("signup_id"), col("purchase_id"),
+                (col("p_ts").cast("long") - col("s_ts").cast("long")).as("delay_s"))
+    }),
+
+    // ---- JSON access — SURVEY §2.8 JSON_VALUE -------------------------
+    "q25_json_extract" -> ((s, dir) => {
+      val e = Tables.load(s, dir, "events")
+      e.withColumn("k", get_json_object(col("props"), "$.k").cast("int"))
+        .groupBy(col("event_type"))
+        .agg(count(lit(1)).as("n"), sum(col("k")).as("sum_k"),
+             max(col("k")).as("max_k"), countDistinct(col("k")).as("n_k"))
+    }),
+
+    // ---- Correlate / UNNEST (explode) — SURVEY §2.2 -------------------
+    "q26_explode_words" -> ((s, dir) => {
+      val d = Tables.load(s, dir, "documents")
+      d.select(col("lang"), explode(split(col("text"), " ")).as("word"))
+        .filter(length(col("word")) > 0)
+        .groupBy(col("lang"), col("word"))
+        .agg(count(lit(1)).as("n"))
+    }),
+
+    // ---- Per-key event gaps (over window on event time) ---------------
+    "q27_event_gaps" -> ((s, dir) => {
+      val e = Tables.load(s, dir, "events")
+      val w = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+      e.select(col("user_id"), col("event_id"),
+               (col("ts").cast("long") - lag(col("ts").cast("long"), 1).over(w)).as("gap_s"),
+               row_number().over(w).as("seq"))
+    })
+  )
+
+  def oracles: Map[String, String] = Map(
+    "q20_tumble_window" ->
+      """SELECT CAST(time_bucket(INTERVAL '1 hour', ts) AS TIMESTAMP) AS window_start,
+        |  event_type, COUNT(*) AS n_events,
+        |  SUM(CAST(value AS DECIMAL(18,4))) AS total_value
+        |FROM events GROUP BY 1, 2""".stripMargin,
+
+    "q21_hop_window" ->
+      """SELECT CAST(time_bucket(INTERVAL '15 minutes', ts)
+        |       - g * INTERVAL '15 minutes' AS TIMESTAMP) AS window_start,
+        |  COUNT(*) AS n_events,
+        |  SUM(CAST(value AS DECIMAL(18,4))) AS total_value
+        |FROM events CROSS JOIN generate_series(0, 3) t(g)
+        |GROUP BY 1""".stripMargin,
+
+    "q22_session_window" ->
+      """WITH flagged AS (
+        |  SELECT user_id, ts, value,
+        |    CASE WHEN LAG(ts) OVER w IS NULL
+        |           OR ts - LAG(ts) OVER w >= INTERVAL '30 minutes'
+        |         THEN 1 ELSE 0 END AS brk
+        |  FROM events
+        |  WINDOW w AS (PARTITION BY user_id ORDER BY ts)
+        |), sessioned AS (
+        |  SELECT *, SUM(brk) OVER (PARTITION BY user_id ORDER BY ts
+        |    ROWS UNBOUNDED PRECEDING) AS sid
+        |  FROM flagged
+        |)
+        |SELECT user_id,
+        |  CAST(MIN(ts) AS TIMESTAMP) AS session_start,
+        |  CAST(MAX(ts) + INTERVAL '30 minutes' AS TIMESTAMP) AS session_end,
+        |  COUNT(*) AS n_events,
+        |  SUM(CAST(value AS DECIMAL(18,4))) AS total_value
+        |FROM sessioned GROUP BY user_id, sid""".stripMargin,
+
+    "q23_dedup_first" ->
+      """SELECT user_id, event_type, event_id, CAST(ts AS TIMESTAMP) AS ts FROM (
+        |  SELECT user_id, event_type, event_id, ts,
+        |    ROW_NUMBER() OVER (PARTITION BY user_id, event_type
+        |                       ORDER BY ts, event_id) AS rn
+        |  FROM events) WHERE rn = 1""".stripMargin,
+
+    "q24_interval_join" ->
+      """SELECT s.user_id, s.event_id AS signup_id, p.event_id AS purchase_id,
+        |  CAST(floor(epoch(p.ts)) AS BIGINT) - CAST(floor(epoch(s.ts)) AS BIGINT) AS delay_s
+        |FROM (SELECT * FROM events WHERE event_type = 'signup') s
+        |JOIN (SELECT * FROM events WHERE event_type = 'purchase') p
+        |  ON s.user_id = p.user_id
+        | AND p.ts >= s.ts AND p.ts <= s.ts + INTERVAL '30 minutes'""".stripMargin,
+
+    "q25_json_extract" ->
+      """SELECT event_type, COUNT(*) AS n,
+        |  SUM(CAST(json_extract_string(props, '$.k') AS INT)) AS sum_k,
+        |  MAX(CAST(json_extract_string(props, '$.k') AS INT)) AS max_k,
+        |  COUNT(DISTINCT CAST(json_extract_string(props, '$.k') AS INT)) AS n_k
+        |FROM events GROUP BY event_type""".stripMargin,
+
+    "q26_explode_words" ->
+      """SELECT lang, word, COUNT(*) AS n
+        |FROM (SELECT lang, unnest(string_split(text, ' ')) AS word FROM documents)
+        |WHERE LENGTH(word) > 0
+        |GROUP BY lang, word""".stripMargin,
+
+    "q27_event_gaps" ->
+      """SELECT user_id, event_id,
+        |  CAST(floor(epoch(ts)) AS BIGINT)
+        |    - LAG(CAST(floor(epoch(ts)) AS BIGINT)) OVER w AS gap_s,
+        |  ROW_NUMBER() OVER w AS seq
+        |FROM events
+        |WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)""".stripMargin
+  )
+}

@@ -1,0 +1,218 @@
+package graft.queries
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.Tables
+
+/** LLM-training-data text pipeline operators over `documents` —
+  * tokenization stats, quality scoring, language-ID heuristics, exact
+  * dedup by fingerprint, bag fingerprints, shingling, n-gram Jaccard
+  * near-dup pairs.
+  *
+  * All operators are pure per-row expressions or shuffle-partitioned
+  * group-bys/joins — no driver-side collection — so they scale
+  * linearly with document count. The near-dup pair join is bounded by
+  * grouping on `lang` (in production: LSH band buckets, see
+  * graft.functions.MinHash) so the cross product never materializes
+  * globally.
+  */
+object TextOps {
+
+  private val tokens: Column = split(col("text"), " ")
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // ---- Token counting + length stats --------------------------------
+    "t30_token_stats" -> ((s, dir) => {
+      val d = Tables.load(s, dir, "documents")
+      d.select(
+        col("doc_id"),
+        size(tokens).as("n_tokens"),
+        length(col("text")).as("text_len"),
+        length(regexp_replace(col("text"), "\\s+", "")).as("n_nonspace"),
+        (length(regexp_replace(col("text"), "\\s+", "")).cast("double") /
+          size(tokens)).as("avg_token_len"),
+        size(array_distinct(tokens)).as("n_unique_tokens"),
+        (size(array_distinct(tokens)).cast("double") / size(tokens)).as("ttr"))
+    }),
+
+    // ---- Quality scoring: stopword ratio, repetition, length bucket ---
+    "t31_quality_score" -> ((s, dir) => {
+      val d = Tables.load(s, dir, "documents")
+      val stop = array(Seq("the", "a", "of", "and", "to", "in").map(lit): _*)
+      val nStop = size(filter(tokens, t => array_contains(stop, t)))
+      val nTok = size(tokens)
+      val ttr = size(array_distinct(tokens)).cast("double") / nTok
+      d.select(
+        col("doc_id"), col("lang"),
+        nTok.as("n_tokens"),
+        nStop.as("n_stopwords"),
+        (nStop.cast("double") / nTok).as("stop_ratio"),
+        ttr.as("ttr"),
+        when(nTok < 20, "too_short")
+          .when(ttr < 0.2, "repetitive")
+          .otherwise("ok").as("quality_class"))
+    }),
+
+    // ---- Language-ID heuristic: marker-token scores + CJK ratio -------
+    "t32_lang_id" -> ((s, dir) => {
+      val d = Tables.load(s, dir, "documents")
+      def score(words: Seq[String]): Column = {
+        val set = array(words.map(lit): _*)
+        size(filter(tokens, t => array_contains(set, t)))
+      }
+      val en = score(Seq("the", "a", "of", "and"))
+      val es = score(Seq("el", "la", "de", "que"))
+      val de = score(Seq("der", "die", "das", "und"))
+      val fr = score(Seq("le", "les", "des", "et"))
+      val cjk = length(col("text")) -
+        length(regexp_replace(col("text"), "[\\x{4e00}-\\x{9fff}]", ""))
+      d.select(
+        col("doc_id"), col("lang").as("labeled_lang"),
+        en.as("s_en"), es.as("s_es"), de.as("s_de"), fr.as("s_fr"),
+        cjk.as("n_cjk"),
+        when(cjk > 0, "zh")
+          .when(en >= es && en >= de && en >= fr, "en")
+          .when(es >= de && es >= fr, "es")
+          .when(de >= fr, "de")
+          .otherwise("fr").as("predicted_lang"))
+    }),
+
+    // ---- Exact dedup: normalize → fingerprint → group -----------------
+    // Hash-groupBy dedup; at 100 TB this is a single shuffle on the
+    // 128-bit fingerprint (no skew: fingerprints are uniform).
+    "t33_exact_dedup" -> ((s, dir) => {
+      val d = Tables.load(s, dir, "documents")
+      val norm = lower(trim(regexp_replace(col("text"), "\\s+", " ")))
+      d.select(col("doc_id"), md5(norm).as("fingerprint"))
+        .groupBy(col("fingerprint"))
+        .agg(min(col("doc_id")).as("canonical_id"), count(lit(1)).as("n_copies"))
+    }),
+
+    // ---- Bag-of-words fingerprint (order-insensitive dedup key) -------
+    "t34_bag_fingerprint" -> ((s, dir) => {
+      val d = Tables.load(s, dir, "documents")
+      d.select(
+        col("doc_id"),
+        md5(concat_ws(" ", array_sort(array_distinct(tokens)))).as("bag_fp"),
+        size(array_distinct(tokens)).as("bag_size"))
+    }),
+
+    // ---- Word-3-gram shingles (distinct count per doc) ----------------
+    "t35_shingles" -> ((s, dir) => {
+      val d = Tables.load(s, dir, "documents")
+      val toks = tokens
+      val shingles = when(size(toks) >= 3,
+        transform(sequence(lit(1), size(toks) - 2), i =>
+          concat_ws(" ", element_at(toks, i), element_at(toks, i + 1),
+            element_at(toks, i + 2))))
+        .otherwise(array().cast("array<string>"))
+      d.select(col("doc_id"),
+        size(shingles).as("n_shingles"),
+        size(array_distinct(shingles)).as("n_unique_shingles"))
+    }),
+
+    // ---- N-gram Jaccard near-dup pairs (within-lang blocking) ---------
+    "t36_jaccard_pairs" -> ((s, dir) => {
+      val d = Tables.load(s, dir, "documents")
+      val bags = d.select(col("lang"), col("doc_id"),
+        array_sort(array_distinct(tokens)).as("bag"))
+      val a = bags.select(col("lang"), col("doc_id").as("doc_a"), col("bag").as("bag_a"))
+      val b = bags.select(col("lang"), col("doc_id").as("doc_b"), col("bag").as("bag_b"))
+      a.join(b, Seq("lang")).filter(col("doc_a") < col("doc_b"))
+        .withColumn("n_inter", size(array_intersect(col("bag_a"), col("bag_b"))))
+        .withColumn("n_union",
+          size(col("bag_a")) + size(col("bag_b")) - col("n_inter"))
+        .withColumn("jaccard", col("n_inter").cast("double") / col("n_union"))
+        .filter(col("jaccard") >= 0.8)
+        .select(col("lang"), col("doc_a"), col("doc_b"),
+                col("n_inter"), col("n_union"), col("jaccard"))
+    })
+  )
+
+  def oracles: Map[String, String] = Map(
+    "t30_token_stats" ->
+      """SELECT doc_id,
+        |  len(string_split(text, ' ')) AS n_tokens,
+        |  LENGTH(text) AS text_len,
+        |  LENGTH(regexp_replace(text, '\s+', '', 'g')) AS n_nonspace,
+        |  CAST(LENGTH(regexp_replace(text, '\s+', '', 'g')) AS DOUBLE)
+        |    / len(string_split(text, ' ')) AS avg_token_len,
+        |  len(list_distinct(string_split(text, ' '))) AS n_unique_tokens,
+        |  CAST(len(list_distinct(string_split(text, ' '))) AS DOUBLE)
+        |    / len(string_split(text, ' ')) AS ttr
+        |FROM documents""".stripMargin,
+
+    "t31_quality_score" ->
+      """WITH t AS (SELECT doc_id, lang, string_split(text, ' ') AS toks FROM documents)
+        |SELECT doc_id, lang,
+        |  len(toks) AS n_tokens,
+        |  len(list_filter(toks, x -> x IN ('the','a','of','and','to','in'))) AS n_stopwords,
+        |  CAST(len(list_filter(toks, x -> x IN ('the','a','of','and','to','in'))) AS DOUBLE)
+        |    / len(toks) AS stop_ratio,
+        |  CAST(len(list_distinct(toks)) AS DOUBLE) / len(toks) AS ttr,
+        |  CASE WHEN len(toks) < 20 THEN 'too_short'
+        |       WHEN CAST(len(list_distinct(toks)) AS DOUBLE) / len(toks) < 0.2
+        |         THEN 'repetitive'
+        |       ELSE 'ok' END AS quality_class
+        |FROM t""".stripMargin,
+
+    "t32_lang_id" ->
+      """WITH t AS (
+        |  SELECT doc_id, lang, string_split(text, ' ') AS toks,
+        |    LENGTH(text) - LENGTH(regexp_replace(text, '[\x{4e00}-\x{9fff}]', '', 'g')) AS n_cjk
+        |  FROM documents
+        |), s AS (
+        |  SELECT doc_id, lang, n_cjk,
+        |    len(list_filter(toks, x -> x IN ('the','a','of','and'))) AS s_en,
+        |    len(list_filter(toks, x -> x IN ('el','la','de','que'))) AS s_es,
+        |    len(list_filter(toks, x -> x IN ('der','die','das','und'))) AS s_de,
+        |    len(list_filter(toks, x -> x IN ('le','les','des','et'))) AS s_fr
+        |  FROM t
+        |)
+        |SELECT doc_id, lang AS labeled_lang, s_en, s_es, s_de, s_fr, n_cjk,
+        |  CASE WHEN n_cjk > 0 THEN 'zh'
+        |       WHEN s_en >= s_es AND s_en >= s_de AND s_en >= s_fr THEN 'en'
+        |       WHEN s_es >= s_de AND s_es >= s_fr THEN 'es'
+        |       WHEN s_de >= s_fr THEN 'de'
+        |       ELSE 'fr' END AS predicted_lang
+        |FROM s""".stripMargin,
+
+    "t33_exact_dedup" ->
+      """SELECT md5(lower(trim(regexp_replace(text, '\s+', ' ', 'g')))) AS fingerprint,
+        |  MIN(doc_id) AS canonical_id, COUNT(*) AS n_copies
+        |FROM documents
+        |GROUP BY 1""".stripMargin,
+
+    "t34_bag_fingerprint" ->
+      """SELECT doc_id,
+        |  md5(array_to_string(list_sort(list_distinct(string_split(text, ' '))), ' ')) AS bag_fp,
+        |  len(list_distinct(string_split(text, ' '))) AS bag_size
+        |FROM documents""".stripMargin,
+
+    "t35_shingles" ->
+      """WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+        |sh AS (
+        |  SELECT doc_id,
+        |    CASE WHEN len(toks) >= 3 THEN
+        |      list_transform(generate_series(1, len(toks) - 2),
+        |        i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2])
+        |    ELSE [] END AS shingles
+        |  FROM t)
+        |SELECT doc_id, len(shingles) AS n_shingles,
+        |  len(list_distinct(shingles)) AS n_unique_shingles
+        |FROM sh""".stripMargin,
+
+    "t36_jaccard_pairs" ->
+      """WITH bags AS (
+        |  SELECT lang, doc_id, list_distinct(string_split(text, ' ')) AS bag
+        |  FROM documents)
+        |SELECT a.lang, a.doc_id AS doc_a, b.doc_id AS doc_b,
+        |  len(list_intersect(a.bag, b.bag)) AS n_inter,
+        |  len(a.bag) + len(b.bag) - len(list_intersect(a.bag, b.bag)) AS n_union,
+        |  CAST(len(list_intersect(a.bag, b.bag)) AS DOUBLE)
+        |    / (len(a.bag) + len(b.bag) - len(list_intersect(a.bag, b.bag))) AS jaccard
+        |FROM bags a JOIN bags b ON a.lang = b.lang AND a.doc_id < b.doc_id
+        |WHERE CAST(len(list_intersect(a.bag, b.bag)) AS DOUBLE)
+        |    / (len(a.bag) + len(b.bag) - len(list_intersect(a.bag, b.bag))) >= 0.8""".stripMargin
+  )
+}
