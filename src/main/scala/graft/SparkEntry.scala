@@ -18,8 +18,10 @@ object SparkEntry {
     queries("q1_pricing_summary")(spark, "/root/testdata/sf0.001")
 
   def queries: Map[String, (SparkSession, String) => DataFrame] =
-    Relational.queries ++ Events.queries ++ TextOps.queries ++ VectorOps.queries
+    Relational.queries ++ Events.queries ++ TextOps.queries ++
+      VectorOps.queries ++ NearDup.queries
 
   def oracleSql: Map[String, String] =
-    Relational.oracles ++ Events.oracles ++ TextOps.oracles ++ VectorOps.oracles
+    Relational.oracles ++ Events.oracles ++ TextOps.oracles ++
+      VectorOps.oracles ++ NearDup.oracles
 }

@@ -1,0 +1,213 @@
+package graft.functions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
+import org.apache.spark.sql.catalyst.expressions._
+import org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback
+import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
+import org.apache.spark.sql.types._
+import org.apache.spark.unsafe.types.UTF8String
+
+/** Shared 64-bit hashing primitives for the dedup/similarity operators.
+  *
+  * Everything is deterministic (no per-JVM seeds) so signatures computed
+  * on different executors — or in different Spark jobs — agree, which is
+  * what makes LSH bucket joins over 100 TB possible: signatures are
+  * computed map-side, shuffled by bucket, never recomputed.
+  */
+object Hashing {
+  /** splitmix64 — public-domain mixer (Steele et al.), used to derive
+    * per-permutation coefficients from an index. */
+  @inline def mix64(z0: Long): Long = {
+    var z = z0 + 0x9e3779b97f4a7c15L
+    z = (z ^ (z >>> 30)) * 0xbf58476d1ce4e5b9L
+    z = (z ^ (z >>> 27)) * 0x94d049bb133111ebL
+    z ^ (z >>> 31)
+  }
+
+  /** FNV-1a 64-bit over UTF-8 bytes — cheap, deterministic, good enough
+    * dispersion for shingle hashing (then remixed per permutation). */
+  @inline def fnv1a64(bytes: Array[Byte]): Long = {
+    var h = 0xcbf29ce484222325L
+    var i = 0
+    while (i < bytes.length) {
+      h ^= (bytes(i) & 0xffL)
+      h *= 0x100000001b3L
+      i += 1
+    }
+    h
+  }
+
+  def hashToken(s: UTF8String): Long = mix64(fnv1a64(s.getBytes))
+}
+
+/** MinHash signature of a token/shingle array: `minhash(tokens, k)` →
+  * array<bigint> of length k.
+  *
+  * Re-expresses the near-duplicate detection the reference ecosystem
+  * does with per-key state (SURVEY.md §2.5 deduplicate family) as a
+  * pure, codegen-compatible column: permutation i applies an affine
+  * transform (aᵢ·h + bᵢ) to each token's base hash and keeps the
+  * unsigned minimum. E[matching positions / k] = Jaccard(tokens_a,
+  * tokens_b), so banding the signature gives LSH buckets.
+  */
+case class MinHashSignature(child: Expression, k: Expression)
+    extends BinaryExpression with CodegenFallback {
+  override def left: Expression = child
+  override def right: Expression = k
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def nullable: Boolean = child.nullable
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ArrayType(StringType, _) if k.foldable && k.dataType == IntegerType =>
+      TypeCheckResult.TypeCheckSuccess
+    case _ => TypeCheckResult.TypeCheckFailure(
+      "minhash expects (array<string>, foldable int)")
+  }
+
+  @transient private lazy val numHashes: Int =
+    k.eval(InternalRow.empty).asInstanceOf[Int]
+  // Affine coefficients; a must be odd for full-period mixing.
+  @transient private lazy val as: Array[Long] =
+    Array.tabulate(numHashes)(i => Hashing.mix64(2L * i + 1) | 1L)
+  @transient private lazy val bs: Array[Long] =
+    Array.tabulate(numHashes)(i => Hashing.mix64(0x5DEECE66DL * (i + 1)))
+
+  override def nullSafeEval(tokens: Any, kv: Any): Any = {
+    val arr = tokens.asInstanceOf[ArrayData]
+    val n = arr.numElements()
+    val mins = Array.fill(numHashes)(-1L) // unsigned max
+    var i = 0
+    while (i < n) {
+      if (!arr.isNullAt(i)) {
+        val h = Hashing.hashToken(arr.getUTF8String(i))
+        var j = 0
+        while (j < numHashes) {
+          val v = as(j) * h + bs(j)
+          if (java.lang.Long.compareUnsigned(v, mins(j)) < 0) mins(j) = v
+          j += 1
+        }
+      }
+      i += 1
+    }
+    new GenericArrayData(mins)
+  }
+
+  override protected def withNewChildrenInternal(l: Expression, r: Expression): Expression =
+    copy(child = l, k = r)
+  override def prettyName: String = "minhash"
+}
+
+/** 64-bit SimHash of a token array: `simhash(tokens)` → bigint.
+  * Near-duplicate docs differ in few bits (small Hamming distance).
+  */
+case class SimHash64(child: Expression)
+    extends UnaryExpression with CodegenFallback {
+  override def dataType: DataType = LongType
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ArrayType(StringType, _) => TypeCheckResult.TypeCheckSuccess
+    case _ => TypeCheckResult.TypeCheckFailure("simhash expects array<string>")
+  }
+
+  override def nullSafeEval(tokens: Any): Any = {
+    val arr = tokens.asInstanceOf[ArrayData]
+    val counts = new Array[Int](64)
+    val n = arr.numElements()
+    var i = 0
+    while (i < n) {
+      if (!arr.isNullAt(i)) {
+        val h = Hashing.hashToken(arr.getUTF8String(i))
+        var j = 0
+        while (j < 64) {
+          if (((h >>> j) & 1L) == 1L) counts(j) += 1 else counts(j) -= 1
+          j += 1
+        }
+      }
+      i += 1
+    }
+    var sig = 0L
+    var j = 0
+    while (j < 64) {
+      if (counts(j) > 0) sig |= (1L << j)
+      j += 1
+    }
+    java.lang.Long.valueOf(sig)
+  }
+
+  override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
+  override def prettyName: String = "simhash"
+}
+
+/** Hamming distance between two 64-bit signatures. */
+case class HammingDistance64(left: Expression, right: Expression)
+    extends BinaryExpression with CodegenFallback {
+  override def dataType: DataType = IntegerType
+  override def checkInputDataTypes(): TypeCheckResult =
+    if (left.dataType == LongType && right.dataType == LongType)
+      TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure("hamming64 expects (bigint, bigint)")
+  override def nullSafeEval(a: Any, b: Any): Any =
+    java.lang.Long.bitCount(a.asInstanceOf[Long] ^ b.asInstanceOf[Long])
+  override protected def withNewChildrenInternal(l: Expression, r: Expression): Expression =
+    copy(left = l, right = r)
+  override def prettyName: String = "hamming64"
+}
+
+/** Cosine similarity of two float vectors as a single tight loop —
+  * replaces the `aggregate(zip_with(...))` expression chain with one
+  * pass and no intermediate arrays. Accumulates in double,
+  * left-to-right (same order as the SQL fold, so results are
+  * bit-identical with the DuckDB oracle).
+  */
+case class CosineSimilarity(left: Expression, right: Expression)
+    extends BinaryExpression with CodegenFallback {
+  override def dataType: DataType = DoubleType
+  override def checkInputDataTypes(): TypeCheckResult = (left.dataType, right.dataType) match {
+    case (ArrayType(FloatType, _), ArrayType(FloatType, _)) => TypeCheckResult.TypeCheckSuccess
+    case _ => TypeCheckResult.TypeCheckFailure("cosine_sim expects two array<float>")
+  }
+  override def nullSafeEval(a: Any, b: Any): Any = {
+    val x = a.asInstanceOf[ArrayData].toFloatArray()
+    val y = b.asInstanceOf[ArrayData].toFloatArray()
+    val n = math.min(x.length, y.length)
+    var dot = 0.0; var nx = 0.0; var ny = 0.0
+    var i = 0
+    while (i < n) {
+      val xi = x(i).toDouble; val yi = y(i).toDouble
+      dot += xi * yi; nx += xi * xi; ny += yi * yi
+      i += 1
+    }
+    if (nx == 0.0 || ny == 0.0) 0.0 else dot / (math.sqrt(nx) * math.sqrt(ny))
+  }
+  override protected def withNewChildrenInternal(l: Expression, r: Expression): Expression =
+    copy(left = l, right = r)
+  override def prettyName: String = "cosine_sim"
+}
+
+/** Column-API + SQL registration for the custom expressions. */
+object functions {
+  import org.apache.spark.sql.SparkSession
+  import org.apache.spark.sql.GraftBridge.{column, expression}
+
+  def minhash(tokens: Column, k: Int): Column =
+    column(MinHashSignature(expression(tokens), Literal(k)))
+  def simhash(tokens: Column): Column = column(SimHash64(expression(tokens)))
+  def hamming64(a: Column, b: Column): Column =
+    column(HammingDistance64(Cast(expression(a), LongType), Cast(expression(b), LongType)))
+  def cosine_sim(a: Column, b: Column): Column =
+    column(CosineSimilarity(Cast(expression(a), ArrayType(FloatType)),
+      Cast(expression(b), ArrayType(FloatType))))
+
+  /** Register SQL names (idempotent) so `spark.sql` can use them. */
+  def register(spark: SparkSession): Unit = {
+    val reg = spark.sessionState.functionRegistry
+    reg.createOrReplaceTempFunction("minhash",
+      es => MinHashSignature(es(0), Cast(es(1), IntegerType)), "built-in")
+    reg.createOrReplaceTempFunction("simhash", es => SimHash64(es.head), "built-in")
+    reg.createOrReplaceTempFunction("hamming64",
+      es => HammingDistance64(Cast(es(0), LongType), Cast(es(1), LongType)), "built-in")
+    reg.createOrReplaceTempFunction("cosine_sim",
+      es => CosineSimilarity(Cast(es(0), ArrayType(FloatType)), Cast(es(1), ArrayType(FloatType))), "built-in")
+  }
+}

@@ -4,6 +4,7 @@ import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.expressions.Window
 import graft.Tables
+import graft.functions.functions.cosine_sim
 
 /** Similarity search over the `embeddings` table (64-dim float
   * vectors): per-vector stats, cosine-similar pair mining, and
@@ -22,7 +23,8 @@ import graft.Tables
   */
 object VectorOps {
 
-  /** Σ aᵢ·bᵢ as a codegen'd expression chain (no UDF). */
+  /** Σ aᵢ·bᵢ as an expression chain — kept for the stats query where
+    * the oracle checks the raw sums. */
   private def dot(a: Column, b: Column): Column =
     aggregate(
       zip_with(a, b, (x, y) => x.cast("double") * y.cast("double")),
@@ -48,8 +50,7 @@ object VectorOps {
       val a = v.select(col("label"), col("vec_id").as("id_a"), col("embedding").as("emb_a"))
       val b = v.select(col("label"), col("vec_id").as("id_b"), col("embedding").as("emb_b"))
       a.join(b, Seq("label")).filter(col("id_a") < col("id_b"))
-        .withColumn("cos_sim",
-          dot(col("emb_a"), col("emb_b")) / (norm(col("emb_a")) * norm(col("emb_b"))))
+        .withColumn("cos_sim", cosine_sim(col("emb_a"), col("emb_b")))
         .filter(col("cos_sim") >= 0.5)
         .select(col("label"), col("id_a"), col("id_b"), col("cos_sim"))
     }),
@@ -61,8 +62,7 @@ object VectorOps {
         .select(col("vec_id").as("query_id"), col("embedding").as("q_emb"))
       val c = e.select(col("vec_id").as("cand_id"), col("embedding").as("c_emb"))
       val scored = q.join(c, col("query_id") =!= col("cand_id"))
-        .withColumn("cos_sim",
-          dot(col("q_emb"), col("c_emb")) / (norm(col("q_emb")) * norm(col("c_emb"))))
+        .withColumn("cos_sim", cosine_sim(col("q_emb"), col("c_emb")))
       val w = Window.partitionBy(col("query_id"))
         .orderBy(col("cos_sim").desc, col("cand_id"))
       scored.withColumn("rk", row_number().over(w))

@@ -1,0 +1,69 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.sql.functions._
+import graft.functions.functions._
+
+class HashFunctionsSpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  test("minhash: deterministic, length k, identical inputs collide") {
+    val df = Seq(
+      ("a", Seq("x", "y", "z")),
+      ("b", Seq("x", "y", "z")),
+      ("c", Seq("p", "q", "r"))).toDF("id", "toks")
+    val sigs = df.select($"id", minhash($"toks", 32).as("sig")).collect()
+      .map(r => r.getString(0) -> r.getSeq[Long](1)).toMap
+    assert(sigs("a").length == 32)
+    assert(sigs("a") == sigs("b"))
+    assert(sigs("a") != sigs("c"))
+  }
+
+  test("minhash: matching fraction estimates jaccard") {
+    // two sets with |∩|=50, |∪|=150 → true J = 1/3
+    val s1 = (0 until 100).map(i => s"tok$i")
+    val s2 = (50 until 200).map(i => s"tok$i")
+    val df = Seq(("a", s1), ("b", s2)).toDF("id", "toks")
+    val Array(ra, rb) = df.orderBy("id")
+      .select(minhash($"toks", 256).as("sig")).collect()
+    val (sa, sb) = (ra.getSeq[Long](0), rb.getSeq[Long](0))
+    val est = sa.zip(sb).count { case (x, y) => x == y }.toDouble / 256
+    assert(math.abs(est - 1.0 / 3.0) < 0.12, s"est=$est")
+  }
+
+  test("simhash: equal docs equal, perturbation stays near") {
+    val base = (0 until 200).map(i => s"w$i")
+    val pert = base.updated(0, "CHANGED").updated(1, "ALSO")
+    val far = (0 until 200).map(i => s"other$i")
+    val df = Seq(("a", base), ("b", base), ("c", pert), ("d", far))
+      .toDF("id", "toks")
+    val m = df.select($"id", simhash($"toks").as("s")).collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(m("a") == m("b"))
+    val near = java.lang.Long.bitCount(m("a") ^ m("c"))
+    val dist = java.lang.Long.bitCount(m("a") ^ m("d"))
+    assert(near < 16, s"near=$near")
+    assert(dist > 16, s"dist=$dist")
+  }
+
+  test("hamming64 + registration via SQL") {
+    graft.functions.functions.register(spark)
+    val r = spark.sql(
+      "SELECT hamming64(11, 8) h1, hamming64(5, 5) h2, " +
+        "simhash(array('a','b')) s, " +
+        "size(minhash(array('a','b'), 16)) k").collect()(0)
+    assert(r.getInt(0) == 2)  // 1011 ^ 1000 = 0011
+    assert(r.getInt(1) == 0)
+    assert(r.getInt(3) == 16)
+  }
+
+  test("cosine_sim: identity 1.0, orthogonal 0.0, null-safe") {
+    val df = Seq(
+      (Array(1f, 2f, 3f), Array(1f, 2f, 3f)),
+      (Array(1f, 0f, 0f), Array(0f, 1f, 0f))).toDF("a", "b")
+    val vals = df.select(cosine_sim($"a", $"b")).collect().map(_.getDouble(0))
+    assert(math.abs(vals(0) - 1.0) < 1e-12)
+    assert(vals(1) == 0.0)
+  }
+}
