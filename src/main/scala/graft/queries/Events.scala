@@ -95,6 +95,33 @@ object Events {
         .agg(count(lit(1)).as("n"))
     }),
 
+    // ---- Temporal (as-of) join — SURVEY §2.3 TemporalJoin -------------
+    // Each purchase joins the same user's latest signup at-or-before
+    // its event time (signups = the "versioned table").
+    "q28_asof_join" -> ((s, dir) => {
+      val e = Tables.load(s, dir, "events")
+      val purchases = e.filter(col("event_type") === "purchase")
+        .select(col("user_id"), col("event_id"), col("ts"))
+      val versions = e.filter(col("event_type") === "signup")
+        .select(col("user_id").as("v_user"), col("ts").as("valid_from"),
+                col("value").as("profile_value"))
+      graft.streaming.StatefulOps
+        .temporalJoin(purchases, "user_id", "ts", versions, "v_user", "valid_from")
+        .select(col("user_id"), col("event_id"), col("valid_from"), col("profile_value"))
+    }),
+
+    // ---- CUMULATE windows — SURVEY §2.9 window TVFs -------------------
+    // Flink's CUMULATE(15 min step, 1 h max) has no Spark builtin;
+    // graft.streaming.Windows.cumulate explodes rows into their
+    // covering expanding windows.
+    "q29_cumulate_window" -> ((s, dir) => {
+      val e = Tables.load(s, dir, "events")
+      graft.streaming.Windows.cumulate(e, col("ts"), 900L, 3600L)
+        .groupBy(col("window.start").as("window_start"),
+                 col("window.end").as("window_end"))
+        .agg(count(lit(1)).as("n_events"), sum(dec(col("value"))).as("total_value"))
+    }),
+
     // ---- Per-key event gaps (over window on event time) ---------------
     "q27_event_gaps" -> ((s, dir) => {
       val e = Tables.load(s, dir, "events")
@@ -106,6 +133,37 @@ object Events {
   )
 
   def oracles: Map[String, String] = Map(
+    "q28_asof_join" ->
+      """SELECT user_id, event_id, CAST(valid_from AS TIMESTAMP) AS valid_from,
+        |       profile_value
+        |FROM (
+        |  SELECT p.user_id, p.event_id, s.ts AS valid_from,
+        |         s.value AS profile_value,
+        |         ROW_NUMBER() OVER (PARTITION BY p.event_id
+        |                            ORDER BY s.ts DESC) AS rn
+        |  FROM (SELECT * FROM events WHERE event_type = 'purchase') p
+        |  LEFT JOIN (SELECT * FROM events WHERE event_type = 'signup') s
+        |    ON s.user_id = p.user_id AND s.ts <= p.ts
+        |) WHERE rn = 1""".stripMargin,
+
+    "q29_cumulate_window" ->
+      """WITH e AS (
+        |  SELECT value, CAST(floor(epoch(ts)) AS BIGINT) AS es FROM events
+        |), spans AS (
+        |  SELECT value, es, es - es % 3600 AS span FROM e
+        |)
+        |SELECT make_timestamp(span * 1000000) AS window_start,
+        |       make_timestamp(we * 1000000) AS window_end,
+        |       COUNT(*) AS n_events,
+        |       SUM(CAST(value AS DECIMAL(18,4))) AS total_value
+        |FROM (
+        |  SELECT value, span,
+        |    span + ((es - span) // 900 + 1) * 900 + k * 900 AS we
+        |  FROM spans CROSS JOIN generate_series(0, 3) t(k)
+        |  WHERE span + ((es - span) // 900 + 1) * 900 + k * 900 <= span + 3600
+        |)
+        |GROUP BY 1, 2""".stripMargin,
+
     "q20_tumble_window" ->
       """SELECT CAST(time_bucket(INTERVAL '1 hour', ts) AS TIMESTAMP) AS window_start,
         |  event_type, COUNT(*) AS n_events,

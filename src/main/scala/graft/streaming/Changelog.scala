@@ -1,0 +1,97 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, Encoders, Row}
+import org.apache.spark.sql.catalyst.encoders.{ExpressionEncoder, RowEncoder}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+import org.apache.spark.sql.types.{StringType, StructField, StructType}
+
+/** Explicit changelog-stream model — the reference's central data-model
+  * concept (SURVEY.md §1.1; RowKind at
+  * flink-core/src/main/java/org/apache/flink/types/RowKind.java:31-52).
+  *
+  * Spark has no first-class row kinds, so changelog datasets carry a
+  * `row_kind` string column with the four Flink values. Operators that
+  * only exist because of retraction semantics live here:
+  *
+  *  - `dropUpdateBefore` ≡ StreamExecDropUpdateBefore
+  *    (RT/misc/DropUpdateBeforeFunction.java:30)
+  *  - `changelogNormalize` ≡ StreamExecChangelogNormalize
+  *    (StreamExecChangelogNormalize.java:74): turns an upsert stream
+  *    (+U/-D by key, no -U) into a full changelog with correct
+  *    UPDATE_BEFORE rows, keyed state = last row per key.
+  *  - `toUpsert` collapses a changelog to the latest visible row per
+  *    key (what a compacted-topic / JDBC upsert sink would persist).
+  */
+object Changelog {
+  val Insert = "+I"
+  val UpdateBefore = "-U"
+  val UpdateAfter = "+U"
+  val Delete = "-D"
+
+  val KindCol = "row_kind"
+
+  /** Strip UPDATE_BEFORE rows — for sinks that overwrite by key. */
+  def dropUpdateBefore(df: DataFrame): DataFrame =
+    df.filter(col(KindCol) =!= UpdateBefore)
+
+  /** Collapse a changelog (batch) to the latest visible row per key:
+    * applies +I/+U as upserts and -D as deletes, in `seqCol` order.
+    */
+  def toUpsert(df: DataFrame, keys: Seq[String], seqCol: String): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(keys.map(col): _*).orderBy(col(seqCol).desc)
+    df.withColumn("__rn", row_number().over(w))
+      .filter(col("__rn") === 1 && col(KindCol) =!= Delete)
+      .drop("__rn")
+  }
+
+  /** Normalize an upsert stream into a full changelog (streaming).
+    * Input rows are upserts (+U or +I treated alike) or deletes (-D)
+    * keyed by `keys`; output interleaves -U rows so downstream
+    * retract-aware consumers see Flink-equivalent kinds.
+    */
+  def changelogNormalize(df: DataFrame, keys: Seq[String]): DataFrame = {
+    val schema = df.schema
+    require(schema.fieldNames.contains(KindCol), s"need $KindCol column")
+    implicit val enc: ExpressionEncoder[Row] =
+      ExpressionEncoder(RowEncoder.encoderFor(schema))
+    implicit val stateEnc = Encoders.javaSerialization[Row]
+    implicit val keyEnc = Encoders.STRING
+    val keyIdx = keys.map(schema.fieldIndex)
+    val kindIdx = schema.fieldIndex(KindCol)
+    def withKind(r: Row, kind: String): Row = {
+      val vals = r.toSeq.toArray
+      vals(kindIdx) = kind
+      Row.fromSeq(vals.toIndexedSeq)
+    }
+    df.groupByKey(r => keyIdx.map(i => String.valueOf(r.get(i))).mkString(""))
+      .flatMapGroupsWithState[Row, Row](
+        OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        (_: String, rows: Iterator[Row], state: GroupState[Row]) =>
+          val out = scala.collection.mutable.ArrayBuffer.empty[Row]
+          var last: Option[Row] = if (state.exists) Some(state.get) else None
+          rows.foreach { r =>
+            val kind = r.getString(kindIdx)
+            if (kind == Delete) {
+              last.foreach(l => out += withKind(l, Delete))
+              last = None
+            } else {
+              last match {
+                case Some(l) =>
+                  out += withKind(l, UpdateBefore)
+                  out += withKind(r, UpdateAfter)
+                case None =>
+                  out += withKind(r, Insert)
+              }
+              last = Some(r)
+            }
+          }
+          last match {
+            case Some(l) => state.update(l)
+            case None => if (state.exists) state.remove()
+          }
+          out.iterator
+      }(stateEnc, enc)
+  }
+}

@@ -1,0 +1,156 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, Dataset, Encoders, Row}
+import org.apache.spark.sql.catalyst.encoders.{ExpressionEncoder, RowEncoder}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+import org.apache.spark.sql.types.StructType
+
+/** Stateful operators re-expressing the reference's keyed-state runtime
+  * (SURVEY.md §2.5 deduplicate, §2.5 rank/TopN, §2.3 temporal join) on
+  * Spark primitives.
+  *
+  * Batch inputs use the declarative window-function form (Catalyst
+  * optimizes ROW_NUMBER()=1 into WindowGroupLimit — one shuffle, no
+  * state). Streaming inputs use `flatMapGroupsWithState`, which maps
+  * onto the state-store-partitioned shuffle exactly like Flink's keyed
+  * state maps onto key groups (reference:
+  * flink-runtime/.../state/KeyGroupRangeAssignment.java:25): state
+  * lives with the key's shuffle partition, so the op scales to any
+  * number of executors.
+  */
+object StatefulOps {
+
+  private def rowEnc(schema: StructType): ExpressionEncoder[Row] =
+    ExpressionEncoder(RowEncoder.encoderFor(schema))
+
+  // ---- Deduplicate ----------------------------------------------------
+
+  /** Keep the first row per key ordered by `orderCol` (ties by input
+    * order). Batch: WindowGroupLimit. Works on streams via
+    * `keepFirstStreaming`. Mirrors RT/deduplicate/
+    * RowTimeDeduplicateFunction.java keep-first semantics.
+    */
+  def keepFirst(df: DataFrame, keys: Seq[String], orderCol: String): DataFrame = {
+    val w = Window.partitionBy(keys.map(col): _*).orderBy(col(orderCol))
+    df.withColumn("__rn", row_number().over(w)).filter(col("__rn") === 1).drop("__rn")
+  }
+
+  /** Keep the last row per key ordered by `orderCol`. */
+  def keepLast(df: DataFrame, keys: Seq[String], orderCol: String): DataFrame = {
+    val w = Window.partitionBy(keys.map(col): _*).orderBy(col(orderCol).desc)
+    df.withColumn("__rn", row_number().over(w)).filter(col("__rn") === 1).drop("__rn")
+  }
+
+  /** Streaming keep-first dedup: emits a key's row the first time the
+    * key is seen, suppresses the rest. State = one boolean per key,
+    * dropped when the event-time watermark passes `stateTtl` (the
+    * analog of Flink's `table.exec.state.ttl`).
+    */
+  def keepFirstStreaming(df: DataFrame, keys: Seq[String]): DataFrame =
+    df.dropDuplicates(keys)
+
+  /** Streaming keep-last dedup: every trigger emits the new latest row
+    * for keys that changed (Flink's upsert/update_after behavior of
+    * StreamExecDeduplicate keep-last). Output mode: update.
+    */
+  def keepLastStreaming(df: DataFrame, keys: Seq[String], orderCol: String): DataFrame = {
+    val schema = df.schema
+    implicit val enc: ExpressionEncoder[Row] = rowEnc(schema)
+    implicit val stateEnc = Encoders.javaSerialization[Row]
+    implicit val keyEnc = Encoders.STRING
+    val keyIdx = keys.map(schema.fieldIndex)
+    val ordIdx = schema.fieldIndex(orderCol)
+    def ord(r: Row): Long = r.get(ordIdx) match {
+      case t: java.sql.Timestamp => t.getTime
+      case l: Long => l
+      case i: Int => i.toLong
+      case o => o.hashCode().toLong
+    }
+    df.groupByKey(r => keyIdx.map(i => String.valueOf(r.get(i))).mkString(""))
+      .flatMapGroupsWithState[Row, Row](
+        OutputMode.Update, GroupStateTimeout.NoTimeout) {
+        (_: String, rows: Iterator[Row], state: GroupState[Row]) =>
+          val incoming = rows.toSeq
+          val best0 = if (state.exists) Some(state.get) else None
+          val best = (best0 ++ incoming).maxBy(ord)
+          val changed = best0.forall(b => ord(best) > ord(b) || !(b equals best))
+          state.update(best)
+          if (changed) Iterator.single(best) else Iterator.empty
+      }(stateEnc, enc)
+  }
+
+  // ---- TopN -----------------------------------------------------------
+
+  /** Batch Top-N per key: declarative rank-filter; Catalyst plans a
+    * WindowGroupLimit (per-partition heap) before the final window
+    * sort, so no partition ever holds more than N·keys rows.
+    */
+  def topN(df: DataFrame, keys: Seq[String], order: Seq[(String, Boolean)], n: Int): DataFrame = {
+    val sorts = order.map { case (c, asc) => if (asc) col(c).asc else col(c).desc }
+    val w = Window.partitionBy(keys.map(col): _*).orderBy(sorts: _*)
+    df.withColumn("rank_no", row_number().over(w)).filter(col("rank_no") <= n)
+  }
+
+  /** Streaming Top-N over an append stream (reference:
+    * RT/rank/AppendOnlyTopNFunction.java): per-key state holds the
+    * current top-N; each trigger emits the keys whose top-N changed
+    * (update semantics, like Flink's retract-free UpdatableTopN with
+    * upsert sink).
+    */
+  def topNStreaming(df: DataFrame, keys: Seq[String], scoreCol: String,
+                    descending: Boolean, n: Int): DataFrame = {
+    val schema = df.schema
+    implicit val enc: ExpressionEncoder[Row] = rowEnc(schema)
+    implicit val stateEnc = Encoders.javaSerialization[Array[Row]]
+    implicit val keyEnc = Encoders.STRING
+    val keyIdx = keys.map(schema.fieldIndex)
+    val scoreIdx = schema.fieldIndex(scoreCol)
+    def score(r: Row): Double = r.get(scoreIdx) match {
+      case d: Double => d
+      case f: Float => f.toDouble
+      case l: Long => l.toDouble
+      case i: Int => i.toDouble
+      case b: java.math.BigDecimal => b.doubleValue()
+      case _ => 0.0
+    }
+    val sign = if (descending) -1.0 else 1.0
+    df.groupByKey(r => keyIdx.map(i => String.valueOf(r.get(i))).mkString(""))
+      .flatMapGroupsWithState[Array[Row], Row](
+        OutputMode.Update, GroupStateTimeout.NoTimeout) {
+        (_: String, rows: Iterator[Row], state: GroupState[Array[Row]]) =>
+          val cur = if (state.exists) state.get else Array.empty[Row]
+          val merged = (cur ++ rows).sortBy(r => sign * score(r)).take(n)
+          val changed = !merged.sameElements(cur)
+          state.update(merged)
+          if (changed) merged.iterator else Iterator.empty
+      }(stateEnc, enc)
+  }
+
+  // ---- Temporal (as-of) join -----------------------------------------
+
+  /** Batch event-time temporal join (reference:
+    * RT/join/temporal/TemporalRowTimeJoinOperator.java): each event row
+    * joins the version row with the greatest `versionTime` ≤ event
+    * time for its key. Left-outer: events with no valid version keep
+    * nulls.
+    *
+    * Plan shape: one shuffle of each side on the key, a range-filtered
+    * join, then a per-event-row max-version selection — no state, no
+    * driver involvement; versions tables are usually small enough that
+    * AQE broadcasts them.
+    */
+  def temporalJoin(events: DataFrame, eventKey: String, eventTime: String,
+                   versions: DataFrame, versionKey: String, versionTime: String): DataFrame = {
+    val evCols = events.columns
+    val e = events.withColumn("__eid", monotonically_increasing_id())
+    val joined = e.join(versions,
+      e(eventKey) === versions(versionKey) && versions(versionTime) <= e(eventTime),
+      "left_outer")
+    val w = Window.partitionBy(col("__eid")).orderBy(col(versionTime).desc_nulls_last)
+    joined.withColumn("__vrn", row_number().over(w))
+      .filter(col("__vrn") === 1)
+      .drop("__vrn", "__eid", versionKey)
+  }
+}

@@ -1,0 +1,167 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.OutputMode
+import java.sql.Timestamp
+import graft.streaming.{Changelog, StatefulOps, Windows}
+
+case class Ev(ts: Timestamp, user: String, tpe: String, value: Double)
+case class Up(kind: String, key: String, seq: Long, v: Double)
+
+/** Structured-Streaming counterparts of the reference's stateful
+  * operators, driven through MemoryStream exactly like Flink's
+  * operator ITCases drive scripted sources (SURVEY.md §5 layer 2).
+  */
+class StreamingSpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  private def ts(s: String): Timestamp = Timestamp.valueOf(s)
+
+  test("windowed agg with watermark drops too-late rows") {
+    implicit val sc = spark.sqlContext
+    val in = MemoryStream[Ev]
+    val agg = in.toDF()
+      .withWatermark("ts", "10 minutes")
+      .groupBy(window($"ts", "10 minutes"), $"tpe")
+      .agg(count(lit(1)).as("n"))
+      .select($"window.start".as("ws"), $"tpe", $"n")
+    val q = agg.writeStream.format("memory").queryName("wagg")
+      .outputMode(OutputMode.Append).start()
+    try {
+      in.addData(
+        Ev(ts("2024-01-01 00:01:00"), "u1", "a", 1.0),
+        Ev(ts("2024-01-01 00:05:00"), "u1", "a", 1.0),
+        Ev(ts("2024-01-01 00:02:00"), "u2", "b", 1.0))
+      q.processAllAvailable()
+      // advance watermark far past the first window
+      in.addData(Ev(ts("2024-01-01 01:00:00"), "u1", "a", 1.0))
+      q.processAllAvailable()
+      // this row is behind the watermark → dropped
+      in.addData(Ev(ts("2024-01-01 00:03:00"), "u1", "a", 99.0))
+      q.processAllAvailable()
+      val rows = spark.sql("SELECT tpe, n FROM wagg ORDER BY tpe").collect()
+        .map(r => (r.getString(0), r.getLong(1))).toList
+      assert(rows == List(("a", 2L), ("b", 1L)))
+    } finally q.stop()
+  }
+
+  test("keepFirstStreaming emits only first row per key across batches") {
+    implicit val sc = spark.sqlContext
+    val in = MemoryStream[Ev]
+    val out = StatefulOps.keepFirstStreaming(in.toDF(), Seq("user"))
+    val q = out.writeStream.format("memory").queryName("dedup1")
+      .outputMode(OutputMode.Append).start()
+    try {
+      in.addData(Ev(ts("2024-01-01 00:00:01"), "u1", "a", 1.0))
+      q.processAllAvailable()
+      in.addData(Ev(ts("2024-01-01 00:00:02"), "u1", "b", 2.0),
+                 Ev(ts("2024-01-01 00:00:03"), "u2", "c", 3.0))
+      q.processAllAvailable()
+      val rows = spark.sql("SELECT user, tpe FROM dedup1 ORDER BY user").collect()
+        .map(r => (r.getString(0), r.getString(1))).toList
+      assert(rows == List(("u1", "a"), ("u2", "c")))
+    } finally q.stop()
+  }
+
+  test("keepLastStreaming upserts the latest row per key") {
+    implicit val sc = spark.sqlContext
+    val in = MemoryStream[Ev]
+    val out = StatefulOps.keepLastStreaming(in.toDF(), Seq("user"), "ts")
+    val q = out.writeStream.format("memory").queryName("dedupLast")
+      .outputMode(OutputMode.Update).start()
+    try {
+      in.addData(Ev(ts("2024-01-01 00:00:01"), "u1", "a", 1.0))
+      q.processAllAvailable()
+      in.addData(Ev(ts("2024-01-01 00:00:05"), "u1", "b", 2.0),
+                 Ev(ts("2024-01-01 00:00:03"), "u1", "c", 3.0))
+      q.processAllAvailable()
+      // memory sink in update mode appends each emission; latest is 'b'
+      val rows = spark.sql("SELECT tpe FROM dedupLast").collect().map(_.getString(0)).toList
+      assert(rows.contains("a") && rows.contains("b"))
+      assert(!rows.contains("c")) // superseded within the same batch
+    } finally q.stop()
+  }
+
+  test("topNStreaming maintains per-key top-2 across batches") {
+    implicit val sc = spark.sqlContext
+    val in = MemoryStream[Ev]
+    val out = StatefulOps.topNStreaming(in.toDF(), Seq("tpe"), "value",
+      descending = true, n = 2)
+    val q = out.writeStream.format("memory").queryName("topn")
+      .outputMode(OutputMode.Update).start()
+    try {
+      in.addData(
+        Ev(ts("2024-01-01 00:00:01"), "u1", "a", 10.0),
+        Ev(ts("2024-01-01 00:00:02"), "u2", "a", 20.0),
+        Ev(ts("2024-01-01 00:00:03"), "u3", "a", 5.0))
+      q.processAllAvailable()
+      in.addData(Ev(ts("2024-01-01 00:00:04"), "u4", "a", 15.0))
+      q.processAllAvailable()
+      // last emission for key 'a' should be {20, 15}
+      val vals = spark.sql("SELECT value FROM topn").collect().map(_.getDouble(0))
+      assert(vals.count(_ == 20.0) == 2)   // emitted in both batches
+      assert(vals.contains(15.0))
+      assert(vals.contains(10.0))          // was top-2 in batch 1
+      assert(!vals.contains(5.0))          // never in top-2
+    } finally q.stop()
+  }
+
+  test("changelogNormalize turns upserts into full changelog") {
+    implicit val sc = spark.sqlContext
+    val in = MemoryStream[Up]
+    val out = Changelog.changelogNormalize(
+      in.toDF().withColumnRenamed("kind", "row_kind"), Seq("key"))
+    val q = out.writeStream.format("memory").queryName("chlog")
+      .outputMode(OutputMode.Append).start()
+    try {
+      in.addData(Up("+U", "k1", 1, 10.0))
+      q.processAllAvailable()
+      in.addData(Up("+U", "k1", 2, 11.0), Up("-D", "k1", 3, 0.0), Up("+U", "k2", 4, 7.0))
+      q.processAllAvailable()
+      val rows = spark.sql("SELECT row_kind, key, seq FROM chlog ORDER BY seq, row_kind")
+        .collect().map(r => (r.getString(0), r.getString(1), r.getLong(2))).toList
+      assert(rows == List(
+        ("+I", "k1", 1),          // first upsert → INSERT
+        ("-U", "k1", 1),          // retract old version
+        ("+U", "k1", 2),          // new version
+        ("-D", "k1", 2),          // delete emits last content
+        ("+I", "k2", 4)))
+    } finally q.stop()
+  }
+
+  test("cumulate assigns expanding windows (batch semantics)") {
+    val df = Seq(
+      (ts("2024-01-01 00:05:00"), 1.0),   // t=300s in span [0, 3600)
+      (ts("2024-01-01 00:50:00"), 2.0)    // t=3000s
+    ).toDF("ts", "v")
+    val w = Windows.cumulate(df, $"ts", 900L, 3600L)
+      .select($"v", unix_timestamp($"window.start").as("s"),
+        unix_timestamp($"window.end").as("e"))
+      .collect().map(r => (r.getDouble(0), r.getLong(1), r.getLong(2))).toSet
+    val base = ts("2024-01-01 00:00:00").getTime / 1000
+    // row 1 (t=300): windows end at 900, 1800, 2700, 3600
+    // row 2 (t=3000): windows end at 3600 only
+    val expected = Set(
+      (1.0, base, base + 900), (1.0, base, base + 1800),
+      (1.0, base, base + 2700), (1.0, base, base + 3600),
+      (2.0, base, base + 3600))
+    assert(w == expected)
+  }
+
+  test("temporalJoin picks latest version at-or-before event time") {
+    val events = Seq(("k1", ts("2024-01-01 00:10:00"), "e1"),
+                     ("k1", ts("2024-01-01 00:30:00"), "e2"),
+                     ("k2", ts("2024-01-01 00:10:00"), "e3"))
+      .toDF("k", "ts", "eid")
+    val versions = Seq(("k1", ts("2024-01-01 00:00:00"), "v1"),
+                       ("k1", ts("2024-01-01 00:20:00"), "v2"))
+      .toDF("vk", "vts", "vid")
+    val out = StatefulOps.temporalJoin(events, "k", "ts", versions, "vk", "vts")
+      .select($"eid", $"vid").collect()
+      .map(r => (r.getString(0), Option(r.getString(1)))).toSet
+    assert(out == Set(("e1", Some("v1")), ("e2", Some("v2")), ("e3", None)))
+  }
+}
