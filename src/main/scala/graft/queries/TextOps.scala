@@ -106,8 +106,10 @@ object TextOps {
           concat_ws(" ", element_at(toks, i), element_at(toks, i + 1),
             element_at(toks, i + 2))))
         .otherwise(array().cast("array<string>"))
+      // n_shingles is size(toks)-2 by construction — don't rebuild the
+      // array twice just to count it.
       d.select(col("doc_id"),
-        size(shingles).as("n_shingles"),
+        greatest(size(toks) - 2, lit(0)).as("n_shingles"),
         size(array_distinct(shingles)).as("n_unique_shingles"))
     }),
 
@@ -119,7 +121,8 @@ object TextOps {
       val a = bags.select(col("lang"), col("doc_id").as("doc_a"), col("bag").as("bag_a"))
       val b = bags.select(col("lang"), col("doc_id").as("doc_b"), col("bag").as("bag_b"))
       a.join(b, Seq("lang")).filter(col("doc_a") < col("doc_b"))
-        .withColumn("n_inter", size(array_intersect(col("bag_a"), col("bag_b"))))
+        .withColumn("n_inter", graft.functions.ArrayFns
+          .sorted_intersect_count(col("bag_a"), col("bag_b")))
         .withColumn("n_union",
           size(col("bag_a")) + size(col("bag_b")) - col("n_inter"))
         .withColumn("jaccard", col("n_inter").cast("double") / col("n_union"))
