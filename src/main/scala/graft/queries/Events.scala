@@ -122,6 +122,24 @@ object Events {
         .agg(count(lit(1)).as("n_events"), sum(dec(col("value"))).as("total_value"))
     }),
 
+    // ---- Window join — SURVEY §2.3 StreamExecWindowJoin ---------------
+    // Two event streams joined within the same tumbling window + key;
+    // Flink purges state at window end — here the window-start column
+    // IS the join key, so Spark needs no state at all in batch and a
+    // watermark-bounded state in streaming.
+    "q31_window_join" -> ((s, dir) => {
+      val e = Tables.load(s, dir, "events")
+      val purchases = e.filter(col("event_type") === "purchase")
+        .select(col("user_id"), window(col("ts"), "1 hour").as("w"),
+                col("event_id").as("purchase_id"))
+      val errors = e.filter(col("event_type") === "error")
+        .select(col("user_id"), window(col("ts"), "1 hour").as("w"),
+                col("event_id").as("error_id"))
+      purchases.join(errors, Seq("user_id", "w"))
+        .select(col("user_id"), col("w.start").as("window_start"),
+                col("purchase_id"), col("error_id"))
+    }),
+
     // ---- Per-key event gaps (over window on event time) ---------------
     "q27_event_gaps" -> ((s, dir) => {
       val e = Tables.load(s, dir, "events")
@@ -133,6 +151,16 @@ object Events {
   )
 
   def oracles: Map[String, String] = Map(
+    "q31_window_join" ->
+      """SELECT p.user_id,
+        |  CAST(time_bucket(INTERVAL '1 hour', p.ts) AS TIMESTAMP) AS window_start,
+        |  p.event_id AS purchase_id, e.event_id AS error_id
+        |FROM (SELECT * FROM events WHERE event_type = 'purchase') p
+        |JOIN (SELECT * FROM events WHERE event_type = 'error') e
+        |  ON p.user_id = e.user_id
+        | AND time_bucket(INTERVAL '1 hour', p.ts)
+        |     = time_bucket(INTERVAL '1 hour', e.ts)""".stripMargin,
+
     "q28_asof_join" ->
       """SELECT user_id, event_id, CAST(valid_from AS TIMESTAMP) AS valid_from,
         |       profile_value
