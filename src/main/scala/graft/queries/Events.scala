@@ -140,6 +140,20 @@ object Events {
                 col("purchase_id"), col("error_id"))
     }),
 
+    // ---- CEP / MATCH_RECOGNIZE funnel — SURVEY §2.9 -------------------
+    // Per user: signup → first purchase → first error, all within 1 h
+    // of the signup (skip-till-next-match NFA, graft.streaming.Cep).
+    "q41_funnel" -> ((s, dir) => {
+      val e = Tables.load(s, dir, "events")
+      graft.streaming.Cep.matchSequence(
+        e, keyCol = "user_id", tsCol = "ts", idCol = "event_id",
+        steps = Seq(
+          "signup"   -> (r => r.getString(r.fieldIndex("event_type")) == "signup"),
+          "purchase" -> (r => r.getString(r.fieldIndex("event_type")) == "purchase"),
+          "error"    -> (r => r.getString(r.fieldIndex("event_type")) == "error")),
+        withinSec = 3600L)
+    }),
+
     // ---- Per-key event gaps (over window on event time) ---------------
     "q27_event_gaps" -> ((s, dir) => {
       val e = Tables.load(s, dir, "events")
@@ -151,6 +165,31 @@ object Events {
   )
 
   def oracles: Map[String, String] = Map(
+    "q41_funnel" ->
+      """WITH s AS (SELECT user_id, event_id, ts FROM events WHERE event_type = 'signup'),
+        |m1 AS (
+        |  SELECT s.user_id, s.event_id AS signup_id, s.ts AS signup_ts,
+        |    (SELECT min(p.ts) FROM events p
+        |     WHERE p.user_id = s.user_id AND p.event_type = 'purchase'
+        |       AND p.ts > s.ts AND p.ts <= s.ts + INTERVAL '1 hour') AS purchase_ts
+        |  FROM s),
+        |m2 AS (
+        |  SELECT m1.*,
+        |    (SELECT min(e.ts) FROM events e
+        |     WHERE e.user_id = m1.user_id AND e.event_type = 'error'
+        |       AND e.ts > m1.purchase_ts
+        |       AND e.ts <= m1.signup_ts + INTERVAL '1 hour') AS error_ts
+        |  FROM m1 WHERE purchase_ts IS NOT NULL)
+        |SELECT m2.user_id, signup_id, CAST(signup_ts AS TIMESTAMP) AS signup_ts,
+        |  p.event_id AS purchase_id, CAST(purchase_ts AS TIMESTAMP) AS purchase_ts,
+        |  e.event_id AS error_id, CAST(error_ts AS TIMESTAMP) AS error_ts
+        |FROM m2
+        |JOIN events p ON p.user_id = m2.user_id AND p.ts = m2.purchase_ts
+        |             AND p.event_type = 'purchase'
+        |JOIN events e ON e.user_id = m2.user_id AND e.ts = m2.error_ts
+        |             AND e.event_type = 'error'
+        |WHERE error_ts IS NOT NULL""".stripMargin,
+
     "q31_window_join" ->
       """SELECT p.user_id,
         |  CAST(time_bucket(INTERVAL '1 hour', p.ts) AS TIMESTAMP) AS window_start,
