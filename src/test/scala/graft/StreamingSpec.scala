@@ -132,6 +132,32 @@ class StreamingSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("stream-stream interval join with watermarks (built-in path)") {
+    implicit val sc = spark.sqlContext
+    val left = MemoryStream[Ev]
+    val right = MemoryStream[Ev]
+    val l = left.toDF().withWatermark("ts", "10 minutes")
+      .select($"ts".as("l_ts"), $"user".as("l_user"), $"tpe".as("l_tpe"))
+    val r = right.toDF().withWatermark("ts", "10 minutes")
+      .select($"ts".as("r_ts"), $"user".as("r_user"), $"tpe".as("r_tpe"))
+    val joined = l.join(r,
+      $"l_user" === $"r_user" &&
+      $"r_ts" >= $"l_ts" && $"r_ts" <= $"l_ts" + expr("INTERVAL 5 MINUTES"))
+    val q = joined.writeStream.format("memory").queryName("ssjoin")
+      .outputMode(OutputMode.Append).start()
+    try {
+      left.addData(Ev(ts("2024-01-01 00:00:00"), "u1", "start", 0))
+      right.addData(
+        Ev(ts("2024-01-01 00:03:00"), "u1", "hit", 1),    // inside bound
+        Ev(ts("2024-01-01 00:09:00"), "u1", "miss", 2),   // outside bound
+        Ev(ts("2024-01-01 00:03:30"), "u2", "other", 3))  // wrong key
+      q.processAllAvailable()
+      val rows = spark.sql("SELECT l_user, r_tpe FROM ssjoin").collect()
+        .map(r => (r.getString(0), r.getString(1))).toList
+      assert(rows == List(("u1", "hit")))
+    } finally q.stop()
+  }
+
   test("cumulate assigns expanding windows (batch semantics)") {
     val df = Seq(
       (ts("2024-01-01 00:05:00"), 1.0),   // t=300s in span [0, 3600)
