@@ -26,7 +26,7 @@ class QueriesSmokeSpec extends AnyFunSuite {
   test("oracle coverage: every query has oracle SQL or is a declared rows-only op") {
     val rowsOnly = Set("n50_minhash_signatures", "n51_minhash_dedup_clusters",
       "n52_simhash_pairs", "n53_minhash_lsh_pairs",
-      "m60_media_features", "m61_frame_sampling")
+      "m60_media_features", "m61_frame_sampling", "v43_ivf_ann")
     val missing = SparkEntry.queries.keySet --
       SparkEntry.oracleSql.keySet -- rowsOnly
     assert(missing.isEmpty, s"queries without oracle: $missing")
