@@ -33,6 +33,22 @@ object Collections {
           .as("total_len"))
     }),
 
+    // ---- JSON aggregates + MULTISET (COLLECT) — SURVEY §2.4/§1.3 ------
+    // JSON_ARRAYAGG / JSON_OBJECTAGG via to_json(collect…); MULTISET is
+    // represented exactly how Flink implements COLLECT internally — a
+    // count map — serialized with sorted keys for a stable comparison.
+    "q47_json_agg" -> ((s, dir) => {
+      val e = Tables.load(s, dir, "events")
+      val counts = e.groupBy(col("event_type"), col("user_id"))
+        .agg(count(lit(1)).cast("int").as("cnt"))
+      counts.groupBy(col("event_type"))
+        .agg(
+          to_json(array_sort(collect_list(col("user_id")))).as("users_json"),
+          to_json(map_from_entries(array_sort(collect_list(
+            struct(col("user_id").as("k"), col("cnt").as("v")))))).as("multiset_json"),
+          sum(col("cnt")).as("n"))
+    }),
+
     "q46_map_functions" -> ((s, dir) => {
       val d = Tables.load(s, dir, "documents")
       // "k1:v1,k2:v2" string → map → keyed access
@@ -66,6 +82,17 @@ object Collections {
         |  lang || ',' || lang AS lang_x2,
         |  list_aggregate(list_transform(toks, t -> length(t)), 'sum') AS total_len
         |FROM t""".stripMargin,
+
+    "q47_json_agg" ->
+      """WITH c AS (
+        |  SELECT event_type, user_id, CAST(COUNT(*) AS INT) AS cnt
+        |  FROM events GROUP BY event_type, user_id)
+        |SELECT event_type,
+        |  to_json(list_sort(list(user_id))) AS users_json,
+        |  to_json(map_from_entries(list_sort(list(row(user_id, cnt)))))
+        |    AS multiset_json,
+        |  SUM(cnt) AS n
+        |FROM c GROUP BY event_type""".stripMargin,
 
     "q46_map_functions" ->
       """SELECT doc_id,

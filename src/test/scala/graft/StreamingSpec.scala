@@ -158,6 +158,29 @@ class StreamingSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("stateful op runs on the RocksDB state store provider") {
+    // SURVEY §4.2: the reference's RocksDB state backend maps to
+    // Spark's RocksDB state store provider — config, not code.
+    implicit val sc = spark.sqlContext
+    spark.conf.set("spark.sql.streaming.stateStore.providerClass",
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    try {
+      val in = MemoryStream[Ev]
+      val out = graft.streaming.StatefulOps.keepLastStreaming(in.toDF(), Seq("user"), "ts")
+      val q = out.writeStream.format("memory").queryName("rocks")
+        .outputMode(OutputMode.Update).start()
+      try {
+        in.addData(Ev(ts("2024-01-01 00:00:01"), "u1", "a", 1.0))
+        q.processAllAvailable()
+        in.addData(Ev(ts("2024-01-01 00:00:05"), "u1", "b", 2.0))
+        q.processAllAvailable()
+        val rows = spark.sql("SELECT tpe FROM rocks").collect().map(_.getString(0))
+        assert(rows.contains("a") && rows.contains("b"))
+      } finally q.stop()
+    } finally
+      spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
+  }
+
   test("cumulate assigns expanding windows (batch semantics)") {
     val df = Seq(
       (ts("2024-01-01 00:05:00"), 1.0),   // t=300s in span [0, 3600)
