@@ -58,8 +58,50 @@ case class SortedIntersectCount(left: Expression, right: Expression)
   override def prettyName: String = "sorted_intersect_count"
 }
 
+/** Number of DISTINCT width-`w` token shingles in one pass — no
+  * intermediate shingle strings, no array materialization: shingles
+  * are compared as tuples of the token UTF8Strings in a hash set.
+  * Exact (not hash-sketched), so it matches a string-building oracle.
+  */
+case class DistinctShingleCount(child: Expression, width: Expression)
+    extends BinaryExpression with CodegenFallback {
+  override def left: Expression = child
+  override def right: Expression = width
+  override def dataType: DataType = IntegerType
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ArrayType(StringType, _) if width.foldable => TypeCheckResult.TypeCheckSuccess
+    case _ => TypeCheckResult.TypeCheckFailure(
+      "distinct_shingle_count expects (array<string>, foldable int)")
+  }
+  @transient private lazy val w: Int =
+    width.eval(org.apache.spark.sql.catalyst.InternalRow.empty).asInstanceOf[Int]
+
+  override def nullSafeEval(tokens: Any, wv: Any): Any = {
+    val arr = tokens.asInstanceOf[ArrayData]
+    val n = arr.numElements()
+    if (n < w) 0
+    else {
+      val toks = new Array[org.apache.spark.unsafe.types.UTF8String](n)
+      var i = 0
+      while (i < n) { toks(i) = arr.getUTF8String(i); i += 1 }
+      val seen = new java.util.HashSet[Seq[org.apache.spark.unsafe.types.UTF8String]]()
+      i = 0
+      while (i <= n - w) {
+        seen.add(toks.slice(i, i + w).toSeq)
+        i += 1
+      }
+      seen.size()
+    }
+  }
+  override protected def withNewChildrenInternal(l: Expression, r: Expression): Expression =
+    copy(child = l, width = r)
+  override def prettyName: String = "distinct_shingle_count"
+}
+
 object ArrayFns {
   import org.apache.spark.sql.GraftBridge.{column, expression}
   def sorted_intersect_count(a: Column, b: Column): Column =
     column(SortedIntersectCount(expression(a), expression(b)))
+  def distinct_shingle_count(tokens: Column, width: Int): Column =
+    column(DistinctShingleCount(expression(tokens), Literal(width)))
 }

@@ -98,19 +98,15 @@ object TextOps {
     }),
 
     // ---- Word-3-gram shingles (distinct count per doc) ----------------
+    // Single-pass exact distinct count over token-tuple shingles — no
+    // shingle strings or intermediate arrays are materialized.
     "t35_shingles" -> ((s, dir) => {
       val d = Tables.load(s, dir, "documents")
       val toks = tokens
-      val shingles = when(size(toks) >= 3,
-        transform(sequence(lit(1), size(toks) - 2), i =>
-          concat_ws(" ", element_at(toks, i), element_at(toks, i + 1),
-            element_at(toks, i + 2))))
-        .otherwise(array().cast("array<string>"))
-      // n_shingles is size(toks)-2 by construction — don't rebuild the
-      // array twice just to count it.
       d.select(col("doc_id"),
         greatest(size(toks) - 2, lit(0)).as("n_shingles"),
-        size(array_distinct(shingles)).as("n_unique_shingles"))
+        graft.functions.ArrayFns.distinct_shingle_count(toks, 3)
+          .as("n_unique_shingles"))
     }),
 
     // ---- N-gram Jaccard near-dup pairs (within-lang blocking) ---------
