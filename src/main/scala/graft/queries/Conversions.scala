@@ -1,0 +1,74 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.Tables
+
+/** Conversion + JSON battery — SURVEY.md §2.8 "Conversion" (CAST,
+  * TRY_CAST) and the rest of the JSON row (EXISTS-style checks, array
+  * lengths, nested construction).
+  */
+object Conversions {
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q48_casts" -> ((s, dir) => {
+      val p = Tables.load(s, dir, "part")
+      p.select(
+        col("p_partkey"),
+        col("p_partkey").cast("string").as("key_str"),
+        col("p_size").cast("double").as("size_dbl"),
+        col("p_retailprice").cast("int").as("price_int"),
+        col("p_retailprice").cast("string").as("price_str"),
+        (col("p_size") > 25).cast("int").as("big_flag"),
+        regexp_extract(col("p_brand"), "(\\d+)", 1).cast("int").as("brand_num"),
+        expr("try_cast(p_type AS INT)").as("bad_int"),       // always null
+        expr("try_cast(p_size AS BOOLEAN)").as("size_bool"),
+        concat(lit("k"), col("p_partkey").cast("string")).as("tagged"))
+    }),
+
+    "q49_json2" -> ((s, dir) => {
+      val e = Tables.load(s, dir, "events")
+      val built = to_json(struct(
+        col("event_id").as("id"),
+        struct(col("event_type").as("t"), col("value").as("v")).as("inner"),
+        array(col("user_id"), col("user_id") + 1).as("ids")))
+      e.select(
+        col("event_id"),
+        get_json_object(col("props"), "$.k").isNotNull.as("has_k"),
+        get_json_object(col("props"), "$.missing").isNull.as("no_missing"),
+        built.as("built_json"),
+        get_json_object(built, "$.inner.t").as("rt_type"),
+        get_json_object(built, "$.ids[1]").cast("bigint").as("rt_id2"))
+    })
+  )
+
+  def oracles: Map[String, String] = Map(
+    "q48_casts" ->
+      """SELECT p_partkey,
+        |  CAST(p_partkey AS VARCHAR) AS key_str,
+        |  CAST(p_size AS DOUBLE) AS size_dbl,
+        |  CAST(trunc(p_retailprice) AS INT) AS price_int,
+        |  CAST(p_retailprice AS VARCHAR) AS price_str,
+        |  CAST(p_size > 25 AS INT) AS big_flag,
+        |  TRY_CAST(regexp_extract(p_brand, '(\d+)', 1) AS INT) AS brand_num,
+        |  TRY_CAST(p_type AS INT) AS bad_int,
+        |  TRY_CAST(p_size AS BOOLEAN) AS size_bool,
+        |  'k' || CAST(p_partkey AS VARCHAR) AS tagged
+        |FROM part""".stripMargin,
+
+    "q49_json2" ->
+      """SELECT event_id,
+        |  json_extract_string(props, '$.k') IS NOT NULL AS has_k,
+        |  json_extract_string(props, '$.missing') IS NULL AS no_missing,
+        |  to_json(struct_pack(id := event_id,
+        |    "inner" := struct_pack(t := event_type, v := value),
+        |    ids := [user_id, user_id + 1])) AS built_json,
+        |  json_extract_string(to_json(struct_pack(id := event_id,
+        |    "inner" := struct_pack(t := event_type, v := value),
+        |    ids := [user_id, user_id + 1])), '$.inner.t') AS rt_type,
+        |  CAST(json_extract_string(to_json(struct_pack(id := event_id,
+        |    "inner" := struct_pack(t := event_type, v := value),
+        |    ids := [user_id, user_id + 1])), '$.ids[1]') AS BIGINT) AS rt_id2
+        |FROM events""".stripMargin
+  )
+}
