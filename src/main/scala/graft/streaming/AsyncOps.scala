@@ -1,0 +1,44 @@
+package graft.streaming
+
+import org.apache.spark.sql.Dataset
+import scala.concurrent.{Await, ExecutionContext, Future}
+import scala.concurrent.duration.Duration
+
+/** Async I/O analog — the reference's AsyncWaitOperator
+  * (flink-streaming-java/.../operators/async/AsyncWaitOperator.java:91)
+  * overlaps up to `capacity` in-flight external calls per task while
+  * preserving input order (Flink's ORDERED mode).
+  *
+  * Spark shape: `mapPartitions` with a sliding window of Futures — the
+  * partition iterator stays lazy, so at most `capacity` calls are
+  * buffered per partition regardless of partition size, and the
+  * executor thread blocks only when the window is full (backpressure).
+  */
+object AsyncOps {
+
+  def mapAsyncOrdered[I, O: org.apache.spark.sql.Encoder](
+      ds: Dataset[I], capacity: Int)(fn: I => O): Dataset[O] = {
+    require(capacity > 0)
+    ds.mapPartitions { it =>
+      // bounded thread pool per partition ≈ Flink's per-subtask capacity
+      val pool = java.util.concurrent.Executors.newFixedThreadPool(capacity)
+      implicit val ec: ExecutionContext = ExecutionContext.fromExecutorService(pool)
+      val inflight = scala.collection.mutable.Queue.empty[Future[O]]
+      new Iterator[O] {
+        private def fill(): Unit =
+          while (inflight.size < capacity && it.hasNext) {
+            val elem = it.next() // pull on the caller thread, not in the Future
+            inflight.enqueue(Future(fn(elem)))
+          }
+        override def hasNext: Boolean = {
+          fill()
+          if (inflight.isEmpty) { pool.shutdown(); false } else true
+        }
+        override def next(): O = {
+          fill()
+          Await.result(inflight.dequeue(), Duration.Inf)
+        }
+      }
+    }
+  }
+}

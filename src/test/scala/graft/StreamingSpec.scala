@@ -158,6 +158,75 @@ class StreamingSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("streaming HOP window agg assigns rows to all covering slides") {
+    implicit val sc = spark.sqlContext
+    val in = MemoryStream[Ev]
+    val agg = in.toDF()
+      .withWatermark("ts", "5 minutes")
+      .groupBy(window($"ts", "10 minutes", "5 minutes"))
+      .agg(count(lit(1)).as("n"))
+      .select($"window.start".as("ws"), $"n")
+    val q = agg.writeStream.format("memory").queryName("hopagg")
+      .outputMode(OutputMode.Append).start()
+    try {
+      in.addData(Ev(ts("2024-01-01 00:07:00"), "u1", "a", 1.0))
+      q.processAllAvailable()
+      in.addData(Ev(ts("2024-01-01 01:00:00"), "u1", "a", 1.0)) // close windows
+      q.processAllAvailable()
+      val starts = spark.sql("SELECT ws FROM hopagg ORDER BY ws").collect()
+        .map(_.getTimestamp(0).toString).toList
+      // row at 00:07 belongs to slides starting 00:00 and 00:05
+      assert(starts == List("2024-01-01 00:00:00.0", "2024-01-01 00:05:00.0"))
+    } finally q.stop()
+  }
+
+  test("streaming SESSION window merges within gap, splits across it") {
+    implicit val sc = spark.sqlContext
+    val in = MemoryStream[Ev]
+    val agg = in.toDF()
+      .withWatermark("ts", "5 minutes")
+      .groupBy(session_window($"ts", "10 minutes"), $"user")
+      .agg(count(lit(1)).as("n"))
+      .select($"session_window.start".as("ss"), $"user", $"n")
+    val q = agg.writeStream.format("memory").queryName("sessagg")
+      .outputMode(OutputMode.Append).start()
+    try {
+      in.addData(
+        Ev(ts("2024-01-01 00:00:00"), "u1", "a", 1.0),
+        Ev(ts("2024-01-01 00:05:00"), "u1", "a", 1.0),  // same session
+        Ev(ts("2024-01-01 00:30:00"), "u1", "a", 1.0))  // gap > 10m → new
+      q.processAllAvailable()
+      in.addData(Ev(ts("2024-01-01 02:00:00"), "u1", "a", 1.0)) // close all
+      q.processAllAvailable()
+      val sessions = spark.sql("SELECT ss, n FROM sessagg ORDER BY ss").collect()
+        .map(r => (r.getTimestamp(0).toString, r.getLong(1))).toList
+      assert(sessions == List(
+        ("2024-01-01 00:00:00.0", 2L), ("2024-01-01 00:30:00.0", 1L)))
+    } finally q.stop()
+  }
+
+  test("streaming CUMULATE agg via expanding-window assignment (update mode)") {
+    implicit val sc = spark.sqlContext
+    val in = MemoryStream[Ev]
+    val assigned = Windows.cumulate(in.toDF(), $"ts", 900L, 3600L)
+    val agg = assigned.groupBy($"window").agg(count(lit(1)).as("n"))
+      .select($"window.end".as("we"), $"n")
+    val q = agg.writeStream.format("memory").queryName("cumagg")
+      .outputMode(OutputMode.Update).start()
+    try {
+      in.addData(Ev(ts("2024-01-01 00:05:00"), "u1", "a", 1.0))
+      in.addData(Ev(ts("2024-01-01 00:20:00"), "u2", "a", 1.0))
+      q.processAllAvailable()
+      val latest = spark.sql(
+        "SELECT we, max(n) FROM cumagg GROUP BY we ORDER BY we").collect()
+        .map(r => (r.getTimestamp(0).toString, r.getLong(1))).toList
+      // 00:05 → ends 00:15..01:00 ; 00:20 → ends 00:30..01:00
+      assert(latest == List(
+        ("2024-01-01 00:15:00.0", 1L), ("2024-01-01 00:30:00.0", 2L),
+        ("2024-01-01 00:45:00.0", 2L), ("2024-01-01 01:00:00.0", 2L)))
+    } finally q.stop()
+  }
+
   test("stateful op runs on the RocksDB state store provider") {
     // SURVEY §4.2: the reference's RocksDB state backend maps to
     // Spark's RocksDB state store provider — config, not code.
