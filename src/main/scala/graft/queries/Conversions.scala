@@ -26,6 +26,21 @@ object Conversions {
         concat(lit("k"), col("p_partkey").cast("string")).as("tagged"))
     }),
 
+    // ---- Interval arithmetic + sub-day truncation — SURVEY §2.8 -------
+    "q50_timestamp_arith" -> ((s, dir) => {
+      val e = Tables.load(s, dir, "events")
+      e.select(
+        col("event_id"),
+        (col("ts") + expr("INTERVAL 2 HOURS")).as("plus_2h"),
+        (col("ts") - expr("INTERVAL 90 MINUTES")).as("minus_90m"),
+        (col("ts") + expr("INTERVAL 1 DAY")).as("plus_1d"),
+        date_trunc("hour", col("ts")).as("hour_start"),
+        date_trunc("minute", col("ts")).as("minute_start"),
+        hour(col("ts")).as("h"),
+        minute(col("ts")).as("m"),
+        second(col("ts")).as("sec"))
+    }),
+
     "q49_json2" -> ((s, dir) => {
       val e = Tables.load(s, dir, "events")
       val built = to_json(struct(
@@ -55,6 +70,18 @@ object Conversions {
         |  TRY_CAST(p_size AS BOOLEAN) AS size_bool,
         |  'k' || CAST(p_partkey AS VARCHAR) AS tagged
         |FROM part""".stripMargin,
+
+    "q50_timestamp_arith" ->
+      """SELECT event_id,
+        |  CAST(ts + INTERVAL 2 HOUR AS TIMESTAMP) AS plus_2h,
+        |  CAST(ts - INTERVAL 90 MINUTE AS TIMESTAMP) AS minus_90m,
+        |  CAST(ts + INTERVAL 1 DAY AS TIMESTAMP) AS plus_1d,
+        |  CAST(date_trunc('hour', ts) AS TIMESTAMP) AS hour_start,
+        |  CAST(date_trunc('minute', ts) AS TIMESTAMP) AS minute_start,
+        |  EXTRACT(HOUR FROM ts) AS h,
+        |  EXTRACT(MINUTE FROM ts) AS m,
+        |  CAST(FLOOR(EXTRACT(SECOND FROM ts)) AS BIGINT) AS sec
+        |FROM events""".stripMargin,
 
     "q49_json2" ->
       """SELECT event_id,

@@ -1,0 +1,51 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+import graft.sql.SqlEnv
+
+/** The user-facing SQL surface: a reference user's `executeSql`
+  * workflow ported 1:1 (SURVEY.md §3.1).
+  */
+class SqlEnvSpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+
+  test("executeSql over registered testdata with graft functions") {
+    val env = SqlEnv(spark).registerTestdata(TestSpark.sfDir)
+    // plain SQL query
+    val top = env.executeSql(
+      """SELECT o_orderpriority, count(*) AS n FROM orders
+        |GROUP BY o_orderpriority ORDER BY n DESC LIMIT 2""".stripMargin).collect()
+    assert(top.length == 2 && top(0).getLong(1) >= top(1).getLong(1))
+
+    // graft custom functions usable from SQL text
+    val sims = env.executeSql(
+      """SELECT doc_id, simhash(split(text, ' ')) AS sh,
+        |       size(minhash(split(text, ' '), 32)) AS k
+        |FROM documents LIMIT 5""".stripMargin).collect()
+    assert(sims.forall(_.getInt(2) == 32))
+
+    // LATERAL VIEW (Correlate/UNNEST — SURVEY §2.2)
+    val words = env.executeSql(
+      """SELECT lang, w, count(*) AS n
+        |FROM documents LATERAL VIEW explode(split(text, ' ')) t AS w
+        |GROUP BY lang, w ORDER BY n DESC LIMIT 3""".stripMargin).collect()
+    assert(words.nonEmpty)
+
+    // registerTable + join against a derived view
+    env.registerTable("big_orders",
+      env.executeSql("SELECT * FROM orders WHERE o_totalprice > 100000"))
+    val j = env.executeSql(
+      """SELECT c_mktsegment, count(*) AS n FROM big_orders
+        |JOIN customer ON o_custkey = c_custkey GROUP BY c_mktsegment""".stripMargin)
+    assert(j.collect().nonEmpty)
+  }
+
+  test("TRANSFORM script operator (Hive-style, no-serde mode)") {
+    val env = SqlEnv(spark).registerTestdata(TestSpark.sfDir)
+    val out = env.executeSql(
+      """SELECT TRANSFORM(r_regionkey, r_name) USING 'cat' AS (k STRING, name STRING)
+        |FROM region""".stripMargin).collect()
+    assert(out.length == 5)
+    assert(out.map(_.getString(1)).toSet.nonEmpty)
+  }
+}
