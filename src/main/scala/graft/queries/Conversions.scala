@@ -26,6 +26,20 @@ object Conversions {
         concat(lit("k"), col("p_partkey").cast("string")).as("tagged"))
     }),
 
+    // ---- SQL-text path: executeSql end-to-end through the gate --------
+    // Correlated EXISTS + scalar subquery in Spark SQL dialect (the
+    // reference's primary entry point, SURVEY §3.1), not DataFrame API.
+    "q51_sql_subqueries" -> ((s, dir) => {
+      graft.Tables.registerAll(s, dir)
+      graft.sql.SqlEnv(s).executeSql(
+        """SELECT c_custkey, c_name,
+          |  (SELECT count(*) FROM orders WHERE o_custkey = c_custkey) AS n_orders
+          |FROM customer
+          |WHERE EXISTS (SELECT 1 FROM orders
+          |              WHERE o_custkey = c_custkey AND o_totalprice > 200000)
+          |  AND c_acctbal > 0""".stripMargin)
+    }),
+
     // ---- Interval arithmetic + sub-day truncation — SURVEY §2.8 -------
     "q50_timestamp_arith" -> ((s, dir) => {
       val e = Tables.load(s, dir, "events")
@@ -70,6 +84,14 @@ object Conversions {
         |  TRY_CAST(p_size AS BOOLEAN) AS size_bool,
         |  'k' || CAST(p_partkey AS VARCHAR) AS tagged
         |FROM part""".stripMargin,
+
+    "q51_sql_subqueries" ->
+      """SELECT c_custkey, c_name,
+        |  (SELECT count(*) FROM orders WHERE o_custkey = c_custkey) AS n_orders
+        |FROM customer
+        |WHERE EXISTS (SELECT 1 FROM orders
+        |              WHERE o_custkey = c_custkey AND o_totalprice > 200000)
+        |  AND c_acctbal > 0""".stripMargin,
 
     "q50_timestamp_arith" ->
       """SELECT event_id,
