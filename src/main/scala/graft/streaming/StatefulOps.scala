@@ -128,6 +128,27 @@ object StatefulOps {
       }(stateEnc, enc)
   }
 
+  // ---- Lookup join (streaming) ---------------------------------------
+
+  /** Streaming lookup join — the reference's LookupJoin
+    * (EXEC/common/CommonExecLookupJoin.java:154): each micro-batch
+    * probes the CURRENT version of an external dimension. `loadDim`
+    * re-reads the dim per batch (cheap for a keyed parquet/JDBC dim);
+    * the join broadcasts it, so the stream side never shuffles.
+    * Returns the started query handle.
+    */
+  def lookupJoinStreaming(stream: DataFrame, streamKey: String,
+                          loadDim: () => DataFrame, dimKey: String,
+                          joinType: String = "left_outer")(
+      sink: DataFrame => Unit): org.apache.spark.sql.streaming.StreamingQuery =
+    stream.writeStream
+      .foreachBatch { (batch: Dataset[Row], _: Long) =>
+        val dim = loadDim()
+        sink(batch.join(broadcast(dim),
+          batch(streamKey) === dim(dimKey), joinType))
+      }
+      .start()
+
   // ---- Temporal (as-of) join -----------------------------------------
 
   /** Batch event-time temporal join (reference:

@@ -269,6 +269,29 @@ class StreamingSpec extends AnyFunSuite {
     assert(w == expected)
   }
 
+  test("lookupJoinStreaming probes the current dim version per batch") {
+    implicit val sc = spark.sqlContext
+    val dimDir = java.nio.file.Files.createTempDirectory("graft_dim").toString
+    Seq(("u1", "bronze")).toDF("k", "tier").write.mode("overwrite").parquet(dimDir)
+    val in = MemoryStream[Ev]
+    val results = new java.util.concurrent.ConcurrentLinkedQueue[(String, String)]()
+    val q = StatefulOps.lookupJoinStreaming(
+      in.toDF(), "user", () => spark.read.parquet(dimDir), "k") { joined =>
+      joined.select($"user", $"tier").collect()
+        .foreach(r => results.add((r.getString(0), Option(r.getString(1)).getOrElse("none"))))
+    }
+    try {
+      in.addData(Ev(ts("2024-01-01 00:00:01"), "u1", "a", 1.0))
+      q.processAllAvailable()
+      // dim is updated between batches → next batch sees the new version
+      Seq(("u1", "gold")).toDF("k", "tier").write.mode("overwrite").parquet(dimDir)
+      in.addData(Ev(ts("2024-01-01 00:00:02"), "u1", "b", 2.0))
+      q.processAllAvailable()
+      val got = results.toArray(Array.empty[(String, String)]).toList
+      assert(got == List(("u1", "bronze"), ("u1", "gold")))
+    } finally q.stop()
+  }
+
   test("temporalJoin picks latest version at-or-before event time") {
     val events = Seq(("k1", ts("2024-01-01 00:10:00"), "e1"),
                      ("k1", ts("2024-01-01 00:30:00"), "e2"),
