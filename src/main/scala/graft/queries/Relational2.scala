@@ -59,6 +59,15 @@ object Relational2 {
         dense_rank().over(w).as("dr"))
     }),
 
+    // ---- PIVOT (wide aggregation) -------------------------------------
+    "q52_pivot" -> ((s, dir) => {
+      val li = Tables.load(s, dir, "lineitem")
+      li.groupBy(col("l_linestatus"))
+        .pivot("l_returnflag", Seq("A", "N", "R"))
+        .agg(sum(dec(col("l_quantity"))))
+        .withColumnsRenamed(Map("A" -> "qty_a", "N" -> "qty_n", "R" -> "qty_r"))
+    }),
+
     // ---- date arithmetic ---------------------------------------------
     "q39_date_arith" -> ((s, dir) => {
       val o = Tables.load(s, dir, "orders")
@@ -109,6 +118,13 @@ object Relational2 {
         |FROM orders
         |WINDOW w AS (PARTITION BY o_orderpriority
         |             ORDER BY o_totalprice, o_orderkey)""".stripMargin,
+
+    "q52_pivot" ->
+      """SELECT l_linestatus,
+        |  SUM(CAST(l_quantity AS DECIMAL(18,4))) FILTER (l_returnflag = 'A') AS qty_a,
+        |  SUM(CAST(l_quantity AS DECIMAL(18,4))) FILTER (l_returnflag = 'N') AS qty_n,
+        |  SUM(CAST(l_quantity AS DECIMAL(18,4))) FILTER (l_returnflag = 'R') AS qty_r
+        |FROM lineitem GROUP BY l_linestatus""".stripMargin,
 
     "q39_date_arith" ->
       """SELECT o_orderkey,
