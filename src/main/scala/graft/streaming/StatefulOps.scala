@@ -5,7 +5,7 @@ import org.apache.spark.sql.catalyst.encoders.{ExpressionEncoder, RowEncoder}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
-import org.apache.spark.sql.types.StructType
+import org.apache.spark.sql.types.{StructField, StructType}
 
 /** Stateful operators re-expressing the reference's keyed-state runtime
   * (SURVEY.md §2.5 deduplicate, §2.5 rank/TopN, §2.3 temporal join) on
@@ -126,6 +126,53 @@ object StatefulOps {
           state.update(merged)
           if (changed) merged.iterator else Iterator.empty
       }(stateEnc, enc)
+  }
+
+  // ---- Streaming OVER aggregation ------------------------------------
+
+  /** Streaming unbounded-preceding OVER aggregate — the reference's
+    * StreamExecOverAggregate with ROWS UNBOUNDED PRECEDING (RT/over/
+    * RowTimeRangeBoundedPrecedingFunction.java family): each row is
+    * emitted with the running sum/count of `valueCol` over all rows of
+    * its key so far, ordered by `orderCol` within each batch (batch
+    * boundaries define the cross-batch order, as micro-batching does
+    * for proc-time Flink jobs).
+    */
+  def runningAggStreaming(df: DataFrame, keys: Seq[String],
+                          orderCol: String, valueCol: String): DataFrame = {
+    val schema = df.schema
+    val outSchema = StructType(schema.fields ++ Seq(
+      StructField("running_sum", org.apache.spark.sql.types.DoubleType),
+      StructField("running_count", org.apache.spark.sql.types.LongType)))
+    implicit val outEnc: ExpressionEncoder[Row] = rowEnc(outSchema)
+    implicit val stateEnc = Encoders.tuple(Encoders.scalaDouble, Encoders.scalaLong)
+    implicit val keyEnc = Encoders.STRING
+    val keyIdx = keys.map(schema.fieldIndex)
+    val ordIdx = schema.fieldIndex(orderCol)
+    val valIdx = schema.fieldIndex(valueCol)
+    def ord(r: Row): Long = r.get(ordIdx) match {
+      case t: java.sql.Timestamp => t.getTime
+      case l: Long => l
+      case i: Int => i.toLong
+      case o => o.hashCode().toLong
+    }
+    def num(r: Row): Double = r.get(valIdx) match {
+      case d: Double => d; case f: Float => f.toDouble
+      case l: Long => l.toDouble; case i: Int => i.toDouble
+      case b: java.math.BigDecimal => b.doubleValue(); case _ => 0.0
+    }
+    df.groupByKey(r => keyIdx.map(i => String.valueOf(r.get(i))).mkString(""))
+      .flatMapGroupsWithState[(Double, Long), Row](
+        OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        (_: String, rows: Iterator[Row], state: GroupState[(Double, Long)]) =>
+          var (sum, count) = if (state.exists) state.get else (0.0, 0L)
+          val out = rows.toSeq.sortBy(ord).map { r =>
+            sum += num(r); count += 1
+            Row.fromSeq(r.toSeq ++ Seq[Any](sum, count))
+          }
+          state.update((sum, count))
+          out.iterator
+      }(stateEnc, outEnc)
   }
 
   // ---- Lookup join (streaming) ---------------------------------------

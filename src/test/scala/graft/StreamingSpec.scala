@@ -269,6 +269,30 @@ class StreamingSpec extends AnyFunSuite {
     assert(w == expected)
   }
 
+  test("runningAggStreaming carries per-key running sums across batches") {
+    implicit val sc = spark.sqlContext
+    val in = MemoryStream[Ev]
+    val out = StatefulOps.runningAggStreaming(in.toDF(), Seq("user"), "ts", "value")
+    val q = out.writeStream.format("memory").queryName("runagg")
+      .outputMode(OutputMode.Append).start()
+    try {
+      in.addData(Ev(ts("2024-01-01 00:00:02"), "u1", "a", 10.0),
+                 Ev(ts("2024-01-01 00:00:01"), "u1", "b", 5.0)) // out of order
+      q.processAllAvailable()
+      in.addData(Ev(ts("2024-01-01 00:00:03"), "u1", "c", 1.0),
+                 Ev(ts("2024-01-01 00:00:01"), "u2", "d", 7.0))
+      q.processAllAvailable()
+      val rows = spark.sql(
+        "SELECT user AS u, tpe, running_sum, running_count FROM runagg")
+        .collect()
+        .map(r => (r.getString(0), r.getString(1), r.getDouble(2), r.getLong(3)))
+        .sortBy(t => (t._1, t._4)).map { case (_, t, s2, c) => (t, s2, c) }.toList
+      // within batch 1, u1 rows sort by ts: b(5) then a(15); batch 2 continues
+      assert(rows == List(("b", 5.0, 1L), ("a", 15.0, 2L), ("c", 16.0, 3L),
+                          ("d", 7.0, 1L)))
+    } finally q.stop()
+  }
+
   test("lookupJoinStreaming probes the current dim version per batch") {
     implicit val sc = spark.sqlContext
     val dimDir = java.nio.file.Files.createTempDirectory("graft_dim").toString
