@@ -26,6 +26,34 @@ object Conversions {
         concat(lit("k"), col("p_partkey").cast("string")).as("tagged"))
     }),
 
+    // ---- HAVING + IN-subquery + null-handling functions ---------------
+    "q53_having_in" -> ((s, dir) => {
+      graft.Tables.registerAll(s, dir)
+      s.sql(
+        """SELECT o_custkey, count(*) AS n,
+          |  CAST(sum(CAST(o_totalprice AS DECIMAL(18,4))) AS DECIMAL(38,4)) AS total
+          |FROM orders
+          |WHERE o_custkey IN (SELECT c_custkey FROM customer
+          |                    WHERE c_mktsegment IN ('BUILDING', 'MACHINERY'))
+          |GROUP BY o_custkey
+          |HAVING count(*) >= 2""".stripMargin)
+    }),
+
+    "q54_null_logic" -> ((s, dir) => {
+      val c = Tables.load(s, dir, "customer")
+      val o = Tables.load(s, dir, "orders")
+      c.join(o, col("c_custkey") === col("o_custkey"), "left_outer")
+        .groupBy(col("c_custkey"))
+        .agg(max(col("o_totalprice")).as("max_price"))
+        .select(
+          col("c_custkey"),
+          coalesce(col("max_price"), lit(-1.0)).as("price_or_neg"),
+          col("max_price").isNull.as("no_orders"),
+          nullif(coalesce(col("max_price"), lit(0.0)), lit(0.0)).as("null_if_zero"),
+          nvl2(col("max_price"), lit("buyer"), lit("dormant")).as("status"),
+          nanvl(col("max_price").cast("double"), lit(0.0)).as("nan_guard"))
+    }),
+
     // ---- SQL-text path: executeSql end-to-end through the gate --------
     // Correlated EXISTS + scalar subquery in Spark SQL dialect (the
     // reference's primary entry point, SURVEY §3.1), not DataFrame API.
@@ -84,6 +112,28 @@ object Conversions {
         |  TRY_CAST(p_size AS BOOLEAN) AS size_bool,
         |  'k' || CAST(p_partkey AS VARCHAR) AS tagged
         |FROM part""".stripMargin,
+
+    "q53_having_in" ->
+      """SELECT o_custkey, count(*) AS n,
+        |  CAST(sum(CAST(o_totalprice AS DECIMAL(18,4))) AS DECIMAL(38,4)) AS total
+        |FROM orders
+        |WHERE o_custkey IN (SELECT c_custkey FROM customer
+        |                    WHERE c_mktsegment IN ('BUILDING', 'MACHINERY'))
+        |GROUP BY o_custkey
+        |HAVING count(*) >= 2""".stripMargin,
+
+    "q54_null_logic" ->
+      """WITH m AS (
+        |  SELECT c_custkey, max(o_totalprice) AS max_price
+        |  FROM customer LEFT JOIN orders ON c_custkey = o_custkey
+        |  GROUP BY c_custkey)
+        |SELECT c_custkey,
+        |  COALESCE(max_price, -1.0) AS price_or_neg,
+        |  max_price IS NULL AS no_orders,
+        |  NULLIF(COALESCE(max_price, 0.0), 0.0) AS null_if_zero,
+        |  CASE WHEN max_price IS NOT NULL THEN 'buyer' ELSE 'dormant' END AS status,
+        |  CAST(max_price AS DOUBLE) AS nan_guard
+        |FROM m""".stripMargin,
 
     "q51_sql_subqueries" ->
       """SELECT c_custkey, c_name,
