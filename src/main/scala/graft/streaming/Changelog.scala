@@ -41,7 +41,10 @@ object Changelog {
   def toUpsert(df: DataFrame, keys: Seq[String], seqCol: String): DataFrame = {
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy(keys.map(col): _*).orderBy(col(seqCol).desc)
-    df.withColumn("__rn", row_number().over(w))
+    // -U rows never represent visible state (and tie on seqCol with
+    // their +U partner) — drop them before ranking.
+    dropUpdateBefore(df)
+      .withColumn("__rn", row_number().over(w))
       .filter(col("__rn") === 1 && col(KindCol) =!= Delete)
       .drop("__rn")
   }
