@@ -22,10 +22,8 @@ def canon(rows, colnames):
                 v = round(v, 9)
                 if v == 0.0:
                     v = 0.0  # normalize -0.0
-            # decimals -> float for cross-engine parity
-            import decimal
-            if isinstance(v, decimal.Decimal):
-                v = round(float(v), 9)
+            # NOTE: no Decimal->float coercion here — the driver hashes
+            # decimals as-is, so local green must mean driver green.
             if hasattr(v, 'isoformat'):
                 v = v.isoformat()
             vals.append(repr(v))

@@ -30,7 +30,7 @@ object Collections {
         concat_ws(",", transform(sequence(lit(1), lit(3)), i => i * 2)).as("evens"),
         concat_ws(",", array_repeat(col("lang"), 2)).as("lang_x2"),
         aggregate(transform(toks, t => length(t)), lit(0), (a, x) => a + x)
-          .as("total_len"))
+          .cast("long").as("total_len"))
     }),
 
     // ---- JSON aggregates + MULTISET (COLLECT) — SURVEY §2.4/§1.3 ------
@@ -46,7 +46,7 @@ object Collections {
           to_json(array_sort(collect_list(col("user_id")))).as("users_json"),
           to_json(map_from_entries(array_sort(collect_list(
             struct(col("user_id").as("k"), col("cnt").as("v")))))).as("multiset_json"),
-          sum(col("cnt")).as("n"))
+          sum(col("cnt")).cast("long").as("n"))
     }),
 
     "q46_map_functions" -> ((s, dir) => {
@@ -80,7 +80,7 @@ object Collections {
         |  len(flatten([toks, toks])) AS n_doubled,
         |  array_to_string(list_transform(generate_series(1, 3), i -> i * 2), ',') AS evens,
         |  lang || ',' || lang AS lang_x2,
-        |  list_aggregate(list_transform(toks, t -> length(t)), 'sum') AS total_len
+        |  CAST(list_aggregate(list_transform(toks, t -> length(t)), 'sum') AS BIGINT) AS total_len
         |FROM t""".stripMargin,
 
     "q47_json_agg" ->
@@ -91,7 +91,7 @@ object Collections {
         |  to_json(list_sort(list(user_id))) AS users_json,
         |  to_json(map_from_entries(list_sort(list(row(user_id, cnt)))))
         |    AS multiset_json,
-        |  SUM(cnt) AS n
+        |  CAST(SUM(cnt) AS BIGINT) AS n
         |FROM c GROUP BY event_type""".stripMargin,
 
     "q46_map_functions" ->

@@ -31,7 +31,7 @@ object Conversions {
       graft.Tables.registerAll(s, dir)
       s.sql(
         """SELECT o_custkey, count(*) AS n,
-          |  CAST(sum(CAST(o_totalprice AS DECIMAL(18,4))) AS DECIMAL(38,4)) AS total
+          |  CAST(sum(CAST(o_totalprice AS DECIMAL(18,4))) AS DOUBLE) AS total
           |FROM orders
           |WHERE o_custkey IN (SELECT c_custkey FROM customer
           |                    WHERE c_mktsegment IN ('BUILDING', 'MACHINERY'))
@@ -115,7 +115,7 @@ object Conversions {
 
     "q53_having_in" ->
       """SELECT o_custkey, count(*) AS n,
-        |  CAST(sum(CAST(o_totalprice AS DECIMAL(18,4))) AS DECIMAL(38,4)) AS total
+        |  CAST(sum(CAST(o_totalprice AS DECIMAL(18,4))) AS DOUBLE) AS total
         |FROM orders
         |WHERE o_custkey IN (SELECT c_custkey FROM customer
         |                    WHERE c_mktsegment IN ('BUILDING', 'MACHINERY'))

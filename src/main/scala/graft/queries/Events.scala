@@ -28,7 +28,7 @@ object Events {
     "q20_tumble_window" -> ((s, dir) => {
       val e = Tables.load(s, dir, "events")
       e.groupBy(window(col("ts"), "1 hour").as("w"), col("event_type"))
-        .agg(count(lit(1)).as("n_events"), sum(dec(col("value"))).as("total_value"))
+        .agg(count(lit(1)).as("n_events"), sum(dec(col("value"))).cast("double").as("total_value"))
         .select(col("w.start").as("window_start"), col("event_type"),
                 col("n_events"), col("total_value"))
     }),
@@ -37,7 +37,7 @@ object Events {
     "q21_hop_window" -> ((s, dir) => {
       val e = Tables.load(s, dir, "events")
       e.groupBy(window(col("ts"), "1 hour", "15 minutes").as("w"))
-        .agg(count(lit(1)).as("n_events"), sum(dec(col("value"))).as("total_value"))
+        .agg(count(lit(1)).as("n_events"), sum(dec(col("value"))).cast("double").as("total_value"))
         .select(col("w.start").as("window_start"), col("n_events"), col("total_value"))
     }),
 
@@ -45,7 +45,7 @@ object Events {
     "q22_session_window" -> ((s, dir) => {
       val e = Tables.load(s, dir, "events")
       e.groupBy(session_window(col("ts"), "30 minutes").as("w"), col("user_id"))
-        .agg(count(lit(1)).as("n_events"), sum(dec(col("value"))).as("total_value"))
+        .agg(count(lit(1)).as("n_events"), sum(dec(col("value"))).cast("double").as("total_value"))
         .select(col("user_id"), col("w.start").as("session_start"),
                 col("w.end").as("session_end"), col("n_events"), col("total_value"))
     }),
@@ -82,7 +82,7 @@ object Events {
       val e = Tables.load(s, dir, "events")
       e.withColumn("k", get_json_object(col("props"), "$.k").cast("int"))
         .groupBy(col("event_type"))
-        .agg(count(lit(1)).as("n"), sum(col("k")).as("sum_k"),
+        .agg(count(lit(1)).as("n"), sum(col("k")).cast("long").as("sum_k"),
              max(col("k")).as("max_k"), countDistinct(col("k")).as("n_k"))
     }),
 
@@ -119,7 +119,7 @@ object Events {
       graft.streaming.Windows.cumulate(e, col("ts"), 900L, 3600L)
         .groupBy(col("window.start").as("window_start"),
                  col("window.end").as("window_end"))
-        .agg(count(lit(1)).as("n_events"), sum(dec(col("value"))).as("total_value"))
+        .agg(count(lit(1)).as("n_events"), sum(dec(col("value"))).cast("double").as("total_value"))
     }),
 
     // ---- Window join — SURVEY §2.3 StreamExecWindowJoin ---------------
@@ -222,7 +222,7 @@ object Events {
         |SELECT make_timestamp(span * 1000000) AS window_start,
         |       make_timestamp(we * 1000000) AS window_end,
         |       COUNT(*) AS n_events,
-        |       SUM(CAST(value AS DECIMAL(18,4))) AS total_value
+        |       CAST(SUM(CAST(value AS DECIMAL(18,4))) AS DOUBLE) AS total_value
         |FROM (
         |  SELECT value, span,
         |    span + ((es - span) // 900 + 1) * 900 + k * 900 AS we
@@ -234,14 +234,14 @@ object Events {
     "q20_tumble_window" ->
       """SELECT CAST(time_bucket(INTERVAL '1 hour', ts) AS TIMESTAMP) AS window_start,
         |  event_type, COUNT(*) AS n_events,
-        |  SUM(CAST(value AS DECIMAL(18,4))) AS total_value
+        |  CAST(SUM(CAST(value AS DECIMAL(18,4))) AS DOUBLE) AS total_value
         |FROM events GROUP BY 1, 2""".stripMargin,
 
     "q21_hop_window" ->
       """SELECT CAST(time_bucket(INTERVAL '15 minutes', ts)
         |       - g * INTERVAL '15 minutes' AS TIMESTAMP) AS window_start,
         |  COUNT(*) AS n_events,
-        |  SUM(CAST(value AS DECIMAL(18,4))) AS total_value
+        |  CAST(SUM(CAST(value AS DECIMAL(18,4))) AS DOUBLE) AS total_value
         |FROM events CROSS JOIN generate_series(0, 3) t(g)
         |GROUP BY 1""".stripMargin,
 
@@ -262,7 +262,7 @@ object Events {
         |  CAST(MIN(ts) AS TIMESTAMP) AS session_start,
         |  CAST(MAX(ts) + INTERVAL '30 minutes' AS TIMESTAMP) AS session_end,
         |  COUNT(*) AS n_events,
-        |  SUM(CAST(value AS DECIMAL(18,4))) AS total_value
+        |  CAST(SUM(CAST(value AS DECIMAL(18,4))) AS DOUBLE) AS total_value
         |FROM sessioned GROUP BY user_id, sid""".stripMargin,
 
     "q23_dedup_first" ->
@@ -282,7 +282,7 @@ object Events {
 
     "q25_json_extract" ->
       """SELECT event_type, COUNT(*) AS n,
-        |  SUM(CAST(json_extract_string(props, '$.k') AS INT)) AS sum_k,
+        |  CAST(SUM(CAST(json_extract_string(props, '$.k') AS INT)) AS BIGINT) AS sum_k,
         |  MAX(CAST(json_extract_string(props, '$.k') AS INT)) AS max_k,
         |  COUNT(DISTINCT CAST(json_extract_string(props, '$.k') AS INT)) AS n_k
         |FROM events GROUP BY event_type""".stripMargin,

@@ -92,7 +92,7 @@ object Functions2 {
       li.join(broadcast(p), col("l_partkey") === col("p_partkey"), "left_outer")
         .select(col("l_orderkey"), col("l_linenumber"), col("p_brand"),
           dec6(col("l_extendedprice") - col("p_retailprice") * col("l_quantity"))
-            .as("margin"))
+            .cast("double").as("margin"))
     })
   )
 
@@ -154,7 +154,7 @@ object Functions2 {
 
     "q33_lookup_join" ->
       """SELECT l_orderkey, l_linenumber, p_brand,
-        |  CAST(l_extendedprice - p_retailprice * l_quantity AS DECIMAL(22,6)) AS margin
+        |  CAST(CAST(l_extendedprice - p_retailprice * l_quantity AS DECIMAL(22,6)) AS DOUBLE) AS margin
         |FROM lineitem LEFT JOIN part ON l_partkey = p_partkey""".stripMargin
   )
 }

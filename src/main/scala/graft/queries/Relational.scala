@@ -35,10 +35,10 @@ object Relational {
       li.filter(col("l_shipdate") <= lit("1998-09-02").cast("timestamp"))
         .groupBy(col("l_returnflag"), col("l_linestatus"))
         .agg(
-          sum(dec(col("l_quantity"))).as("sum_qty"),
-          sum(dec(col("l_extendedprice"))).as("sum_base_price"),
-          sum(dec6(col("l_extendedprice") * (lit(1.0) - col("l_discount")))).as("sum_disc_price"),
-          sum(dec6(col("l_extendedprice") * (lit(1.0) - col("l_discount")) * (lit(1.0) + col("l_tax")))).as("sum_charge"),
+          sum(dec(col("l_quantity"))).cast("double").as("sum_qty"),
+          sum(dec(col("l_extendedprice"))).cast("double").as("sum_base_price"),
+          sum(dec6(col("l_extendedprice") * (lit(1.0) - col("l_discount")))).cast("double").as("sum_disc_price"),
+          sum(dec6(col("l_extendedprice") * (lit(1.0) - col("l_discount")) * (lit(1.0) + col("l_tax")))).cast("double").as("sum_charge"),
           (sum(dec(col("l_quantity"))).cast("double") / count(col("l_quantity"))).as("avg_qty"),
           (sum(dec(col("l_extendedprice"))).cast("double") / count(col("l_extendedprice"))).as("avg_price"),
           (sum(dec(col("l_discount"))).cast("double") / count(col("l_discount"))).as("avg_disc"),
@@ -65,7 +65,7 @@ object Relational {
         .join(broadcast(n), col("s_nationkey") === col("n_nationkey"))
         .join(broadcast(r), col("n_regionkey") === col("r_regionkey"))
         .groupBy(col("n_name"))
-        .agg(sum(dec6(col("l_extendedprice") * (lit(1.0) - col("l_discount")))).as("revenue"),
+        .agg(sum(dec6(col("l_extendedprice") * (lit(1.0) - col("l_discount")))).cast("double").as("revenue"),
              count(lit(1)).as("n_items"))
     }),
 
@@ -80,7 +80,7 @@ object Relational {
         .join(c.filter(col("c_mktsegment") === "BUILDING"),
           col("o_custkey") === col("c_custkey"))
         .groupBy(col("l_orderkey"), col("o_orderdate"), col("o_orderpriority"))
-        .agg(sum(dec6(col("l_extendedprice") * (lit(1.0) - col("l_discount")))).as("revenue"))
+        .agg(sum(dec6(col("l_extendedprice") * (lit(1.0) - col("l_discount")))).cast("double").as("revenue"))
     }),
 
     // ---- Semi join (EXISTS) — SURVEY §2.3 FlinkJoinType.SEMI -----------
@@ -108,7 +108,7 @@ object Relational {
       c.join(o, col("c_custkey") === col("o_custkey"), "left_outer")
         .groupBy(col("c_custkey"), col("c_name"))
         .agg(count(col("o_orderkey")).as("n_orders"),
-             coalesce(sum(dec(col("o_totalprice"))), lit(0).cast(DecimalType(28, 4))).as("total_spent"))
+             coalesce(sum(dec(col("o_totalprice"))), lit(0).cast(DecimalType(28, 4))).cast("double").as("total_spent"))
     }),
 
     // ---- Full outer join — SURVEY §2.3 -------------------------------
@@ -118,9 +118,9 @@ object Relational {
       val c  = Tables.load(s, dir, "customer")
       val su = Tables.load(s, dir, "supplier")
       val ca = c.groupBy(col("c_nationkey").as("nationkey"))
-        .agg(sum(dec(col("c_acctbal"))).as("cust_bal"))
+        .agg(sum(dec(col("c_acctbal"))).cast("double").as("cust_bal"))
       val sa = su.groupBy(col("s_nationkey").as("nationkey"))
-        .agg(sum(dec(col("s_acctbal"))).as("supp_bal"))
+        .agg(sum(dec(col("s_acctbal"))).cast("double").as("supp_bal"))
       ca.join(sa, Seq("nationkey"), "full_outer")
         .select(col("nationkey"), col("cust_bal"), col("supp_bal"))
     }),
@@ -141,7 +141,7 @@ object Relational {
     "q9_rollup" -> ((s, dir) => {
       val li = Tables.load(s, dir, "lineitem")
       li.rollup(col("l_returnflag"), col("l_linestatus"))
-        .agg(sum(dec(col("l_quantity"))).as("sum_qty"),
+        .agg(sum(dec(col("l_quantity"))).cast("double").as("sum_qty"),
              count(lit(1)).as("n"),
              grouping_id().as("gid"))
     }),
@@ -155,7 +155,7 @@ object Relational {
         col("o_orderkey"), col("o_custkey"), col("o_totalprice"),
         sum(dec(col("o_totalprice")))
           .over(byCust.rowsBetween(Window.unboundedPreceding, Window.currentRow))
-          .as("running_spend"),
+          .cast("double").as("running_spend"),
         lag(col("o_orderkey"), 1).over(byCust).as("prev_order"),
         lead(col("o_orderkey"), 1).over(byCust).as("next_order"),
         row_number().over(byCust).as("order_seq"),
@@ -247,18 +247,18 @@ object Relational {
       val li = Tables.load(s, dir, "lineitem")
       li.groupBy(date_trunc("month", col("l_shipdate")).as("ship_month"),
                  col("l_returnflag"))
-        .agg(sum(dec6(col("l_extendedprice") * (lit(1.0) - col("l_discount")))).as("revenue"),
-             sum(dec(col("l_quantity"))).as("qty"))
+        .agg(sum(dec6(col("l_extendedprice") * (lit(1.0) - col("l_discount")))).cast("double").as("revenue"),
+             sum(dec(col("l_quantity"))).cast("double").as("qty"))
     })
   )
 
   def oracles: Map[String, String] = Map(
     "q1_pricing_summary" ->
       """SELECT l_returnflag, l_linestatus,
-        |  SUM(CAST(l_quantity AS DECIMAL(18,4))) AS sum_qty,
-        |  SUM(CAST(l_extendedprice AS DECIMAL(18,4))) AS sum_base_price,
-        |  SUM(CAST(l_extendedprice * (1.0 - l_discount) AS DECIMAL(22,6))) AS sum_disc_price,
-        |  SUM(CAST(l_extendedprice * (1.0 - l_discount) * (1.0 + l_tax) AS DECIMAL(22,6))) AS sum_charge,
+        |  CAST(SUM(CAST(l_quantity AS DECIMAL(18,4))) AS DOUBLE) AS sum_qty,
+        |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,4))) AS DOUBLE) AS sum_base_price,
+        |  CAST(SUM(CAST(l_extendedprice * (1.0 - l_discount) AS DECIMAL(22,6))) AS DOUBLE) AS sum_disc_price,
+        |  CAST(SUM(CAST(l_extendedprice * (1.0 - l_discount) * (1.0 + l_tax) AS DECIMAL(22,6))) AS DOUBLE) AS sum_charge,
         |  CAST(SUM(CAST(l_quantity AS DECIMAL(18,4))) AS DOUBLE) / COUNT(l_quantity) AS avg_qty,
         |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,4))) AS DOUBLE) / COUNT(l_extendedprice) AS avg_price,
         |  CAST(SUM(CAST(l_discount AS DECIMAL(18,4))) AS DOUBLE) / COUNT(l_discount) AS avg_disc,
@@ -269,7 +269,7 @@ object Relational {
 
     "q2_local_revenue" ->
       """SELECT n_name,
-        |  SUM(CAST(l_extendedprice * (1.0 - l_discount) AS DECIMAL(22,6))) AS revenue,
+        |  CAST(SUM(CAST(l_extendedprice * (1.0 - l_discount) AS DECIMAL(22,6))) AS DOUBLE) AS revenue,
         |  COUNT(*) AS n_items
         |FROM lineitem
         |JOIN orders   ON l_orderkey = o_orderkey
@@ -281,7 +281,7 @@ object Relational {
 
     "q3_shipping_priority" ->
       """SELECT l_orderkey, o_orderdate, o_orderpriority,
-        |  SUM(CAST(l_extendedprice * (1.0 - l_discount) AS DECIMAL(22,6))) AS revenue
+        |  CAST(SUM(CAST(l_extendedprice * (1.0 - l_discount) AS DECIMAL(22,6))) AS DOUBLE) AS revenue
         |FROM lineitem
         |JOIN orders ON l_orderkey = o_orderkey
         |JOIN customer ON o_custkey = c_custkey
@@ -305,18 +305,18 @@ object Relational {
     "q6_outer_join" ->
       """SELECT c_custkey, c_name,
         |  COUNT(o_orderkey) AS n_orders,
-        |  COALESCE(SUM(CAST(o_totalprice AS DECIMAL(18,4))), 0) AS total_spent
+        |  CAST(COALESCE(SUM(CAST(o_totalprice AS DECIMAL(18,4))), 0) AS DOUBLE) AS total_spent
         |FROM customer LEFT JOIN orders ON c_custkey = o_custkey
         |GROUP BY c_custkey, c_name""".stripMargin,
 
     "q7_full_outer_join" ->
       """SELECT COALESCE(ca.nationkey, sa.nationkey) AS nationkey, cust_bal, supp_bal
         |FROM (SELECT c_nationkey AS nationkey,
-        |             SUM(CAST(c_acctbal AS DECIMAL(18,4))) AS cust_bal
+        |             CAST(SUM(CAST(c_acctbal AS DECIMAL(18,4))) AS DOUBLE) AS cust_bal
         |      FROM customer GROUP BY c_nationkey) ca
         |FULL OUTER JOIN
         |     (SELECT s_nationkey AS nationkey,
-        |             SUM(CAST(s_acctbal AS DECIMAL(18,4))) AS supp_bal
+        |             CAST(SUM(CAST(s_acctbal AS DECIMAL(18,4))) AS DOUBLE) AS supp_bal
         |      FROM supplier GROUP BY s_nationkey) sa
         |USING (nationkey)""".stripMargin,
 
@@ -335,7 +335,7 @@ object Relational {
 
     "q9_rollup" ->
       """SELECT l_returnflag, l_linestatus,
-        |  SUM(CAST(l_quantity AS DECIMAL(18,4))) AS sum_qty,
+        |  CAST(SUM(CAST(l_quantity AS DECIMAL(18,4))) AS DOUBLE) AS sum_qty,
         |  COUNT(*) AS n,
         |  GROUPING(l_returnflag, l_linestatus) AS gid
         |FROM lineitem
@@ -343,9 +343,9 @@ object Relational {
 
     "q10_over_windows" ->
       """SELECT o_orderkey, o_custkey, o_totalprice,
-        |  SUM(CAST(o_totalprice AS DECIMAL(18,4))) OVER
+        |  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,4))) OVER
         |    (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
-        |     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS running_spend,
+        |     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE) AS running_spend,
         |  LAG(o_orderkey, 1) OVER
         |    (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey) AS prev_order,
         |  LEAD(o_orderkey, 1) OVER
@@ -422,8 +422,8 @@ object Relational {
 
     "q17_monthly_revenue" ->
       """SELECT CAST(DATE_TRUNC('month', l_shipdate) AS TIMESTAMP) AS ship_month, l_returnflag,
-        |  SUM(CAST(l_extendedprice * (1.0 - l_discount) AS DECIMAL(22,6))) AS revenue,
-        |  SUM(CAST(l_quantity AS DECIMAL(18,4))) AS qty
+        |  CAST(SUM(CAST(l_extendedprice * (1.0 - l_discount) AS DECIMAL(22,6))) AS DOUBLE) AS revenue,
+        |  CAST(SUM(CAST(l_quantity AS DECIMAL(18,4))) AS DOUBLE) AS qty
         |FROM lineitem
         |GROUP BY 1, l_returnflag""".stripMargin
   )

@@ -21,7 +21,7 @@ object Relational2 {
       val o = Tables.load(s, dir, "orders")
       o.cube(col("o_orderstatus"), col("o_orderpriority"))
         .agg(count(lit(1)).as("n"),
-             sum(dec(col("o_totalprice"))).as("total"),
+             sum(dec(col("o_totalprice"))).cast("double").as("total"),
              grouping_id().as("gid"))
     }),
 
@@ -64,7 +64,7 @@ object Relational2 {
       val li = Tables.load(s, dir, "lineitem")
       li.groupBy(col("l_linestatus"))
         .pivot("l_returnflag", Seq("A", "N", "R"))
-        .agg(sum(dec(col("l_quantity"))))
+        .agg(sum(dec(col("l_quantity"))).cast("double"))
         .withColumnsRenamed(Map("A" -> "qty_a", "N" -> "qty_n", "R" -> "qty_r"))
     }),
 
@@ -85,7 +85,7 @@ object Relational2 {
   def oracles: Map[String, String] = Map(
     "q34_cube" ->
       """SELECT o_orderstatus, o_orderpriority, COUNT(*) AS n,
-        |  SUM(CAST(o_totalprice AS DECIMAL(18,4))) AS total,
+        |  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,4))) AS DOUBLE) AS total,
         |  GROUPING(o_orderstatus, o_orderpriority) AS gid
         |FROM orders
         |GROUP BY CUBE (o_orderstatus, o_orderpriority)""".stripMargin,
@@ -121,9 +121,9 @@ object Relational2 {
 
     "q52_pivot" ->
       """SELECT l_linestatus,
-        |  SUM(CAST(l_quantity AS DECIMAL(18,4))) FILTER (l_returnflag = 'A') AS qty_a,
-        |  SUM(CAST(l_quantity AS DECIMAL(18,4))) FILTER (l_returnflag = 'N') AS qty_n,
-        |  SUM(CAST(l_quantity AS DECIMAL(18,4))) FILTER (l_returnflag = 'R') AS qty_r
+        |  CAST(SUM(CAST(l_quantity AS DECIMAL(18,4))) FILTER (l_returnflag = 'A') AS DOUBLE) AS qty_a,
+        |  CAST(SUM(CAST(l_quantity AS DECIMAL(18,4))) FILTER (l_returnflag = 'N') AS DOUBLE) AS qty_n,
+        |  CAST(SUM(CAST(l_quantity AS DECIMAL(18,4))) FILTER (l_returnflag = 'R') AS DOUBLE) AS qty_r
         |FROM lineitem GROUP BY l_linestatus""".stripMargin,
 
     "q39_date_arith" ->

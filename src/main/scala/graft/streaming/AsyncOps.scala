@@ -1,8 +1,8 @@
 package graft.streaming
 
 import org.apache.spark.sql.Dataset
-import scala.concurrent.{Await, ExecutionContext, Future}
-import scala.concurrent.duration.Duration
+import scala.concurrent.{Await, ExecutionContext, Future, TimeoutException}
+import scala.concurrent.duration.{Duration, DurationLong}
 
 /** Async I/O analog — the reference's AsyncWaitOperator
   * (flink-streaming-java/.../operators/async/AsyncWaitOperator.java:91)
@@ -16,9 +16,14 @@ import scala.concurrent.duration.Duration
   */
 object AsyncOps {
 
+  /** @param timeoutMs per-element timeout, like AsyncWaitOperator's
+    *   `timeout` — a hung external call fails the task (Flink's default
+    *   behavior) instead of wedging the executor forever.
+    */
   def mapAsyncOrdered[I, O: org.apache.spark.sql.Encoder](
-      ds: Dataset[I], capacity: Int)(fn: I => O): Dataset[O] = {
+      ds: Dataset[I], capacity: Int, timeoutMs: Long = 60000L)(fn: I => O): Dataset[O] = {
     require(capacity > 0)
+    require(timeoutMs > 0)
     ds.mapPartitions { it =>
       // bounded thread pool per partition ≈ Flink's per-subtask capacity
       val pool = java.util.concurrent.Executors.newFixedThreadPool(capacity)
@@ -36,7 +41,13 @@ object AsyncOps {
         }
         override def next(): O = {
           fill()
-          Await.result(inflight.dequeue(), Duration.Inf)
+          try Await.result(inflight.dequeue(), timeoutMs.millis)
+          catch {
+            case e: TimeoutException =>
+              pool.shutdownNow()
+              throw new TimeoutException(
+                s"async call exceeded ${timeoutMs}ms (AsyncWaitOperator timeout analog)")
+          }
         }
       }
     }

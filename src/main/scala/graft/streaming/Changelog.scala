@@ -59,7 +59,10 @@ object Changelog {
     require(schema.fieldNames.contains(KindCol), s"need $KindCol column")
     implicit val enc: ExpressionEncoder[Row] =
       ExpressionEncoder(RowEncoder.encoderFor(schema))
-    implicit val stateEnc = Encoders.javaSerialization[Row]
+    // Schema-derived state encoder (state = last visible row per key):
+    // stays readable across builds, unlike java serialization.
+    val stateEnc: ExpressionEncoder[Row] =
+      ExpressionEncoder(RowEncoder.encoderFor(schema))
     implicit val keyEnc = Encoders.STRING
     val keyIdx = keys.map(schema.fieldIndex)
     val kindIdx = schema.fieldIndex(KindCol)
@@ -68,7 +71,7 @@ object Changelog {
       vals(kindIdx) = kind
       Row.fromSeq(vals.toIndexedSeq)
     }
-    df.groupByKey(r => keyIdx.map(i => String.valueOf(r.get(i))).mkString(""))
+    df.groupByKey(r => StatefulOps.encodeKey(r, keyIdx))
       .flatMapGroupsWithState[Row, Row](
         OutputMode.Append, GroupStateTimeout.NoTimeout) {
         (_: String, rows: Iterator[Row], state: GroupState[Row]) =>

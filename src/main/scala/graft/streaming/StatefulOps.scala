@@ -22,8 +22,20 @@ import org.apache.spark.sql.types.{StructField, StructType}
   */
 object StatefulOps {
 
-  private def rowEnc(schema: StructType): ExpressionEncoder[Row] =
+  private[streaming] def rowEnc(schema: StructType): ExpressionEncoder[Row] =
     ExpressionEncoder(RowEncoder.encoderFor(schema))
+
+  /** Collision-free composite grouping key: length-prefixed segments,
+    * so ("ab","c") and ("a","bc") stay distinct for ANY content
+    * (including separators inside values). The reference keys state by
+    * binary rows (BinaryRowData), which are unambiguous by
+    * construction; a flat string concat is not.
+    */
+  private[streaming] def encodeKey(r: Row, idx: Seq[Int]): String =
+    idx.iterator.map { i =>
+      val s = String.valueOf(r.get(i))
+      s"${s.length}:$s"
+    }.mkString("|")
 
   // ---- Deduplicate ----------------------------------------------------
 
@@ -43,22 +55,27 @@ object StatefulOps {
     df.withColumn("__rn", row_number().over(w)).filter(col("__rn") === 1).drop("__rn")
   }
 
-  /** Streaming keep-first dedup: emits a key's row the first time the
-    * key is seen, suppresses the rest. State = one boolean per key,
-    * dropped when the event-time watermark passes `stateTtl` (the
-    * analog of Flink's `table.exec.state.ttl`).
+  /** Streaming keep-first dedup, ARRIVAL order: emits a key's row the
+    * first time the key is seen, suppresses the rest. State = one row
+    * per key, dropped when the event-time watermark passes (attach a
+    * watermark upstream — the analog of Flink's `table.exec.state.ttl`).
+    * For event-time order (min `orderCol` wins even if it arrives
+    * late), use the 3-arg overload below.
     */
   def keepFirstStreaming(df: DataFrame, keys: Seq[String]): DataFrame =
     df.dropDuplicates(keys)
 
-  /** Streaming keep-last dedup: every trigger emits the new latest row
-    * for keys that changed (Flink's upsert/update_after behavior of
-    * StreamExecDeduplicate keep-last). Output mode: update.
+  /** Streaming keep-first dedup, EVENT-TIME order (reference:
+    * RT/deduplicate/RowTimeDeduplicateFunction.java keep-first): the
+    * row with the smallest `orderCol` per key wins; if an
+    * earlier-timestamped row arrives late it replaces the previous
+    * winner (update semantics, like Flink's changelog output in
+    * non-insert-only mode). Output mode: update.
     */
-  def keepLastStreaming(df: DataFrame, keys: Seq[String], orderCol: String): DataFrame = {
+  def keepFirstStreaming(df: DataFrame, keys: Seq[String], orderCol: String): DataFrame = {
     val schema = df.schema
     implicit val enc: ExpressionEncoder[Row] = rowEnc(schema)
-    implicit val stateEnc = Encoders.javaSerialization[Row]
+    val stateEnc: ExpressionEncoder[Row] = rowEnc(schema)
     implicit val keyEnc = Encoders.STRING
     val keyIdx = keys.map(schema.fieldIndex)
     val ordIdx = schema.fieldIndex(orderCol)
@@ -68,7 +85,40 @@ object StatefulOps {
       case i: Int => i.toLong
       case o => o.hashCode().toLong
     }
-    df.groupByKey(r => keyIdx.map(i => String.valueOf(r.get(i))).mkString(""))
+    df.groupByKey(r => StatefulOps.encodeKey(r, keyIdx))
+      .flatMapGroupsWithState[Row, Row](
+        OutputMode.Update, GroupStateTimeout.NoTimeout) {
+        (_: String, rows: Iterator[Row], state: GroupState[Row]) =>
+          val incoming = rows.toSeq
+          val best0 = if (state.exists) Some(state.get) else None
+          val best = (best0 ++ incoming).minBy(ord)
+          state.update(best)
+          val changed = best0.forall(b => ord(best) < ord(b))
+          if (best0.isEmpty || changed) Iterator.single(best) else Iterator.empty
+      }(stateEnc, enc)
+  }
+
+  /** Streaming keep-last dedup: every trigger emits the new latest row
+    * for keys that changed (Flink's upsert/update_after behavior of
+    * StreamExecDeduplicate keep-last). Output mode: update.
+    */
+  def keepLastStreaming(df: DataFrame, keys: Seq[String], orderCol: String): DataFrame = {
+    val schema = df.schema
+    implicit val enc: ExpressionEncoder[Row] = rowEnc(schema)
+    // Schema-derived state encoder: state written by one build stays
+    // readable by the next (Flink's serializer-compatibility contract);
+    // javaSerialization is slow and version-brittle.
+    val stateEnc: ExpressionEncoder[Row] = rowEnc(schema)
+    implicit val keyEnc = Encoders.STRING
+    val keyIdx = keys.map(schema.fieldIndex)
+    val ordIdx = schema.fieldIndex(orderCol)
+    def ord(r: Row): Long = r.get(ordIdx) match {
+      case t: java.sql.Timestamp => t.getTime
+      case l: Long => l
+      case i: Int => i.toLong
+      case o => o.hashCode().toLong
+    }
+    df.groupByKey(r => StatefulOps.encodeKey(r, keyIdx))
       .flatMapGroupsWithState[Row, Row](
         OutputMode.Update, GroupStateTimeout.NoTimeout) {
         (_: String, rows: Iterator[Row], state: GroupState[Row]) =>
@@ -103,7 +153,11 @@ object StatefulOps {
                     descending: Boolean, n: Int): DataFrame = {
     val schema = df.schema
     implicit val enc: ExpressionEncoder[Row] = rowEnc(schema)
-    implicit val stateEnc = Encoders.javaSerialization[Array[Row]]
+    // State = the current top-N rows, stored as one array-of-struct row
+    // so the encoder is schema-derived (no java serialization).
+    val stateSchema = StructType(Seq(StructField("rows",
+      org.apache.spark.sql.types.ArrayType(schema))))
+    val stateEnc: ExpressionEncoder[Row] = rowEnc(stateSchema)
     implicit val keyEnc = Encoders.STRING
     val keyIdx = keys.map(schema.fieldIndex)
     val scoreIdx = schema.fieldIndex(scoreCol)
@@ -116,14 +170,15 @@ object StatefulOps {
       case _ => 0.0
     }
     val sign = if (descending) -1.0 else 1.0
-    df.groupByKey(r => keyIdx.map(i => String.valueOf(r.get(i))).mkString(""))
-      .flatMapGroupsWithState[Array[Row], Row](
+    df.groupByKey(r => StatefulOps.encodeKey(r, keyIdx))
+      .flatMapGroupsWithState[Row, Row](
         OutputMode.Update, GroupStateTimeout.NoTimeout) {
-        (_: String, rows: Iterator[Row], state: GroupState[Array[Row]]) =>
-          val cur = if (state.exists) state.get else Array.empty[Row]
+        (_: String, rows: Iterator[Row], state: GroupState[Row]) =>
+          val cur: Array[Row] =
+            if (state.exists) state.get.getSeq[Row](0).toArray else Array.empty[Row]
           val merged = (cur ++ rows).sortBy(r => sign * score(r)).take(n)
           val changed = !merged.sameElements(cur)
-          state.update(merged)
+          state.update(Row(merged.toSeq))
           if (changed) merged.iterator else Iterator.empty
       }(stateEnc, enc)
   }
@@ -161,7 +216,7 @@ object StatefulOps {
       case l: Long => l.toDouble; case i: Int => i.toDouble
       case b: java.math.BigDecimal => b.doubleValue(); case _ => 0.0
     }
-    df.groupByKey(r => keyIdx.map(i => String.valueOf(r.get(i))).mkString(""))
+    df.groupByKey(r => StatefulOps.encodeKey(r, keyIdx))
       .flatMapGroupsWithState[(Double, Long), Row](
         OutputMode.Append, GroupStateTimeout.NoTimeout) {
         (_: String, rows: Iterator[Row], state: GroupState[(Double, Long)]) =>

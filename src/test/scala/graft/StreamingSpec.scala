@@ -9,6 +9,7 @@ import graft.streaming.{Changelog, StatefulOps, Windows}
 
 case class Ev(ts: Timestamp, user: String, tpe: String, value: Double)
 case class Up(kind: String, key: String, seq: Long, v: Double)
+case class TwoKey(k1: String, k2: String, ts: Timestamp, v: Double)
 
 /** Structured-Streaming counterparts of the reference's stateful
   * operators, driven through MemoryStream exactly like Flink's
@@ -313,6 +314,48 @@ class StreamingSpec extends AnyFunSuite {
       q.processAllAvailable()
       val got = results.toArray(Array.empty[(String, String)]).toList
       assert(got == List(("u1", "bronze"), ("u1", "gold")))
+    } finally q.stop()
+  }
+
+  test("multi-key state ops keep colliding composite keys distinct") {
+    // ("ab","c") and ("a","bc") concat to the same flat string; the
+    // length-prefixed key codec must keep them in separate state groups.
+    implicit val sc = spark.sqlContext
+    val in = MemoryStream[TwoKey]
+    val out = StatefulOps.keepLastStreaming(in.toDF(), Seq("k1", "k2"), "ts")
+    val q = out.writeStream.format("memory").queryName("collide")
+      .outputMode(OutputMode.Update).start()
+    try {
+      in.addData(TwoKey("ab", "c", ts("2024-01-01 00:00:01"), 1.0))
+      q.processAllAvailable()
+      // Same flat concat, EARLIER ts: if the keys collided this row
+      // would be swallowed as stale; as a distinct key it must emit.
+      in.addData(TwoKey("a", "bc", ts("2024-01-01 00:00:00"), 2.0))
+      q.processAllAvailable()
+      val rows = spark.sql("SELECT k1, k2, v FROM collide").collect()
+        .map(r => (r.getString(0), r.getString(1), r.getDouble(2))).toSet
+      assert(rows == Set(("ab", "c", 1.0), ("a", "bc", 2.0)))
+    } finally q.stop()
+  }
+
+  test("keepFirstStreaming(orderCol) lets an earlier late-arriving row win") {
+    implicit val sc = spark.sqlContext
+    val in = MemoryStream[Ev]
+    val out = StatefulOps.keepFirstStreaming(in.toDF(), Seq("user"), "ts")
+    val q = out.writeStream.format("memory").queryName("firstByTime")
+      .outputMode(OutputMode.Update).start()
+    try {
+      in.addData(Ev(ts("2024-01-01 00:00:05"), "u1", "late-start", 1.0))
+      q.processAllAvailable()
+      // arrives later but is EARLIER in event time → replaces the winner
+      in.addData(Ev(ts("2024-01-01 00:00:01"), "u1", "true-first", 2.0))
+      q.processAllAvailable()
+      // arrival-order duplicate, later event time → suppressed
+      in.addData(Ev(ts("2024-01-01 00:00:09"), "u1", "dup", 3.0))
+      q.processAllAvailable()
+      val rows = spark.sql("SELECT tpe FROM firstByTime").collect()
+        .map(_.getString(0)).toList
+      assert(rows == List("late-start", "true-first"))
     } finally q.stop()
   }
 
