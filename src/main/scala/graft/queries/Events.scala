@@ -154,6 +154,28 @@ object Events {
         withinSec = 3600L)
     }),
 
+    // ---- Window rank — SURVEY §2.5 StreamExecWindowRank ---------------
+    // Top-2 events by value per (1h tumbling window × event_type).
+    "q55_window_rank" -> ((s, dir) => {
+      val e = Tables.load(s, dir, "events")
+      graft.streaming.Windows
+        .windowRank(e, col("ts"), "1 hour", Seq("event_type"),
+          Seq(col("value").desc, col("event_id")), n = 2)
+        .select(col("window.start").as("window_start"), col("event_type"),
+                col("event_id"), col("value"), col("rank_no"))
+    }),
+
+    // ---- Window deduplicate — SURVEY §2.5 window dedup ----------------
+    // First event per (1h tumbling window × user) in event-time order.
+    "q56_window_dedup" -> ((s, dir) => {
+      val e = Tables.load(s, dir, "events")
+      graft.streaming.Windows
+        .windowDeduplicate(e, col("ts"), "1 hour", Seq("user_id"),
+          keepFirst = true, tieBreak = Seq(col("event_id")))
+        .select(col("window.start").as("window_start"), col("user_id"),
+                col("event_id"), col("ts"))
+    }),
+
     // ---- Per-key event gaps (over window on event time) ---------------
     "q27_event_gaps" -> ((s, dir) => {
       val e = Tables.load(s, dir, "events")
@@ -292,6 +314,24 @@ object Events {
         |FROM (SELECT lang, unnest(string_split(text, ' ')) AS word FROM documents)
         |WHERE LENGTH(word) > 0
         |GROUP BY lang, word""".stripMargin,
+
+    "q55_window_rank" ->
+      """SELECT window_start, event_type, event_id, value, rank_no FROM (
+        |  SELECT CAST(time_bucket(INTERVAL '1 hour', ts) AS TIMESTAMP) AS window_start,
+        |         event_type, event_id, value,
+        |         ROW_NUMBER() OVER (
+        |           PARTITION BY time_bucket(INTERVAL '1 hour', ts), event_type
+        |           ORDER BY value DESC, event_id) AS rank_no
+        |  FROM events) WHERE rank_no <= 2""".stripMargin,
+
+    "q56_window_dedup" ->
+      """SELECT window_start, user_id, event_id, CAST(ts AS TIMESTAMP) AS ts FROM (
+        |  SELECT CAST(time_bucket(INTERVAL '1 hour', ts) AS TIMESTAMP) AS window_start,
+        |         user_id, event_id, ts,
+        |         ROW_NUMBER() OVER (
+        |           PARTITION BY time_bucket(INTERVAL '1 hour', ts), user_id
+        |           ORDER BY ts, event_id) AS rn
+        |  FROM events) WHERE rn = 1""".stripMargin,
 
     "q27_event_gaps" ->
       """SELECT user_id, event_id,

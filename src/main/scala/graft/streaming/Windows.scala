@@ -1,6 +1,7 @@
 package graft.streaming
 
 import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Window-assignment helpers mirroring the reference's window TVFs
@@ -48,5 +49,40 @@ object Windows {
         timestamp_seconds(col("span_start")).as("start"),
         timestamp_seconds(col("w_end_s")).as("end")))
       .drop("span_start", "w_end_s")
+  }
+
+  /** Window rank (Top-N per window) — the reference's
+    * StreamExecWindowRank (flink-table/flink-table-planner/.../exec/
+    * stream/StreamExecWindowRank.java; runtime builder
+    * RT/rank/window/WindowRankOperatorBuilder.java:56): rank rows
+    * within (tumbling window × partition keys) and keep the top `n`.
+    *
+    * Adds a `window` struct column and a `rank_no` column. The rank
+    * partition includes the window, so Catalyst plans a pre-shuffle
+    * WindowGroupLimit: no partition ever buffers more than
+    * n × |keys-per-window| rows — window state is bounded exactly like
+    * Flink purges rank state at window end.
+    */
+  def windowRank(df: DataFrame, ts: Column, size: String,
+                 keys: Seq[String], order: Seq[Column], n: Int): DataFrame = {
+    val withW = df.withColumn("window", window(ts, size))
+    val parts = col("window") +: keys.map(col)
+    val w = Window.partitionBy(parts: _*).orderBy(order: _*)
+    withW.withColumn("rank_no", row_number().over(w)).filter(col("rank_no") <= n)
+  }
+
+  /** Window deduplicate — the reference's window-dedup specialization
+    * (RT/deduplicate/window/RowTimeWindowDeduplicateOperatorBuilder
+    * .java:51): keep the first (or last) row per key WITHIN each
+    * tumbling window, ordered by event time. Window rank with n=1 and
+    * the time column as the order — kept as its own operator because
+    * the reference treats it as one (better state layout there; same
+    * bounded WindowGroupLimit plan here).
+    */
+  def windowDeduplicate(df: DataFrame, ts: Column, size: String,
+                        keys: Seq[String], keepFirst: Boolean = true,
+                        tieBreak: Seq[Column] = Nil): DataFrame = {
+    val ord = (if (keepFirst) ts.asc else ts.desc) +: tieBreak
+    windowRank(df, ts, size, keys, ord, 1).drop("rank_no")
   }
 }
