@@ -87,4 +87,255 @@ object Cep {
         out.iterator
       }(outEnc)
   }
+
+  // =====================================================================
+  // Full MATCH_RECOGNIZE subset: quantified steps, strict row
+  // contiguity, greedy/reluctant backtracking, AFTER MATCH SKIP
+  // strategies, batch + streaming (watermark-frozen NFA windows).
+  // Reference: flink-libraries/flink-cep/.../nfa/NFA.java (state
+  // machine + shared buffer), pattern/Quantifier.java (looping/times/
+  // optional/greedy), CommonExecMatch.java:82 (SQL MATCH_RECOGNIZE
+  // planning), aftermatch/AfterMatchSkipStrategy.java.
+  // =====================================================================
+
+  /** One pattern variable: matches between `min` and `max` CONSECUTIVE
+    * rows satisfying `pred` (strict MATCH_RECOGNIZE contiguity —
+    * Flink's `next()`/`consecutive()`).
+    *  - `A`  = Step("a", p)                 (min=1, max=1)
+    *  - `A+` = Step.oneOrMore("a", p)       (min=1, max=∞, greedy)
+    *  - `A*` = Step.zeroOrMore("a", p)
+    *  - `A?` = Step.optional("a", p)
+    *  - `A{n}` = Step.times("a", p, n)
+    *  - `A+?` (reluctant) = oneOrMore(...).copy(greedy = false)
+    */
+  final case class Step(name: String, pred: Row => Boolean,
+                        min: Int = 1, max: Int = 1, greedy: Boolean = true)
+
+  object Step {
+    def once(name: String, pred: Row => Boolean): Step = Step(name, pred)
+    def oneOrMore(name: String, pred: Row => Boolean): Step =
+      Step(name, pred, 1, Int.MaxValue)
+    def zeroOrMore(name: String, pred: Row => Boolean): Step =
+      Step(name, pred, 0, Int.MaxValue)
+    def optional(name: String, pred: Row => Boolean): Step =
+      Step(name, pred, 0, 1)
+    def times(name: String, pred: Row => Boolean, n: Int): Step =
+      Step(name, pred, n, n)
+  }
+
+  /** Single-symbol alternation `(B|C)` — a predicate disjunction, which
+    * is exactly what MATCH_RECOGNIZE means when both branches are one
+    * variable. (Multi-symbol branch alternation = run one matchPattern
+    * per branch and union.)
+    */
+  def anyOf(preds: (Row => Boolean)*): Row => Boolean =
+    r => preds.exists(_(r))
+
+  /** AFTER MATCH SKIP strategy (reference:
+    * cep/aftermatch/AfterMatchSkipStrategy.java).
+    */
+  sealed trait AfterMatch
+  /** Resume at the row after the match's LAST row (SQL default). */
+  case object SkipPastLastRow extends AfterMatch
+  /** Resume at the row after the match's FIRST row (overlapping matches). */
+  case object SkipToNextRow extends AfterMatch
+
+  /** Per-match output: key, match_start_ts/match_end_ts (first/last
+    * consumed row), then per step: <name>_first_id, <name>_last_id,
+    * <name>_count (0/null when an optional step matched zero rows) —
+    * the FIRST()/LAST()/COUNT() measures of MATCH_RECOGNIZE.
+    */
+  private def patternOutSchema(keyCol: String, keyType: DataType,
+                               idType: DataType, steps: Seq[Step]): StructType =
+    StructType(
+      Seq(StructField(keyCol, keyType),
+          StructField("match_start_ts", TimestampType),
+          StructField("match_end_ts", TimestampType)) ++
+      steps.flatMap { st => Seq(
+        StructField(s"${st.name}_first_id", idType),
+        StructField(s"${st.name}_last_id", idType),
+        StructField(s"${st.name}_count", IntegerType))
+      })
+
+  /** Backtracking matcher at one anchor. Rows `events(anchor until
+    * limit)` are the candidate window (strict contiguity: step s+1
+    * must match the row immediately after step s's last row). Returns
+    * (per-step (firstIdx, lastIdx, count), endPos) on success; a match
+    * must consume ≥1 row.
+    */
+  private def matchAt(events: IndexedSeq[Row], anchor: Int, limit: Int,
+                      steps: IndexedSeq[Step]): Option[(Array[(Int, Int, Int)], Int)] = {
+    val nSteps = steps.length
+    val res = Array.fill(nSteps)((-1, -1, 0))
+    var endPos = anchor
+    def go(pos: Int, s: Int): Boolean = {
+      if (s == nSteps) { endPos = pos; true }
+      else {
+        val st = steps(s)
+        def reps(p: Int, c: Int): Boolean = {
+          def take(): Boolean =
+            c < st.max && p < limit && st.pred(events(p)) && {
+              val prev = res(s)
+              res(s) = (if (c == 0) p else prev._1, p, c + 1)
+              if (reps(p + 1, c + 1)) true else { res(s) = prev; false }
+            }
+          def advance(): Boolean = c >= st.min && {
+            if (c == 0) res(s) = (-1, -1, 0)
+            go(p, s + 1)
+          }
+          if (st.greedy) take() || advance() else advance() || take()
+        }
+        reps(pos, 0)
+      }
+    }
+    if (go(anchor, 0) && endPos > anchor) Some((res, endPos)) else None
+  }
+
+  /** Batch MATCH_RECOGNIZE: per key, rows sorted by (time, id) are
+    * scanned once; at each candidate anchor the quantified pattern is
+    * matched over the CONSECUTIVE rows inside `[t_anchor, t_anchor +
+    * withinSec]` (the WITHIN clause); `afterMatch` picks the SQL skip
+    * strategy. One shuffle on the key; per-key memory is O(rows in the
+    * within-window), the same bound as Flink's shared buffer.
+    */
+  def matchPattern(df: DataFrame, keyCol: String, tsCol: String, idCol: String,
+                   steps: Seq[Step], withinSec: Long,
+                   afterMatch: AfterMatch = SkipPastLastRow): DataFrame = {
+    require(steps.nonEmpty)
+    val schema = df.schema
+    val keyIdx = schema.fieldIndex(keyCol)
+    val outSchema = patternOutSchema(keyCol, schema(keyIdx).dataType,
+      schema(schema.fieldIndex(idCol)).dataType, steps)
+    implicit val outEnc: ExpressionEncoder[Row] =
+      ExpressionEncoder(RowEncoder.encoderFor(outSchema))
+    implicit val keyEnc = org.apache.spark.sql.Encoders.STRING
+    val runner = new PatternRunner(schema, keyCol, tsCol, idCol,
+      steps.toIndexedSeq, withinSec, afterMatch)
+    df.groupByKey(r => String.valueOf(r.get(keyIdx)))
+      .flatMapGroups { (_: String, it: Iterator[Row]) =>
+        val events = it.toArray.sortBy(runner.sortKey)
+        runner.emitMatches(events, 0, events.length, Long.MinValue)._1.iterator
+      }(outEnc)
+  }
+
+  /** Streaming MATCH_RECOGNIZE (reference: CepOperator.java — NFA
+    * driven by event-time watermarks). Input must carry a watermark
+    * (`withWatermark` upstream). Per key, rows buffer in state; an
+    * anchor becomes DECIDABLE once its whole within-window is frozen
+    * (anchor_ts + within ≤ watermark — no earlier row can still
+    * arrive, so the strict-contiguity row sequence is final). Decided
+    * matches emit exactly once (append mode); rows older than
+    * watermark − within are evicted, so state is bounded by the
+    * within-window per key — Flink's CEP state bound.
+    */
+  def matchPatternStreaming(df: DataFrame, keyCol: String, tsCol: String,
+                            idCol: String, steps: Seq[Step], withinSec: Long,
+                            afterMatch: AfterMatch = SkipPastLastRow): DataFrame = {
+    require(steps.nonEmpty)
+    val schema = df.schema
+    val keyIdx = schema.fieldIndex(keyCol)
+    val outSchema = patternOutSchema(keyCol, schema(keyIdx).dataType,
+      schema(schema.fieldIndex(idCol)).dataType, steps)
+    implicit val outEnc: ExpressionEncoder[Row] =
+      ExpressionEncoder(RowEncoder.encoderFor(outSchema))
+    implicit val inEnc: ExpressionEncoder[Row] =
+      ExpressionEncoder(RowEncoder.encoderFor(schema))
+    implicit val keyEnc = org.apache.spark.sql.Encoders.STRING
+    // state = (buffered rows, ts-micros of the last emitted match end)
+    val stateSchema = StructType(Seq(
+      StructField("buf", ArrayType(schema)),
+      StructField("last_end", LongType)))
+    val stateEnc: ExpressionEncoder[Row] =
+      ExpressionEncoder(RowEncoder.encoderFor(stateSchema))
+    val runner = new PatternRunner(schema, keyCol, tsCol, idCol,
+      steps.toIndexedSeq, withinSec, afterMatch)
+
+    import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+    df.groupByKey(r => String.valueOf(r.get(keyIdx)))
+      .flatMapGroupsWithState[Row, Row](
+        OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        (_: String, rows: Iterator[Row], state: GroupState[Row]) =>
+          val (buf0, lastEnd0) =
+            if (state.exists) (state.get.getSeq[Row](0), state.get.getLong(1))
+            else (Seq.empty[Row], Long.MinValue)
+          val wmMicros = state.getCurrentWatermarkMs() * 1000L
+          val events = (buf0 ++ rows).toArray.sortBy(runner.sortKey)
+          // anchors with deadline ≤ watermark are final — match them now
+          val decidableTo = events.indexWhere(r =>
+            runner.tsMicros(r) + withinSec * 1000000L > wmMicros) match {
+            case -1 => events.length
+            case i  => i
+          }
+          val (out, lastEnd) =
+            runner.emitMatches(events, 0, events.length, lastEnd0, decidableTo)
+          // evict rows that can no longer anchor or appear in any
+          // undecided anchor's window
+          val keep = events.dropWhile(r =>
+            runner.tsMicros(r) + withinSec * 1000000L <= wmMicros)
+          state.update(Row(keep.toSeq, lastEnd))
+          out.iterator
+      }(stateEnc, outEnc)
+  }
+
+  /** Shared batch/streaming pattern-match driver. */
+  private final class PatternRunner(schema: StructType, keyCol: String,
+      tsCol: String, idCol: String, steps: IndexedSeq[Step],
+      withinSec: Long, afterMatch: AfterMatch) extends Serializable {
+    private val keyIdx = schema.fieldIndex(keyCol)
+    private val tsIdx = schema.fieldIndex(tsCol)
+    private val idIdx = schema.fieldIndex(idCol)
+
+    def tsMicros(r: Row): Long = r.get(tsIdx) match {
+      case t: java.sql.Timestamp => t.getTime * 1000 + (t.getNanos / 1000) % 1000
+      case t: java.time.Instant => t.getEpochSecond * 1000000L + t.getNano / 1000
+      case l: Long => l
+    }
+    def sortKey(r: Row): (Long, String) = (tsMicros(r), String.valueOf(r.get(idIdx)))
+
+    /** Scan anchors in `[from, until)`; only anchors < `decidableTo`
+      * may start a match (batch passes until). `lastEndMicros` carries
+      * the skip-past-last-row cursor across streaming triggers.
+      * Returns (emitted rows, new lastEndMicros).
+      */
+    def emitMatches(events: Array[Row], from: Int, until: Int,
+                    lastEndMicros: Long,
+                    decidableTo: Int = Int.MaxValue): (Seq[Row], Long) = {
+      val out = scala.collection.mutable.ArrayBuffer.empty[Row]
+      var lastEnd = lastEndMicros
+      var lastEndIdx = -1
+      var i = from
+      while (i < until && i < decidableTo) {
+        val skipAnchor = afterMatch match {
+          case SkipPastLastRow => i <= lastEndIdx || tsMicros(events(i)) <= lastEnd
+          case SkipToNextRow => false
+        }
+        if (!skipAnchor) {
+          val deadline = tsMicros(events(i)) + withinSec * 1000000L
+          var limit = i
+          while (limit < until && tsMicros(events(limit)) <= deadline) limit += 1
+          matchAt(events, i, limit, steps).foreach { case (res, endPos) =>
+            out += buildRow(events, res, i, endPos)
+            if (afterMatch == SkipPastLastRow) {
+              lastEndIdx = endPos - 1
+              lastEnd = math.max(lastEnd, tsMicros(events(endPos - 1)))
+            }
+          }
+        }
+        i += 1
+      }
+      (out.toSeq, lastEnd)
+    }
+
+    private def buildRow(events: Array[Row], res: Array[(Int, Int, Int)],
+                         anchor: Int, endPos: Int): Row = {
+      val startTs = events(anchor).get(tsIdx)
+      val endTs = events(endPos - 1).get(tsIdx)
+      val vals = Seq(events(anchor).get(keyIdx), startTs, endTs) ++
+        res.flatMap { case (f, l, c) =>
+          if (c == 0) Seq(null, null, 0)
+          else Seq(events(f).get(idIdx), events(l).get(idIdx), c)
+        }
+      Row.fromSeq(vals)
+    }
+  }
 }

@@ -41,6 +41,148 @@ class CepSpec extends AnyFunSuite {
     assert(m.getLong(m.fieldIndex("c_id")) == 3L)
   }
 
+  // ---- matchPattern: MATCH_RECOGNIZE subset (quantifiers, strict
+  // contiguity, skip strategies) — shapes mirror the reference's
+  // MatchRecognizeITCase --------------------------------------------
+
+  private def is(k: String) = (r: org.apache.spark.sql.Row) =>
+    r.getString(r.fieldIndex("kind")) == k
+
+  private def seqDf(rows: (Long, String, String, String)*) =
+    rows.map { case (id, u, t, k) => (id, u, ts(t), k) }
+      .toDF("event_id", "user", "ts", "kind")
+
+  test("matchPattern: greedy A+ B consumes the longest A run") {
+    val df = seqDf(
+      (1L, "u", "2024-01-01 00:00:00", "A"),
+      (2L, "u", "2024-01-01 00:01:00", "A"),
+      (3L, "u", "2024-01-01 00:02:00", "A"),
+      (4L, "u", "2024-01-01 00:03:00", "B"))
+    val out = Cep.matchPattern(df, "user", "ts", "event_id",
+      Seq(Cep.Step.oneOrMore("a", is("A")), Cep.Step.once("b", is("B"))),
+      3600L).collect()
+    assert(out.length == 1)
+    val m = out(0)
+    assert(m.getLong(m.fieldIndex("a_first_id")) == 1L)
+    assert(m.getLong(m.fieldIndex("a_last_id")) == 3L)
+    assert(m.getInt(m.fieldIndex("a_count")) == 3)
+    assert(m.getLong(m.fieldIndex("b_first_id")) == 4L)
+  }
+
+  test("matchPattern: reluctant A+? B stops at the first B") {
+    val df = seqDf(
+      (1L, "u", "2024-01-01 00:00:00", "X"),  // A matches X or B here
+      (2L, "u", "2024-01-01 00:01:00", "B"),
+      (3L, "u", "2024-01-01 00:02:00", "B"))
+    // pattern (X|B)+? B : reluctant takes X then first B; greedy would
+    // swallow both B's and fail (no closing B), then backtrack to one.
+    val anyXB = Cep.anyOf(is("X"), is("B"))
+    val rel = Cep.matchPattern(df, "user", "ts", "event_id",
+      Seq(Cep.Step.oneOrMore("a", anyXB).copy(greedy = false),
+          Cep.Step.once("b", is("B"))), 3600L).collect()
+    assert(rel.length == 1)
+    assert(rel(0).getInt(rel(0).fieldIndex("a_count")) == 1)
+    assert(rel(0).getLong(rel(0).fieldIndex("b_first_id")) == 2L)
+    val greedy = Cep.matchPattern(df, "user", "ts", "event_id",
+      Seq(Cep.Step.oneOrMore("a", anyXB), Cep.Step.once("b", is("B"))),
+      3600L).collect()
+    assert(greedy.length == 1)
+    assert(greedy(0).getInt(greedy(0).fieldIndex("a_count")) == 2)
+    assert(greedy(0).getLong(greedy(0).fieldIndex("b_first_id")) == 3L)
+  }
+
+  test("matchPattern: optional step and times(n) quantifier") {
+    val df = seqDf(
+      (1L, "u", "2024-01-01 00:00:00", "A"),
+      (2L, "u", "2024-01-01 00:01:00", "C"),
+      (3L, "v", "2024-01-01 00:00:00", "A"),
+      (4L, "v", "2024-01-01 00:01:00", "B"),
+      (5L, "v", "2024-01-01 00:02:00", "C"))
+    // A B? C matches both keys; b_count differs
+    val out = Cep.matchPattern(df, "user", "ts", "event_id",
+      Seq(Cep.Step.once("a", is("A")), Cep.Step.optional("b", is("B")),
+          Cep.Step.once("c", is("C"))), 3600L)
+      .collect().map(r => (r.getString(r.fieldIndex("user")),
+        r.getInt(r.fieldIndex("b_count")))).toSet
+    assert(out == Set(("u", 0), ("v", 1)))
+    // A{2} requires exactly two consecutive A's
+    val twice = Cep.matchPattern(seqDf(
+      (1L, "w", "2024-01-01 00:00:00", "A"),
+      (2L, "w", "2024-01-01 00:01:00", "A"),
+      (3L, "w", "2024-01-01 00:02:00", "B")), "user", "ts", "event_id",
+      Seq(Cep.Step.times("a", is("A"), 2), Cep.Step.once("b", is("B"))),
+      3600L).collect()
+    assert(twice.length == 1 && twice(0).getInt(twice(0).fieldIndex("a_count")) == 2)
+  }
+
+  test("matchPattern: strict contiguity rejects interleaved rows") {
+    val df = seqDf(
+      (1L, "u", "2024-01-01 00:00:00", "A"),
+      (2L, "u", "2024-01-01 00:01:00", "X"),   // breaks A B adjacency
+      (3L, "u", "2024-01-01 00:02:00", "B"))
+    val out = Cep.matchPattern(df, "user", "ts", "event_id",
+      Seq(Cep.Step.once("a", is("A")), Cep.Step.once("b", is("B"))),
+      3600L).collect()
+    assert(out.isEmpty)
+  }
+
+  test("matchPattern: WITHIN bound cuts the candidate window") {
+    val df = seqDf(
+      (1L, "u", "2024-01-01 00:00:00", "A"),
+      (2L, "u", "2024-01-01 02:00:00", "B"))   // 2h later, gap in rows too
+    val out = Cep.matchPattern(df, "user", "ts", "event_id",
+      Seq(Cep.Step.once("a", is("A")), Cep.Step.once("b", is("B"))),
+      3600L).collect()
+    assert(out.isEmpty)
+  }
+
+  test("matchPattern: skip strategies control overlap") {
+    val df = seqDf(
+      (1L, "u", "2024-01-01 00:00:00", "A"),
+      (2L, "u", "2024-01-01 00:01:00", "A"),
+      (3L, "u", "2024-01-01 00:02:00", "A"))
+    val steps = Seq(Cep.Step.times("a", is("A"), 2))
+    val past = Cep.matchPattern(df, "user", "ts", "event_id", steps, 3600L,
+      Cep.SkipPastLastRow).collect()
+    assert(past.length == 1) // rows 1-2 consumed; row 3 alone can't match
+    val next = Cep.matchPattern(df, "user", "ts", "event_id", steps, 3600L,
+      Cep.SkipToNextRow).collect()
+    assert(next.length == 2) // anchors 1 and 2 both match (overlapping)
+  }
+
+  test("matchPatternStreaming: emits once when window freezes, drops state") {
+    implicit val sc = spark.sqlContext
+    val in = org.apache.spark.sql.execution.streaming.runtime.MemoryStream[Ev]
+    val steps = Seq(Cep.Step.once("a", (r: org.apache.spark.sql.Row) =>
+        r.getString(r.fieldIndex("tpe")) == "A"),
+      Cep.Step.oneOrMore("b", (r: org.apache.spark.sql.Row) =>
+        r.getString(r.fieldIndex("tpe")) == "B"))
+    val out = Cep.matchPatternStreaming(
+      in.toDF().withWatermark("ts", "1 minute")
+        .withColumn("eid", org.apache.spark.sql.functions.concat_ws(
+          "-", $"user", $"ts".cast("long"))),
+      "user", "ts", "eid", steps, withinSec = 600L)
+    val q = out.writeStream.format("memory").queryName("cepstream")
+      .outputMode(org.apache.spark.sql.streaming.OutputMode.Append).start()
+    try {
+      in.addData(Ev(ts("2024-01-01 00:00:00"), "u1", "A", 1.0),
+                 Ev(ts("2024-01-01 00:01:00"), "u1", "B", 1.0),
+                 Ev(ts("2024-01-01 00:02:00"), "u1", "B", 1.0))
+      q.processAllAvailable()
+      // window not frozen yet (watermark < anchor+10m) → nothing
+      assert(spark.sql("SELECT * FROM cepstream").count() == 0)
+      // push watermark past the anchor's deadline
+      in.addData(Ev(ts("2024-01-01 00:30:00"), "u1", "X", 0.0))
+      q.processAllAvailable()
+      in.addData(Ev(ts("2024-01-01 00:31:00"), "u1", "X", 0.0))
+      q.processAllAvailable()
+      val rows = spark.sql(
+        "SELECT b_count, a_first_id FROM cepstream").collect()
+      assert(rows.length == 1)
+      assert(rows(0).getInt(0) == 2) // greedy B+ took both B's
+    } finally q.stop()
+  }
+
   test("matchSequence: greedy first-match per step") {
     val df = Seq(
       (1L, "u", ts("2024-01-01 00:00:00"), "A"),
