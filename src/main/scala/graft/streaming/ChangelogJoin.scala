@@ -1,0 +1,224 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, Row}
+import org.apache.spark.sql.catalyst.encoders.{ExpressionEncoder, RowEncoder}
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+import org.apache.spark.sql.types._
+
+/** Unbounded retracting stream-stream join over explicit changelogs —
+  * the reference's StreamingJoinOperator (flink-table/flink-table-
+  * runtime/.../join/stream/StreamingJoinOperator.java:36) with its
+  * per-side record state views (state/JoinRecordStateView.java:32).
+  *
+  * Inputs are changelog DataFrames (see [[Changelog]]): a `row_kind`
+  * column with +I/-U/+U/-D and a `seqCol` giving the arrival order.
+  * Kinds are interpreted as the reference does when no unique key is
+  * available: {+I, +U} accumulate, {-U, -D} retract. Output is a
+  * RETRACT-ENCODED changelog (only +I / -D kinds — the canonical form
+  * Flink's toRetractStream produces): every visible-state transition
+  * appears as a retraction of the old joined row and/or insertion of
+  * the new one, including left-outer null-padding flips.
+  *
+  * Scale shape: both sides shuffle once on the join key; each state
+  * group holds only the rows OF THAT KEY (a multiset per side, exactly
+  * Flink's InputSideHasNoUniqueKey state view). Because grouping is by
+  * the equi-join key, every left row in a group matches every right
+  * row, so the outer-join "number of associations" counter collapses
+  * to the group's right-side multiset size — O(1) bookkeeping per
+  * element where the reference keeps a counter per record.
+  */
+object ChangelogJoin {
+
+  import Changelog.{Delete, Insert, KindCol, UpdateAfter, UpdateBefore}
+
+  /** Batch form: joins two bounded changelogs, emitting the retract
+    * stream in `seqCol` order per key. Semantics identical to
+    * [[streaming]]; use this for testing and bounded backfills.
+    */
+  def apply(left: DataFrame, leftKeys: Seq[String],
+            right: DataFrame, rightKeys: Seq[String],
+            seqCol: String, joinType: String = "inner"): DataFrame = {
+    val p = new Plan(left, leftKeys, right, rightKeys, seqCol, joinType)
+    import p._
+    tagged.groupByKey(keyOf)(keyEnc)
+      .flatMapGroups { (_: String, it: Iterator[Row]) =>
+        val st = new JoinState()
+        it.toArray.sortBy(_.getLong(1)).iterator.flatMap(t => process(t, st))
+      }(outEnc)
+  }
+
+  /** Streaming form: same semantics, state persisted per key across
+    * micro-batches. State grows with live keys × rows per key — bound
+    * it upstream (windowed inputs or key TTL) exactly as the reference
+    * requires `table.exec.state.ttl` for unbounded joins.
+    */
+  def streaming(left: DataFrame, leftKeys: Seq[String],
+                right: DataFrame, rightKeys: Seq[String],
+                seqCol: String, joinType: String = "inner"): DataFrame = {
+    val p = new Plan(left, leftKeys, right, rightKeys, seqCol, joinType)
+    import p._
+    tagged.groupByKey(keyOf)(keyEnc)
+      .flatMapGroupsWithState[Row, Row](
+        OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        (_: String, it: Iterator[Row], state: GroupState[Row]) =>
+          val st =
+            if (state.exists) JoinState.fromRow(state.get) else new JoinState()
+          val out = it.toArray.sortBy(_.getLong(1)).flatMap(t => process(t, st))
+          state.update(JoinState.toRow(st))
+          out.iterator
+      }(stateEnc, outEnc)
+  }
+
+  /** Per-side multiset state + the join step, shared batch/streaming.
+    * Multisets key on the row's DATA columns only (kind/seq excluded),
+    * so a -D retracts the +I that carried the same payload — the
+    * record-equality contract of JoinRecordStateView.
+    */
+  private final class JoinState {
+    // multiset per side: data-column values → multiplicity
+    val lm = scala.collection.mutable.LinkedHashMap.empty[Seq[Any], Int]
+    val rm = scala.collection.mutable.LinkedHashMap.empty[Seq[Any], Int]
+    def rightTotal: Int = rm.valuesIterator.sum
+    def add(m: scala.collection.mutable.LinkedHashMap[Seq[Any], Int],
+            k: Seq[Any]): Unit =
+      m.update(k, m.getOrElse(k, 0) + 1)
+    def remove(m: scala.collection.mutable.LinkedHashMap[Seq[Any], Int],
+               k: Seq[Any]): Boolean =
+      m.get(k) match {
+        case Some(1) => m.remove(k); true
+        case Some(c) => m.update(k, c - 1); true
+        case None => false // retraction of a record we never saw: ignore
+      }
+  }
+
+  private object JoinState {
+    def fromRow(s: Row): JoinState = {
+      val st = new JoinState()
+      s.getSeq[Row](0).foreach(e => st.lm.update(e.getStruct(0).toSeq, e.getInt(1)))
+      s.getSeq[Row](1).foreach(e => st.rm.update(e.getStruct(0).toSeq, e.getInt(1)))
+      st
+    }
+    def toRow(st: JoinState): Row = Row(
+      st.lm.iterator.map { case (v, c) => Row(Row.fromSeq(v), c) }.toSeq,
+      st.rm.iterator.map { case (v, c) => Row(Row.fromSeq(v), c) }.toSeq)
+  }
+
+  /** Everything derived from the two input schemas: the tagged union,
+    * encoders, and the per-element state transition.
+    */
+  private final class Plan(@transient left: DataFrame, leftKeys: Seq[String],
+                           @transient right: DataFrame, rightKeys: Seq[String],
+                           seqCol: String, joinType: String) extends Serializable {
+    require(joinType == "inner" || joinType == "left",
+      s"joinType must be inner|left, got $joinType")
+    private val lSchema = left.schema
+    private val rSchema = right.schema
+    private val lKindIdx = lSchema.fieldIndex(KindCol)
+    private val rKindIdx = rSchema.fieldIndex(KindCol)
+    private val lSeqIdx = lSchema.fieldIndex(seqCol)
+    private val rSeqIdx = rSchema.fieldIndex(seqCol)
+    private val lKeyIdx = leftKeys.map(lSchema.fieldIndex)
+    private val rKeyIdx = rightKeys.map(rSchema.fieldIndex)
+    private val lDataIdx = lSchema.fields.indices
+      .filterNot(i => i == lKindIdx || i == lSeqIdx)
+    private val rDataIdx = rSchema.fields.indices
+      .filterNot(i => i == rKindIdx || i == rSeqIdx)
+
+    val outSchema: StructType = StructType(
+      StructField(KindCol, StringType) +:
+        (lDataIdx.map(lSchema.fields) ++
+         rDataIdx.map(i => rSchema.fields(i).copy(nullable = true))))
+    val outEnc: ExpressionEncoder[Row] =
+      ExpressionEncoder(RowEncoder.encoderFor(outSchema))
+    val keyEnc = org.apache.spark.sql.Encoders.STRING
+
+    private val taggedSchema = StructType(Seq(
+      StructField("side", IntegerType), StructField("seq", LongType),
+      StructField("l", lSchema, nullable = true),
+      StructField("r", rSchema, nullable = true)))
+    private val tagEnc: ExpressionEncoder[Row] =
+      ExpressionEncoder(RowEncoder.encoderFor(taggedSchema))
+    private val lDataSchema = StructType(lDataIdx.map(lSchema.fields).toSeq)
+    private val rDataSchema = StructType(rDataIdx.map(rSchema.fields).toSeq)
+    val stateEnc: ExpressionEncoder[Row] =
+      ExpressionEncoder(RowEncoder.encoderFor(StructType(Seq(
+        StructField("lm", ArrayType(StructType(Seq(
+          StructField("row", lDataSchema), StructField("cnt", IntegerType))))),
+        StructField("rm", ArrayType(StructType(Seq(
+          StructField("row", rDataSchema), StructField("cnt", IntegerType)))))))))
+
+    /** Side-tagged union of both inputs — the standard Spark encoding
+      * of a two-input operator (connect/keyBy in the reference).
+      */
+    def tagged: org.apache.spark.sql.Dataset[Row] = {
+      val li = lSeqIdx
+      val ri = rSeqIdx
+      left.map(r => Row(0, toLong(r.get(li)), r, null))(tagEnc)
+        .union(right.map(r => Row(1, toLong(r.get(ri)), null, r))(tagEnc))
+    }
+
+    private def toLong(v: Any): Long = v match {
+      case l: Long => l; case i: Int => i.toLong
+      case t: java.sql.Timestamp => t.getTime
+      case o => o.hashCode().toLong
+    }
+
+    def keyOf(t: Row): String =
+      if (t.getInt(0) == 0) StatefulOps.encodeKey(t.getStruct(2), lKeyIdx)
+      else StatefulOps.encodeKey(t.getStruct(3), rKeyIdx)
+
+    private def isAccumulate(kind: String): Boolean =
+      kind == Insert || kind == UpdateAfter
+
+    private val rNulls: Seq[Any] = rDataIdx.map(_ => null: Any)
+
+    private def joined(kind: String, lVals: Seq[Any], rVals: Seq[Any]): Row =
+      Row.fromSeq(kind +: (lVals ++ (if (rVals == null) rNulls else rVals)))
+
+    /** One element through the join — the processElement of
+      * StreamingJoinOperator, specialized to per-key grouping.
+      */
+    def process(t: Row, st: JoinState): Seq[Row] = {
+      val out = scala.collection.mutable.ArrayBuffer.empty[Row]
+      if (t.getInt(0) == 0) {
+        val l = t.getStruct(2)
+        val lVals: Seq[Any] = lDataIdx.map(l.get)
+        val acc = isAccumulate(l.getString(lKindIdx))
+        val kind = if (acc) Insert else Delete
+        if (acc) st.add(st.lm, lVals)
+        else if (!st.remove(st.lm, lVals)) return Nil
+        if (st.rm.isEmpty) {
+          if (joinType == "left") out += joined(kind, lVals, null)
+        } else st.rm.foreach { case (rVals, c) =>
+          var i = 0; while (i < c) { out += joined(kind, lVals, rVals); i += 1 }
+        }
+      } else {
+        val r = t.getStruct(3)
+        val rVals: Seq[Any] = rDataIdx.map(r.get)
+        val acc = isAccumulate(r.getString(rKindIdx))
+        val rightBefore = st.rightTotal
+        if (acc) st.add(st.rm, rVals)
+        else if (!st.remove(st.rm, rVals)) return Nil
+        val rightAfter = st.rightTotal
+        st.lm.foreach { case (lVals, c) =>
+          var i = 0
+          while (i < c) {
+            if (acc) {
+              // first right row for this key: retract the null padding
+              if (joinType == "left" && rightBefore == 0)
+                out += joined(Delete, lVals, null)
+              out += joined(Insert, lVals, rVals)
+            } else {
+              out += joined(Delete, lVals, rVals)
+              // last right row gone: re-pad with nulls
+              if (joinType == "left" && rightAfter == 0)
+                out += joined(Insert, lVals, null)
+            }
+            i += 1
+          }
+        }
+      }
+      out.toSeq
+    }
+  }
+}

@@ -1,0 +1,108 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.streaming.OutputMode
+import graft.streaming.ChangelogJoin
+
+case class LRow(row_kind: String, seq: Long, k: String, lv: String)
+case class RRow(row_kind: String, seq: Long, rk: String, rv: String)
+
+/** Retracting stream-stream join ITCase — the scenario shapes of the
+  * reference's StreamingJoinOperator tests: inserts and retractions on
+  * both sides, null-padding flips for left outer, multiset (duplicate
+  * row) handling. Output is retract-encoded (+I/-D only).
+  */
+class ChangelogJoinSpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  private def L(kind: String, seq: Long, k: String, v: String) = LRow(kind, seq, k, v)
+  private def R(kind: String, seq: Long, k: String, v: String) = RRow(kind, seq, k, v)
+
+  private def runBatch(ls: Seq[LRow], rs: Seq[RRow], joinType: String) =
+    ChangelogJoin(ls.toDF(), Seq("k"), rs.toDF(), Seq("rk"), "seq", joinType)
+      .collect()
+      .map(r => (r.getString(0), r.getString(1), r.getString(2),
+                 Option(r.getString(4)).orNull))
+      .toList // (kind, k, lv, rv)
+
+  test("inner join: accumulate and retract on both sides") {
+    val out = runBatch(
+      Seq(L("+I", 1, "a", "l1"),          // no right yet → nothing
+          L("+I", 4, "a", "l2"),          // right r1 present → +I(l2,r1)
+          L("-D", 6, "a", "l1")),         // retract l1 → -D(l1,r1)
+      Seq(R("+I", 2, "b", "rX"),          // other key → nothing
+          R("+I", 3, "a", "r1"),          // joins l1 → +I(l1,r1)
+          R("-D", 5, "b", "rX")),         // no left for b → nothing
+      "inner")
+    assert(out.sortBy(_._1) == List(
+      ("+I", "a", "l1", "r1"),
+      ("+I", "a", "l2", "r1"),
+      ("-D", "a", "l1", "r1")).sortBy(_._1))
+  }
+
+  test("left outer join: null padding flips on first/last right row") {
+    val out = runBatch(
+      Seq(L("+I", 1, "a", "l1")),
+      Seq(R("+I", 2, "a", "r1"),          // pad retracted, real pair in
+          R("-D", 3, "a", "r1")),         // pair retracted, pad back
+      "left")
+    assert(out == List(
+      ("+I", "a", "l1", null),
+      ("-D", "a", "l1", null),
+      ("+I", "a", "l1", "r1"),
+      ("-D", "a", "l1", "r1"),
+      ("+I", "a", "l1", null)))
+  }
+
+  test("update kinds: -U retracts, +U accumulates") {
+    val out = runBatch(
+      Seq(L("+I", 1, "a", "l1")),
+      Seq(R("+I", 2, "a", "r1"),
+          R("-U", 3, "a", "r1"),          // retract old version
+          R("+U", 4, "a", "r2")),         // accumulate new version
+      "inner")
+    assert(out == List(
+      ("+I", "a", "l1", "r1"),
+      ("-D", "a", "l1", "r1"),
+      ("+I", "a", "l1", "r2")))
+  }
+
+  test("duplicate rows are multiset-counted, orphan retraction ignored") {
+    val out = runBatch(
+      Seq(L("+I", 1, "a", "l1"),
+          L("+I", 2, "a", "l1"),          // same values twice
+          L("-D", 5, "a", "zz")),         // never inserted → ignored
+      Seq(R("+I", 3, "a", "r1")),         // joins BOTH l1 copies
+      "inner")
+    assert(out == List(
+      ("+I", "a", "l1", "r1"),
+      ("+I", "a", "l1", "r1")))
+  }
+
+  test("streaming: state carries across micro-batches") {
+    implicit val sc = spark.sqlContext
+    val lin = MemoryStream[LRow]
+    val rin = MemoryStream[RRow]
+    val out = ChangelogJoin.streaming(
+      lin.toDF(), Seq("k"), rin.toDF(), Seq("rk"), "seq", "left")
+    val q = out.writeStream.format("memory").queryName("cljoin")
+      .outputMode(OutputMode.Append).start()
+    try {
+      lin.addData(L("+I", 1, "a", "l1"))
+      q.processAllAvailable()                       // +I(l1, null)
+      rin.addData(R("+I", 2, "a", "r1"))
+      q.processAllAvailable()                       // -D(l1,null) +I(l1,r1)
+      rin.addData(R("-D", 3, "a", "r1"))
+      q.processAllAvailable()                       // -D(l1,r1) +I(l1,null)
+      val rows = spark.sql("SELECT row_kind, lv, rv FROM cljoin").collect()
+        .map(r => (r.getString(0), r.getString(1), Option(r.getString(2)).orNull))
+        .toList
+      assert(rows == List(
+        ("+I", "l1", null),
+        ("-D", "l1", null), ("+I", "l1", "r1"),
+        ("-D", "l1", "r1"), ("+I", "l1", null)))
+    } finally q.stop()
+  }
+}
