@@ -1,0 +1,184 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+import java.lang.reflect.{InvocationHandler, Method, Proxy}
+import java.sql.{Connection, PreparedStatement}
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.types.{DoubleType, StringType, StructField, StructType}
+import graft.sources.{Jdbc, Kafka}
+
+/** In-memory keyed "database" behind a reflective JDBC Connection —
+  * top-level object so executor closures don't capture the test suite,
+  * and static so all local[*] partitions share one table.
+  */
+object FakeJdbc {
+  val rows = new java.util.concurrent.ConcurrentHashMap[String, Seq[Any]]()
+  val statements = new java.util.concurrent.ConcurrentLinkedQueue[String]()
+  def clear(): Unit = { rows.clear(); statements.clear() }
+
+  def connection(keyCount: Int): Connection = {
+    def statement(sql: String): PreparedStatement = {
+      val isDelete = sql.trim.toUpperCase.startsWith("DELETE")
+      val params = scala.collection.mutable.ArrayBuffer.empty[Any]
+      val batch = scala.collection.mutable.ArrayBuffer.empty[Seq[Any]]
+      Proxy.newProxyInstance(getClass.getClassLoader,
+        Array(classOf[PreparedStatement]),
+        new InvocationHandler {
+          def invoke(p: Any, m: Method, args: Array[AnyRef]): AnyRef = m.getName match {
+            case "setObject" =>
+              val i = args(0).asInstanceOf[Integer] - 1
+              while (params.size <= i) params += null
+              params(i) = args(1); null
+            case "addBatch" => batch += params.toSeq; params.clear(); null
+            case "executeBatch" =>
+              batch.foreach { vals =>
+                // key = leading columns (upsert data lists keys first
+                // in these tests; DELETE binds only the key)
+                val key = vals.take(keyCount).mkString("|")
+                if (isDelete) rows.remove(key) else rows.put(key, vals)
+              }
+              val n = Array.fill(batch.size)(1)
+              batch.clear(); n
+            case "close" => null
+            case "hashCode" => Integer.valueOf(System.identityHashCode(p))
+            case "toString" => "FakePreparedStatement"
+            case _ => null
+          }
+        }).asInstanceOf[PreparedStatement]
+    }
+    Proxy.newProxyInstance(getClass.getClassLoader, Array(classOf[Connection]),
+      new InvocationHandler {
+        def invoke(p: Any, m: Method, args: Array[AnyRef]): AnyRef = m.getName match {
+          case "prepareStatement" =>
+            statements.add(args(0).asInstanceOf[String])
+            statement(args(0).asInstanceOf[String])
+          case "commit" | "close" => null
+          case "hashCode" => Integer.valueOf(System.identityHashCode(p))
+          case "toString" => "FakeConnection"
+          case _ => null
+        }
+      }).asInstanceOf[Connection]
+  }
+}
+
+/** JDBC upsert sink + Kafka table wrappers. No database driver or
+  * broker exists in the sandbox, so the JDBC tests drive the sink
+  * through [[FakeJdbc]] — verifying the sink's real batching and
+  * changelog behavior, not just the SQL strings.
+  */
+class JdbcKafkaSpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  test("upsertSql renders the three dialect families") {
+    val cols = Seq("id", "name", "score")
+    val pg = Jdbc.upsertSql("postgres", "t", cols, Seq("id"))
+    assert(pg.contains("ON CONFLICT (id) DO UPDATE SET name = EXCLUDED.name"))
+    val my = Jdbc.upsertSql("mysql", "t", cols, Seq("id"))
+    assert(my.contains("ON DUPLICATE KEY UPDATE name = VALUES(name)"))
+    val me = Jdbc.upsertSql("ansi", "t", cols, Seq("id"))
+    assert(me.startsWith("MERGE INTO t t USING") &&
+      me.contains("WHEN MATCHED THEN UPDATE") &&
+      me.contains("WHEN NOT MATCHED THEN INSERT"))
+  }
+
+  test("writeBatchUpsert: upserts keyed rows, honors row_kind deletes") {
+    FakeJdbc.clear()
+    val batch = Seq(
+      ("+I", "k1", 1.0),
+      ("+U", "k1", 2.0),   // overwrites k1
+      ("+I", "k2", 5.0),
+      ("-U", "k2", 5.0),   // dropped (superseded by +U)
+      ("-D", "k2", 5.0))   // deletes k2
+      .toDF("row_kind", "id", "score")
+      .coalesce(1)         // deterministic apply order within the batch
+    Jdbc.writeBatchUpsert(batch, "t", Seq("id"), "postgres",
+      () => FakeJdbc.connection(1), batchSize = 2)
+    import scala.jdk.CollectionConverters._
+    val rows = FakeJdbc.rows.asScala.map { case (k, v) => k -> v.last }.toMap
+    assert(rows == Map("k1" -> 2.0))
+    assert(FakeJdbc.statements.asScala.exists(_.contains("ON CONFLICT")))
+    assert(FakeJdbc.statements.asScala.exists(_.startsWith("DELETE FROM t")))
+  }
+
+  test("upsertSink streams micro-batches into the keyed store") {
+    FakeJdbc.clear()
+    implicit val sc = spark.sqlContext
+    val in = MemoryStream[(String, Double)]
+    val q = Jdbc.upsertSink(
+      in.toDF().toDF("id", "score"),
+      "t", Seq("id"), "mysql", () => FakeJdbc.connection(1))
+    try {
+      in.addData(("a", 1.0), ("b", 2.0))
+      q.processAllAvailable()
+      in.addData(("a", 9.0)) // second batch upserts same key
+      q.processAllAvailable()
+      import scala.jdk.CollectionConverters._
+      val rows = FakeJdbc.rows.asScala.map { case (k, v) => k -> v.last }.toMap
+      assert(rows == Map("a" -> 9.0, "b" -> 2.0))
+    } finally q.stop()
+  }
+
+  // ---- Kafka wrappers --------------------------------------------------
+
+  test("Kafka sourceOptions translates the reference's connector options") {
+    val opts = Kafka.sourceOptions(Kafka.SourceConfig(
+      "broker:9092", "events", startupMode = "earliest",
+      groupId = Some("g1")))
+    assert(opts("kafka.bootstrap.servers") == "broker:9092")
+    assert(opts("subscribe") == "events")
+    assert(opts("startingOffsets") == "earliest")
+    assert(opts("kafka.group.id") == "g1")
+    val tsOpts = Kafka.sourceOptions(Kafka.SourceConfig(
+      "b:9092", "t", startupMode = "timestamp", startupTimestampMs = Some(42L)))
+    assert(tsOpts("startingTimestamp") == "42")
+    intercept[IllegalArgumentException] {
+      Kafka.sourceOptions(Kafka.SourceConfig("b", "t", startupMode = "nope"))
+    }
+  }
+
+  test("upsert-kafka tombstones become -D upsert rows") {
+    val schema = StructType(Seq(
+      StructField("name", StringType), StructField("score", DoubleType)))
+    val decoded = Seq(
+      ("u1", Some(("ann", 1.0)), 1L),
+      ("u1", Some(("ann", 2.0)), 2L),
+      ("u1", None, 3L),                 // tombstone
+      ("u2", Some(("bob", 7.0)), 4L))
+      .toDF("k", "v", "offset")
+      .select($"k", $"v".cast(schema), $"offset")
+    val changelog = Kafka.upsertToChangelog(decoded)
+    val kinds = changelog.orderBy("offset").select("row_kind", "k")
+      .collect().map(r => (r.getString(0), r.getString(1))).toList
+    assert(kinds == List(("+U", "u1"), ("+U", "u1"), ("-D", "u1"), ("+U", "u2")))
+  }
+
+  test("upsert-kafka feed through changelogNormalize recovers full kinds") {
+    // streaming end-to-end: tombstoned compacted topic → full changelog
+    implicit val sc = spark.sqlContext
+    val in = MemoryStream[(String, Option[(String, Double)], Long)]
+    val schema = StructType(Seq(
+      StructField("name", StringType), StructField("score", DoubleType)))
+    val decoded = in.toDF().toDF("k", "v", "offset")
+      .select($"k", $"v".cast(schema), $"offset")
+    val normalized = graft.streaming.Changelog.changelogNormalize(
+      Kafka.upsertToChangelog(decoded), Seq("k"))
+    val q = normalized.writeStream.format("memory").queryName("upkafka")
+      .outputMode(org.apache.spark.sql.streaming.OutputMode.Append).start()
+    try {
+      in.addData(("u1", Some(("ann", 1.0)), 1L))
+      q.processAllAvailable()
+      in.addData(("u1", Some(("ann", 2.0)), 2L))
+      q.processAllAvailable()
+      in.addData(("u1", None, 3L), ("u2", Some(("bob", 7.0)), 4L))
+      q.processAllAvailable()
+      val out = spark.sql("SELECT row_kind, k FROM upkafka ORDER BY offset, row_kind")
+        .collect().map(r => (r.getString(0), r.getString(1))).toList
+      assert(out == List(
+        ("+I", "u1"),                  // first upsert
+        ("-U", "u1"), ("+U", "u1"),    // second upsert retracts first
+        ("-D", "u1"),                  // tombstone deletes (old image, offset 2)
+        ("+I", "u2")))
+    } finally q.stop()
+  }
+}
