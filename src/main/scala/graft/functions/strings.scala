@@ -1,0 +1,65 @@
+package graft.functions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+
+/** Scalar-function gap fills — reference:
+  * flink-table/flink-table-runtime/.../functions/SqlFunctionUtils.java:62
+  * (isAlpha/isDecimal/isDigit), SqlLikeUtils (SIMILAR TO), and
+  * BuiltInFunctionDefinitions (TEMPORAL_OVERLAPS).
+  *
+  * All are pure Column expressions over Spark builtins (rlike/regexp),
+  * so they stay inside whole-stage codegen — no UDFs.
+  */
+object Strings {
+
+  /** Translate a SQL:1999 SIMILAR TO pattern to a Java regex:
+    * `%` → `.*`, `_` → `.`; regex operators `| * + ? ( ) [ ] { }` pass
+    * through (that IS the SIMILAR TO language); `\x` escapes x.
+    * Mirrors Calcite's SqlLikeUtils.similarToRegexp used by the
+    * reference planner.
+    */
+  def similarToRegexp(pattern: String): String = {
+    val sb = new StringBuilder("^")
+    var i = 0
+    while (i < pattern.length) {
+      pattern.charAt(i) match {
+        case '\\' if i + 1 < pattern.length =>
+          sb.append(java.util.regex.Pattern.quote(pattern.charAt(i + 1).toString))
+          i += 1
+        case '%' => sb.append(".*")
+        case '_' => sb.append('.')
+        case '.' => sb.append("\\.")     // literal dot in SIMILAR TO
+        case c => sb.append(c)
+      }
+      i += 1
+    }
+    sb.append('$').toString
+  }
+
+  /** `expr SIMILAR TO pattern` (SQL:1999 semantics, unlike Spark's
+    * absent builtin and DuckDB's regex-flavored one).
+    */
+  def similarTo(c: Column, pattern: String): Column =
+    c.rlike(similarToRegexp(pattern))
+
+  /** True iff the string is non-empty and all-letters (IS_ALPHA). */
+  def isAlpha(c: Column): Column = c.rlike("^[A-Za-z]+$")
+
+  /** True iff the string is non-empty and all-digits (IS_DIGIT). */
+  def isDigit(c: Column): Column = c.rlike("^[0-9]+$")
+
+  /** True iff the string parses as a decimal number (IS_DECIMAL). */
+  def isDecimal(c: Column): Column =
+    c.rlike("^[+-]?([0-9]+(\\.[0-9]*)?|\\.[0-9]+)([eE][+-]?[0-9]+)?$")
+
+  /** TEMPORAL_OVERLAPS(s1, e1, s2, e2): whether the two periods share
+    * any instant; endpoints may arrive unordered, like the SQL
+    * OVERLAPS predicate the reference implements.
+    */
+  def temporalOverlaps(s1: Column, e1: Column, s2: Column, e2: Column): Column = {
+    val lo1 = least(s1, e1); val hi1 = greatest(s1, e1)
+    val lo2 = least(s2, e2); val hi2 = greatest(s2, e2)
+    lo1 <= hi2 && lo2 <= hi1
+  }
+}

@@ -1,0 +1,171 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.Tables
+import graft.functions.Strings
+
+/** Fourth battery: format roundtrips (CSV/JSON/ORC — the reference's
+  * flink-csv / flink-json / flink-orc format factories) and the scalar
+  * gap fills (PARSE_URL, OVERLAY, SIMILAR TO, IS_ALPHA/IS_DIGIT/
+  * IS_DECIMAL, SHA2 family, UUID, CONVERT_TZ, TEMPORAL_OVERLAPS,
+  * APPROX_COUNT_DISTINCT — SqlFunctionUtils.java:62,
+  * BuiltInFunctionDefinitions.java).
+  *
+  * Format queries write the parquet table out in the target format and
+  * read it back, so the driver's oracle (plain SELECT on the parquet
+  * table) verifies the whole encode→decode cycle value-exactly.
+  */
+object Functions3 {
+
+  private def roundtripDir(fmt: String, dir: String): String =
+    s"${System.getProperty("java.io.tmpdir")}/graft_rt_${fmt}_${math.abs(dir.hashCode)}"
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // ---- CSV format roundtrip — flink-formats/flink-csv ---------------
+    "q57_csv_roundtrip" -> ((s, dir) => {
+      val n = Tables.load(s, dir, "nation")
+      val out = roundtripDir("csv", dir)
+      n.write.mode("overwrite").option("header", "true").csv(out)
+      s.read.option("header", "true").schema(n.schema).csv(out)
+    }),
+
+    // ---- JSON format roundtrip — flink-formats/flink-json -------------
+    "q58_json_roundtrip" -> ((s, dir) => {
+      val su = Tables.load(s, dir, "supplier")
+      val out = roundtripDir("json", dir)
+      su.write.mode("overwrite").json(out)
+      s.read.schema(su.schema).json(out)
+    }),
+
+    // ---- ORC format roundtrip — flink-formats/flink-orc ---------------
+    "q59_orc_roundtrip" -> ((s, dir) => {
+      val r = Tables.load(s, dir, "region")
+      val out = roundtripDir("orc", dir)
+      r.write.mode("overwrite").orc(out)
+      s.read.schema(r.schema).orc(out)
+    }),
+
+    // ---- PARSE_URL — SqlFunctionUtils parse_url ------------------------
+    "q60_url_functions" -> ((s, dir) => {
+      val p = Tables.load(s, dir, "part")
+      val url = concat(lit("https://shop.example.com/part/"),
+        col("p_partkey").cast("string"),
+        lit("?brand="), replace(col("p_brand"), lit("#"), lit("-")),
+        lit("&sz="), col("p_size").cast("string"))
+      p.select(
+        col("p_partkey"),
+        parse_url(url, lit("HOST")).as("host"),
+        parse_url(url, lit("PATH")).as("path"),
+        parse_url(url, lit("QUERY")).as("query"),
+        parse_url(url, lit("QUERY"), lit("brand")).as("brand_param"),
+        parse_url(url, lit("PROTOCOL")).as("proto"))
+    }),
+
+    // ---- OVERLAY + SIMILAR TO + IS_* predicates ------------------------
+    "q61_string_predicates" -> ((s, dir) => {
+      val p = Tables.load(s, dir, "part")
+      p.select(
+        col("p_partkey"),
+        overlay(col("p_brand"), lit("XY"), lit(2)).as("brand_ov"),
+        Strings.similarTo(col("p_type"), "%BRUSHED%").as("is_brushed"),
+        Strings.similarTo(col("p_brand"), "Brand#__").as("brand_2d"),
+        Strings.isAlpha(col("p_name")).as("name_alpha"),
+        Strings.isAlpha(regexp_extract(col("p_name"), "^([A-Za-z]+)", 1))
+          .as("name_word_alpha"),
+        Strings.isDigit(regexp_extract(col("p_brand"), "(\\d+)", 1)).as("brand_num_digit"),
+        Strings.isDecimal(col("p_retailprice").cast("string")).as("price_decimal"),
+        Strings.isDecimal(col("p_type")).as("type_decimal"))
+    }),
+
+    // ---- SHA2 family, UUID shape, CONVERT_TZ, TEMPORAL_OVERLAPS --------
+    "q62_hash_tz" -> ((s, dir) => {
+      val e = Tables.load(s, dir, "events")
+      val ts = col("ts")
+      p62(e, ts)
+    }),
+
+    // ---- APPROX_COUNT_DISTINCT — HyperLogLogPlusPlus.java:26 -----------
+    // Sketch values differ across engines by construction; the gate
+    // checks the reference's contract instead: estimate within 5% of
+    // exact (HLL++ default rsd is 5%), alongside exact counts DuckDB
+    // verifies value-exactly.
+    "q63_approx_distinct" -> ((s, dir) => {
+      val li = Tables.load(s, dir, "lineitem")
+      li.groupBy(col("l_returnflag"))
+        .agg(countDistinct(col("l_partkey")).as("exact_parts"),
+             count(lit(1)).as("n_rows"),
+             (abs(approx_count_distinct(col("l_partkey")).cast("double") -
+                  countDistinct(col("l_partkey")).cast("double")) /
+              countDistinct(col("l_partkey")).cast("double") < 0.05).as("acd_ok"))
+    })
+  )
+
+  private def p62(e: DataFrame, ts: org.apache.spark.sql.Column): DataFrame =
+    e.select(
+      col("event_id"),
+      md5(col("event_type").cast("binary")).as("type_md5"),
+      sha2(col("event_type").cast("binary"), 256).as("type_sha256"),
+      (length(sha2(col("event_type").cast("binary"), 224)) === 56).as("sha224_ok"),
+      (length(sha2(col("event_type").cast("binary"), 384)) === 96).as("sha384_ok"),
+      (length(sha2(col("event_type").cast("binary"), 512)) === 128).as("sha512_ok"),
+      // UUID is nondeterministic by definition — verify the v4 shape
+      expr("uuid()").rlike(
+        "^[0-9a-f]{8}-[0-9a-f]{4}-4[0-9a-f]{3}-[89ab][0-9a-f]{3}-[0-9a-f]{12}$")
+        .as("uuid_ok"),
+      from_utc_timestamp(ts, "+05:00").as("ts_plus5"),
+      Strings.temporalOverlaps(ts, ts + expr("INTERVAL 30 MINUTES"),
+        date_trunc("hour", ts), date_trunc("hour", ts) + expr("INTERVAL 45 MINUTES"))
+        .as("overlaps_hour_head"))
+
+  def oracles: Map[String, String] = Map(
+    "q57_csv_roundtrip" -> "SELECT * FROM nation",
+    "q58_json_roundtrip" -> "SELECT * FROM supplier",
+    "q59_orc_roundtrip" -> "SELECT * FROM region",
+
+    "q60_url_functions" ->
+      """SELECT p_partkey,
+        |  'shop.example.com' AS host,
+        |  '/part/' || p_partkey AS path,
+        |  'brand=' || replace(p_brand, '#', '-') || '&sz=' || p_size AS query,
+        |  replace(p_brand, '#', '-') AS brand_param,
+        |  'https' AS proto
+        |FROM part""".stripMargin,
+
+    "q61_string_predicates" ->
+      """SELECT p_partkey,
+        |  substr(p_brand, 1, 1) || 'XY' || substr(p_brand, 4) AS brand_ov,
+        |  regexp_matches(p_type, '^.*BRUSHED.*$') AS is_brushed,
+        |  regexp_matches(p_brand, '^Brand#..$') AS brand_2d,
+        |  regexp_matches(p_name, '^[A-Za-z]+$') AS name_alpha,
+        |  regexp_matches(regexp_extract(p_name, '^([A-Za-z]+)', 1),
+        |                 '^[A-Za-z]+$') AS name_word_alpha,
+        |  regexp_matches(regexp_extract(p_brand, '(\d+)', 1), '^[0-9]+$')
+        |    AS brand_num_digit,
+        |  regexp_matches(CAST(p_retailprice AS VARCHAR),
+        |    '^[+-]?([0-9]+(\.[0-9]*)?|\.[0-9]+)([eE][+-]?[0-9]+)?$') AS price_decimal,
+        |  regexp_matches(p_type,
+        |    '^[+-]?([0-9]+(\.[0-9]*)?|\.[0-9]+)([eE][+-]?[0-9]+)?$') AS type_decimal
+        |FROM part""".stripMargin,
+
+    "q62_hash_tz" ->
+      """SELECT event_id,
+        |  md5(event_type) AS type_md5,
+        |  sha256(event_type) AS type_sha256,
+        |  true AS sha224_ok, true AS sha384_ok, true AS sha512_ok,
+        |  true AS uuid_ok,
+        |  CAST(ts + INTERVAL 5 HOUR AS TIMESTAMP) AS ts_plus5,
+        |  (LEAST(ts, ts + INTERVAL 30 MINUTE)
+        |     <= GREATEST(date_trunc('hour', ts), date_trunc('hour', ts) + INTERVAL 45 MINUTE)
+        |   AND LEAST(date_trunc('hour', ts), date_trunc('hour', ts) + INTERVAL 45 MINUTE)
+        |     <= GREATEST(ts, ts + INTERVAL 30 MINUTE)) AS overlaps_hour_head
+        |FROM events""".stripMargin,
+
+    "q63_approx_distinct" ->
+      """SELECT l_returnflag,
+        |  COUNT(DISTINCT l_partkey) AS exact_parts,
+        |  COUNT(*) AS n_rows,
+        |  true AS acd_ok
+        |FROM lineitem GROUP BY l_returnflag""".stripMargin
+  )
+}
