@@ -1,0 +1,103 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import graft.functions.functions.cosine_sim
+
+/** IVF (inverted-file) approximate nearest neighbor over an embedding
+  * column — the scale path for similarity search at 100 TB: cluster
+  * the corpus into `k` cells, index each vector in its nearest cell,
+  * and probe only `nprobe` cells per query, shrinking the candidate
+  * set ~k/nprobe× vs brute force.
+  *
+  * Everything is declarative DataFrame ops — no `.collect()`, no
+  * driver-side loops over data:
+  *  - seeds: `orderBy(hash(id)).limit(k)` (TakeOrderedAndProject — the
+  *    only global step, k rows);
+  *  - Lloyd refinement: assign = broadcast(centroids) join + per-row
+  *    argmax (WindowGroupLimit on vec_id); recompute = posexplode →
+  *    per-(cell,dim) avg → array re-assembly. Each pass is one
+  *    broadcast join + one shuffle, independent of executor count;
+  *  - search: probe join shuffles on the cell id, per-query top-k via
+  *    row_number (pre-shuffle WindowGroupLimit).
+  *
+  * `k` defaults to ≈√n (the standard IVF sizing) via a single count();
+  * distance is cosine (spherical k-means).
+  */
+object Ivf {
+
+  /** k-means centroids after `iters` Lloyd passes.
+    * @return (cell: int, centroid: array<float>)
+    */
+  def centroids(vectors: DataFrame, idCol: String, embCol: String,
+                k: Int, iters: Int): DataFrame = {
+    require(k > 0 && iters >= 0)
+    val seedW = Window.orderBy(hash(col(idCol))) // k rows only
+    var cents = vectors.orderBy(hash(col(idCol))).limit(k)
+      .select(row_number().over(seedW).as("cell"),
+              col(embCol).as("centroid"))
+    var i = 0
+    while (i < iters) {
+      cents = recompute(assign(vectors, idCol, embCol, cents, 1)
+        .select(col("cell"), col(embCol)), embCol)
+      i += 1
+    }
+    cents
+  }
+
+  /** Assign each vector to its `nprobe` nearest cells (rank 1 = index
+    * cell; ranks 2..nprobe = extra probe cells for queries).
+    * @return input columns + (cell, cell_rank)
+    */
+  def assign(vectors: DataFrame, idCol: String, embCol: String,
+             cents: DataFrame, nprobe: Int): DataFrame = {
+    val w = Window.partitionBy(col(idCol))
+      .orderBy(col("__csim").desc, col("cell"))
+    vectors.crossJoin(broadcast(cents))
+      .withColumn("__csim", cosine_sim(col(embCol), col("centroid")))
+      .withColumn("cell_rank", row_number().over(w))
+      .filter(col("cell_rank") <= nprobe)
+      .drop("__csim", "centroid")
+  }
+
+  /** New centroids = per-cell per-dimension mean, re-assembled in
+    * dimension order. Empty cells drop out (standard Lloyd behavior).
+    */
+  private def recompute(assigned: DataFrame, embCol: String): DataFrame =
+    assigned.select(col("cell"), posexplode(col(embCol)).as(Seq("pos", "v")))
+      .groupBy(col("cell"), col("pos")).agg(avg(col("v")).as("cv"))
+      .groupBy(col("cell"))
+      .agg(transform(array_sort(collect_list(struct(col("pos"), col("cv")))),
+        x => x.getField("cv").cast("float")).as("centroid"))
+
+  /** End-to-end IVF top-k: index every vector in its nearest cell,
+    * probe each query's `nprobe` nearest cells, rank candidates by
+    * cosine within the probed cells.
+    *
+    * @param queryPred which vectors are queries (they stay candidates too)
+    * @param k number of cells; if <= 0, uses ceil(sqrt(n))
+    * @return (query_id, cell, rk, cand_id, cos_sim)
+    */
+  def searchTopK(vectors: DataFrame, idCol: String, embCol: String,
+                 queryPred: Column, topK: Int, nprobe: Int = 2,
+                 k: Int = 0, iters: Int = 1): DataFrame = {
+    val cellCount =
+      if (k > 0) k
+      else math.max(4, math.ceil(math.sqrt(vectors.count().toDouble)).toInt)
+    val cents = centroids(vectors, idCol, embCol, cellCount, iters)
+    val assigned = assign(vectors, idCol, embCol, cents, math.max(nprobe, 1))
+    val cands = assigned.filter(col("cell_rank") === 1)
+      .select(col("cell"), col(idCol).as("cand_id"), col(embCol).as("c_emb"))
+    val queries = assigned.filter(queryPred)
+      .select(col("cell"), col(idCol).as("query_id"), col(embCol).as("q_emb"))
+    val wTop = Window.partitionBy(col("query_id"))
+      .orderBy(col("cos_sim").desc, col("cand_id"))
+    queries.join(cands, Seq("cell"))
+      .filter(col("query_id") =!= col("cand_id"))
+      .withColumn("cos_sim", cosine_sim(col("q_emb"), col("c_emb")))
+      .withColumn("rk", row_number().over(wTop))
+      .filter(col("rk") <= topK)
+      .select(col("query_id"), col("cell"), col("rk"), col("cand_id"), col("cos_sim"))
+  }
+}

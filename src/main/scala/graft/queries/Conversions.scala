@@ -89,13 +89,16 @@ object Conversions {
         col("event_id").as("id"),
         struct(col("event_type").as("t"), col("value").as("v")).as("inner"),
         array(col("user_id"), col("user_id") + 1).as("ids")))
-      e.select(
+      // Build the JSON ONCE and reference the alias: CollapseProject
+      // refuses to inline a non-cheap expression used three times, so
+      // the physical plan evaluates to_json once per row (was 3×).
+      e.withColumn("built_json", built).select(
         col("event_id"),
         get_json_object(col("props"), "$.k").isNotNull.as("has_k"),
         get_json_object(col("props"), "$.missing").isNull.as("no_missing"),
-        built.as("built_json"),
-        get_json_object(built, "$.inner.t").as("rt_type"),
-        get_json_object(built, "$.ids[1]").cast("bigint").as("rt_id2"))
+        col("built_json"),
+        get_json_object(col("built_json"), "$.inner.t").as("rt_type"),
+        get_json_object(col("built_json"), "$.ids[1]").cast("bigint").as("rt_id2"))
     })
   )
 

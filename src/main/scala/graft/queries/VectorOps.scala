@@ -55,45 +55,16 @@ object VectorOps {
         .select(col("label"), col("id_a"), col("id_b"), col("cos_sim"))
     }),
 
-    // ---- IVF-style ANN: centroid cells, search only own cell ----------
-    // The scale path vs v42's brute force: centroids are computed
-    // distributedly (posexplode → per-dimension avg → re-assembled
-    // array), every vector is assigned to its nearest centroid
-    // (nprobe=1), and queries join candidates ONLY within their cell —
-    // the candidate set per query shrinks by ~|cells|×, and the join
-    // shuffles on the cell id. Fully declarative: no driver-side
-    // k-means loop, no collect.
+    // ---- IVF ANN — the scale path vs v42's brute force ----------------
+    // graft.ops.Ivf: k ≈ √n cells (data-driven, not tied to the label
+    // cardinality), one distributed Lloyd refinement pass, candidates
+    // indexed in their nearest cell, queries probe nprobe=2 cells.
+    // Candidate volume per query shrinks ~k/nprobe×; the probe join
+    // shuffles on the cell id. No collect, no driver-side k-means loop.
     "v43_ivf_ann" -> ((s, dir) => {
       val e = Tables.load(s, dir, "embeddings")
-      // 1. one centroid per label group (k = |labels| IVF cells)
-      val centroids = e.select(col("label"), posexplode(col("embedding")).as(Seq("pos", "v")))
-        .groupBy(col("label"), col("pos")).agg(avg(col("v")).as("cv"))
-        .groupBy(col("label"))
-        .agg(transform(array_sort(collect_list(struct(col("pos"), col("cv")))),
-          x => x.getField("cv").cast("float")).as("centroid"))
-        .select(col("label").as("cell"), col("centroid"))
-      // 2. assign every vector to its nearest centroid
-      val scoredCells = e.crossJoin(broadcast(centroids))
-        .withColumn("csim", cosine_sim(col("embedding"), col("centroid")))
-      val wAssign = Window.partitionBy(col("vec_id"))
-        .orderBy(col("csim").desc, col("cell"))
-      val ranked = scoredCells.withColumn("arn", row_number().over(wAssign))
-      // candidates are indexed in exactly their nearest cell…
-      val assigned = ranked.filter(col("arn") === 1)
-        .select(col("vec_id"), col("cell"), col("embedding"))
-      // …queries probe their nprobe=2 nearest cells (standard IVF knob:
-      // recall vs candidate volume)
-      val q = ranked.filter(col("vec_id") % 50 === 0 && col("arn") <= 2)
-        .select(col("cell"), col("vec_id").as("query_id"), col("embedding").as("q_emb"))
-      val c = assigned
-        .select(col("cell"), col("vec_id").as("cand_id"), col("embedding").as("c_emb"))
-      val wTop = Window.partitionBy(col("query_id"))
-        .orderBy(col("cos_sim").desc, col("cand_id"))
-      q.join(c, Seq("cell")).filter(col("query_id") =!= col("cand_id"))
-        .withColumn("cos_sim", cosine_sim(col("q_emb"), col("c_emb")))
-        .withColumn("rk", row_number().over(wTop))
-        .filter(col("rk") <= 3)
-        .select(col("query_id"), col("cell"), col("rk"), col("cand_id"), col("cos_sim"))
+      graft.ops.Ivf.searchTopK(e, "vec_id", "embedding",
+        queryPred = col("vec_id") % 50 === 0, topK = 3, nprobe = 2)
     }),
 
     // ---- Brute-force ANN top-3 per query vector -----------------------

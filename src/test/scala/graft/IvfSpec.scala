@@ -19,8 +19,8 @@ class IvfSpec extends AnyFunSuite {
       assert(rows.map(_.getInt(1)).distinct.length <= 2) // ≤ nprobe cells
     }
 
-    // recall@3 vs brute force: cells shrink candidates ~10x, so demand
-    // only a sane floor (structure-dependent), and report it.
+    // recall@3 vs brute force at the default (k≈√n, nprobe=2, 1 Lloyd
+    // pass): the gate the reference-style IVF must clear.
     val bruteTop = brute.groupBy(_.getLong(0))
       .map { case (q, rs) => q -> rs.map(_.getLong(2)).toSet }
     val ivfTop = ivf.groupBy(_.getLong(0))
@@ -29,7 +29,35 @@ class IvfSpec extends AnyFunSuite {
       (bt intersect ivfTop(q)).size.toDouble / bt.size
     }
     val recall = recalls.sum / recalls.size
-    info(s"IVF recall@3 vs brute force: $recall")
+    info(s"IVF recall@3 vs brute force (k=sqrt(n), nprobe=2): $recall")
     assert(recall >= 0.2, s"recall collapsed: $recall")
+  }
+
+  test("IVF recall reaches 0.9 with more probes; nprobe trades cost for recall") {
+    val dir = TestSpark.sfDir
+    val e = graft.Tables.load(spark, dir, "embeddings")
+    val brute = SparkEntry.queries("v42_ann_topk")(spark, dir).collect()
+      .groupBy(_.getLong(0)).map { case (q, rs) => q -> rs.map(_.getLong(2)).toSet }
+    def recallAt(nprobe: Int): Double = {
+      val ivf = graft.ops.Ivf.searchTopK(e, "vec_id", "embedding",
+        queryPred = org.apache.spark.sql.functions.col("vec_id") % 50 === 0,
+        topK = 3, nprobe = nprobe, iters = 2).collect()
+        .groupBy(_.getLong(0)).map { case (q, rs) => q -> rs.map(_.getLong(3)).toSet }
+      val rs = brute.collect { case (q, bt) if ivf.contains(q) =>
+        (bt intersect ivf(q)).size.toDouble / bt.size
+      }
+      // queries with no ivf output (probed cells held no other vector)
+      // count as zero recall — don't silently drop them
+      val missing = brute.size - rs.size
+      rs.sum / (rs.size + missing)
+    }
+    // n=500 → k≈23 cells; nprobe=16 probes ~70% of them — the point of
+    // the test is that the nprobe knob moves recall monotonically up to
+    // the ≥0.9 contract, not that a 30%-probe is magically exhaustive.
+    val r2 = recallAt(2)
+    val rHigh = recallAt(16)
+    info(s"recall@3: nprobe=2 → $r2, nprobe=16 → $rHigh")
+    assert(rHigh >= 0.9, s"nprobe=16 recall below contract: $rHigh")
+    assert(rHigh >= r2 - 1e-9, "recall must not degrade with more probes")
   }
 }
