@@ -264,6 +264,55 @@ object StatefulOps {
     * driver involvement; versions tables are usually small enough that
     * AQE broadcasts them.
     */
+  /** Hot-key-safe temporal join — the merge-scan shape of the
+    * reference's TemporalRowTimeJoinOperator.java:78: cogroup both
+    * sides on the key, sort each group by time once, and advance a
+    * version cursor through the events in one pass. Never materializes
+    * events × versions (the declarative [[temporalJoin]] does, pruned
+    * after the fact), so a key with 10⁴ versions costs
+    * O(events + versions) instead of O(events × versions). Memory is
+    * O(rows per key) — the reference's per-key state bound.
+    */
+  def temporalJoinCoGrouped(events: DataFrame, eventKey: String, eventTime: String,
+                            versions: DataFrame, versionKey: String,
+                            versionTime: String): DataFrame = {
+    val eSchema = events.schema
+    val vSchema = versions.schema
+    val vKeep = vSchema.fields.indices.filterNot(
+      _ == vSchema.fieldIndex(versionKey))
+    val outSchema = StructType(eSchema.fields ++
+      vKeep.map(i => vSchema.fields(i).copy(nullable = true)))
+    implicit val outEnc: ExpressionEncoder[Row] = rowEnc(outSchema)
+    implicit val keyEnc = Encoders.STRING
+    val eKeyIdx = Seq(eSchema.fieldIndex(eventKey))
+    val vKeyIdx = Seq(vSchema.fieldIndex(versionKey))
+    val eTimeIdx = eSchema.fieldIndex(eventTime)
+    val vTimeIdx = vSchema.fieldIndex(versionTime)
+    def micros(r: Row, i: Int): Long = r.get(i) match {
+      case t: java.sql.Timestamp => t.getTime * 1000 + (t.getNanos / 1000) % 1000
+      case t: java.time.Instant => t.getEpochSecond * 1000000L + t.getNano / 1000
+      case l: Long => l
+      case x: Int => x.toLong
+    }
+    val nulls: Seq[Any] = vKeep.map(_ => null)
+    events.groupByKey(r => encodeKey(r, eKeyIdx))(keyEnc)
+      .cogroup(versions.groupByKey(r => encodeKey(r, vKeyIdx))(keyEnc)) {
+        (_: String, es: Iterator[Row], vs: Iterator[Row]) =>
+          val evs = es.toArray.sortBy(micros(_, eTimeIdx))
+          val ver = vs.toArray.sortBy(micros(_, vTimeIdx))
+          var j = 0
+          var cur: Row = null
+          evs.iterator.map { e =>
+            val et = micros(e, eTimeIdx)
+            while (j < ver.length && micros(ver(j), vTimeIdx) <= et) {
+              cur = ver(j); j += 1
+            }
+            val tail = if (cur == null) nulls else vKeep.map(cur.get)
+            Row.fromSeq(e.toSeq ++ tail)
+          }
+      }
+  }
+
   def temporalJoin(events: DataFrame, eventKey: String, eventTime: String,
                    versions: DataFrame, versionKey: String, versionTime: String): DataFrame = {
     val evCols = events.columns
