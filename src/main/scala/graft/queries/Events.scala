@@ -176,6 +176,19 @@ object Events {
                 col("event_id"), col("ts"))
     }),
 
+    // ---- Count windows — SURVEY §2.10 KeyedStream.countWindow ---------
+    // Batch form: per-user chunks of 100 events in (ts, event_id)
+    // order, aggregated per chunk.
+    "q64_count_windows" -> ((s, dir) => {
+      val e = Tables.load(s, dir, "events")
+      graft.streaming.Windows
+        .countTumble(e, Seq("user_id"), Seq(col("ts"), col("event_id")), 100)
+        .groupBy(col("user_id"), col("window_seq"))
+        .agg(count(lit(1)).as("n"),
+             min(col("event_id")).as("first_id"),
+             max(col("event_id")).as("last_id"))
+    }),
+
     // ---- Per-key event gaps (over window on event time) ---------------
     "q27_event_gaps" -> ((s, dir) => {
       val e = Tables.load(s, dir, "events")
@@ -314,6 +327,15 @@ object Events {
         |FROM (SELECT lang, unnest(string_split(text, ' ')) AS word FROM documents)
         |WHERE LENGTH(word) > 0
         |GROUP BY lang, word""".stripMargin,
+
+    "q64_count_windows" ->
+      """WITH t AS (
+        |  SELECT user_id, event_id,
+        |    ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY ts, event_id) - 1 AS rn
+        |  FROM events)
+        |SELECT user_id, CAST(rn // 100 AS BIGINT) AS window_seq,
+        |  COUNT(*) AS n, MIN(event_id) AS first_id, MAX(event_id) AS last_id
+        |FROM t GROUP BY user_id, rn // 100""".stripMargin,
 
     "q55_window_rank" ->
       """SELECT window_start, event_type, event_id, value, rank_no FROM (

@@ -85,6 +85,16 @@ object Functions3 {
       p62(e, ts)
     }),
 
+    // ---- Values (inline relation) — SURVEY §2.2 Values -----------------
+    // The reference's LogicalValues/BatchExecValues: a table from
+    // literal rows, through the SQL-text path.
+    "q65_values" -> ((s, _) => s.sql(
+      """SELECT id, name, CAST(price AS DOUBLE) AS price,
+        |       CAST(price * 2 AS DOUBLE) AS doubled
+        |FROM VALUES (1, 'alpha', 1.5), (2, 'beta', 2.5), (3, 'gamma', 0.0)
+        |  AS t(id, name, price)
+        |WHERE id <= 3""".stripMargin)),
+
     // ---- APPROX_COUNT_DISTINCT — HyperLogLogPlusPlus.java:26 -----------
     // Sketch values differ across engines by construction; the gate
     // checks the reference's contract instead: estimate within 5% of
@@ -160,6 +170,13 @@ object Functions3 {
         |   AND LEAST(date_trunc('hour', ts), date_trunc('hour', ts) + INTERVAL 45 MINUTE)
         |     <= GREATEST(ts, ts + INTERVAL 30 MINUTE)) AS overlaps_hour_head
         |FROM events""".stripMargin,
+
+    "q65_values" ->
+      """SELECT id, name, CAST(price AS DOUBLE) AS price,
+        |       CAST(price * 2 AS DOUBLE) AS doubled
+        |FROM (VALUES (1, 'alpha', 1.5), (2, 'beta', 2.5), (3, 'gamma', 0.0))
+        |  t(id, name, price)
+        |WHERE id <= 3""".stripMargin,
 
     "q63_approx_distinct" ->
       """SELECT l_returnflag,

@@ -183,6 +183,92 @@ object StatefulOps {
       }(stateEnc, enc)
   }
 
+  // ---- Count windows (streaming) ---------------------------------------
+
+  /** Streaming count windows — KeyedStream.countWindow(size)
+    * (reference: flink-streaming-java/.../datastream/KeyedStream
+    * .java:696): rows of a key are chunked into consecutive groups of
+    * `size` in ARRIVAL order (count windows are inherently
+    * processing-time); a window emits its rows (annotated with
+    * window_seq / pos_in_window) the moment it fills. State = the
+    * current partial window, discarded on completion — bounded by
+    * `size` rows per key.
+    */
+  def countWindowStreaming(df: DataFrame, keys: Seq[String], size: Int): DataFrame = {
+    require(size > 0)
+    val schema = df.schema
+    val outSchema = StructType(schema.fields ++ Seq(
+      StructField("window_seq", org.apache.spark.sql.types.LongType),
+      StructField("pos_in_window", org.apache.spark.sql.types.IntegerType)))
+    implicit val outEnc: ExpressionEncoder[Row] = rowEnc(outSchema)
+    val stateSchema = StructType(Seq(
+      StructField("buf", org.apache.spark.sql.types.ArrayType(schema)),
+      StructField("done", org.apache.spark.sql.types.LongType)))
+    val stateEnc: ExpressionEncoder[Row] = rowEnc(stateSchema)
+    implicit val keyEnc = Encoders.STRING
+    val keyIdx = keys.map(schema.fieldIndex)
+    df.groupByKey(r => encodeKey(r, keyIdx))
+      .flatMapGroupsWithState[Row, Row](
+        OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        (_: String, rows: Iterator[Row], state: GroupState[Row]) =>
+          var (buf, done) =
+            if (state.exists) (state.get.getSeq[Row](0).toVector, state.get.getLong(1))
+            else (Vector.empty[Row], 0L)
+          val out = scala.collection.mutable.ArrayBuffer.empty[Row]
+          rows.foreach { r =>
+            buf :+= r
+            if (buf.length == size) {
+              buf.iterator.zipWithIndex.foreach { case (b, i) =>
+                out += Row.fromSeq(b.toSeq ++ Seq[Any](done, i))
+              }
+              buf = Vector.empty
+              done += 1
+            }
+          }
+          state.update(Row(buf, done))
+          out.iterator
+      }(stateEnc, outEnc)
+  }
+
+  // ---- Temporal sort (streaming) ---------------------------------------
+
+  /** Streaming temporal sort — StreamExecTemporalSort: re-emit the
+    * stream in EVENT-TIME order once the watermark guarantees no
+    * earlier row can arrive. Requires `withWatermark` upstream. Like
+    * the reference, this is a parallelism-1 operator by definition (a
+    * total order has a single output sequence): all rows funnel to one
+    * state group, so use it on already-reduced streams, not raw
+    * firehoses.
+    */
+  def temporalSortStreaming(df: DataFrame, tsCol: String,
+                            tieBreak: Seq[String] = Nil): DataFrame = {
+    val schema = df.schema
+    implicit val enc: ExpressionEncoder[Row] = rowEnc(schema)
+    val stateEnc: ExpressionEncoder[Row] = rowEnc(StructType(Seq(
+      StructField("buf", org.apache.spark.sql.types.ArrayType(schema)))))
+    implicit val keyEnc = Encoders.STRING
+    val tsIdx = schema.fieldIndex(tsCol)
+    val tieIdx = tieBreak.map(schema.fieldIndex)
+    def micros(r: Row): Long = r.get(tsIdx) match {
+      case t: java.sql.Timestamp => t.getTime * 1000 + (t.getNanos / 1000) % 1000
+      case l: Long => l
+      case i: Int => i.toLong
+      case o => o.hashCode().toLong
+    }
+    def sortKey(r: Row): (Long, String) =
+      (micros(r), tieIdx.map(i => String.valueOf(r.get(i))).mkString("|"))
+    df.groupByKey(_ => "")(keyEnc)
+      .flatMapGroupsWithState[Row, Row](
+        OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        (_: String, rows: Iterator[Row], state: GroupState[Row]) =>
+          val buf = (if (state.exists) state.get.getSeq[Row](0) else Seq.empty[Row]) ++ rows
+          val wmMicros = state.getCurrentWatermarkMs() * 1000L
+          val (ready, pending) = buf.partition(micros(_) <= wmMicros)
+          state.update(Row(pending))
+          ready.sortBy(sortKey).iterator
+      }(stateEnc, enc)
+  }
+
   // ---- Streaming OVER aggregation ------------------------------------
 
   /** Streaming unbounded-preceding OVER aggregate — the reference's

@@ -71,6 +71,23 @@ object Windows {
     withW.withColumn("rank_no", row_number().over(w)).filter(col("rank_no") <= n)
   }
 
+  /** Count windows (batch) — the reference's countWindow
+    * (flink-streaming-java/.../datastream/KeyedStream.java:696): rows
+    * of a key, ordered by `orderCols`, are chunked into consecutive
+    * groups of `size`. Adds `window_seq` (0-based window index per
+    * key) and `pos_in_window`. One shuffle on the keys; the rank is a
+    * plain row_number, so WindowGroupLimit/one-pass ranking applies.
+    */
+  def countTumble(df: DataFrame, keys: Seq[String],
+                  orderCols: Seq[Column], size: Int): DataFrame = {
+    require(size > 0)
+    val w = Window.partitionBy(keys.map(col): _*).orderBy(orderCols: _*)
+    df.withColumn("__rn", row_number().over(w) - 1)
+      .withColumn("window_seq", (col("__rn") / size).cast("long"))
+      .withColumn("pos_in_window", (col("__rn") % size).cast("int"))
+      .drop("__rn")
+  }
+
   /** Window deduplicate — the reference's window-dedup specialization
     * (RT/deduplicate/window/RowTimeWindowDeduplicateOperatorBuilder
     * .java:51): keep the first (or last) row per key WITHIN each

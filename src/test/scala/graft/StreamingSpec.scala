@@ -359,6 +359,53 @@ class StreamingSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("countWindowStreaming emits full windows as they fill, buffers the rest") {
+    implicit val sc = spark.sqlContext
+    val in = MemoryStream[Ev]
+    val out = StatefulOps.countWindowStreaming(in.toDF(), Seq("user"), size = 2)
+    val q = out.writeStream.format("memory").queryName("cntwin")
+      .outputMode(OutputMode.Append).start()
+    try {
+      in.addData(Ev(ts("2024-01-01 00:00:01"), "u1", "a", 1.0))
+      q.processAllAvailable()
+      assert(spark.sql("SELECT * FROM cntwin").count() == 0) // window open
+      in.addData(Ev(ts("2024-01-01 00:00:02"), "u1", "b", 2.0),
+                 Ev(ts("2024-01-01 00:00:03"), "u1", "c", 3.0))
+      q.processAllAvailable()
+      // window 0 = (a,b) complete; c buffers in window 1
+      val rows = spark.sql(
+        "SELECT tpe, window_seq, pos_in_window FROM cntwin ORDER BY window_seq, pos_in_window")
+        .collect().map(r => (r.getString(0), r.getLong(1), r.getInt(2))).toList
+      assert(rows == List(("a", 0L, 0), ("b", 0L, 1)))
+      in.addData(Ev(ts("2024-01-01 00:00:04"), "u1", "d", 4.0))
+      q.processAllAvailable()
+      val n2 = spark.sql("SELECT count(*) FROM cntwin WHERE window_seq = 1").collect()(0).getLong(0)
+      assert(n2 == 2) // (c,d) completed window 1
+    } finally q.stop()
+  }
+
+  test("temporalSortStreaming re-emits rows in event-time order under the watermark") {
+    implicit val sc = spark.sqlContext
+    val in = MemoryStream[Ev]
+    val out = StatefulOps.temporalSortStreaming(
+      in.toDF().withWatermark("ts", "1 minute"), "ts", tieBreak = Seq("tpe"))
+    val q = out.writeStream.format("memory").queryName("tsort")
+      .outputMode(OutputMode.Append).start()
+    try {
+      // out-of-order arrivals within the first batch
+      in.addData(Ev(ts("2024-01-01 00:05:00"), "u1", "late", 1.0),
+                 Ev(ts("2024-01-01 00:01:00"), "u1", "early", 1.0))
+      q.processAllAvailable()
+      // watermark still at min - delay → nothing emitted yet
+      in.addData(Ev(ts("2024-01-01 00:10:00"), "u1", "advance", 1.0))
+      q.processAllAvailable()   // wm ≈ 00:04 → only 'early' is frozen
+      in.addData(Ev(ts("2024-01-01 00:30:00"), "u1", "flush", 1.0))
+      q.processAllAvailable()   // wm ≈ 00:09 → 'late' frozen too
+      val got = spark.sql("SELECT tpe FROM tsort").collect().map(_.getString(0)).toList
+      assert(got.startsWith(List("early", "late")))
+    } finally q.stop()
+  }
+
   test("temporalJoinCoGrouped matches the declarative join, incl. no-version keys") {
     val events = Seq(("k1", ts("2024-01-01 00:10:00"), "e1"),
                      ("k1", ts("2024-01-01 00:30:00"), "e2"),
