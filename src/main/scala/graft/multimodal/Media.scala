@@ -11,10 +11,14 @@ import org.apache.spark.sql.functions._
   * survive parquet round-trips, partitioning is by content hash so a
   * 100 TB corpus spreads evenly, and codecs initialize once per
   * partition (the Scala analog of `mapInPandas` batch amortization).
-  * The actual byte decoding is STUBBED (no image/audio libraries in
-  * this container): `StubCodec` derives deterministic pseudo-features
-  * from the payload bytes, and is the single seam to replace with a
-  * real codec (JavaCV, TwelveMonkeys, javax.sound) in production.
+  *
+  * Codecs: IMAGES are decoded for real — `ImageCodec` rides the JDK's
+  * javax.imageio (PNG/JPEG/BMP/GIF readers ship with the JVM): ingest
+  * PNG-encodes real pixel data, features decode it back and measure
+  * luminance, resize re-encodes at the new dimensions. AUDIO/VIDEO
+  * remain behind `StubCodec` (no codec in the JDK or this container):
+  * deterministic pseudo-features from payload bytes, a single
+  * documented seam for JavaCV/javax.sound in production.
   */
 object Media {
 
@@ -49,6 +53,81 @@ object Media {
     }
   }
 
+  /** REAL image codec on the JDK's ImageIO — no external libraries.
+    * Thread-safe stateless calls; `init()` mirrors the per-partition
+    * codec-handle shape of the stub.
+    */
+  object ImageCodec {
+    import java.awt.image.BufferedImage
+    import java.io.{ByteArrayInputStream, ByteArrayOutputStream}
+    import javax.imageio.ImageIO
+
+    def init(): ImageCodec.type = this
+
+    /** Render raw bytes as RGB pixels into a side×side image — the
+      * deterministic ingest used to fabricate real PNG payloads from
+      * text corpora (3 bytes → one pixel, wrapping).
+      */
+    def imageFromBytes(bytes: Array[Byte], side: Int): BufferedImage = {
+      val img = new BufferedImage(side, side, BufferedImage.TYPE_INT_RGB)
+      val n = math.max(bytes.length, 1)
+      var p = 0
+      while (p < side * side) {
+        val r = bytes((p * 3) % n) & 0xff
+        val g = bytes((p * 3 + 1) % n) & 0xff
+        val b = bytes((p * 3 + 2) % n) & 0xff
+        img.setRGB(p % side, p / side, (r << 16) | (g << 8) | b)
+        p += 1
+      }
+      img
+    }
+
+    def encodePng(img: BufferedImage): Array[Byte] = {
+      val out = new ByteArrayOutputStream()
+      ImageIO.write(img, "png", out)
+      out.toByteArray
+    }
+
+    /** None if the payload isn't a decodable image. */
+    def decode(payload: Array[Byte]): Option[BufferedImage] =
+      Option(ImageIO.read(new ByteArrayInputStream(payload)))
+
+    /** 8-bin luminance histogram (normalized) + mean luminance 0-255,
+      * Rec.601 weights.
+      */
+    def luminance(img: BufferedImage): (Array[Double], Double) = {
+      val bins = new Array[Double](8)
+      var sum = 0.0
+      val w = img.getWidth; val h = img.getHeight
+      var y = 0
+      while (y < h) {
+        var x = 0
+        while (x < w) {
+          val rgb = img.getRGB(x, y)
+          val lum = 0.299 * ((rgb >> 16) & 0xff) +
+                    0.587 * ((rgb >> 8) & 0xff) + 0.114 * (rgb & 0xff)
+          bins(math.min((lum / 32.0).toInt, 7)) += 1.0
+          sum += lum
+          x += 1
+        }
+        y += 1
+      }
+      val n = (w * h).toDouble
+      (bins.map(_ / n), sum / n)
+    }
+
+    def resize(img: BufferedImage, w: Int, h: Int): BufferedImage = {
+      val out = new BufferedImage(w, h, BufferedImage.TYPE_INT_RGB)
+      val g = out.createGraphics()
+      try {
+        g.setRenderingHint(java.awt.RenderingHints.KEY_INTERPOLATION,
+          java.awt.RenderingHints.VALUE_INTERPOLATION_BILINEAR)
+        g.drawImage(img, 0, 0, w, h, null)
+      } finally g.dispose()
+      out
+    }
+  }
+
   /** Fabricate a deterministic media corpus from the documents table
     * (text bytes as payload) — the ingest path a real pipeline would
     * replace with binary file reads. Partitioned by media_id hash.
@@ -58,25 +137,39 @@ object Media {
     graft.Tables.load(spark, dir, "documents")
       .select(col("doc_id"), col("text"), col("source"))
       .map { r =>
-        val payload = r.getString(1).getBytes("UTF-8")
+        val bytes = r.getString(1).getBytes("UTF-8")
         val tpe = if (r.getLong(0) % 3 == 0) "image"
                   else if (r.getLong(0) % 3 == 1) "audio" else "video"
+        // images carry a REAL PNG payload (pixels from the text bytes);
+        // audio/video keep raw bytes for the stub codec
+        val payload =
+          if (tpe == "image")
+            ImageCodec.encodePng(ImageCodec.imageFromBytes(bytes, 16))
+          else bytes
+        val (w, h) = if (tpe == "image") (16, 16) else (64, 64)
         MediaRecord(r.getLong(0),
-          MediaMeta(tpe, width = 64, height = 64, sample_rate = 16000,
-            duration_ms = payload.length.toLong),
+          MediaMeta(tpe, width = w, height = h, sample_rate = 16000,
+            duration_ms = bytes.length.toLong),
           payload)
       }
   }
 
   /** Feature extraction: one codec init per partition, then a tight
-    * per-record loop — the batch shape that matters at scale.
+    * per-record loop — the batch shape that matters at scale. Images
+    * go through the real ImageIO decode (luminance histogram +
+    * brightness); other modalities through the stub.
     */
   def extractFeatures(media: Dataset[MediaRecord]): Dataset[MediaFeatures] = {
     import media.sparkSession.implicits._
     media.mapPartitions { it =>
-      val codec = StubCodec.init()
+      val img = ImageCodec.init()
+      val stub = StubCodec.init()
       it.map { m =>
-        val (hist, brightness) = codec.decode(m.payload)
+        val (hist, brightness) =
+          if (m.meta.media_type == "image")
+            img.decode(m.payload).map(img.luminance)
+              .getOrElse(stub.decode(m.payload)) // undecodable image bytes
+          else stub.decode(m.payload)
         MediaFeatures(m.media_id, m.meta.media_type, m.payload.length,
           hist, brightness)
       }
@@ -98,11 +191,24 @@ object Media {
     }
   }
 
-  /** "Resize" stub: metadata-only transform (a real impl re-encodes the
-    * payload); keeps the payload column untouched.
+  /** Resize: REAL for images (ImageIO decode → bilinear scale → PNG
+    * re-encode, payload replaced); metadata-only for audio/video
+    * (their codec seam is still stubbed).
     */
   def resize(media: Dataset[MediaRecord], w: Int, h: Int): Dataset[MediaRecord] = {
     import media.sparkSession.implicits._
-    media.map(m => m.copy(meta = m.meta.copy(width = w, height = h)))
+    media.mapPartitions { it =>
+      val img = ImageCodec.init()
+      it.map { m =>
+        if (m.meta.media_type == "image")
+          img.decode(m.payload) match {
+            case Some(decoded) =>
+              m.copy(meta = m.meta.copy(width = w, height = h),
+                payload = img.encodePng(img.resize(decoded, w, h)))
+            case None => m.copy(meta = m.meta.copy(width = w, height = h))
+          }
+        else m.copy(meta = m.meta.copy(width = w, height = h))
+      }
+    }
   }
 }

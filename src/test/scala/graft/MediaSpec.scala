@@ -37,10 +37,47 @@ class MediaSpec extends AnyFunSuite {
     }
   }
 
-  test("resize only touches metadata") {
+  test("resize updates metadata everywhere and re-encodes image payloads") {
     val media = Media.ingestFromDocuments(spark, TestSpark.sfDir)
     val resized = Media.resize(media, 32, 32).collect()
     assert(resized.forall(m => m.meta.width == 32 && m.meta.height == 32))
     assert(resized.forall(m => m.payload.nonEmpty))
+    // image payloads are REAL PNGs at the new dimensions
+    resized.filter(_.meta.media_type == "image").take(10).foreach { m =>
+      val img = Media.ImageCodec.decode(m.payload)
+      assert(img.isDefined)
+      assert(img.get.getWidth == 32 && img.get.getHeight == 32)
+    }
+  }
+
+  test("ImageCodec: PNG encode→decode roundtrips pixels exactly") {
+    val bytes = "the quick brown fox jumps over the lazy dog".getBytes("UTF-8")
+    val img = Media.ImageCodec.imageFromBytes(bytes, 16)
+    val png = Media.ImageCodec.encodePng(img)
+    // PNG magic
+    assert((png(0) & 0xff) == 0x89 && png(1) == 'P' && png(2) == 'N' && png(3) == 'G')
+    val back = Media.ImageCodec.decode(png).get
+    assert(back.getWidth == 16 && back.getHeight == 16)
+    for (y <- 0 until 16; x <- 0 until 16)
+      assert((back.getRGB(x, y) & 0xffffff) == (img.getRGB(x, y) & 0xffffff))
+    // luminance features are a distribution with in-range mean
+    val (hist, mean) = Media.ImageCodec.luminance(back)
+    assert(math.abs(hist.sum - 1.0) < 1e-9)
+    assert(mean >= 0 && mean <= 255)
+  }
+
+  test("image features come from the real decoder, not the byte stub") {
+    val media = Media.ingestFromDocuments(spark, TestSpark.sfDir)
+    val img = media.filter(_.meta.media_type == "image").head()
+    // stub on the PNG bytes would include header/compression noise; the
+    // real path must equal luminance measured on the decoded pixels
+    val decoded = Media.ImageCodec.decode(img.payload).get
+    val (expectedHist, expectedMean) = Media.ImageCodec.luminance(decoded)
+    val feat = Media.extractFeatures(media)
+      .filter(_.media_id == img.media_id).head()
+    assert(feat.brightness == expectedMean)
+    assert(feat.histogram.sameElements(expectedHist))
+    val (_, stubMean) = Media.StubCodec.decode(img.payload)
+    assert(feat.brightness != stubMean)
   }
 }
