@@ -17,7 +17,9 @@ import org.apache.spark.sql.types._
   * RETRACT-ENCODED changelog (only +I / -D kinds — the canonical form
   * Flink's toRetractStream produces): every visible-state transition
   * appears as a retraction of the old joined row and/or insertion of
-  * the new one, including left-outer null-padding flips.
+  * the new one, including outer-join null-padding flips. Join types:
+  * inner, left, right, full — right/full are the symmetric closure of
+  * the left-outer transition (pad the other side too).
   *
   * Scale shape: both sides shuffle once on the join key; each state
   * group holds only the rows OF THAT KEY (a multiset per side, exactly
@@ -78,7 +80,6 @@ object ChangelogJoin {
     // multiset per side: data-column values → multiplicity
     val lm = scala.collection.mutable.LinkedHashMap.empty[Seq[Any], Int]
     val rm = scala.collection.mutable.LinkedHashMap.empty[Seq[Any], Int]
-    def rightTotal: Int = rm.valuesIterator.sum
     def add(m: scala.collection.mutable.LinkedHashMap[Seq[Any], Int],
             k: Seq[Any]): Unit =
       m.update(k, m.getOrElse(k, 0) + 1)
@@ -109,8 +110,11 @@ object ChangelogJoin {
   private final class Plan(@transient left: DataFrame, leftKeys: Seq[String],
                            @transient right: DataFrame, rightKeys: Seq[String],
                            seqCol: String, joinType: String) extends Serializable {
-    require(joinType == "inner" || joinType == "left",
-      s"joinType must be inner|left, got $joinType")
+    require(Set("inner", "left", "right", "full").contains(joinType),
+      s"joinType must be inner|left|right|full, got $joinType")
+    // pad*: which side's rows survive with a null-padded other side
+    private val padLeft = joinType == "left" || joinType == "full"
+    private val padRight = joinType == "right" || joinType == "full"
     private val lSchema = left.schema
     private val rSchema = right.schema
     private val lKindIdx = lSchema.fieldIndex(KindCol)
@@ -171,51 +175,54 @@ object ChangelogJoin {
       kind == Insert || kind == UpdateAfter
 
     private val rNulls: Seq[Any] = rDataIdx.map(_ => null: Any)
+    private val lNulls: Seq[Any] = lDataIdx.map(_ => null: Any)
 
     private def joined(kind: String, lVals: Seq[Any], rVals: Seq[Any]): Row =
-      Row.fromSeq(kind +: (lVals ++ (if (rVals == null) rNulls else rVals)))
+      Row.fromSeq(kind +: ((if (lVals == null) lNulls else lVals) ++
+        (if (rVals == null) rNulls else rVals)))
 
     /** One element through the join — the processElement of
-      * StreamingJoinOperator, specialized to per-key grouping.
+      * StreamingJoinOperator, specialized to per-key grouping. Both
+      * sides run the same transition; only which side is padded
+      * differs (padLeft/padRight), so full outer is the symmetric
+      * closure of left+right.
       */
     def process(t: Row, st: JoinState): Seq[Row] = {
+      val fromLeft = t.getInt(0) == 0
+      val row = if (fromLeft) t.getStruct(2) else t.getStruct(3)
+      val vals: Seq[Any] =
+        if (fromLeft) lDataIdx.map(row.get) else rDataIdx.map(row.get)
+      val acc = isAccumulate(row.getString(if (fromLeft) lKindIdx else rKindIdx))
+      val mine = if (fromLeft) st.lm else st.rm
+      val other = if (fromLeft) st.rm else st.lm
+      val padMine = if (fromLeft) padLeft else padRight   // my rows null-padded
+      val padOther = if (fromLeft) padRight else padLeft  // other side's padding
+      def pair(kind: String, mineVals: Seq[Any], otherVals: Seq[Any]): Row =
+        if (fromLeft) joined(kind, mineVals, otherVals)
+        else joined(kind, otherVals, mineVals)
+
       val out = scala.collection.mutable.ArrayBuffer.empty[Row]
-      if (t.getInt(0) == 0) {
-        val l = t.getStruct(2)
-        val lVals: Seq[Any] = lDataIdx.map(l.get)
-        val acc = isAccumulate(l.getString(lKindIdx))
-        val kind = if (acc) Insert else Delete
-        if (acc) st.add(st.lm, lVals)
-        else if (!st.remove(st.lm, lVals)) return Nil
-        if (st.rm.isEmpty) {
-          if (joinType == "left") out += joined(kind, lVals, null)
-        } else st.rm.foreach { case (rVals, c) =>
-          var i = 0; while (i < c) { out += joined(kind, lVals, rVals); i += 1 }
-        }
-      } else {
-        val r = t.getStruct(3)
-        val rVals: Seq[Any] = rDataIdx.map(r.get)
-        val acc = isAccumulate(r.getString(rKindIdx))
-        val rightBefore = st.rightTotal
-        if (acc) st.add(st.rm, rVals)
-        else if (!st.remove(st.rm, rVals)) return Nil
-        val rightAfter = st.rightTotal
-        st.lm.foreach { case (lVals, c) =>
-          var i = 0
-          while (i < c) {
-            if (acc) {
-              // first right row for this key: retract the null padding
-              if (joinType == "left" && rightBefore == 0)
-                out += joined(Delete, lVals, null)
-              out += joined(Insert, lVals, rVals)
-            } else {
-              out += joined(Delete, lVals, rVals)
-              // last right row gone: re-pad with nulls
-              if (joinType == "left" && rightAfter == 0)
-                out += joined(Insert, lVals, null)
-            }
-            i += 1
+      val mineBefore = mine.valuesIterator.sum
+      if (acc) st.add(mine, vals)
+      else if (!st.remove(mine, vals)) return Nil
+      val mineAfter = mine.valuesIterator.sum
+      val kind = if (acc) Insert else Delete
+      if (other.isEmpty) {
+        if (padMine) out += pair(kind, vals, null)
+      } else other.foreach { case (oVals, c) =>
+        var i = 0
+        while (i < c) {
+          if (acc) {
+            // this key's FIRST row on my side: the other side's rows
+            // were null-padded — retract those pads
+            if (padOther && mineBefore == 0) out += pair(Delete, null, oVals)
+            out += pair(Insert, vals, oVals)
+          } else {
+            out += pair(Delete, vals, oVals)
+            // my side just emptied: other side's rows re-pad with nulls
+            if (padOther && mineAfter == 0) out += pair(Insert, null, oVals)
           }
+          i += 1
         }
       }
       out.toSeq

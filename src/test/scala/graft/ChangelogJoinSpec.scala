@@ -56,6 +56,33 @@ class ChangelogJoinSpec extends AnyFunSuite {
       ("+I", "a", "l1", null)))
   }
 
+  test("full outer join: pads both sides, retracts pads when partner arrives") {
+    val out = runBatch(
+      Seq(L("+I", 2, "a", "l1")),         // right r1 already padded → flip
+      Seq(R("+I", 1, "a", "r1"),
+          R("+I", 3, "b", "rOnly")),      // never matched → stays padded
+      "full")
+    assert(out == List(
+      ("+I", null, null, "r1"),           // right side padded first (k is left's key col: null)
+      ("-D", null, null, "r1"),           // left arrives → retract right pad
+      ("+I", "a", "l1", "r1"),
+      ("+I", null, null, "rOnly")))
+  }
+
+  test("right outer join mirrors left outer") {
+    val out = runBatch(
+      Seq(L("+I", 2, "a", "l1"),
+          L("-D", 3, "a", "l1")),
+      Seq(R("+I", 1, "a", "r1")),
+      "right")
+    assert(out == List(
+      ("+I", null, null, "r1"),           // no left yet → padded
+      ("-D", null, null, "r1"),           // left arrives
+      ("+I", "a", "l1", "r1"),
+      ("-D", "a", "l1", "r1"),            // left retracted
+      ("+I", null, null, "r1")))          // pad restored
+  }
+
   test("update kinds: -U retracts, +U accumulates") {
     val out = runBatch(
       Seq(L("+I", 1, "a", "l1")),
