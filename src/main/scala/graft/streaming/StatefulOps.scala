@@ -183,6 +183,90 @@ object StatefulOps {
       }(stateEnc, enc)
   }
 
+  // ---- Window rank (streaming) -----------------------------------------
+
+  /** Streaming window rank — StreamExecWindowRank's runtime behavior
+    * (RT/rank/window/WindowRankOperatorBuilder.java:56): per (tumbling
+    * window × keys), maintain the running top-N in state and emit the
+    * FINAL ranking exactly once when the event-time watermark passes
+    * the window end (GroupStateTimeout.EventTimeTimeout = Flink's
+    * window-cleanup timer), then drop the state. Input needs
+    * `withWatermark` on `tsCol`. State per group is ≤ n rows.
+    *
+    * Output: input columns + window_start (timestamp) + rank_no.
+    * `windowDeduplicateStreaming` is this with n=1.
+    */
+  def windowRankStreaming(df: DataFrame, tsCol: String, windowSec: Long,
+                          keys: Seq[String], scoreCol: String,
+                          descending: Boolean, n: Int): DataFrame = {
+    require(windowSec > 0 && n > 0)
+    val schema = df.schema
+    val outSchema = StructType(schema.fields ++ Seq(
+      StructField("window_start", org.apache.spark.sql.types.TimestampType),
+      StructField("rank_no", org.apache.spark.sql.types.IntegerType)))
+    implicit val outEnc: ExpressionEncoder[Row] = rowEnc(outSchema)
+    val stateEnc: ExpressionEncoder[Row] = rowEnc(StructType(Seq(
+      StructField("rows", org.apache.spark.sql.types.ArrayType(schema)))))
+    implicit val keyEnc = Encoders.STRING
+    val keyIdx = keys.map(schema.fieldIndex)
+    val tsIdx = schema.fieldIndex(tsCol)
+    val scoreIdx = schema.fieldIndex(scoreCol)
+    def millis(r: Row): Long = r.get(tsIdx) match {
+      case t: java.sql.Timestamp => t.getTime
+      case t: java.time.Instant => t.toEpochMilli
+      case l: Long => l * 1000L
+      case o => o.hashCode().toLong
+    }
+    def windowStartMs(r: Row): Long = {
+      val w = windowSec * 1000L
+      val t = millis(r)
+      t - java.lang.Math.floorMod(t, w)
+    }
+    def score(r: Row): Double = r.get(scoreIdx) match {
+      case d: Double => d; case f: Float => f.toDouble
+      case l: Long => l.toDouble; case i: Int => i.toDouble
+      case b: java.math.BigDecimal => b.doubleValue()
+      case t: java.sql.Timestamp => t.getTime.toDouble // dedup orders by time
+      case t: java.time.Instant => t.toEpochMilli.toDouble
+      case _ => 0.0
+    }
+    val sign = if (descending) -1.0 else 1.0
+
+    df.groupByKey(r => s"${windowStartMs(r)}|${encodeKey(r, keyIdx)}")
+      .flatMapGroupsWithState[Row, Row](
+        OutputMode.Append, GroupStateTimeout.EventTimeTimeout) {
+        (key: String, rows: Iterator[Row], state: GroupState[Row]) =>
+          val winStart = key.takeWhile(_ != '|').toLong
+          if (state.hasTimedOut) {
+            // window closed: final ranking, exactly once, state purged
+            val top = state.get.getSeq[Row](0)
+            state.remove()
+            top.sortBy(r => (sign * score(r), millis(r))).zipWithIndex
+              .map { case (r, i) => Row.fromSeq(r.toSeq ++
+                Seq[Any](new java.sql.Timestamp(winStart), i + 1)) }
+              .iterator
+          } else {
+            val cur = if (state.exists) state.get.getSeq[Row](0) else Seq.empty[Row]
+            val merged = (cur ++ rows)
+              .sortBy(r => (sign * score(r), millis(r))).take(n)
+            state.update(Row(merged))
+            // fire when the watermark passes the window end
+            state.setTimeoutTimestamp(winStart + windowSec * 1000L)
+            Iterator.empty
+          }
+      }(stateEnc, outEnc)
+  }
+
+  /** Streaming window deduplicate (RowTimeWindowDeduplicateOperator
+    * Builder.java:51): the earliest (or latest) row per key within
+    * each tumbling window, emitted once at window close.
+    */
+  def windowDeduplicateStreaming(df: DataFrame, tsCol: String, windowSec: Long,
+                                 keys: Seq[String],
+                                 keepFirst: Boolean = true): DataFrame =
+    windowRankStreaming(df, tsCol, windowSec, keys, scoreCol = tsCol,
+      descending = !keepFirst, n = 1).drop("rank_no")
+
   // ---- Count windows (streaming) ---------------------------------------
 
   /** Streaming count windows — KeyedStream.countWindow(size)

@@ -359,6 +359,65 @@ class StreamingSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("windowRankStreaming emits final top-2 once at window close, purges state") {
+    implicit val sc = spark.sqlContext
+    val in = MemoryStream[Ev]
+    val out = StatefulOps.windowRankStreaming(
+      in.toDF().withWatermark("ts", "1 minute"),
+      "ts", windowSec = 600L, keys = Seq("tpe"),
+      scoreCol = "value", descending = true, n = 2)
+    val q = out.writeStream.format("memory").queryName("winrank")
+      .outputMode(OutputMode.Append).start()
+    try {
+      in.addData(
+        Ev(ts("2024-01-01 00:01:00"), "u1", "a", 10.0),
+        Ev(ts("2024-01-01 00:02:00"), "u2", "a", 30.0),
+        Ev(ts("2024-01-01 00:03:00"), "u3", "a", 20.0))
+      q.processAllAvailable()
+      // window [00:00,00:10) still open → nothing emitted
+      assert(spark.sql("SELECT * FROM winrank").count() == 0)
+      // advance watermark past window end (00:10 + 1m delay)
+      in.addData(Ev(ts("2024-01-01 00:20:00"), "u9", "a", 1.0))
+      q.processAllAvailable()
+      in.addData(Ev(ts("2024-01-01 00:21:00"), "u9", "a", 1.0))
+      q.processAllAvailable()
+      val rows = spark.sql("SELECT user, rank_no, window_start FROM winrank ORDER BY rank_no")
+        .collect().map(r => (r.getString(0), r.getInt(1))).toList
+      assert(rows == List(("u2", 1), ("u3", 2))) // top-2 by value, final
+      // no duplicate emission on further watermark advances
+      in.addData(Ev(ts("2024-01-01 01:00:00"), "u9", "a", 1.0))
+      q.processAllAvailable()
+      assert(spark.sql("SELECT count(*) FROM winrank WHERE rank_no IS NOT NULL")
+        .collect()(0).getLong(0) >= 2) // first window rows stay exactly ranked
+      assert(spark.sql(
+        "SELECT count(*) FROM winrank WHERE window_start = timestamp'2024-01-01 00:00:00'")
+        .collect()(0).getLong(0) == 2)
+    } finally q.stop()
+  }
+
+  test("windowDeduplicateStreaming keeps first/last per window at close") {
+    implicit val sc = spark.sqlContext
+    val in = MemoryStream[Ev]
+    val out = StatefulOps.windowDeduplicateStreaming(
+      in.toDF().withWatermark("ts", "1 minute"),
+      "ts", windowSec = 600L, keys = Seq("user"), keepFirst = false)
+    val q = out.writeStream.format("memory").queryName("windedup")
+      .outputMode(OutputMode.Append).start()
+    try {
+      in.addData(
+        Ev(ts("2024-01-01 00:01:00"), "u1", "first", 1.0),
+        Ev(ts("2024-01-01 00:05:00"), "u1", "last", 2.0))
+      q.processAllAvailable()
+      in.addData(Ev(ts("2024-01-01 00:30:00"), "u9", "x", 0.0))
+      q.processAllAvailable()
+      in.addData(Ev(ts("2024-01-01 00:31:00"), "u9", "x", 0.0))
+      q.processAllAvailable()
+      val rows = spark.sql(
+        "SELECT tpe FROM windedup WHERE user = 'u1'").collect().map(_.getString(0)).toList
+      assert(rows == List("last")) // keepFirst=false → latest row survives
+    } finally q.stop()
+  }
+
   test("countWindowStreaming emits full windows as they fill, buffers the rest") {
     implicit val sc = spark.sqlContext
     val in = MemoryStream[Ev]
