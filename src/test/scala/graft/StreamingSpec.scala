@@ -359,6 +359,37 @@ class StreamingSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("update-mode window agg = early fire per trigger + late fire within watermark") {
+    // The reference's early/late-fire triggers (table.exec.emit.early-fire.*)
+    // map onto Spark's UPDATE output mode: every micro-batch emits the
+    // window's current partial result (early fire), and a late-but-within-
+    // watermark row updates the window again (late fire). Beyond the
+    // watermark the row is dropped — the reference's default too.
+    implicit val sc = spark.sqlContext
+    val in = MemoryStream[Ev]
+    val agg = in.toDF()
+      .withWatermark("ts", "30 minutes")
+      .groupBy(window($"ts", "10 minutes"))
+      .agg(count(lit(1)).as("n"))
+      .select($"window.start".as("ws"), $"n")
+    val q = agg.writeStream.format("memory").queryName("earlyfire")
+      .outputMode(OutputMode.Update).start()
+    try {
+      in.addData(Ev(ts("2024-01-01 00:01:00"), "u1", "a", 1.0))
+      q.processAllAvailable()   // early fire: n=1
+      in.addData(Ev(ts("2024-01-01 00:02:00"), "u1", "a", 1.0))
+      q.processAllAvailable()   // early fire again: n=2
+      in.addData(Ev(ts("2024-01-01 00:20:00"), "u1", "a", 1.0)) // wm → ~23:50 prev day... advances
+      q.processAllAvailable()
+      in.addData(Ev(ts("2024-01-01 00:03:00"), "u1", "late", 1.0)) // late, within wm
+      q.processAllAvailable()   // late fire: n=3
+      val fires = spark.sql(
+        "SELECT n FROM earlyfire WHERE ws = timestamp'2024-01-01 00:00:00' ORDER BY n")
+        .collect().map(_.getLong(0)).toList
+      assert(fires == List(1L, 2L, 3L)) // one row per fire, cumulative
+    } finally q.stop()
+  }
+
   test("windowRankStreaming emits final top-2 once at window close, purges state") {
     implicit val sc = spark.sqlContext
     val in = MemoryStream[Ev]
