@@ -110,6 +110,21 @@ object Events {
         .select(col("user_id"), col("event_id"), col("valid_from"), col("profile_value"))
     }),
 
+    // ---- As-of join, merge-scan form — same semantics as q28 but
+    // through temporalJoinCoGrouped (the hot-key-linear path), so the
+    // scale-safe variant is oracle-gated too.
+    "q66_asof_merge" -> ((s, dir) => {
+      val e = Tables.load(s, dir, "events")
+      val purchases = e.filter(col("event_type") === "purchase")
+        .select(col("user_id"), col("event_id"), col("ts"))
+      val versions = e.filter(col("event_type") === "signup")
+        .select(col("user_id").as("v_user"), col("ts").as("valid_from"),
+                col("value").as("profile_value"))
+      graft.streaming.StatefulOps
+        .temporalJoinCoGrouped(purchases, "user_id", "ts", versions, "v_user", "valid_from")
+        .select(col("user_id"), col("event_id"), col("valid_from"), col("profile_value"))
+    }),
+
     // ---- CUMULATE windows — SURVEY §2.9 window TVFs -------------------
     // Flink's CUMULATE(15 min step, 1 h max) has no Spark builtin;
     // graft.streaming.Windows.cumulate explodes rows into their
@@ -236,6 +251,19 @@ object Events {
         |     = time_bucket(INTERVAL '1 hour', e.ts)""".stripMargin,
 
     "q28_asof_join" ->
+      """SELECT user_id, event_id, CAST(valid_from AS TIMESTAMP) AS valid_from,
+        |       profile_value
+        |FROM (
+        |  SELECT p.user_id, p.event_id, s.ts AS valid_from,
+        |         s.value AS profile_value,
+        |         ROW_NUMBER() OVER (PARTITION BY p.event_id
+        |                            ORDER BY s.ts DESC) AS rn
+        |  FROM (SELECT * FROM events WHERE event_type = 'purchase') p
+        |  LEFT JOIN (SELECT * FROM events WHERE event_type = 'signup') s
+        |    ON s.user_id = p.user_id AND s.ts <= p.ts
+        |) WHERE rn = 1""".stripMargin,
+
+    "q66_asof_merge" ->
       """SELECT user_id, event_id, CAST(valid_from AS TIMESTAMP) AS valid_from,
         |       profile_value
         |FROM (

@@ -52,4 +52,43 @@ object AsyncOps {
       }
     }
   }
+
+  /** UNORDERED mode (Flink's AsyncDataStream.unorderedWait): results
+    * emit in COMPLETION order — lower latency than ordered when call
+    * durations vary, at the cost of losing input order. Same bounded
+    * in-flight window and per-element timeout.
+    */
+  def mapAsyncUnordered[I, O: org.apache.spark.sql.Encoder](
+      ds: Dataset[I], capacity: Int, timeoutMs: Long = 60000L)(fn: I => O): Dataset[O] = {
+    require(capacity > 0)
+    require(timeoutMs > 0)
+    ds.mapPartitions { it =>
+      val pool = java.util.concurrent.Executors.newFixedThreadPool(capacity)
+      val ecs = new java.util.concurrent.ExecutorCompletionService[O](pool)
+      var inflight = 0
+      new Iterator[O] {
+        private def fill(): Unit =
+          while (inflight < capacity && it.hasNext) {
+            val elem = it.next()
+            ecs.submit(() => fn(elem))
+            inflight += 1
+          }
+        override def hasNext: Boolean = {
+          fill()
+          if (inflight == 0) { pool.shutdown(); false } else true
+        }
+        override def next(): O = {
+          fill()
+          val f = ecs.poll(timeoutMs, java.util.concurrent.TimeUnit.MILLISECONDS)
+          if (f == null) {
+            pool.shutdownNow()
+            throw new TimeoutException(
+              s"async call exceeded ${timeoutMs}ms (AsyncWaitOperator timeout analog)")
+          }
+          inflight -= 1
+          f.get()
+        }
+      }
+    }
+  }
 }

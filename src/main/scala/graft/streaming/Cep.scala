@@ -139,6 +139,14 @@ object Cep {
   case object SkipPastLastRow extends AfterMatch
   /** Resume at the row after the match's FIRST row (overlapping matches). */
   case object SkipToNextRow extends AfterMatch
+  /** Resume AT the first row mapped to `variable` (AFTER MATCH SKIP TO
+    * FIRST var). Must make progress: if that row IS the match's first
+    * row, falls back to next-row to avoid an infinite loop — the same
+    * guard the reference enforces (it rejects such patterns).
+    */
+  final case class SkipToFirst(variable: String) extends AfterMatch
+  /** Resume AT the last row mapped to `variable`. */
+  final case class SkipToLast(variable: String) extends AfterMatch
 
   /** Per-match output: key, match_start_ts/match_end_ts (first/last
     * consumed row), then per step: <name>_first_id, <name>_last_id,
@@ -302,12 +310,12 @@ object Cep {
                     decidableTo: Int = Int.MaxValue): (Seq[Row], Long) = {
       val out = scala.collection.mutable.ArrayBuffer.empty[Row]
       var lastEnd = lastEndMicros
-      var lastEndIdx = -1
+      var nextAnchor = -1 // first allowed anchor index (skip strategies)
       var i = from
       while (i < until && i < decidableTo) {
         val skipAnchor = afterMatch match {
-          case SkipPastLastRow => i <= lastEndIdx || tsMicros(events(i)) <= lastEnd
           case SkipToNextRow => false
+          case _ => i < nextAnchor || tsMicros(events(i)) <= lastEnd
         }
         if (!skipAnchor) {
           val deadline = tsMicros(events(i)) + withinSec * 1000000L
@@ -315,10 +323,20 @@ object Cep {
           while (limit < until && tsMicros(events(limit)) <= deadline) limit += 1
           matchAt(events, i, limit, steps).foreach { case (res, endPos) =>
             out += buildRow(events, res, i, endPos)
-            if (afterMatch == SkipPastLastRow) {
-              lastEndIdx = endPos - 1
-              lastEnd = math.max(lastEnd, tsMicros(events(endPos - 1)))
+            def stepIdxOf(v: String): Int = steps.indexWhere(_.name == v)
+            val resume = afterMatch match {
+              case SkipPastLastRow => endPos
+              case SkipToFirst(v) =>
+                val (f, _, c) = res(stepIdxOf(v))
+                if (c > 0 && f > i) f else i + 1 // progress guard
+              case SkipToLast(v) =>
+                val (_, l, c) = res(stepIdxOf(v))
+                if (c > 0 && l > i) l else i + 1
+              case SkipToNextRow => i + 1
             }
+            nextAnchor = resume
+            if (afterMatch == SkipPastLastRow)
+              lastEnd = math.max(lastEnd, tsMicros(events(endPos - 1)))
           }
         }
         i += 1

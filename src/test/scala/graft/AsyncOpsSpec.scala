@@ -35,4 +35,25 @@ class AsyncOpsSpec extends AnyFunSuite {
     }.collect()
     assert(out.sameElements(0L until 100))
   }
+
+  test("mapAsyncOrdered times out on a hung call instead of wedging") {
+    val ds = spark.range(4).coalesce(1).as[Long]
+    val ex = intercept[org.apache.spark.SparkException] {
+      AsyncOps.mapAsyncOrdered(ds, capacity = 2, timeoutMs = 200) { i =>
+        if (i == 2) Thread.sleep(60000)
+        i
+      }.collect()
+    }
+    assert(ex.getMessage.contains("exceeded") ||
+      Option(ex.getCause).exists(_.getMessage.contains("exceeded")))
+  }
+
+  test("mapAsyncUnordered completes everything; completion order allowed") {
+    val ds = spark.range(64).coalesce(1).as[Long]
+    val out = AsyncOps.mapAsyncUnordered(ds, capacity = 16) { i =>
+      Thread.sleep(if (i % 16 == 0) 30 else 1) // stragglers finish late
+      i * 2
+    }.collect()
+    assert(out.sorted.sameElements((0L until 64).map(_ * 2)))
+  }
 }

@@ -150,6 +150,29 @@ class CepSpec extends AnyFunSuite {
     assert(next.length == 2) // anchors 1 and 2 both match (overlapping)
   }
 
+  test("matchPattern: SKIP TO FIRST/LAST variable resumes inside the match") {
+    // pattern (A|B) B over rows A B B: PAST LAST ROW consumes rows 1-2
+    // and finds nothing after; SKIP TO FIRST b resumes AT row 2 (the
+    // b of match 1), which anchors a second, overlapping match.
+    val df = seqDf(
+      (1L, "u", "2024-01-01 00:00:00", "A"),
+      (2L, "u", "2024-01-01 00:01:00", "B"),
+      (3L, "u", "2024-01-01 00:02:00", "B"))
+    val steps = Seq(
+      Cep.Step.once("a", Cep.anyOf(is("A"), is("B"))),
+      Cep.Step.once("b", is("B")))
+    val past = Cep.matchPattern(df, "user", "ts", "event_id", steps, 3600L,
+      Cep.SkipPastLastRow).collect()
+    assert(past.length == 1)
+    val toFirst = Cep.matchPattern(df, "user", "ts", "event_id", steps, 3600L,
+      Cep.SkipToFirst("b")).collect()
+    assert(toFirst.length == 2)
+    assert(toFirst.map(r => r.getLong(r.fieldIndex("a_first_id"))).toSet == Set(1L, 2L))
+    val toLast = Cep.matchPattern(df, "user", "ts", "event_id", steps, 3600L,
+      Cep.SkipToLast("b")).collect()
+    assert(toLast.length == 2) // b is one row here: same as toFirst
+  }
+
   test("matchPatternStreaming: emits once when window freezes, drops state") {
     implicit val sc = spark.sqlContext
     val in = org.apache.spark.sql.execution.streaming.runtime.MemoryStream[Ev]
