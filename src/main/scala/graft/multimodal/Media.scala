@@ -12,13 +12,13 @@ import org.apache.spark.sql.functions._
   * 100 TB corpus spreads evenly, and codecs initialize once per
   * partition (the Scala analog of `mapInPandas` batch amortization).
   *
-  * Codecs: IMAGES are decoded for real — `ImageCodec` rides the JDK's
-  * javax.imageio (PNG/JPEG/BMP/GIF readers ship with the JVM): ingest
-  * PNG-encodes real pixel data, features decode it back and measure
-  * luminance, resize re-encodes at the new dimensions. AUDIO/VIDEO
-  * remain behind `StubCodec` (no codec in the JDK or this container):
-  * deterministic pseudo-features from payload bytes, a single
-  * documented seam for JavaCV/javax.sound in production.
+  * Codecs: IMAGES and AUDIO are decoded for real with what the JDK
+  * ships — `ImageCodec` on javax.imageio (PNG/JPEG/BMP/GIF) and
+  * `AudioCodec` on javax.sound.sampled (WAV/PCM): ingest synthesizes
+  * genuine PNG/WAV payloads, features decode them back (luminance
+  * histograms / RMS energy), resize re-encodes pixels. VIDEO remains
+  * behind `StubCodec` (no video codec exists in the JDK): a single
+  * documented seam for JavaCV/ffmpeg in production.
   */
 object Media {
 
@@ -128,6 +128,77 @@ object Media {
     }
   }
 
+  /** REAL audio codec on the JDK's javax.sound.sampled — WAV/PCM
+    * parse+synthesis ships with the JVM, like ImageIO for images.
+    */
+  object AudioCodec {
+    import java.io.{ByteArrayInputStream, ByteArrayOutputStream}
+    import javax.sound.sampled.{AudioFileFormat, AudioFormat, AudioInputStream, AudioSystem}
+
+    def init(): AudioCodec.type = this
+
+    /** Deterministic ingest: successive byte pairs → signed 16-bit PCM
+      * samples (little-endian), mono WAV at `sampleRate`.
+      */
+    def samplesFromBytes(bytes: Array[Byte]): Array[Short] = {
+      val n = math.max(bytes.length / 2, 1)
+      Array.tabulate(n) { i =>
+        val lo = if (2 * i < bytes.length) bytes(2 * i) & 0xff else 0
+        val hi = if (2 * i + 1 < bytes.length) bytes(2 * i + 1) & 0xff else 0
+        ((hi << 8) | lo).toShort
+      }
+    }
+
+    def encodeWav(samples: Array[Short], sampleRate: Int): Array[Byte] = {
+      val fmt = new AudioFormat(AudioFormat.Encoding.PCM_SIGNED,
+        sampleRate.toFloat, 16, 1, 2, sampleRate.toFloat, false)
+      val raw = new Array[Byte](samples.length * 2)
+      var i = 0
+      while (i < samples.length) {
+        raw(2 * i) = (samples(i) & 0xff).toByte
+        raw(2 * i + 1) = ((samples(i) >> 8) & 0xff).toByte
+        i += 1
+      }
+      val ais = new AudioInputStream(
+        new ByteArrayInputStream(raw), fmt, samples.length.toLong)
+      val out = new ByteArrayOutputStream()
+      AudioSystem.write(ais, AudioFileFormat.Type.WAVE, out)
+      out.toByteArray
+    }
+
+    /** None if the payload isn't parseable audio. */
+    def decode(payload: Array[Byte]): Option[(Array[Short], Int)] =
+      try {
+        val ais = AudioSystem.getAudioInputStream(new ByteArrayInputStream(payload))
+        val fmt = ais.getFormat
+        val raw = ais.readAllBytes()
+        val big = fmt.isBigEndian
+        val samples = Array.tabulate(raw.length / 2) { i =>
+          val (lo, hi) = if (big) (raw(2 * i + 1), raw(2 * i)) else (raw(2 * i), raw(2 * i + 1))
+          (((hi & 0xff) << 8) | (lo & 0xff)).toShort
+        }
+        Some((samples, fmt.getSampleRate.toInt))
+      } catch { case _: Exception => None }
+
+    /** 8-bin |amplitude| histogram (normalized) + RMS scaled to 0-255
+      * so the feature column stays comparable across modalities.
+      */
+    def energy(samples: Array[Short]): (Array[Double], Double) = {
+      val bins = new Array[Double](8)
+      var sumSq = 0.0
+      var i = 0
+      while (i < samples.length) {
+        val a = math.abs(samples(i).toInt)
+        bins(math.min(a >> 12, 7)) += 1.0
+        sumSq += a.toDouble * a
+        i += 1
+      }
+      val n = math.max(samples.length, 1)
+      val rms = math.sqrt(sumSq / n) / 32768.0 * 255.0
+      (bins.map(_ / n), rms)
+    }
+  }
+
   /** Fabricate a deterministic media corpus from the documents table
     * (text bytes as payload) — the ingest path a real pipeline would
     * replace with binary file reads. Partitioned by media_id hash.
@@ -140,12 +211,14 @@ object Media {
         val bytes = r.getString(1).getBytes("UTF-8")
         val tpe = if (r.getLong(0) % 3 == 0) "image"
                   else if (r.getLong(0) % 3 == 1) "audio" else "video"
-        // images carry a REAL PNG payload (pixels from the text bytes);
-        // audio/video keep raw bytes for the stub codec
-        val payload =
-          if (tpe == "image")
-            ImageCodec.encodePng(ImageCodec.imageFromBytes(bytes, 16))
-          else bytes
+        // images carry a REAL PNG payload, audio a REAL WAV payload
+        // (both synthesized from the text bytes); video keeps raw
+        // bytes for the stub codec (no video codec in the JDK)
+        val payload = tpe match {
+          case "image" => ImageCodec.encodePng(ImageCodec.imageFromBytes(bytes, 16))
+          case "audio" => AudioCodec.encodeWav(AudioCodec.samplesFromBytes(bytes), 16000)
+          case _ => bytes
+        }
         val (w, h) = if (tpe == "image") (16, 16) else (64, 64)
         MediaRecord(r.getLong(0),
           MediaMeta(tpe, width = w, height = h, sample_rate = 16000,
@@ -163,13 +236,18 @@ object Media {
     import media.sparkSession.implicits._
     media.mapPartitions { it =>
       val img = ImageCodec.init()
+      val aud = AudioCodec.init()
       val stub = StubCodec.init()
       it.map { m =>
-        val (hist, brightness) =
-          if (m.meta.media_type == "image")
+        val (hist, brightness) = m.meta.media_type match {
+          case "image" =>
             img.decode(m.payload).map(img.luminance)
               .getOrElse(stub.decode(m.payload)) // undecodable image bytes
-          else stub.decode(m.payload)
+          case "audio" =>
+            aud.decode(m.payload).map(d => aud.energy(d._1))
+              .getOrElse(stub.decode(m.payload))
+          case _ => stub.decode(m.payload)
+        }
         MediaFeatures(m.media_id, m.meta.media_type, m.payload.length,
           hist, brightness)
       }

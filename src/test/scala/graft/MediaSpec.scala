@@ -66,6 +66,32 @@ class MediaSpec extends AnyFunSuite {
     assert(mean >= 0 && mean <= 255)
   }
 
+  test("AudioCodec: WAV encode→decode roundtrips samples exactly") {
+    val bytes = "pack my box with five dozen liquor jugs".getBytes("UTF-8")
+    val samples = Media.AudioCodec.samplesFromBytes(bytes)
+    val wav = Media.AudioCodec.encodeWav(samples, 16000)
+    // RIFF/WAVE magic
+    assert(new String(wav.take(4), "US-ASCII") == "RIFF")
+    assert(new String(wav.slice(8, 12), "US-ASCII") == "WAVE")
+    val (back, rate) = Media.AudioCodec.decode(wav).get
+    assert(rate == 16000)
+    assert(back.sameElements(samples))
+    val (hist, rms) = Media.AudioCodec.energy(back)
+    assert(math.abs(hist.sum - 1.0) < 1e-9)
+    assert(rms > 0 && rms <= 255)
+  }
+
+  test("audio features come from the real decoder, not the byte stub") {
+    val media = Media.ingestFromDocuments(spark, TestSpark.sfDir)
+    val aud = media.filter(_.meta.media_type == "audio").head()
+    val (samples, _) = Media.AudioCodec.decode(aud.payload).get
+    val (expectedHist, expectedRms) = Media.AudioCodec.energy(samples)
+    val feat = Media.extractFeatures(media)
+      .filter(_.media_id == aud.media_id).head()
+    assert(feat.brightness == expectedRms)
+    assert(feat.histogram.sameElements(expectedHist))
+  }
+
   test("image features come from the real decoder, not the byte stub") {
     val media = Media.ingestFromDocuments(spark, TestSpark.sfDir)
     val img = media.filter(_.meta.media_type == "image").head()
