@@ -4,7 +4,6 @@ import org.apache.spark.sql.Column
 import org.apache.spark.sql.catalyst.InternalRow
 import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
 import org.apache.spark.sql.catalyst.expressions._
-import org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback
 import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
 import org.apache.spark.sql.types._
 import org.apache.spark.unsafe.types.UTF8String
@@ -52,8 +51,31 @@ object Hashing {
   * unsigned minimum. E[matching positions / k] = Jaccard(tokens_a,
   * tokens_b), so banding the signature gives LSH buckets.
   */
+object MinHashSignature {
+  /** Static kernel shared by eval and generated code. */
+  def compute(arr: ArrayData, as: Array[Long], bs: Array[Long]): ArrayData = {
+    val numHashes = as.length
+    val n = arr.numElements()
+    val mins = Array.fill(numHashes)(-1L) // unsigned max
+    var i = 0
+    while (i < n) {
+      if (!arr.isNullAt(i)) {
+        val h = Hashing.hashToken(arr.getUTF8String(i))
+        var j = 0
+        while (j < numHashes) {
+          val v = as(j) * h + bs(j)
+          if (java.lang.Long.compareUnsigned(v, mins(j)) < 0) mins(j) = v
+          j += 1
+        }
+      }
+      i += 1
+    }
+    new GenericArrayData(mins)
+  }
+}
+
 case class MinHashSignature(child: Expression, k: Expression)
-    extends BinaryExpression with CodegenFallback {
+    extends BinaryExpression {
   override def left: Expression = child
   override def right: Expression = k
   override def dataType: DataType = ArrayType(LongType, containsNull = false)
@@ -74,24 +96,18 @@ case class MinHashSignature(child: Expression, k: Expression)
   @transient private lazy val bs: Array[Long] =
     Array.tabulate(numHashes)(i => Hashing.mix64(0x5DEECE66DL * (i + 1)))
 
-  override def nullSafeEval(tokens: Any, kv: Any): Any = {
-    val arr = tokens.asInstanceOf[ArrayData]
-    val n = arr.numElements()
-    val mins = Array.fill(numHashes)(-1L) // unsigned max
-    var i = 0
-    while (i < n) {
-      if (!arr.isNullAt(i)) {
-        val h = Hashing.hashToken(arr.getUTF8String(i))
-        var j = 0
-        while (j < numHashes) {
-          val v = as(j) * h + bs(j)
-          if (java.lang.Long.compareUnsigned(v, mins(j)) < 0) mins(j) = v
-          j += 1
-        }
-      }
-      i += 1
-    }
-    new GenericArrayData(mins)
+  override def nullSafeEval(tokens: Any, kv: Any): Any =
+    MinHashSignature.compute(tokens.asInstanceOf[ArrayData], as, bs)
+
+  // Embed the coefficient arrays as references and call the static
+  // kernel — the LSH signature stage stays inside whole-stage codegen
+  // (a CodegenFallback would box an InternalRow per input row).
+  override protected def doGenCode(ctx: codegen.CodegenContext,
+      ev: codegen.ExprCode): codegen.ExprCode = {
+    val asRef = ctx.addReferenceObj("minhashAs", as, "long[]")
+    val bsRef = ctx.addReferenceObj("minhashBs", bs, "long[]")
+    nullSafeCodeGen(ctx, ev, (tokens, _) =>
+      s"${ev.value} = graft.functions.MinHashSignature.compute($tokens, $asRef, $bsRef);")
   }
 
   override protected def withNewChildrenInternal(l: Expression, r: Expression): Expression =
@@ -102,16 +118,9 @@ case class MinHashSignature(child: Expression, k: Expression)
 /** 64-bit SimHash of a token array: `simhash(tokens)` → bigint.
   * Near-duplicate docs differ in few bits (small Hamming distance).
   */
-case class SimHash64(child: Expression)
-    extends UnaryExpression with CodegenFallback {
-  override def dataType: DataType = LongType
-  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
-    case ArrayType(StringType, _) => TypeCheckResult.TypeCheckSuccess
-    case _ => TypeCheckResult.TypeCheckFailure("simhash expects array<string>")
-  }
-
-  override def nullSafeEval(tokens: Any): Any = {
-    val arr = tokens.asInstanceOf[ArrayData]
+object SimHash64 {
+  /** Static kernel shared by eval and generated code. */
+  def compute(arr: ArrayData): Long = {
     val counts = new Array[Int](64)
     val n = arr.numElements()
     var i = 0
@@ -132,8 +141,23 @@ case class SimHash64(child: Expression)
       if (counts(j) > 0) sig |= (1L << j)
       j += 1
     }
-    java.lang.Long.valueOf(sig)
+    sig
   }
+}
+
+case class SimHash64(child: Expression) extends UnaryExpression {
+  override def dataType: DataType = LongType
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ArrayType(StringType, _) => TypeCheckResult.TypeCheckSuccess
+    case _ => TypeCheckResult.TypeCheckFailure("simhash expects array<string>")
+  }
+
+  override def nullSafeEval(tokens: Any): Any =
+    java.lang.Long.valueOf(SimHash64.compute(tokens.asInstanceOf[ArrayData]))
+
+  override protected def doGenCode(ctx: codegen.CodegenContext,
+      ev: codegen.ExprCode): codegen.ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.functions.SimHash64.compute($c)")
 
   override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
   override def prettyName: String = "simhash"
@@ -141,7 +165,7 @@ case class SimHash64(child: Expression)
 
 /** Hamming distance between two 64-bit signatures. */
 case class HammingDistance64(left: Expression, right: Expression)
-    extends BinaryExpression with CodegenFallback {
+    extends BinaryExpression {
   override def dataType: DataType = IntegerType
   override def checkInputDataTypes(): TypeCheckResult =
     if (left.dataType == LongType && right.dataType == LongType)
@@ -149,6 +173,9 @@ case class HammingDistance64(left: Expression, right: Expression)
     else TypeCheckResult.TypeCheckFailure("hamming64 expects (bigint, bigint)")
   override def nullSafeEval(a: Any, b: Any): Any =
     java.lang.Long.bitCount(a.asInstanceOf[Long] ^ b.asInstanceOf[Long])
+  override protected def doGenCode(ctx: codegen.CodegenContext,
+      ev: codegen.ExprCode): codegen.ExprCode =
+    defineCodeGen(ctx, ev, (a, b) => s"java.lang.Long.bitCount($a ^ $b)")
   override protected def withNewChildrenInternal(l: Expression, r: Expression): Expression =
     copy(left = l, right = r)
   override def prettyName: String = "hamming64"
