@@ -46,6 +46,18 @@ object Functions3 {
       s.read.schema(r.schema).orc(out)
     }),
 
+    // ---- Parquet WRITE path roundtrip ----------------------------------
+    // The write side of the filesystem connector (the reference's
+    // FileSystemTableSink with parquet format): timestamps, decimals-
+    // as-doubles, strings, and nulls all survive encode→decode
+    // value-exactly against the oracle's read of the ORIGINAL file.
+    "q67_parquet_roundtrip" -> ((s, dir) => {
+      val o = Tables.load(s, dir, "orders")
+      val out = roundtripDir("parquet", dir)
+      o.write.mode("overwrite").parquet(out)
+      s.read.schema(o.schema).parquet(out)
+    }),
+
     // ---- PARSE_URL — SqlFunctionUtils parse_url ------------------------
     "q60_url_functions" -> ((s, dir) => {
       val p = Tables.load(s, dir, "part")
@@ -132,6 +144,7 @@ object Functions3 {
     "q57_csv_roundtrip" -> "SELECT * FROM nation",
     "q58_json_roundtrip" -> "SELECT * FROM supplier",
     "q59_orc_roundtrip" -> "SELECT * FROM region",
+    "q67_parquet_roundtrip" -> "SELECT * FROM orders",
 
     "q60_url_functions" ->
       """SELECT p_partkey,

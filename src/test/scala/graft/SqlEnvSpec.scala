@@ -40,6 +40,25 @@ class SqlEnvSpec extends AnyFunSuite {
     assert(j.collect().nonEmpty)
   }
 
+  test("window TVFs through the SQL-text path (TUMBLE/HOP/SESSION analogs)") {
+    // the reference's TUMBLE(...)/HOP(...) table functions map to
+    // window()/session_window() in Spark SQL text — the same entry
+    // point a migrating SQL user would hit.
+    val env = SqlEnv(spark).registerTestdata(TestSpark.sfDir)
+    val tumble = env.executeSql(
+      """SELECT window.start AS ws, count(*) AS n
+        |FROM events GROUP BY window(ts, '1 hour')""".stripMargin).collect()
+    assert(tumble.nonEmpty && tumble.forall(_.getLong(1) > 0))
+    val hop = env.executeSql(
+      """SELECT window.start AS ws, count(*) AS n
+        |FROM events GROUP BY window(ts, '1 hour', '15 minutes')""".stripMargin).collect()
+    assert(hop.length > tumble.length) // 4 slides per hour
+    val sess = env.executeSql(
+      """SELECT session_window.start AS ss, user_id, count(*) AS n
+        |FROM events GROUP BY session_window(ts, '30 minutes'), user_id""".stripMargin).collect()
+    assert(sess.nonEmpty)
+  }
+
   test("TRANSFORM script operator (Hive-style, no-serde mode)") {
     val env = SqlEnv(spark).registerTestdata(TestSpark.sfDir)
     val out = env.executeSql(
