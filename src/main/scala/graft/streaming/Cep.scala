@@ -235,6 +235,14 @@ object Cep {
     * matches emit exactly once (append mode); rows older than
     * watermark − within are evicted, so state is bounded by the
     * within-window per key — Flink's CEP state bound.
+    *
+    * Skip-strategy continuity across triggers: SKIP PAST LAST ROW
+    * persists its cursor (timestamp) in state and is exact. SKIP TO
+    * FIRST/LAST resume POSITIONS are per-trigger; a resume point
+    * landing beyond the current decidable prefix is not carried into
+    * the next trigger, which can admit an extra overlapping match at
+    * the boundary — use PAST LAST ROW (the SQL default) when exact
+    * cross-trigger suppression matters.
     */
   def matchPatternStreaming(df: DataFrame, keyCol: String, tsCol: String,
                             idCol: String, steps: Seq[Step], withinSec: Long,
