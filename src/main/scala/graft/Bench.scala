@@ -32,8 +32,10 @@ object Bench {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    // Skipped queries are still timed and reported in the queries map
+    // (so round-over-round per-query diffs stay complete); they are
+    // only excluded from the headline "value" total.
     val sorted = SparkEntry.queries.toSeq.sortBy(_._1)
-      .filterNot { case (name, _) => skipped.contains(name) }
     def runOnce(name: String, fn: (SparkSession, String) => org.apache.spark.sql.DataFrame): Double = {
       val t0 = System.nanoTime()
       try fn(spark, sfDir).write.format("noop").mode("overwrite").save()
@@ -53,7 +55,7 @@ object Bench {
     }
     def m(kv: Seq[(String, Double)]): String =
       kv.map { case (k, v) => "\"" + k + "\":" + f"$v%.4f" }.mkString("{", ",", "}")
-    val total = results.map(_._2).sum
+    val total = results.filterNot(r => skipped.contains(r._1)).map(_._2).sum
     val qs = m(results.map(r => r._1 -> r._2))
     val sds = m(results.map(r => r._1 -> r._3))
     val sk = skipped.map("\"" + _ + "\"").mkString("[", ",", "]")

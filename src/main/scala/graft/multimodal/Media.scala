@@ -70,7 +70,8 @@ object Media {
       */
     def imageFromBytes(bytes: Array[Byte], side: Int): BufferedImage = {
       val img = new BufferedImage(side, side, BufferedImage.TYPE_INT_RGB)
-      val n = math.max(bytes.length, 1)
+      if (bytes.isEmpty) return img // all-black, like AudioCodec's empty guard
+      val n = bytes.length
       var p = 0
       while (p < side * side) {
         val r = bytes((p * 3) % n) & 0xff

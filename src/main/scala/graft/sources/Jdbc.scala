@@ -81,24 +81,38 @@ object Jdbc {
       try {
         val up = conn.prepareStatement(upsert)
         val del = conn.prepareStatement(delete)
-        var nUp = 0
-        var nDel = 0
+        // Per-key last-wins reduce before execution, mirroring the
+        // reference's JdbcOutputFormat buffered-upsert reduce: without
+        // it, a -D followed by +I for the same key would execute
+        // insert-then-delete (two independent statement batches) and
+        // wrongly drop the row.
+        val pending = new java.util.LinkedHashMap[Seq[Any], (String, Row)]()
+        def flush(): Unit = {
+          val entries = pending.values.iterator()
+          while (entries.hasNext) {
+            val (kind, r) = entries.next()
+            if (kind == graft.streaming.Changelog.Delete) {
+              keyIdx.zipWithIndex.foreach { case (ki, i) => del.setObject(i + 1, r.get(ki)) }
+              del.addBatch()
+            } else {
+              dataIdx.zipWithIndex.foreach { case (di, i) => up.setObject(i + 1, r.get(di)) }
+              up.addBatch()
+            }
+          }
+          // Each key appears at most once per flush, so the two
+          // statement batches cannot conflict on a key.
+          up.executeBatch()
+          del.executeBatch()
+          pending.clear()
+        }
         it.foreach { r =>
           val kind = if (hasKind) r.getString(kindIdx) else graft.streaming.Changelog.Insert
-          kind match {
-            case graft.streaming.Changelog.UpdateBefore => // superseded by +U
-            case graft.streaming.Changelog.Delete =>
-              keyIdx.zipWithIndex.foreach { case (ki, i) => del.setObject(i + 1, r.get(ki)) }
-              del.addBatch(); nDel += 1
-              if (nDel % batchSize == 0) del.executeBatch()
-            case _ => // +I / +U
-              dataIdx.zipWithIndex.foreach { case (di, i) => up.setObject(i + 1, r.get(di)) }
-              up.addBatch(); nUp += 1
-              if (nUp % batchSize == 0) up.executeBatch()
+          if (kind != graft.streaming.Changelog.UpdateBefore) { // -U superseded by +U
+            pending.put(keyIdx.map(r.get), (kind, r))
+            if (pending.size >= batchSize) flush()
           }
         }
-        up.executeBatch()
-        del.executeBatch()
+        flush()
         conn.commit()
       } finally conn.close()
     }

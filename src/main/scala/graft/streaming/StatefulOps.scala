@@ -33,8 +33,15 @@ object StatefulOps {
     */
   private[streaming] def encodeKey(r: Row, idx: Seq[Int]): String =
     idx.iterator.map { i =>
-      val s = String.valueOf(r.get(i))
-      s"${s.length}:$s"
+      val v = r.get(i)
+      // Null gets its own marker segment: String.valueOf(null) is the
+      // 4-char string "null", which would collide with a genuine "null"
+      // value. "n" can't collide with "<digits>:..." segments.
+      if (v == null) "n"
+      else {
+        val s = String.valueOf(v)
+        s"${s.length}:$s"
+      }
     }.mkString("|")
 
   // ---- Deduplicate ----------------------------------------------------

@@ -101,6 +101,53 @@ class JdbcKafkaSpec extends AnyFunSuite {
     assert(FakeJdbc.statements.asScala.exists(_.startsWith("DELETE FROM t")))
   }
 
+  test("writeBatchUpsert: -D then +I of one key in one batch keeps the row") {
+    // Regression: separate upsert/delete statement batches flushed at the
+    // end executed insert-then-delete regardless of arrival order. The
+    // per-key last-wins reduce (like the reference's JdbcOutputFormat
+    // buffer) must keep only the final action.
+    FakeJdbc.clear()
+    val batch = Seq(
+      ("+I", "k1", 1.0),
+      ("-D", "k1", 1.0),
+      ("+I", "k1", 3.0))   // final action: row must exist with 3.0
+      .toDF("row_kind", "id", "score").coalesce(1)
+    Jdbc.writeBatchUpsert(batch, "t", Seq("id"), "postgres",
+      () => FakeJdbc.connection(1), batchSize = 500)
+    import scala.jdk.CollectionConverters._
+    val rows = FakeJdbc.rows.asScala.map { case (k, v) => k -> v.last }.toMap
+    assert(rows == Map("k1" -> 3.0))
+  }
+
+  test("writeBatchUpsert: +I then -D of one key in one batch deletes the row") {
+    FakeJdbc.clear()
+    val batch = Seq(
+      ("+I", "k1", 1.0),
+      ("+U", "k1", 2.0),
+      ("-D", "k1", 2.0),   // final action: delete
+      ("+I", "k2", 9.0))
+      .toDF("row_kind", "id", "score").coalesce(1)
+    Jdbc.writeBatchUpsert(batch, "t", Seq("id"), "postgres",
+      () => FakeJdbc.connection(1), batchSize = 500)
+    import scala.jdk.CollectionConverters._
+    val rows = FakeJdbc.rows.asScala.map { case (k, v) => k -> v.last }.toMap
+    assert(rows == Map("k2" -> 9.0))
+  }
+
+  test("writeBatchUpsert: mixed kinds survive batchSize-boundary flushes") {
+    FakeJdbc.clear()
+    val batch = Seq(
+      ("+I", "k1", 1.0), ("+I", "k2", 2.0),
+      ("-D", "k1", 1.0), ("+I", "k3", 3.0),
+      ("+I", "k1", 7.0)) // re-insert after the delete, across flush points
+      .toDF("row_kind", "id", "score").coalesce(1)
+    Jdbc.writeBatchUpsert(batch, "t", Seq("id"), "postgres",
+      () => FakeJdbc.connection(1), batchSize = 2)
+    import scala.jdk.CollectionConverters._
+    val rows = FakeJdbc.rows.asScala.map { case (k, v) => k -> v.last }.toMap
+    assert(rows == Map("k1" -> 7.0, "k2" -> 2.0, "k3" -> 3.0))
+  }
+
   test("upsertSink streams micro-batches into the keyed store") {
     FakeJdbc.clear()
     implicit val sc = spark.sqlContext
