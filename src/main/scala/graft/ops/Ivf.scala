@@ -11,14 +11,17 @@ import graft.functions.functions.cosine_sim
   * and probe only `nprobe` cells per query, shrinking the candidate
   * set ~k/nprobe× vs brute force.
   *
-  * Everything is declarative DataFrame ops — no `.collect()`, no
-  * driver-side loops over data:
+  * No driver-side loops over data — the only driver materialization is
+  * the k-row centroid matrix (metadata-scale, the build side of a
+  * broadcast):
   *  - seeds: `orderBy(hash(id)).limit(k)` (TakeOrderedAndProject — the
   *    only global step, k rows);
-  *  - Lloyd refinement: assign = broadcast(centroids) join + per-row
-  *    argmax (WindowGroupLimit on vec_id); recompute = posexplode →
-  *    per-(cell,dim) avg → array re-assembly. Each pass is one
-  *    broadcast join + one shuffle, independent of executor count;
+  *  - assign: a map-side codegen'd `nearest_cells` projection over the
+  *    broadcast centroid matrix — zero shuffle (the round-2 form
+  *    crossJoined n×k rows through a Window exchange);
+  *  - Lloyd refinement: assign + recompute (posexplode → per-(cell,dim)
+  *    avg → array re-assembly): one shuffle per pass, independent of
+  *    executor count;
   *  - search: probe join shuffles on the cell id, per-query top-k via
   *    row_number (pre-shuffle WindowGroupLimit).
   *
@@ -46,19 +49,40 @@ object Ivf {
     cents
   }
 
+  /** Collect the (small) centroid table to the driver as a matrix —
+    * the build step of a broadcast: identical driver→executor shipping
+    * to what `broadcast(cents)` did, k rows of metadata (k ≈ √n; at
+    * n=10¹⁰, dim=10³ that's ~400 MB worst case, a standard broadcast
+    * size), NOT a collect over data-scale rows.
+    */
+  private def centroidMatrix(cents: DataFrame): (Array[Int], Array[Array[Float]]) = {
+    val rows = cents.select(col("cell").cast("int"),
+        col("centroid").cast("array<float>"))
+      .collect().sortBy(_.getInt(0))
+    (rows.map(_.getInt(0)),
+     rows.map(_.getSeq[Float](1).toArray))
+  }
+
   /** Assign each vector to its `nprobe` nearest cells (rank 1 = index
     * cell; ranks 2..nprobe = extra probe cells for queries).
+    *
+    * Map-side: a single codegen'd [[graft.functions.NearestCells]]
+    * projection over the broadcast centroid matrix — no join, no
+    * Window, and critically no Exchange. The previous form
+    * (crossJoin(broadcast) + row_number over vec_id) exploded n×k rows
+    * through a shuffle: at n=10¹⁰, k=10⁵ that is a 10¹⁵-row Exchange —
+    * the one scale-killer flagged in round 2.
     * @return input columns + (cell, cell_rank)
     */
   def assign(vectors: DataFrame, idCol: String, embCol: String,
              cents: DataFrame, nprobe: Int): DataFrame = {
-    val w = Window.partitionBy(col(idCol))
-      .orderBy(col("__csim").desc, col("cell"))
-    vectors.crossJoin(broadcast(cents))
-      .withColumn("__csim", cosine_sim(col(embCol), col("centroid")))
-      .withColumn("cell_rank", row_number().over(w))
-      .filter(col("cell_rank") <= nprobe)
-      .drop("__csim", "centroid")
+    val (cells, matrix) = centroidMatrix(cents)
+    vectors
+      .select(col("*"),
+        posexplode(graft.functions.VectorFns.nearest_cells(
+          col(embCol), cells, matrix, nprobe)).as(Seq("__p", "cell")))
+      .withColumn("cell_rank", (col("__p") + 1).cast("int"))
+      .drop("__p")
   }
 
   /** New centroids = per-cell per-dimension mean, re-assembled in
