@@ -20,6 +20,18 @@ import graft.functions.functions.{minhash, simhash, hamming64}
   *     the stage, so the pair operator drops buckets above
   *     `maxBucketSize` (standard LSH-dedup practice). The cluster
   *     operator needs no cap: it only takes min/count per bucket.
+  *
+  * Oracle strategy (round 3): DuckDB cannot compute the custom
+  * minhash/simhash Expressions, but everything DOWNSTREAM of the
+  * signatures — banding, bucket capping, pair enumeration, signature
+  * agreement (est-jaccard), hamming distance — is plain SQL. Each
+  * query therefore materializes its Spark-computed signature table to
+  * a deterministic parquet side-path and continues from the read-back;
+  * the oracle runs the same banding/pair logic in DuckDB over that
+  * parquet. (Materializing signatures is also what a production 100 TB
+  * dedup does: compute once, reuse across the cluster and pair
+  * stages.) n50 stays rows-only: its output IS the signature table,
+  * so a parquet-based oracle would only verify the roundtrip.
   */
 object NearDup {
 
@@ -28,16 +40,47 @@ object NearDup {
   val ROWS = K / BANDS
   val MaxBucketSize = 64
 
+  /** Deterministic side-path for oracle-shared signature tables,
+    * keyed by SF directory name so scales don't clobber each other.
+    * The static oracle SQL references the sf0.01 instance (the
+    * driver's correctness SF).
+    */
+  private def sideDir(dir: String): String =
+    s"/tmp/graft_oracle/${new java.io.File(dir).getName}"
+
   private def tokens = array_distinct(split(col("text"), " "))
 
-  /** (doc_id, band, bucket) — the only thing that flows into joins. */
-  private def banded(s: SparkSession, dir: String): DataFrame = {
-    val d = Tables.load(s, dir, "documents")
-    d.select(col("doc_id"), minhash(tokens, K).as("sig"))
+  /** Write-then-read-back of the minhash signature table. */
+  private def sigsTable(s: SparkSession, dir: String): DataFrame = {
+    val p = s"${sideDir(dir)}/minhash_sigs"
+    Tables.load(s, dir, "documents")
+      .select(col("doc_id"), minhash(tokens, K).as("sig"))
+      .write.mode("overwrite").parquet(p)
+    s.read.parquet(p)
+  }
+
+  /** (doc_id, band, bucket) — the only thing that flows into joins.
+    * Derived from the materialized signatures and itself materialized
+    * so the oracle bands the exact same rows.
+    */
+  private def bandedTable(s: SparkSession, dir: String): DataFrame = {
+    val p = s"${sideDir(dir)}/minhash_banded"
+    sigsTable(s, dir)
       .select(col("doc_id"),
         explode(expr(s"transform(sequence(0, ${BANDS - 1}), " +
           s"b -> struct(b AS band, hash(slice(sig, b * $ROWS + 1, $ROWS)) AS bucket))")).as("bb"))
       .select(col("doc_id"), col("bb.band"), col("bb.bucket"))
+      .write.mode("overwrite").parquet(p)
+    s.read.parquet(p)
+  }
+
+  /** Write-then-read-back of the simhash signature table. */
+  private def simhashTable(s: SparkSession, dir: String): DataFrame = {
+    val p = s"${sideDir(dir)}/simhash_sigs"
+    Tables.load(s, dir, "documents")
+      .select(col("doc_id"), simhash(split(col("text"), " ")).as("sig"))
+      .write.mode("overwrite").parquet(p)
+    s.read.parquet(p)
   }
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -56,7 +99,7 @@ object NearDup {
     // transitive closure if needed). Output size = corpus size
     // regardless of how degenerate the duplicate structure is.
     "n51_minhash_dedup_clusters" -> ((s, dir) => {
-      val b = banded(s, dir)
+      val b = bandedTable(s, dir)
       val bucketRep = b.groupBy(col("band"), col("bucket"))
         .agg(min(col("doc_id")).as("bucket_rep"), count(lit(1)).as("bucket_size"))
       b.join(bucketRep, Seq("band", "bucket"))
@@ -68,7 +111,7 @@ object NearDup {
 
     // ---- MinHash-LSH near-dup pairs (bucket-capped) -------------------
     "n53_minhash_lsh_pairs" -> ((s, dir) => {
-      val b = banded(s, dir)
+      val b = bandedTable(s, dir)
       val sized = b.withColumn("bucket_size",
         count(lit(1)).over(org.apache.spark.sql.expressions.Window
           .partitionBy(col("band"), col("bucket"))))
@@ -79,8 +122,7 @@ object NearDup {
         .filter(col("doc_a") < col("doc_b"))
         .select("doc_a", "doc_b").distinct()
       // est jaccard: rejoin constant-size signatures per UNIQUE pair
-      val d = Tables.load(s, dir, "documents")
-      val sigs = d.select(col("doc_id"), minhash(tokens, K).as("sig"))
+      val sigs = s.read.parquet(s"${sideDir(dir)}/minhash_sigs")
       pairs
         .join(sigs.withColumnRenamed("doc_id", "doc_a").withColumnRenamed("sig", "sig_a"), "doc_a")
         .join(sigs.withColumnRenamed("doc_id", "doc_b").withColumnRenamed("sig", "sig_b"), "doc_b")
@@ -93,9 +135,7 @@ object NearDup {
 
     // ---- SimHash dedup: exact-signature groups + banded near-pairs ----
     "n52_simhash_pairs" -> ((s, dir) => {
-      val d = Tables.load(s, dir, "documents")
-      val toks = split(col("text"), " ")
-      val sigs = d.select(col("doc_id"), simhash(toks).as("sig"))
+      val sigs = simhashTable(s, dir)
       // 4 × 16-bit chunks: near-dups (hamming ≤ 3) share ≥1 exact chunk
       val chunks = sigs.select(col("doc_id"), col("sig"),
           explode(expr("transform(sequence(0, 3), " +
@@ -117,10 +157,50 @@ object NearDup {
     })
   )
 
-  /** No oracle SQL — custom hash functions aren't expressible in
-    * DuckDB; the driver records rows-only checks and ScalaTest covers
-    * semantics (identical docs ⇒ identical signatures; est_jaccard
-    * tracks true Jaccard; hamming(x,x)=0; cluster reps are minima).
+  /** Oracles for everything downstream of the custom hash Expressions,
+    * over the materialized signature tables (see object Scaladoc).
+    * n50 has no oracle: DuckDB can't compute minhash, and its output
+    * IS the signature table.
     */
-  def oracles: Map[String, String] = Map.empty
+  def oracles: Map[String, String] = {
+    val banded = "read_parquet('/tmp/graft_oracle/sf0.01/minhash_banded/*.parquet')"
+    val sigs = "read_parquet('/tmp/graft_oracle/sf0.01/minhash_sigs/*.parquet')"
+    val simsigs = "read_parquet('/tmp/graft_oracle/sf0.01/simhash_sigs/*.parquet')"
+    Map(
+      "n51_minhash_dedup_clusters" -> s"""
+        WITH b AS (SELECT * FROM $banded),
+        rep AS (SELECT band, bucket, min(doc_id) AS bucket_rep, count(*) AS bucket_size
+                FROM b GROUP BY band, bucket)
+        SELECT doc_id, min(bucket_rep) AS cluster_rep,
+               max(bucket_size - 1) AS max_collisions,
+               (min(bucket_rep) = doc_id) AS is_canonical
+        FROM b JOIN rep USING (band, bucket)
+        GROUP BY doc_id""",
+
+      "n53_minhash_lsh_pairs" -> s"""
+        WITH b AS (SELECT * FROM $banded),
+        sized AS (SELECT *, count(*) OVER (PARTITION BY band, bucket) AS bucket_size FROM b),
+        f AS (SELECT * FROM sized WHERE bucket_size <= $MaxBucketSize),
+        pairs AS (SELECT DISTINCT l.doc_id AS doc_a, r.doc_id AS doc_b
+                  FROM f l JOIN f r USING (band, bucket)
+                  WHERE l.doc_id < r.doc_id),
+        s AS (SELECT * FROM $sigs)
+        SELECT doc_a, doc_b,
+          CAST(len(list_filter(range(1, ${K + 1}), i -> sa.sig[i] = sb.sig[i])) AS DOUBLE) / $K AS est_jaccard
+        FROM pairs
+        JOIN s sa ON sa.doc_id = doc_a
+        JOIN s sb ON sb.doc_id = doc_b
+        WHERE CAST(len(list_filter(range(1, ${K + 1}), i -> sa.sig[i] = sb.sig[i])) AS DOUBLE) / $K >= 0.5""",
+
+      "n52_simhash_pairs" -> s"""
+        WITH s AS (SELECT * FROM $simsigs),
+        chunks AS (SELECT doc_id, sig, c AS chunk, (sig >> (CAST(c AS INT) * 16)) & 65535 AS ck
+                   FROM s, range(0, 4) t(c)),
+        sized AS (SELECT *, count(*) OVER (PARTITION BY chunk, ck) AS bucket_size FROM chunks),
+        f AS (SELECT * FROM sized WHERE bucket_size <= $MaxBucketSize)
+        SELECT DISTINCT l.doc_id AS doc_a, r.doc_id AS doc_b,
+               bit_count(xor(l.sig, r.sig)) AS hamming
+        FROM f l JOIN f r USING (chunk, ck)
+        WHERE l.doc_id < r.doc_id AND bit_count(xor(l.sig, r.sig)) <= 16""")
+  }
 }
