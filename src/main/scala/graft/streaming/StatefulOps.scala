@@ -407,6 +407,73 @@ object StatefulOps {
       }(stateEnc, outEnc)
   }
 
+  /** Streaming unbounded-preceding OVER aggregate in EVENT-TIME order
+    * ACROSS triggers — the exact semantics of the reference's
+    * RT/over/RowTimeRangeBoundedPrecedingFunction.java:55: rows are
+    * buffered per key until the watermark passes their rowtime, then
+    * released in rowtime order with the running sum/count accumulated
+    * in that order. A row that arrives out of order but within the
+    * watermark therefore aggregates at its correct rowtime position,
+    * even when rows with later rowtimes arrived in earlier triggers —
+    * the cross-batch gap `runningAggStreaming` (arrival-order variant)
+    * documents. Rows already behind the watermark on arrival are
+    * aggregated immediately (the reference drops or side-outputs them;
+    * Spark has no side outputs — documented narrowing).
+    *
+    * Requires `withWatermark(tsCol, ...)` upstream. State per key =
+    * pending rows (bounded by watermark lag) + the running aggregate;
+    * state shards with the key shuffle like every op in this file.
+    */
+  def runningAggEventTimeStreaming(df: DataFrame, keys: Seq[String],
+                                   tsCol: String, valueCol: String,
+                                   tieBreak: Seq[String] = Nil): DataFrame = {
+    val schema = df.schema
+    val outSchema = StructType(schema.fields ++ Seq(
+      StructField("running_sum", org.apache.spark.sql.types.DoubleType),
+      StructField("running_count", org.apache.spark.sql.types.LongType)))
+    implicit val outEnc: ExpressionEncoder[Row] = rowEnc(outSchema)
+    val stateEnc: ExpressionEncoder[Row] = rowEnc(StructType(Seq(
+      StructField("buf", org.apache.spark.sql.types.ArrayType(schema)),
+      StructField("sum", org.apache.spark.sql.types.DoubleType),
+      StructField("count", org.apache.spark.sql.types.LongType))))
+    implicit val keyEnc = Encoders.STRING
+    val keyIdx = keys.map(schema.fieldIndex)
+    val tsIdx = schema.fieldIndex(tsCol)
+    val valIdx = schema.fieldIndex(valueCol)
+    val tieIdx = tieBreak.map(schema.fieldIndex)
+    def micros(r: Row): Long = r.get(tsIdx) match {
+      case t: java.sql.Timestamp => t.getTime * 1000 + (t.getNanos / 1000) % 1000
+      case l: Long => l
+      case i: Int => i.toLong
+      case o => o.hashCode().toLong
+    }
+    def sortKey(r: Row): (Long, String) =
+      (micros(r), tieIdx.map(i => String.valueOf(r.get(i))).mkString("|"))
+    def num(r: Row): Double = r.get(valIdx) match {
+      case d: Double => d; case f: Float => f.toDouble
+      case l: Long => l.toDouble; case i: Int => i.toDouble
+      case b: java.math.BigDecimal => b.doubleValue(); case _ => 0.0
+    }
+    df.groupByKey(r => StatefulOps.encodeKey(r, keyIdx))
+      .flatMapGroupsWithState[Row, Row](
+        OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        (_: String, rows: Iterator[Row], state: GroupState[Row]) =>
+          var (buf, sum, count) =
+            if (state.exists)
+              (state.get.getSeq[Row](0), state.get.getDouble(1), state.get.getLong(2))
+            else (Seq.empty[Row], 0.0, 0L)
+          buf = buf ++ rows
+          val wmMicros = state.getCurrentWatermarkMs() * 1000L
+          val (ready, pending) = buf.partition(micros(_) <= wmMicros)
+          val out = ready.sortBy(sortKey).map { r =>
+            sum += num(r); count += 1
+            Row.fromSeq(r.toSeq ++ Seq[Any](sum, count))
+          }
+          state.update(Row(pending, sum, count))
+          out.iterator
+      }(stateEnc, outEnc)
+  }
+
   // ---- Lookup join (streaming) ---------------------------------------
 
   /** Streaming lookup join — the reference's LookupJoin

@@ -49,6 +49,48 @@ class StreamingSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("runningAggEventTimeStreaming aggregates in rowtime order across triggers") {
+    // The reference's RowTimeRangeBoundedPrecedingFunction contract: a
+    // row that arrives AFTER a later-rowtime row (but within the
+    // watermark) must still be aggregated at its rowtime position.
+    implicit val sc = spark.sqlContext
+    val in = MemoryStream[Ev]
+    val out = StatefulOps.runningAggEventTimeStreaming(
+      in.toDF().withWatermark("ts", "10 minutes"),
+      Seq("user"), "ts", "value")
+    val q = out.writeStream.format("memory").queryName("rowtimeagg")
+      .outputMode(OutputMode.Append).start()
+    try {
+      // trigger 1: rowtimes 00:20 and 00:40 → watermark becomes 00:30
+      in.addData(Ev(ts("2024-01-01 00:20:00"), "u", "a", 1.0),
+                 Ev(ts("2024-01-01 00:40:00"), "u", "a", 2.0))
+      q.processAllAvailable()
+      // trigger 2: 00:35 arrives AFTER the 00:40 row, within watermark;
+      // watermark 00:30 releases only the 00:20 row
+      in.addData(Ev(ts("2024-01-01 00:35:00"), "u", "a", 4.0))
+      q.processAllAvailable()
+      // trigger 3: advance watermark to 00:50 (nothing ≤ 00:30 pending)
+      in.addData(Ev(ts("2024-01-01 01:00:00"), "u", "a", 8.0))
+      q.processAllAvailable()
+      // trigger 4: watermark 00:50 releases 00:35 then 00:40 — rowtime
+      // order, though 00:40 arrived two triggers earlier
+      in.addData(Ev(ts("2024-01-01 01:10:00"), "u", "a", 16.0))
+      q.processAllAvailable()
+      // trigger 5: watermark 01:00 releases the 01:00 row
+      in.addData(Ev(ts("2024-01-01 02:00:00"), "u", "a", 32.0))
+      q.processAllAvailable()
+      val rows = spark.sql(
+        "SELECT ts, value, running_sum, running_count FROM rowtimeagg ORDER BY running_count")
+        .collect()
+        .map(r => (r.getTimestamp(0), r.getDouble(1), r.getDouble(2), r.getLong(3))).toList
+      assert(rows == List(
+        (ts("2024-01-01 00:20:00"), 1.0, 1.0, 1L),
+        (ts("2024-01-01 00:35:00"), 4.0, 5.0, 2L),   // late arrival, correct position
+        (ts("2024-01-01 00:40:00"), 2.0, 7.0, 3L),
+        (ts("2024-01-01 01:00:00"), 8.0, 15.0, 4L)))
+    } finally q.stop()
+  }
+
   test("keepFirstStreaming emits only first row per key across batches") {
     implicit val sc = spark.sqlContext
     val in = MemoryStream[Ev]
