@@ -125,8 +125,8 @@ object Cep {
 
   /** Single-symbol alternation `(B|C)` — a predicate disjunction, which
     * is exactly what MATCH_RECOGNIZE means when both branches are one
-    * variable. (Multi-symbol branch alternation = run one matchPattern
-    * per branch and union.)
+    * variable. For multi-symbol branch alternation `(A B | C D)` use
+    * [[matchPatternBranches]].
     */
   def anyOf(preds: (Row => Boolean)*): Row => Boolean =
     r => preds.exists(_(r))
@@ -149,21 +149,28 @@ object Cep {
   final case class SkipToLast(variable: String) extends AfterMatch
 
   /** Per-match output: key, match_start_ts/match_end_ts (first/last
-    * consumed row), then per step: <name>_first_id, <name>_last_id,
-    * <name>_count (0/null when an optional step matched zero rows) —
-    * the FIRST()/LAST()/COUNT() measures of MATCH_RECOGNIZE.
+    * consumed row), [branch when alternation], then per step variable:
+    * <name>_first_id, <name>_last_id, <name>_count (0/null when a step
+    * matched zero rows or belongs to a non-matching branch) — the
+    * FIRST()/LAST()/COUNT() measures of MATCH_RECOGNIZE.
     */
   private def patternOutSchema(keyCol: String, keyType: DataType,
-                               idType: DataType, steps: Seq[Step]): StructType =
+                               idType: DataType, names: Seq[String],
+                               withBranch: Boolean): StructType =
     StructType(
       Seq(StructField(keyCol, keyType),
           StructField("match_start_ts", TimestampType),
           StructField("match_end_ts", TimestampType)) ++
-      steps.flatMap { st => Seq(
-        StructField(s"${st.name}_first_id", idType),
-        StructField(s"${st.name}_last_id", idType),
-        StructField(s"${st.name}_count", IntegerType))
+      (if (withBranch) Seq(StructField("branch", IntegerType)) else Nil) ++
+      names.flatMap { name => Seq(
+        StructField(s"${name}_first_id", idType),
+        StructField(s"${name}_last_id", idType),
+        StructField(s"${name}_count", IntegerType))
       })
+
+  /** Step-variable names across branches, first-appearance order. */
+  private def unionNames(branches: Seq[Seq[Step]]): Seq[String] =
+    branches.flatten.map(_.name).distinct
 
   /** Backtracking matcher at one anchor. Rows `events(anchor until
     * limit)` are the candidate window (strict contiguity: step s+1
@@ -208,17 +215,44 @@ object Cep {
     */
   def matchPattern(df: DataFrame, keyCol: String, tsCol: String, idCol: String,
                    steps: Seq[Step], withinSec: Long,
-                   afterMatch: AfterMatch = SkipPastLastRow): DataFrame = {
-    require(steps.nonEmpty)
+                   afterMatch: AfterMatch = SkipPastLastRow): DataFrame =
+    matchBranchesImpl(df, keyCol, tsCol, idCol, IndexedSeq(steps.toIndexedSeq),
+      withinSec, afterMatch, withBranch = false)
+
+  /** Multi-variable branch alternation `(A B | C D)` — the reference's
+    * NFA branching states (flink-cep/.../nfa/NFA.java). SQL alternation
+    * is ORDERED: at each anchor the branches are tried left to right
+    * and the first that matches wins; the AFTER MATCH skip strategy
+    * then advances one shared cursor, so a match on one branch
+    * suppresses overlapping anchors for EVERY branch (the semantics a
+    * per-branch run + union cannot give). Output carries a `branch`
+    * ordinal plus the union of all branches' step measures (steps of
+    * non-matching branches are null/0).
+    */
+  def matchPatternBranches(df: DataFrame, keyCol: String, tsCol: String,
+                           idCol: String, branches: Seq[Seq[Step]],
+                           withinSec: Long,
+                           afterMatch: AfterMatch = SkipPastLastRow): DataFrame = {
+    require(branches.nonEmpty && branches.forall(_.nonEmpty))
+    matchBranchesImpl(df, keyCol, tsCol, idCol,
+      branches.map(_.toIndexedSeq).toIndexedSeq, withinSec, afterMatch,
+      withBranch = true)
+  }
+
+  private def matchBranchesImpl(df: DataFrame, keyCol: String, tsCol: String,
+                                idCol: String,
+                                branches: IndexedSeq[IndexedSeq[Step]],
+                                withinSec: Long, afterMatch: AfterMatch,
+                                withBranch: Boolean): DataFrame = {
     val schema = df.schema
     val keyIdx = schema.fieldIndex(keyCol)
     val outSchema = patternOutSchema(keyCol, schema(keyIdx).dataType,
-      schema(schema.fieldIndex(idCol)).dataType, steps)
+      schema(schema.fieldIndex(idCol)).dataType, unionNames(branches), withBranch)
     implicit val outEnc: ExpressionEncoder[Row] =
       ExpressionEncoder(RowEncoder.encoderFor(outSchema))
     implicit val keyEnc = org.apache.spark.sql.Encoders.STRING
     val runner = new PatternRunner(schema, keyCol, tsCol, idCol,
-      steps.toIndexedSeq, withinSec, afterMatch)
+      branches, withinSec, afterMatch, withBranch)
     df.groupByKey(r => String.valueOf(r.get(keyIdx)))
       .flatMapGroups { (_: String, it: Iterator[Row]) =>
         val events = it.toArray.sortBy(runner.sortKey)
@@ -246,12 +280,31 @@ object Cep {
     */
   def matchPatternStreaming(df: DataFrame, keyCol: String, tsCol: String,
                             idCol: String, steps: Seq[Step], withinSec: Long,
-                            afterMatch: AfterMatch = SkipPastLastRow): DataFrame = {
-    require(steps.nonEmpty)
+                            afterMatch: AfterMatch = SkipPastLastRow): DataFrame =
+    matchBranchesStreamingImpl(df, keyCol, tsCol, idCol,
+      IndexedSeq(steps.toIndexedSeq), withinSec, afterMatch, withBranch = false)
+
+  /** Streaming form of [[matchPatternBranches]] — same watermark-frozen
+    * anchor discipline as [[matchPatternStreaming]], same ordered-
+    * alternative and shared-skip-cursor semantics as the batch form.
+    */
+  def matchPatternBranchesStreaming(df: DataFrame, keyCol: String, tsCol: String,
+                                    idCol: String, branches: Seq[Seq[Step]],
+                                    withinSec: Long,
+                                    afterMatch: AfterMatch = SkipPastLastRow): DataFrame = {
+    require(branches.nonEmpty && branches.forall(_.nonEmpty))
+    matchBranchesStreamingImpl(df, keyCol, tsCol, idCol,
+      branches.map(_.toIndexedSeq).toIndexedSeq, withinSec, afterMatch,
+      withBranch = true)
+  }
+
+  private def matchBranchesStreamingImpl(df: DataFrame, keyCol: String,
+      tsCol: String, idCol: String, branches: IndexedSeq[IndexedSeq[Step]],
+      withinSec: Long, afterMatch: AfterMatch, withBranch: Boolean): DataFrame = {
     val schema = df.schema
     val keyIdx = schema.fieldIndex(keyCol)
     val outSchema = patternOutSchema(keyCol, schema(keyIdx).dataType,
-      schema(schema.fieldIndex(idCol)).dataType, steps)
+      schema(schema.fieldIndex(idCol)).dataType, unionNames(branches), withBranch)
     implicit val outEnc: ExpressionEncoder[Row] =
       ExpressionEncoder(RowEncoder.encoderFor(outSchema))
     implicit val inEnc: ExpressionEncoder[Row] =
@@ -264,7 +317,7 @@ object Cep {
     val stateEnc: ExpressionEncoder[Row] =
       ExpressionEncoder(RowEncoder.encoderFor(stateSchema))
     val runner = new PatternRunner(schema, keyCol, tsCol, idCol,
-      steps.toIndexedSeq, withinSec, afterMatch)
+      branches, withinSec, afterMatch, withBranch)
 
     import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
     df.groupByKey(r => String.valueOf(r.get(keyIdx)))
@@ -293,13 +346,18 @@ object Cep {
       }(stateEnc, outEnc)
   }
 
-  /** Shared batch/streaming pattern-match driver. */
+  /** Shared batch/streaming pattern-match driver over one or more
+    * alternation branches (ordered alternatives, one shared skip
+    * cursor — see [[matchPatternBranches]]).
+    */
   private final class PatternRunner(schema: StructType, keyCol: String,
-      tsCol: String, idCol: String, steps: IndexedSeq[Step],
-      withinSec: Long, afterMatch: AfterMatch) extends Serializable {
+      tsCol: String, idCol: String, branches: IndexedSeq[IndexedSeq[Step]],
+      withinSec: Long, afterMatch: AfterMatch,
+      withBranch: Boolean) extends Serializable {
     private val keyIdx = schema.fieldIndex(keyCol)
     private val tsIdx = schema.fieldIndex(tsCol)
     private val idIdx = schema.fieldIndex(idCol)
+    private val names = unionNames(branches).toIndexedSeq
 
     def tsMicros(r: Row): Long = r.get(tsIdx) match {
       case t: java.sql.Timestamp => t.getTime * 1000 + (t.getNanos / 1000) % 1000
@@ -329,17 +387,30 @@ object Cep {
           val deadline = tsMicros(events(i)) + withinSec * 1000000L
           var limit = i
           while (limit < until && tsMicros(events(limit)) <= deadline) limit += 1
-          matchAt(events, i, limit, steps).foreach { case (res, endPos) =>
-            out += buildRow(events, res, i, endPos)
+          // ordered alternatives: first branch to match at this anchor wins
+          val hit = branches.indices.iterator
+            .map(bi => matchAt(events, i, limit, branches(bi)).map((bi, _)))
+            .collectFirst { case Some(m) => m }
+          hit.foreach { case (bi, (res, endPos)) =>
+            val steps = branches(bi)
+            out += buildRow(events, bi, steps, res, i, endPos)
             def stepIdxOf(v: String): Int = steps.indexWhere(_.name == v)
             val resume = afterMatch match {
               case SkipPastLastRow => endPos
               case SkipToFirst(v) =>
-                val (f, _, c) = res(stepIdxOf(v))
-                if (c > 0 && f > i) f else i + 1 // progress guard
+                val si = stepIdxOf(v)
+                // progress guard; a variable absent from the matched
+                // branch also falls back to next-row
+                if (si >= 0) {
+                  val (f, _, c) = res(si)
+                  if (c > 0 && f > i) f else i + 1
+                } else i + 1
               case SkipToLast(v) =>
-                val (_, l, c) = res(stepIdxOf(v))
-                if (c > 0 && l > i) l else i + 1
+                val si = stepIdxOf(v)
+                if (si >= 0) {
+                  val (_, l, c) = res(si)
+                  if (c > 0 && l > i) l else i + 1
+                } else i + 1
               case SkipToNextRow => i + 1
             }
             nextAnchor = resume
@@ -352,16 +423,22 @@ object Cep {
       (out.toSeq, lastEnd)
     }
 
-    private def buildRow(events: Array[Row], res: Array[(Int, Int, Int)],
+    private def buildRow(events: Array[Row], branchIdx: Int,
+                         steps: IndexedSeq[Step], res: Array[(Int, Int, Int)],
                          anchor: Int, endPos: Int): Row = {
       val startTs = events(anchor).get(tsIdx)
       val endTs = events(endPos - 1).get(tsIdx)
-      val vals = Seq(events(anchor).get(keyIdx), startTs, endTs) ++
-        res.flatMap { case (f, l, c) =>
-          if (c == 0) Seq(null, null, 0)
-          else Seq(events(f).get(idIdx), events(l).get(idIdx), c)
+      val byName: Map[String, (Int, Int, Int)] =
+        steps.indices.map(si => steps(si).name -> res(si)).toMap
+      val measures = names.flatMap { name =>
+        byName.get(name) match {
+          case Some((f, l, c)) if c > 0 => Seq(events(f).get(idIdx), events(l).get(idIdx), c)
+          case _ => Seq(null, null, 0)
         }
-      Row.fromSeq(vals)
+      }
+      val head = Seq(events(anchor).get(keyIdx), startTs, endTs) ++
+        (if (withBranch) Seq(branchIdx) else Nil)
+      Row.fromSeq(head ++ measures)
     }
   }
 }

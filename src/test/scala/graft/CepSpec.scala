@@ -206,6 +206,107 @@ class CepSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  // ---- Branch alternation (A B | C D) — ref NFA branching states ----
+
+  test("matchPatternBranches: each branch matches at its own anchor") {
+    val df = seqDf(
+      (1L, "u", "2024-01-01 00:00:00", "A"),
+      (2L, "u", "2024-01-01 00:01:00", "B"),
+      (3L, "u", "2024-01-01 00:02:00", "C"),
+      (4L, "u", "2024-01-01 00:03:00", "D"))
+    val out = Cep.matchPatternBranches(df, "user", "ts", "event_id",
+      Seq(Seq(Cep.Step.once("a", is("A")), Cep.Step.once("b", is("B"))),
+          Seq(Cep.Step.once("c", is("C")), Cep.Step.once("d", is("D")))),
+      withinSec = 3600L)
+      .orderBy("match_start_ts").collect()
+    assert(out.length == 2)
+    assert(out(0).getInt(out(0).fieldIndex("branch")) == 0)
+    assert(out(0).getLong(out(0).fieldIndex("a_first_id")) == 1L)
+    assert(out(0).getLong(out(0).fieldIndex("b_last_id")) == 2L)
+    assert(out(0).isNullAt(out(0).fieldIndex("c_first_id"))) // other branch null
+    assert(out(0).getInt(out(0).fieldIndex("c_count")) == 0)
+    assert(out(1).getInt(out(1).fieldIndex("branch")) == 1)
+    assert(out(1).getLong(out(1).fieldIndex("c_first_id")) == 3L)
+    assert(out(1).getLong(out(1).fieldIndex("d_last_id")) == 4L)
+  }
+
+  test("matchPatternBranches: alternation is ordered — leftmost branch wins") {
+    val df = seqDf(
+      (1L, "u", "2024-01-01 00:00:00", "A"),
+      (2L, "u", "2024-01-01 00:01:00", "B"),
+      (3L, "u", "2024-01-01 00:02:00", "C"))
+    val long = Seq(Cep.Step.once("a", is("A")), Cep.Step.once("b", is("B")),
+      Cep.Step.once("c", is("C")))
+    val short = Seq(Cep.Step.once("a", is("A")), Cep.Step.once("b", is("B")))
+    // long branch listed first → it wins and consumes all three rows
+    val o1 = Cep.matchPatternBranches(df, "user", "ts", "event_id",
+      Seq(long, short), 3600L).collect()
+    assert(o1.length == 1 && o1(0).getInt(o1(0).fieldIndex("branch")) == 0)
+    assert(o1(0).getInt(o1(0).fieldIndex("c_count")) == 1)
+    // short branch listed first → it wins, consuming only A B
+    val o2 = Cep.matchPatternBranches(df, "user", "ts", "event_id",
+      Seq(short, long), 3600L).collect()
+    assert(o2.length == 1 && o2(0).getInt(o2(0).fieldIndex("branch")) == 0)
+    assert(o2(0).getInt(o2(0).fieldIndex("c_count")) == 0)
+  }
+
+  test("matchPatternBranches: one skip cursor suppresses across branches") {
+    // A B D with branches (A B | B D): the A-B match consumes B, so
+    // under SKIP PAST LAST ROW the B-D branch may not anchor inside it.
+    val df = seqDf(
+      (1L, "u", "2024-01-01 00:00:00", "A"),
+      (2L, "u", "2024-01-01 00:01:00", "B"),
+      (3L, "u", "2024-01-01 00:02:00", "D"))
+    val branches = Seq(
+      Seq(Cep.Step.once("a", is("A")), Cep.Step.once("b", is("B"))),
+      Seq(Cep.Step.once("b", is("B")), Cep.Step.once("d", is("D"))))
+    val past = Cep.matchPatternBranches(df, "user", "ts", "event_id",
+      branches, 3600L, Cep.SkipPastLastRow).collect()
+    assert(past.length == 1)
+    assert(past(0).getInt(past(0).fieldIndex("branch")) == 0)
+    // SKIP TO NEXT ROW allows the overlapping branch-1 match at B
+    val next = Cep.matchPatternBranches(df, "user", "ts", "event_id",
+      branches, 3600L, Cep.SkipToNextRow)
+      .orderBy("match_start_ts").collect()
+    assert(next.length == 2)
+    assert(next(0).getInt(next(0).fieldIndex("branch")) == 0)
+    assert(next(1).getInt(next(1).fieldIndex("branch")) == 1)
+    assert(next(1).getLong(next(1).fieldIndex("b_first_id")) == 2L) // shared name, branch-1 mapping
+    assert(next(1).getLong(next(1).fieldIndex("d_last_id")) == 3L)
+  }
+
+  test("matchPatternBranchesStreaming: branches decide as windows freeze") {
+    implicit val sc = spark.sqlContext
+    val in = org.apache.spark.sql.execution.streaming.runtime.MemoryStream[Ev]
+    def isTpe(k: String) = (r: org.apache.spark.sql.Row) =>
+      r.getString(r.fieldIndex("tpe")) == k
+    val branches = Seq(
+      Seq(Cep.Step.once("a", isTpe("A")), Cep.Step.once("b", isTpe("B"))),
+      Seq(Cep.Step.once("c", isTpe("C")), Cep.Step.once("d", isTpe("D"))))
+    val out = Cep.matchPatternBranchesStreaming(
+      in.toDF().withWatermark("ts", "1 minute")
+        .withColumn("eid", org.apache.spark.sql.functions.concat_ws(
+          "-", $"user", $"ts".cast("long"))),
+      "user", "ts", "eid", branches, withinSec = 600L)
+    val q = out.writeStream.format("memory").queryName("cepbranches")
+      .outputMode(org.apache.spark.sql.streaming.OutputMode.Append).start()
+    try {
+      in.addData(Ev(ts("2024-01-01 00:00:00"), "u1", "A", 1.0),
+                 Ev(ts("2024-01-01 00:01:00"), "u1", "B", 1.0),
+                 Ev(ts("2024-01-01 00:02:00"), "u1", "C", 1.0),
+                 Ev(ts("2024-01-01 00:03:00"), "u1", "D", 1.0))
+      q.processAllAvailable()
+      assert(spark.sql("SELECT * FROM cepbranches").count() == 0) // not frozen
+      in.addData(Ev(ts("2024-01-01 00:30:00"), "u1", "X", 0.0))
+      q.processAllAvailable()
+      in.addData(Ev(ts("2024-01-01 00:31:00"), "u1", "X", 0.0))
+      q.processAllAvailable()
+      val rows = spark.sql(
+        "SELECT branch FROM cepbranches ORDER BY match_start_ts").collect()
+      assert(rows.map(_.getInt(0)).toList == List(0, 1))
+    } finally q.stop()
+  }
+
   test("matchSequence: greedy first-match per step") {
     val df = Seq(
       (1L, "u", ts("2024-01-01 00:00:00"), "A"),
