@@ -58,6 +58,19 @@ object Functions3 {
       s.read.schema(o.schema).parquet(out)
     }),
 
+    // ---- Avro format roundtrip — flink-formats/flink-avro --------------
+    // No spark-avro DataSource in the sandbox; graft.sources.Avro
+    // implements the container format on Avro core (same approach as
+    // the reference's own row↔record converters). Timestamps ride the
+    // timestamp-micros logical type; the oracle reads the ORIGINAL
+    // table, so the hash match proves write→read value fidelity.
+    "q68_avro_roundtrip" -> ((s, dir) => {
+      val o = Tables.load(s, dir, "orders")
+      val out = roundtripDir("avro", dir)
+      graft.sources.Avro.write(o, out)
+      graft.sources.Avro.read(s, out)
+    }),
+
     // ---- PARSE_URL — SqlFunctionUtils parse_url ------------------------
     "q60_url_functions" -> ((s, dir) => {
       val p = Tables.load(s, dir, "part")
@@ -145,6 +158,7 @@ object Functions3 {
     "q58_json_roundtrip" -> "SELECT * FROM supplier",
     "q59_orc_roundtrip" -> "SELECT * FROM region",
     "q67_parquet_roundtrip" -> "SELECT * FROM orders",
+    "q68_avro_roundtrip" -> "SELECT * FROM orders",
 
     "q60_url_functions" ->
       """SELECT p_partkey,

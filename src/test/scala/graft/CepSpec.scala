@@ -2,6 +2,9 @@ package graft
 
 import org.scalatest.funsuite.AnyFunSuite
 import java.sql.Timestamp
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions.concat_ws
+import org.apache.spark.sql.streaming.OutputMode
 import graft.streaming.Cep
 
 class CepSpec extends AnyFunSuite {
@@ -305,6 +308,65 @@ class CepSpec extends AnyFunSuite {
         "SELECT branch FROM cepbranches ORDER BY match_start_ts").collect()
       assert(rows.map(_.getInt(0)).toList == List(0, 1))
     } finally q.stop()
+  }
+
+  test("streaming skip continuity: PAST LAST ROW exact, TO FIRST approximate") {
+    // Cross-trigger contract documented on matchPatternStreaming:
+    // SKIP PAST LAST ROW persists its cursor in state and matches the
+    // batch result exactly; SKIP TO FIRST's resume position is
+    // per-trigger, so an anchor decided in a LATER trigger than the
+    // match that should suppress it can admit one extra overlapping
+    // match at the boundary. This spec pins both behaviors.
+    implicit val sc = spark.sqlContext
+    def isTpe(k: String) = (r: org.apache.spark.sql.Row) =>
+      r.getString(r.fieldIndex("tpe")) == k
+    val steps = Seq(Cep.Step.oneOrMore("a", isTpe("A")),
+      Cep.Step.oneOrMore("b", isTpe("B")))
+    val batchDf = Seq(
+      (1L, "u", ts("2024-01-01 00:00:00"), "A"),
+      (2L, "u", ts("2024-01-01 00:01:00"), "A"),
+      (3L, "u", ts("2024-01-01 00:02:00"), "B"),
+      (4L, "u", ts("2024-01-01 00:03:00"), "B"))
+      .toDF("event_id", "user", "ts", "tpe")
+      .withColumn("eid", concat_ws("-", $"user", $"ts".cast("long")))
+    // batch ground truth: one match each way (TO FIRST b resumes at the
+    // first B, suppressing the second A anchor)
+    assert(Cep.matchPattern(batchDf, "user", "ts", "eid", steps, 300L,
+      Cep.SkipToFirst("b")).collect().length == 1)
+    assert(Cep.matchPattern(batchDf, "user", "ts", "eid", steps, 300L,
+      Cep.SkipPastLastRow).collect().length == 1)
+
+    def runStreaming(strategy: Cep.AfterMatch, name: String): Long = {
+      val in = MemoryStream[Ev]
+      val out = Cep.matchPatternStreaming(
+        in.toDF().withWatermark("ts", "1 minute")
+          .withColumn("eid", concat_ws("-", $"user", $"ts".cast("long"))),
+        "user", "ts", "eid", steps, withinSec = 300L, strategy)
+      val q = out.writeStream.format("memory").queryName(name)
+        .outputMode(OutputMode.Append).start()
+      try {
+        in.addData(Ev(ts("2024-01-01 00:00:00"), "u", "A", 1.0),
+                   Ev(ts("2024-01-01 00:01:00"), "u", "A", 1.0),
+                   Ev(ts("2024-01-01 00:02:00"), "u", "B", 1.0),
+                   Ev(ts("2024-01-01 00:03:00"), "u", "B", 1.0))
+        q.processAllAvailable()
+        // trigger where only the FIRST A's window is decided
+        in.addData(Ev(ts("2024-01-01 00:06:00"), "u", "X", 0.0))
+        q.processAllAvailable()
+        // trigger deciding the second A
+        in.addData(Ev(ts("2024-01-01 00:07:30"), "u", "X", 0.0))
+        q.processAllAvailable()
+        in.addData(Ev(ts("2024-01-01 00:30:00"), "u", "X", 0.0))
+        q.processAllAvailable()
+        spark.sql(s"SELECT * FROM $name").count()
+      } finally q.stop()
+    }
+    // PAST LAST ROW: the persisted ts cursor suppresses the second A
+    // across the trigger boundary — exactly the batch answer
+    assert(runStreaming(Cep.SkipPastLastRow, "cep_past") == 1L)
+    // TO FIRST: the second A decides in a later trigger than the match
+    // that suppressed it in batch → one extra overlapping match
+    assert(runStreaming(Cep.SkipToFirst("b"), "cep_tofirst") == 2L)
   }
 
   test("matchSequence: greedy first-match per step") {

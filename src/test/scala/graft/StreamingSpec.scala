@@ -175,6 +175,42 @@ class StreamingSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("streaming window join purges state when the watermark passes the window") {
+    // The reference's StreamExecWindowJoin frees both sides' state at
+    // window end + allowed lateness; Spark's window-equality
+    // stream-stream join does the same via the watermark. Prove it by
+    // watching numRowsRemoved/numRowsTotal in the state operator.
+    implicit val sc = spark.sqlContext
+    val left = MemoryStream[Ev]
+    val right = MemoryStream[Ev]
+    val l = left.toDF().withWatermark("ts", "1 minute")
+      .select(window($"ts", "10 minutes").as("w"), $"user".as("l_user"), $"tpe".as("l_tpe"))
+    val r = right.toDF().withWatermark("ts", "1 minute")
+      .select(window($"ts", "10 minutes").as("w"), $"user".as("r_user"), $"tpe".as("r_tpe"))
+    val joined = l.join(r, Seq("w")).filter($"l_user" === $"r_user")
+    val q = joined.writeStream.format("memory").queryName("wjpurge")
+      .outputMode(OutputMode.Append).start()
+    try {
+      left.addData(Ev(ts("2024-01-01 00:01:00"), "u1", "a", 1.0))
+      right.addData(Ev(ts("2024-01-01 00:02:00"), "u1", "b", 1.0))
+      q.processAllAvailable()
+      assert(spark.sql("SELECT * FROM wjpurge").count() == 1)
+      // advance the watermark far past window [00:00,00:10) on both sides
+      left.addData(Ev(ts("2024-01-01 01:00:00"), "u1", "a", 1.0))
+      right.addData(Ev(ts("2024-01-01 01:00:30"), "u1", "b", 1.0))
+      q.processAllAvailable()
+      left.addData(Ev(ts("2024-01-01 02:00:00"), "u1", "a", 1.0))
+      right.addData(Ev(ts("2024-01-01 02:00:30"), "u1", "b", 1.0))
+      q.processAllAvailable()
+      val progress = q.recentProgress.flatMap(_.stateOperators)
+      assert(progress.map(_.numRowsRemoved).sum > 0,
+        "watermark advance must remove window-join state rows")
+      // state holds only the undecided tail, not every row ever seen
+      val lastTotal = progress.last.numRowsTotal
+      assert(lastTotal < 6, s"state must stay bounded, saw $lastTotal")
+    } finally q.stop()
+  }
+
   test("stream-stream interval join with watermarks (built-in path)") {
     implicit val sc = spark.sqlContext
     val left = MemoryStream[Ev]
