@@ -378,7 +378,10 @@ object TpcH {
         .select(col("l_orderkey"), col("l_suppkey"), col("o_orderstatus"),
           (col("l_shipdate") > col("o_orderdate") + expr("INTERVAL 60 DAYS")).as("late"))
       val l1 = lo.filter(col("o_orderstatus") === "F" && col("late"))
-      val l2 = lo.select(col("l_orderkey").as("k2"), col("l_suppkey").as("sk2"))
+      // the EXISTS side needs only (orderkey, suppkey) existence, which
+      // lineitem alone provides — skips a whole lineitem⋈orders join
+      val l2 = t(s, dir, "lineitem")
+        .select(col("l_orderkey").as("k2"), col("l_suppkey").as("sk2"))
       val l3 = lo.filter(col("late"))
         .select(col("l_orderkey").as("k3"), col("l_suppkey").as("sk3"))
       l1.join(l2, col("l_orderkey") === col("k2") && col("l_suppkey") =!= col("sk2"), "left_semi")
@@ -625,7 +628,7 @@ object TpcH {
       SELECT s_name, count(*) AS numwait
       FROM supplier, lo l1, nation
       WHERE s_suppkey = l1.l_suppkey AND l1.o_orderstatus = 'F' AND l1.late
-        AND EXISTS (SELECT 1 FROM lo l2
+        AND EXISTS (SELECT 1 FROM lineitem l2
                     WHERE l2.l_orderkey = l1.l_orderkey AND l2.l_suppkey <> l1.l_suppkey)
         AND NOT EXISTS (SELECT 1 FROM lo l3
                         WHERE l3.l_orderkey = l1.l_orderkey AND l3.l_suppkey <> l1.l_suppkey
