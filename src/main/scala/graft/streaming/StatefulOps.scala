@@ -474,6 +474,72 @@ object StatefulOps {
       }(stateEnc, outEnc)
   }
 
+  /** Streaming RANGE-BOUNDED preceding OVER aggregate in event time —
+    * the literal semantics of the reference's
+    * RT/over/RowTimeRangeBoundedPrecedingFunction.java: each released
+    * row carries sum/count of `valueCol` over the key's rows in
+    * `[rowtime − rangeSec, rowtime]`. Same watermark-buffered release
+    * discipline as [[runningAggEventTimeStreaming]]; additionally the
+    * already-released tail inside the range window is retained in
+    * state (and evicted once it can no longer fall inside any future
+    * row's range — the reference's cleanup timer).
+    */
+  def boundedRangeAggEventTimeStreaming(df: DataFrame, keys: Seq[String],
+                                        tsCol: String, valueCol: String,
+                                        rangeSec: Long,
+                                        tieBreak: Seq[String] = Nil): DataFrame = {
+    val schema = df.schema
+    val outSchema = StructType(schema.fields ++ Seq(
+      StructField("range_sum", org.apache.spark.sql.types.DoubleType),
+      StructField("range_count", org.apache.spark.sql.types.LongType)))
+    implicit val outEnc: ExpressionEncoder[Row] = rowEnc(outSchema)
+    // state: pending (not yet released) + released tail (inside range)
+    val stateEnc: ExpressionEncoder[Row] = rowEnc(StructType(Seq(
+      StructField("pending", org.apache.spark.sql.types.ArrayType(schema)),
+      StructField("tail", org.apache.spark.sql.types.ArrayType(schema)))))
+    implicit val keyEnc = Encoders.STRING
+    val keyIdx = keys.map(schema.fieldIndex)
+    val tsIdx = schema.fieldIndex(tsCol)
+    val valIdx = schema.fieldIndex(valueCol)
+    val tieIdx = tieBreak.map(schema.fieldIndex)
+    val rangeMicros = rangeSec * 1000000L
+    def micros(r: Row): Long = r.get(tsIdx) match {
+      case t: java.sql.Timestamp => t.getTime * 1000 + (t.getNanos / 1000) % 1000
+      case l: Long => l
+      case i: Int => i.toLong
+      case o => o.hashCode().toLong
+    }
+    def sortKey(r: Row): (Long, String) =
+      (micros(r), tieIdx.map(i => String.valueOf(r.get(i))).mkString("|"))
+    def num(r: Row): Double = r.get(valIdx) match {
+      case d: Double => d; case f: Float => f.toDouble
+      case l: Long => l.toDouble; case i: Int => i.toDouble
+      case b: java.math.BigDecimal => b.doubleValue(); case _ => 0.0
+    }
+    df.groupByKey(r => StatefulOps.encodeKey(r, keyIdx))
+      .flatMapGroupsWithState[Row, Row](
+        OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        (_: String, rows: Iterator[Row], state: GroupState[Row]) =>
+          var (pending, tail) =
+            if (state.exists) (state.get.getSeq[Row](0), state.get.getSeq[Row](1))
+            else (Seq.empty[Row], Seq.empty[Row])
+          pending = pending ++ rows
+          val wmMicros = state.getCurrentWatermarkMs() * 1000L
+          val (ready, stillPending) = pending.partition(micros(_) <= wmMicros)
+          var window = tail // rowtime-sorted released rows inside range
+          val out = ready.sortBy(sortKey).map { r =>
+            val ts = micros(r)
+            window = (window :+ r).dropWhile(w => micros(w) < ts - rangeMicros)
+            Row.fromSeq(r.toSeq ++ Seq[Any](
+              window.iterator.map(num).sum, window.length.toLong))
+          }
+          // rows older than watermark − range can't serve any future row
+          val keepTail = window.dropWhile(w => micros(w) < wmMicros - rangeMicros)
+          state.update(Row(stillPending, keepTail))
+          out.iterator
+      }(stateEnc, outEnc)
+  }
+
   // ---- Lookup join (streaming) ---------------------------------------
 
   /** Streaming lookup join — the reference's LookupJoin

@@ -91,6 +91,41 @@ class StreamingSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("boundedRangeAggEventTimeStreaming sums the trailing range window") {
+    // RowTimeRangeBoundedPrecedingFunction semantics: sum over
+    // [rowtime − range, rowtime] in rowtime order, across triggers,
+    // with the released tail retained exactly as long as it can serve
+    // a future row.
+    implicit val sc = spark.sqlContext
+    val in = MemoryStream[Ev]
+    val out = StatefulOps.boundedRangeAggEventTimeStreaming(
+      in.toDF().withWatermark("ts", "10 minutes"),
+      Seq("user"), "ts", "value", rangeSec = 600L)
+    val q = out.writeStream.format("memory").queryName("rangeagg")
+      .outputMode(OutputMode.Append).start()
+    try {
+      in.addData(Ev(ts("2024-01-01 00:00:00"), "u", "a", 1.0),
+                 Ev(ts("2024-01-01 00:12:00"), "u", "a", 4.0))
+      q.processAllAvailable() // wm → 00:02
+      in.addData(Ev(ts("2024-01-01 00:07:00"), "u", "a", 16.0)) // late, in wm
+      q.processAllAvailable() // releases 00:00
+      in.addData(Ev(ts("2024-01-01 00:40:00"), "u", "a", 0.0))
+      q.processAllAvailable() // wm → 00:30
+      in.addData(Ev(ts("2024-01-01 00:50:00"), "u", "a", 0.0))
+      q.processAllAvailable() // releases 00:07 (incl. 00:00) and 00:12 (00:00 aged out)
+      in.addData(Ev(ts("2024-01-01 01:10:00"), "u", "a", 0.0))
+      q.processAllAvailable() // wm 00:40 releases the 00:40 row alone
+      val rows = spark.sql(
+        "SELECT ts, range_sum, range_count FROM rangeagg ORDER BY ts")
+        .collect().map(r => (r.getTimestamp(0), r.getDouble(1), r.getLong(2))).toList
+      assert(rows == List(
+        (ts("2024-01-01 00:00:00"), 1.0, 1L),
+        (ts("2024-01-01 00:07:00"), 17.0, 2L),  // 00:00 still in range
+        (ts("2024-01-01 00:12:00"), 20.0, 2L),  // 00:00 aged out, 00:07 in
+        (ts("2024-01-01 00:40:00"), 0.0, 1L)))  // alone in its range
+    } finally q.stop()
+  }
+
   test("keepFirstStreaming emits only first row per key across batches") {
     implicit val sc = spark.sqlContext
     val in = MemoryStream[Ev]
