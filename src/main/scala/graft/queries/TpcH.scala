@@ -227,18 +227,23 @@ object TpcH {
     }),
 
     // Q11: important stock identification — HAVING against a scalar
-    // subquery → broadcast 1-row cross join.
+    // subquery → broadcast 1-row cross join. TPC-H scales Q11's share
+    // threshold by 1/SF; a static fraction would go empty at larger
+    // SFs, so the threshold is data-driven instead: 3× the mean
+    // per-part value (same scalar-subquery shape, selective at any SF).
     "h11_important_stock" -> ((s, dir) => {
       val natPs = ps(s, dir)
         .join(t(s, dir, "supplier"), col("ps_suppkey") === col("s_suppkey"))
         .join(broadcast(t(s, dir, "nation").filter(col("n_name") === "NATION_7")),
           col("s_nationkey") === col("n_nationkey"))
         .select(col("ps_partkey"), (col("ps_supplycost") * col("ps_availqty")).as("v"))
-      val total = natPs.agg(sum(dec6(col("v"))).cast("double").as("total_v"))
-      natPs.groupBy(col("ps_partkey"))
+      val grouped = natPs.groupBy(col("ps_partkey"))
         .agg(sum(dec6(col("v"))).cast("double").as("value"))
-        .crossJoin(broadcast(total))
-        .filter(col("value") > col("total_v") * 0.001)
+      val thr = grouped.agg(
+        (lit(3.0) * sum(col("value").cast(DecimalType(24, 6))).cast("double") /
+          count(lit(1))).as("thr"))
+      grouped.crossJoin(broadcast(thr))
+        .filter(col("value") > col("thr"))
         .select(col("ps_partkey"), col("value"))
     }),
 
@@ -524,15 +529,15 @@ object TpcH {
       ORDER BY revenue DESC, c_custkey LIMIT 20""",
 
     "h11_important_stock" -> s"""
-      WITH $psSql
-      SELECT ps_partkey, CAST(sum(CAST(ps_supplycost*ps_availqty AS DECIMAL(22,6))) AS DOUBLE) AS value
-      FROM ps, supplier, nation
-      WHERE ps_suppkey = s_suppkey AND s_nationkey = n_nationkey AND n_name = 'NATION_7'
-      GROUP BY ps_partkey
-      HAVING CAST(sum(CAST(ps_supplycost*ps_availqty AS DECIMAL(22,6))) AS DOUBLE) >
-        (SELECT CAST(sum(CAST(ps_supplycost*ps_availqty AS DECIMAL(22,6))) AS DOUBLE) * 0.001
-         FROM ps, supplier, nation
-         WHERE ps_suppkey = s_suppkey AND s_nationkey = n_nationkey AND n_name = 'NATION_7')""",
+      WITH $psSql,
+      grouped AS (
+        SELECT ps_partkey, CAST(sum(CAST(ps_supplycost*ps_availqty AS DECIMAL(22,6))) AS DOUBLE) AS value
+        FROM ps, supplier, nation
+        WHERE ps_suppkey = s_suppkey AND s_nationkey = n_nationkey AND n_name = 'NATION_7'
+        GROUP BY ps_partkey)
+      SELECT ps_partkey, value FROM grouped
+      WHERE value > (SELECT 3.0 * CAST(sum(CAST(value AS DECIMAL(24,6))) AS DOUBLE) / count(*)
+                     FROM grouped)""",
 
     "h12_shipmode_priority" -> """
       SELECT l_linestatus AS shipmode,
