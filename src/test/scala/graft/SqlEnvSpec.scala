@@ -59,6 +59,37 @@ class SqlEnvSpec extends AnyFunSuite {
     assert(sess.nonEmpty)
   }
 
+  test("SQL-text TPC-H Q21: correlated EXISTS/NOT EXISTS decorrelates") {
+    // The reference runs its standard-corpus batteries as SQL text;
+    // prove the hardest subquery shape in ours — EXISTS + NOT EXISTS
+    // with a correlated NON-equality conjunct (l2.l_suppkey <>
+    // l1.l_suppkey) — plans through Catalyst's decorrelation and
+    // agrees with the hand-decorrelated DataFrame form (h21).
+    val dir = "/root/testdata/sf0.01" // sf0.001 has no NATION_2 waiters
+    val env = graft.sql.SqlEnv(spark)
+    Seq("lineitem", "orders", "supplier", "nation")
+      .foreach(t => env.registerParquet(t, s"$dir/$t.parquet"))
+    val sql = env.executeSql("""
+      WITH lo AS (
+        SELECT l_orderkey, l_suppkey, o_orderstatus,
+               (l_shipdate > o_orderdate + INTERVAL 60 DAYS) AS late
+        FROM lineitem JOIN orders ON o_orderkey = l_orderkey)
+      SELECT s_name, count(*) AS numwait
+      FROM supplier, lo l1, nation
+      WHERE s_suppkey = l1.l_suppkey AND l1.o_orderstatus = 'F' AND l1.late
+        AND EXISTS (SELECT 1 FROM lineitem l2
+                    WHERE l2.l_orderkey = l1.l_orderkey AND l2.l_suppkey <> l1.l_suppkey)
+        AND NOT EXISTS (SELECT 1 FROM lo l3
+                        WHERE l3.l_orderkey = l1.l_orderkey AND l3.l_suppkey <> l1.l_suppkey
+                          AND l3.late)
+        AND s_nationkey = n_nationkey AND n_name = 'NATION_2'
+      GROUP BY s_name""")
+      .collect().map(r => (r.getString(0), r.getLong(1))).toMap
+    val df = graft.queries.TpcH.queries("h21_suppliers_waiting")(spark, dir)
+      .collect().map(r => (r.getString(0), r.getLong(1))).toMap
+    assert(sql == df && sql.nonEmpty)
+  }
+
   test("TRANSFORM script operator (Hive-style, no-serde mode)") {
     val env = SqlEnv(spark).registerTestdata(TestSpark.sfDir)
     val out = env.executeSql(
