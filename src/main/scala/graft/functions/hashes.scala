@@ -259,5 +259,7 @@ object functions {
       es => HammingDistance64(Cast(es(0), LongType), Cast(es(1), LongType)), "built-in")
     reg.createOrReplaceTempFunction("cosine_sim",
       es => CosineSimilarity(Cast(es(0), ArrayType(FloatType)), Cast(es(1), ArrayType(FloatType))), "built-in")
+    reg.createOrReplaceTempFunction("hyperplane_bits64",
+      es => HyperplaneBits64(Cast(es.head, ArrayType(FloatType))), "built-in")
   }
 }

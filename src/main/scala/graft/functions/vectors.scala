@@ -95,10 +95,61 @@ case class NearestCells(child: Expression, cells: Array[Int],
   override def prettyName: String = "nearest_cells"
 }
 
+/** 64 random-hyperplane sign bits of an embedding —
+  * `hyperplane_bits64(emb)` → bigint. Plane p is a deterministic
+  * Rademacher (±1) vector derived per (plane, dimension) from the
+  * shared mix64 hash, so the same embedding always lands on the same
+  * bits without materializing a plane matrix. Two embeddings at angle
+  * θ disagree on each bit with probability θ/π, so
+  * `hamming64(bits_a, bits_b)/64 · π` estimates the angle — the
+  * classic cosine-LSH (SimHash-for-vectors) sketch; banding the bits
+  * gives near-dup candidate buckets (see NearDup for the text analog).
+  */
+object HyperplaneBits64 {
+  /** Static kernel shared by eval and generated code. */
+  def compute(vec: org.apache.spark.sql.catalyst.util.ArrayData): Long = {
+    val n = vec.numElements()
+    var bits = 0L
+    var p = 0
+    while (p < 64) {
+      var dot = 0.0
+      var d = 0
+      while (d < n) {
+        val h = Hashing.mix64((p.toLong << 32) | (d.toLong & 0xFFFFFFFFL))
+        val s = if ((h & 1L) == 1L) 1.0 else -1.0
+        dot += vec.getFloat(d).toDouble * s
+        d += 1
+      }
+      if (dot >= 0.0) bits |= (1L << p)
+      p += 1
+    }
+    bits
+  }
+}
+
+case class HyperplaneBits64(child: Expression) extends UnaryExpression {
+  override def dataType: DataType = LongType
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ArrayType(FloatType, _) => TypeCheckResult.TypeCheckSuccess
+    case _ => TypeCheckResult.TypeCheckFailure("hyperplane_bits64 expects array<float>")
+  }
+  override def nullSafeEval(vec: Any): Any =
+    HyperplaneBits64.compute(vec.asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData])
+  override protected def doGenCode(ctx: codegen.CodegenContext,
+      ev: codegen.ExprCode): codegen.ExprCode =
+    nullSafeCodeGen(ctx, ev, vec =>
+      s"${ev.value} = graft.functions.HyperplaneBits64.compute($vec);")
+  override protected def withNewChildInternal(c: Expression): Expression =
+    copy(child = c)
+  override def prettyName: String = "hyperplane_bits64"
+}
+
 object VectorFns {
   import org.apache.spark.sql.GraftBridge.{column, expression}
   def nearest_cells(emb: Column, cells: Array[Int],
                     matrix: Array[Array[Float]], nprobe: Int): Column =
     column(NearestCells(Cast(expression(emb), ArrayType(FloatType)),
       cells, matrix, nprobe))
+  def hyperplane_bits64(emb: Column): Column =
+    column(HyperplaneBits64(Cast(expression(emb), ArrayType(FloatType))))
 }

@@ -67,6 +67,45 @@ object VectorOps {
         queryPred = col("vec_id") % 50 === 0, topK = 3, nprobe = 2)
     }),
 
+    // ---- Embedding-cosine near-dup at scale: hyperplane LSH -----------
+    // The scale path for v41's exact label-blocked all-pairs: 64
+    // random-hyperplane sign bits per embedding (map-side codegen'd
+    // expression, like minhash for text), banded into 4×16-bit chunks —
+    // candidates only meet through chunk buckets (capped), then the
+    // constant-size bits + exact cosine rerank join per UNIQUE pair.
+    // Same linearity argument as the NearDup operators; the bits table
+    // is materialized so the oracle can band the identical rows.
+    "v44_embedding_lsh_pairs" -> ((s, dir) => {
+      val p = s"/tmp/graft_oracle/${new java.io.File(dir).getName}/hyperplane_bits"
+      Tables.load(s, dir, "embeddings")
+        .select(col("vec_id"),
+          graft.functions.VectorFns.hyperplane_bits64(col("embedding")).as("bits"))
+        .write.mode("overwrite").parquet(p)
+      val sigs = s.read.parquet(p)
+      val chunks = sigs.select(col("vec_id"),
+          explode(expr("transform(sequence(0, 3), " +
+            "c -> struct(c AS chunk, shiftright(bits, c * 16) & 65535 AS ck))")).as("cc"))
+        .select(col("vec_id"), col("cc.chunk"), col("cc.ck"))
+      val sized = chunks.withColumn("bucket_size",
+          count(lit(1)).over(Window.partitionBy(col("chunk"), col("ck"))))
+        .filter(col("bucket_size") <= 64)
+      val a = sized.select(col("chunk"), col("ck"), col("vec_id").as("id_a"))
+      val b = sized.select(col("chunk"), col("ck"), col("vec_id").as("id_b"))
+      val pairs = a.join(b, Seq("chunk", "ck")).filter(col("id_a") < col("id_b"))
+        .select("id_a", "id_b").distinct()
+      val e = Tables.load(s, dir, "embeddings")
+      pairs
+        .join(sigs.select(col("vec_id").as("id_a"), col("bits").as("bits_a")), "id_a")
+        .join(sigs.select(col("vec_id").as("id_b"), col("bits").as("bits_b")), "id_b")
+        .withColumn("hamming",
+          graft.functions.functions.hamming64(col("bits_a"), col("bits_b")))
+        .filter(col("hamming") <= 24) // ≈ angle ≤ 67° → cosine ≥ ~0.4
+        .join(e.select(col("vec_id").as("id_a"), col("embedding").as("emb_a")), "id_a")
+        .join(e.select(col("vec_id").as("id_b"), col("embedding").as("emb_b")), "id_b")
+        .withColumn("cos_sim", cosine_sim(col("emb_a"), col("emb_b")))
+        .select(col("id_a"), col("id_b"), col("hamming"), col("cos_sim"))
+    }),
+
     // ---- Brute-force ANN top-3 per query vector -----------------------
     "v42_ann_topk" -> ((s, dir) => {
       val e = Tables.load(s, dir, "embeddings")
@@ -105,6 +144,26 @@ object VectorOps {
         |  ${dotSql.format("a.embedding", "b.embedding")} / (a.nrm * b.nrm) AS cos_sim
         |FROM n a JOIN n b ON a.label = b.label AND a.vec_id < b.vec_id
         |WHERE ${dotSql.format("a.embedding", "b.embedding")} / (a.nrm * b.nrm) >= 0.5""".stripMargin,
+
+    "v44_embedding_lsh_pairs" ->
+      s"""WITH s AS (SELECT * FROM read_parquet('/tmp/graft_oracle/sf0.01/hyperplane_bits/*.parquet')),
+        |chunks AS (SELECT vec_id, c AS chunk, (bits >> (CAST(c AS INT) * 16)) & 65535 AS ck
+        |           FROM s, range(0, 4) t(c)),
+        |sized AS (SELECT *, count(*) OVER (PARTITION BY chunk, ck) AS bucket_size FROM chunks),
+        |f AS (SELECT * FROM sized WHERE bucket_size <= 64),
+        |pairs AS (SELECT DISTINCT l.vec_id AS id_a, r.vec_id AS id_b
+        |          FROM f l JOIN f r USING (chunk, ck) WHERE l.vec_id < r.vec_id),
+        |n AS (SELECT vec_id, embedding,
+        |        sqrt(${dotSql.format("embedding", "embedding")}) AS nrm
+        |      FROM embeddings)
+        |SELECT id_a, id_b, bit_count(xor(sa.bits, sb.bits)) AS hamming,
+        |  ${dotSql.format("a.embedding", "b.embedding")} / (a.nrm * b.nrm) AS cos_sim
+        |FROM pairs
+        |JOIN s sa ON sa.vec_id = id_a
+        |JOIN s sb ON sb.vec_id = id_b
+        |JOIN n a ON a.vec_id = id_a
+        |JOIN n b ON b.vec_id = id_b
+        |WHERE bit_count(xor(sa.bits, sb.bits)) <= 24""".stripMargin,
 
     "v42_ann_topk" ->
       s"""WITH n AS (

@@ -66,4 +66,28 @@ class HashFunctionsSpec extends AnyFunSuite {
     assert(math.abs(vals(0) - 1.0) < 1e-12)
     assert(vals(1) == 0.0)
   }
+
+  test("hyperplane_bits64: deterministic, sign-symmetric, angle-tracking") {
+    import graft.functions.VectorFns.hyperplane_bits64
+    val v = Array.tabulate(64)(i => math.sin(i * 1.7).toFloat)
+    val nearV = v.clone(); nearV(0) = nearV(0) + 0.01f // tiny perturbation
+    val negV = v.map(-_)                               // antipode
+    val df = Seq(("v", v), ("near", nearV), ("neg", negV))
+      .toDF("name", "emb")
+      .select($"name", hyperplane_bits64($"emb").as("bits"))
+    val m = df.collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    // deterministic across evaluations
+    assert(m("v") == df.filter($"name" === "v").collect()(0).getLong(1))
+    // antipodal vector flips every sign bit
+    assert((m("v") ^ m("neg")) == -1L)
+    // near-identical vector flips almost no bits (θ ≈ 0 → hamming ≈ 0)
+    assert(java.lang.Long.bitCount(m("v") ^ m("near")) <= 3)
+    // SQL registration
+    graft.functions.functions.register(spark)
+    val sql = spark.sql(
+      "SELECT hyperplane_bits64(array(CAST(1.0 AS FLOAT), CAST(2.0 AS FLOAT)))").collect()(0).getLong(0)
+    val api = Seq(Tuple1(Array(1f, 2f))).toDF("e")
+      .select(hyperplane_bits64($"e")).collect()(0).getLong(0)
+    assert(sql == api)
+  }
 }
