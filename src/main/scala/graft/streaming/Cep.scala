@@ -256,7 +256,7 @@ object Cep {
     df.groupByKey(r => String.valueOf(r.get(keyIdx)))
       .flatMapGroups { (_: String, it: Iterator[Row]) =>
         val events = it.toArray.sortBy(runner.sortKey)
-        runner.emitMatches(events, 0, events.length, Long.MinValue)._1.iterator
+        runner.emitMatches(events, 0, events.length, runner.NoCursor)._1.iterator
       }(outEnc)
   }
 
@@ -270,13 +270,13 @@ object Cep {
     * watermark − within are evicted, so state is bounded by the
     * within-window per key — Flink's CEP state bound.
     *
-    * Skip-strategy continuity across triggers: SKIP PAST LAST ROW
-    * persists its cursor (timestamp) in state and is exact. SKIP TO
-    * FIRST/LAST resume POSITIONS are per-trigger; a resume point
-    * landing beyond the current decidable prefix is not carried into
-    * the next trigger, which can admit an extra overlapping match at
-    * the boundary — use PAST LAST ROW (the SQL default) when exact
-    * cross-trigger suppression matters.
+    * Skip-strategy continuity across triggers is EXACT for every
+    * strategy: the resume position persists in state as a (rowtime,
+    * id) SORT-KEY cursor rather than an array index, so it stays
+    * meaningful across trigger boundaries and state eviction — an
+    * anchor that decides in a later trigger than the match that
+    * suppresses it is still suppressed, exactly as in batch (spec:
+    * "streaming skip continuity across triggers is exact").
     */
   def matchPatternStreaming(df: DataFrame, keyCol: String, tsCol: String,
                             idCol: String, steps: Seq[Step], withinSec: Long,
@@ -310,10 +310,12 @@ object Cep {
     implicit val inEnc: ExpressionEncoder[Row] =
       ExpressionEncoder(RowEncoder.encoderFor(schema))
     implicit val keyEnc = org.apache.spark.sql.Encoders.STRING
-    // state = (buffered rows, ts-micros of the last emitted match end)
+    // state = (buffered rows, skip-strategy resume cursor as sort key)
     val stateSchema = StructType(Seq(
       StructField("buf", ArrayType(schema)),
-      StructField("last_end", LongType)))
+      StructField("cur_ts", LongType),
+      StructField("cur_id", StringType),
+      StructField("cur_incl", BooleanType)))
     val stateEnc: ExpressionEncoder[Row] =
       ExpressionEncoder(RowEncoder.encoderFor(stateSchema))
     val runner = new PatternRunner(schema, keyCol, tsCol, idCol,
@@ -324,9 +326,11 @@ object Cep {
       .flatMapGroupsWithState[Row, Row](
         OutputMode.Append, GroupStateTimeout.NoTimeout) {
         (_: String, rows: Iterator[Row], state: GroupState[Row]) =>
-          val (buf0, lastEnd0) =
-            if (state.exists) (state.get.getSeq[Row](0), state.get.getLong(1))
-            else (Seq.empty[Row], Long.MinValue)
+          val cursor0 =
+            if (state.exists)
+              (state.get.getLong(1), state.get.getString(2), state.get.getBoolean(3))
+            else runner.NoCursor
+          val buf0 = if (state.exists) state.get.getSeq[Row](0) else Seq.empty[Row]
           val wmMicros = state.getCurrentWatermarkMs() * 1000L
           val events = (buf0 ++ rows).toArray.sortBy(runner.sortKey)
           // anchors with deadline ≤ watermark are final — match them now
@@ -335,13 +339,13 @@ object Cep {
             case -1 => events.length
             case i  => i
           }
-          val (out, lastEnd) =
-            runner.emitMatches(events, 0, events.length, lastEnd0, decidableTo)
+          val (out, cursor) =
+            runner.emitMatches(events, 0, events.length, cursor0, decidableTo)
           // evict rows that can no longer anchor or appear in any
           // undecided anchor's window
           val keep = events.dropWhile(r =>
             runner.tsMicros(r) + withinSec * 1000000L <= wmMicros)
-          state.update(Row(keep.toSeq, lastEnd))
+          state.update(Row(keep.toSeq, cursor._1, cursor._2, cursor._3))
           out.iterator
       }(stateEnc, outEnc)
   }
@@ -366,24 +370,37 @@ object Cep {
     }
     def sortKey(r: Row): (Long, String) = (tsMicros(r), String.valueOf(r.get(idIdx)))
 
+    /** Suppression cursor — the skip strategy's resume position as a
+      * SORT KEY, not an index, so it survives trigger boundaries and
+      * state eviction verbatim: anchors ordered before the cursor (or
+      * at it, when `inclusive`) may not start a match. `NoCursor`
+      * suppresses nothing.
+      */
+    type Cursor = (Long, String, Boolean) // (micros, id, inclusive)
+    val NoCursor: Cursor = (Long.MinValue, "", true)
+
+    private def suppressed(k: (Long, String), c: Cursor): Boolean = {
+      val cmp = java.lang.Long.compare(k._1, c._1) match {
+        case 0 => k._2.compareTo(c._2)
+        case x => x
+      }
+      cmp < 0 || (cmp == 0 && c._3)
+    }
+
     /** Scan anchors in `[from, until)`; only anchors < `decidableTo`
-      * may start a match (batch passes until). `lastEndMicros` carries
-      * the skip-past-last-row cursor across streaming triggers.
-      * Returns (emitted rows, new lastEndMicros).
+      * may start a match (batch passes until). `cursor0` carries the
+      * skip-strategy resume position across streaming triggers — for
+      * EVERY strategy, so SKIP TO FIRST/LAST and PAST LAST ROW are all
+      * exact across trigger boundaries. Returns (emitted rows, cursor).
       */
     def emitMatches(events: Array[Row], from: Int, until: Int,
-                    lastEndMicros: Long,
-                    decidableTo: Int = Int.MaxValue): (Seq[Row], Long) = {
+                    cursor0: Cursor,
+                    decidableTo: Int = Int.MaxValue): (Seq[Row], Cursor) = {
       val out = scala.collection.mutable.ArrayBuffer.empty[Row]
-      var lastEnd = lastEndMicros
-      var nextAnchor = -1 // first allowed anchor index (skip strategies)
+      var cursor = cursor0
       var i = from
       while (i < until && i < decidableTo) {
-        val skipAnchor = afterMatch match {
-          case SkipToNextRow => false
-          case _ => i < nextAnchor || tsMicros(events(i)) <= lastEnd
-        }
-        if (!skipAnchor) {
+        if (!suppressed(sortKey(events(i)), cursor)) {
           val deadline = tsMicros(events(i)) + withinSec * 1000000L
           var limit = i
           while (limit < until && tsMicros(events(limit)) <= deadline) limit += 1
@@ -395,32 +412,34 @@ object Cep {
             val steps = branches(bi)
             out += buildRow(events, bi, steps, res, i, endPos)
             def stepIdxOf(v: String): Int = steps.indexWhere(_.name == v)
-            val resume = afterMatch match {
-              case SkipPastLastRow => endPos
+            def at(idx: Int, inclusive: Boolean): Cursor = {
+              val k = sortKey(events(idx)); (k._1, k._2, inclusive)
+            }
+            cursor = afterMatch match {
+              case SkipPastLastRow => at(endPos - 1, inclusive = true)
               case SkipToFirst(v) =>
                 val si = stepIdxOf(v)
                 // progress guard; a variable absent from the matched
                 // branch also falls back to next-row
                 if (si >= 0) {
                   val (f, _, c) = res(si)
-                  if (c > 0 && f > i) f else i + 1
-                } else i + 1
+                  if (c > 0 && f > i) at(f, inclusive = false)
+                  else at(i, inclusive = true)
+                } else at(i, inclusive = true)
               case SkipToLast(v) =>
                 val si = stepIdxOf(v)
                 if (si >= 0) {
                   val (_, l, c) = res(si)
-                  if (c > 0 && l > i) l else i + 1
-                } else i + 1
-              case SkipToNextRow => i + 1
+                  if (c > 0 && l > i) at(l, inclusive = false)
+                  else at(i, inclusive = true)
+                } else at(i, inclusive = true)
+              case SkipToNextRow => at(i, inclusive = true)
             }
-            nextAnchor = resume
-            if (afterMatch == SkipPastLastRow)
-              lastEnd = math.max(lastEnd, tsMicros(events(endPos - 1)))
           }
         }
         i += 1
       }
-      (out.toSeq, lastEnd)
+      (out.toSeq, cursor)
     }
 
     private def buildRow(events: Array[Row], branchIdx: Int,

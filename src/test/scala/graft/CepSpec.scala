@@ -310,13 +310,11 @@ class CepSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
-  test("streaming skip continuity: PAST LAST ROW exact, TO FIRST approximate") {
-    // Cross-trigger contract documented on matchPatternStreaming:
-    // SKIP PAST LAST ROW persists its cursor in state and matches the
-    // batch result exactly; SKIP TO FIRST's resume position is
-    // per-trigger, so an anchor decided in a LATER trigger than the
-    // match that should suppress it can admit one extra overlapping
-    // match at the boundary. This spec pins both behaviors.
+  test("streaming skip continuity across triggers is exact") {
+    // The resume position persists as a (rowtime, id) sort-key cursor,
+    // so EVERY skip strategy matches its batch result even when the
+    // suppressed anchor only becomes decidable in a later trigger than
+    // the match that suppresses it.
     implicit val sc = spark.sqlContext
     def isTpe(k: String) = (r: org.apache.spark.sql.Row) =>
       r.getString(r.fieldIndex("tpe")) == k
@@ -361,12 +359,10 @@ class CepSpec extends AnyFunSuite {
         spark.sql(s"SELECT * FROM $name").count()
       } finally q.stop()
     }
-    // PAST LAST ROW: the persisted ts cursor suppresses the second A
-    // across the trigger boundary — exactly the batch answer
+    // both strategies: the persisted sort-key cursor suppresses the
+    // second A across the trigger boundary — exactly the batch answer
     assert(runStreaming(Cep.SkipPastLastRow, "cep_past") == 1L)
-    // TO FIRST: the second A decides in a later trigger than the match
-    // that suppressed it in batch → one extra overlapping match
-    assert(runStreaming(Cep.SkipToFirst("b"), "cep_tofirst") == 2L)
+    assert(runStreaming(Cep.SkipToFirst("b"), "cep_tofirst") == 1L)
   }
 
   test("matchSequence: greedy first-match per step") {
