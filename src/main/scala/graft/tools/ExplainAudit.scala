@@ -19,7 +19,9 @@ object ExplainAudit {
     val dir = "/root/testdata/sf0.001"
     val names = if (args.nonEmpty) args.toSeq
       else Seq("q1_pricing_summary", "q2_local_revenue", "q3_shipping_priority",
-        "q11_topn_per_group", "q33_lookup_join", "v42_ann_topk")
+        "q11_topn_per_group", "q33_lookup_join", "v42_ann_topk",
+        "v43_ivf_ann", "v44_embedding_lsh_pairs", "h09_product_profit",
+        "h21_suppliers_waiting")
     names.foreach { n =>
       println(s"\n========== $n ==========")
       graft.SparkEntry.queries(n)(spark, dir).explain("formatted")
