@@ -181,6 +181,50 @@ case class HammingDistance64(left: Expression, right: Expression)
   override def prettyName: String = "hamming64"
 }
 
+/** Number of positions where two equal-length bigint signatures agree —
+  * the MinHash Jaccard estimator's numerator. Replaces the
+  * `aggregate(zip_with(...))` chain on the LSH pair-join hot path:
+  * higher-order functions evaluate their lambda interpreted (one boxed
+  * call per element), which at 128 positions × pair count dominates the
+  * stage; this is one fused loop inside whole-stage codegen.
+  */
+case class SigAgreeCount(left: Expression, right: Expression)
+    extends BinaryExpression {
+  override def dataType: DataType = IntegerType
+  override def checkInputDataTypes(): TypeCheckResult = (left.dataType, right.dataType) match {
+    case (ArrayType(LongType, _), ArrayType(LongType, _)) => TypeCheckResult.TypeCheckSuccess
+    case _ => TypeCheckResult.TypeCheckFailure("sig_agree expects two array<bigint>")
+  }
+  override def nullSafeEval(a: Any, b: Any): Any = {
+    val x = a.asInstanceOf[ArrayData]
+    val y = b.asInstanceOf[ArrayData]
+    val n = math.min(x.numElements(), y.numElements())
+    var c = 0; var i = 0
+    while (i < n) {
+      if (x.getLong(i) == y.getLong(i)) c += 1
+      i += 1
+    }
+    c
+  }
+  override protected def doGenCode(ctx: codegen.CodegenContext,
+      ev: codegen.ExprCode): codegen.ExprCode =
+    nullSafeCodeGen(ctx, ev, (a, b) => {
+      val i = ctx.freshName("i"); val n = ctx.freshName("n")
+      val c = ctx.freshName("c")
+      s"""
+         |int $n = java.lang.Math.min($a.numElements(), $b.numElements());
+         |int $c = 0;
+         |for (int $i = 0; $i < $n; $i++) {
+         |  if ($a.getLong($i) == $b.getLong($i)) $c++;
+         |}
+         |${ev.value} = $c;
+       """.stripMargin
+    })
+  override protected def withNewChildrenInternal(l: Expression, r: Expression): Expression =
+    copy(left = l, right = r)
+  override def prettyName: String = "sig_agree"
+}
+
 /** Cosine similarity of two float vectors as a single tight loop —
   * replaces the `aggregate(zip_with(...))` expression chain with one
   * pass and no intermediate arrays. Accumulates in double,
@@ -245,6 +289,8 @@ object functions {
   def simhash(tokens: Column): Column = column(SimHash64(expression(tokens)))
   def hamming64(a: Column, b: Column): Column =
     column(HammingDistance64(Cast(expression(a), LongType), Cast(expression(b), LongType)))
+  def sig_agree(a: Column, b: Column): Column =
+    column(SigAgreeCount(expression(a), expression(b)))
   def cosine_sim(a: Column, b: Column): Column =
     column(CosineSimilarity(Cast(expression(a), ArrayType(FloatType)),
       Cast(expression(b), ArrayType(FloatType))))
@@ -257,6 +303,8 @@ object functions {
     reg.createOrReplaceTempFunction("simhash", es => SimHash64(es.head), "built-in")
     reg.createOrReplaceTempFunction("hamming64",
       es => HammingDistance64(Cast(es(0), LongType), Cast(es(1), LongType)), "built-in")
+    reg.createOrReplaceTempFunction("sig_agree",
+      es => SigAgreeCount(es(0), es(1)), "built-in")
     reg.createOrReplaceTempFunction("cosine_sim",
       es => CosineSimilarity(Cast(es(0), ArrayType(FloatType)), Cast(es(1), ArrayType(FloatType))), "built-in")
     reg.createOrReplaceTempFunction("hyperplane_bits64",

@@ -3,7 +3,7 @@ package graft.queries
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import graft.Tables
-import graft.functions.functions.{minhash, simhash, hamming64}
+import graft.functions.functions.{minhash, simhash, hamming64, sig_agree}
 
 /** Near-duplicate detection at scale: MinHash+LSH and SimHash banding.
   *
@@ -127,9 +127,7 @@ object NearDup {
         .join(sigs.withColumnRenamed("doc_id", "doc_a").withColumnRenamed("sig", "sig_a"), "doc_a")
         .join(sigs.withColumnRenamed("doc_id", "doc_b").withColumnRenamed("sig", "sig_b"), "doc_b")
         .select(col("doc_a"), col("doc_b"),
-          (aggregate(zip_with(col("sig_a"), col("sig_b"),
-            (x, y) => when(x === y, 1).otherwise(0)),
-            lit(0), (acc, x) => acc + x).cast("double") / K).as("est_jaccard"))
+          (sig_agree(col("sig_a"), col("sig_b")).cast("double") / K).as("est_jaccard"))
         .filter(col("est_jaccard") >= 0.5)
     }),
 

@@ -50,8 +50,11 @@ object VectorOps {
       val a = v.select(col("label"), col("vec_id").as("id_a"), col("embedding").as("emb_a"))
       val b = v.select(col("label"), col("vec_id").as("id_b"), col("embedding").as("emb_b"))
       a.join(b, Seq("label")).filter(col("id_a") < col("id_b"))
+        // 0.35 keeps the gate non-trivial at every SF (the fixture's
+        // max within-label cosine is ~0.45–0.51 across sf0.001–sf0.1,
+        // so a 0.5 cut matched zero rows and proved nothing).
         .withColumn("cos_sim", cosine_sim(col("emb_a"), col("emb_b")))
-        .filter(col("cos_sim") >= 0.5)
+        .filter(col("cos_sim") >= 0.35)
         .select(col("label"), col("id_a"), col("id_b"), col("cos_sim"))
     }),
 
@@ -143,7 +146,7 @@ object VectorOps {
         |SELECT a.label, a.vec_id AS id_a, b.vec_id AS id_b,
         |  ${dotSql.format("a.embedding", "b.embedding")} / (a.nrm * b.nrm) AS cos_sim
         |FROM n a JOIN n b ON a.label = b.label AND a.vec_id < b.vec_id
-        |WHERE ${dotSql.format("a.embedding", "b.embedding")} / (a.nrm * b.nrm) >= 0.5""".stripMargin,
+        |WHERE ${dotSql.format("a.embedding", "b.embedding")} / (a.nrm * b.nrm) >= 0.35""".stripMargin,
 
     "v44_embedding_lsh_pairs" ->
       s"""WITH s AS (SELECT * FROM read_parquet('/tmp/graft_oracle/sf0.01/hyperplane_bits/*.parquet')),

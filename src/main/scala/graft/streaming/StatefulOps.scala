@@ -526,15 +526,25 @@ object StatefulOps {
           pending = pending ++ rows
           val wmMicros = state.getCurrentWatermarkMs() * 1000L
           val (ready, stillPending) = pending.partition(micros(_) <= wmMicros)
-          var window = tail // rowtime-sorted released rows inside range
+          // Incremental accumulate/retract like the reference's function
+          // (it adds the new row and retracts expired ones from a kept
+          // accumulator) — O(1) amortized per row instead of re-summing
+          // the O(w) window per row. The accumulator is re-derived from
+          // the retained tail at trigger start, so floating-point drift
+          // is bounded within one trigger and never compounds in state.
+          val window = scala.collection.mutable.ArrayDeque.from(tail)
+          var wSum = window.iterator.map(num).sum
+          var wCount = window.size.toLong
           val out = ready.sortBy(sortKey).map { r =>
             val ts = micros(r)
-            window = (window :+ r).dropWhile(w => micros(w) < ts - rangeMicros)
-            Row.fromSeq(r.toSeq ++ Seq[Any](
-              window.iterator.map(num).sum, window.length.toLong))
+            window.append(r); wSum += num(r); wCount += 1
+            while (window.nonEmpty && micros(window.head) < ts - rangeMicros) {
+              wSum -= num(window.removeHead()); wCount -= 1
+            }
+            Row.fromSeq(r.toSeq ++ Seq[Any](wSum, wCount))
           }
           // rows older than watermark − range can't serve any future row
-          val keepTail = window.dropWhile(w => micros(w) < wmMicros - rangeMicros)
+          val keepTail = window.dropWhile(w => micros(w) < wmMicros - rangeMicros).toSeq
           state.update(Row(stillPending, keepTail))
           out.iterator
       }(stateEnc, outEnc)
