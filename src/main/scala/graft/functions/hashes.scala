@@ -52,6 +52,15 @@ object Hashing {
   * tokens_b), so banding the signature gives LSH buckets.
   */
 object MinHashSignature {
+  /** Affine permutation coefficients for k permutations — shared with
+    * the DuckDB oracle, which re-derives signatures from materialized
+    * token hashes using these exact constants (a must be odd for
+    * full-period mixing).
+    */
+  def coefficients(k: Int): (Array[Long], Array[Long]) =
+    (Array.tabulate(k)(i => Hashing.mix64(2L * i + 1) | 1L),
+     Array.tabulate(k)(i => Hashing.mix64(0x5DEECE66DL * (i + 1))))
+
   /** Static kernel shared by eval and generated code. */
   def compute(arr: ArrayData, as: Array[Long], bs: Array[Long]): ArrayData = {
     val numHashes = as.length
@@ -90,11 +99,8 @@ case class MinHashSignature(child: Expression, k: Expression)
 
   @transient private lazy val numHashes: Int =
     k.eval(InternalRow.empty).asInstanceOf[Int]
-  // Affine coefficients; a must be odd for full-period mixing.
-  @transient private lazy val as: Array[Long] =
-    Array.tabulate(numHashes)(i => Hashing.mix64(2L * i + 1) | 1L)
-  @transient private lazy val bs: Array[Long] =
-    Array.tabulate(numHashes)(i => Hashing.mix64(0x5DEECE66DL * (i + 1)))
+  @transient private lazy val (as: Array[Long], bs: Array[Long]) =
+    MinHashSignature.coefficients(numHashes)
 
   override def nullSafeEval(tokens: Any, kv: Any): Any =
     MinHashSignature.compute(tokens.asInstanceOf[ArrayData], as, bs)
@@ -113,6 +119,95 @@ case class MinHashSignature(child: Expression, k: Expression)
   override protected def withNewChildrenInternal(l: Expression, r: Expression): Expression =
     copy(child = l, k = r)
   override def prettyName: String = "minhash"
+}
+
+/** Per-token base hashes: `token_hashes(tokens)` → array<bigint> of
+  * mix64(fnv1a64(utf8)) per non-null token — exactly the base hash
+  * MinHashSignature folds its affine permutations over. Materializing
+  * this array lets the DuckDB oracle recompute full minhash signatures
+  * independently (the affine transform + unsigned min is plain 64-bit
+  * arithmetic), turning the signature computation itself into a
+  * verifiable step instead of a trusted one.
+  */
+object TokenHashes {
+  def compute(arr: ArrayData): ArrayData = {
+    val n = arr.numElements()
+    val out = new java.util.ArrayList[Any](n)
+    var i = 0
+    while (i < n) {
+      if (!arr.isNullAt(i)) out.add(Hashing.hashToken(arr.getUTF8String(i)))
+      i += 1
+    }
+    new GenericArrayData(out.toArray)
+  }
+}
+
+case class TokenHashes(child: Expression) extends UnaryExpression {
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ArrayType(StringType, _) => TypeCheckResult.TypeCheckSuccess
+    case _ => TypeCheckResult.TypeCheckFailure("token_hashes expects array<string>")
+  }
+  override def nullSafeEval(tokens: Any): Any =
+    TokenHashes.compute(tokens.asInstanceOf[ArrayData])
+  override protected def doGenCode(ctx: codegen.CodegenContext,
+      ev: codegen.ExprCode): codegen.ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.functions.TokenHashes.compute($c)")
+  override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
+  override def prettyName: String = "token_hashes"
+}
+
+/** Per-position k-gram rolling hashes: `kgram_hashes(text, k)` →
+  * array<bigint>, one hash per byte position 0..len-k over the UTF-8
+  * bytes — the document-fingerprinting primitive (MOSS-style
+  * winnowing selects a subset of these as the doc's fingerprints).
+  *
+  * Genuine Rabin-Karp: polynomial rolling hash base 0x100000001b3
+  * mod 2⁶⁴ (Java long wraparound), O(1) per step after the first
+  * window, finalized with mix64 for dispersion. Deterministic, so
+  * fingerprints computed on different executors agree.
+  */
+object KGramHashes {
+  val Base = 0x100000001b3L
+  def compute(s: UTF8String, k: Int): ArrayData = {
+    val bytes = s.getBytes
+    val n = bytes.length
+    if (n < k) return new GenericArrayData(Array.emptyLongArray)
+    var pow = 1L
+    var i = 0
+    while (i < k - 1) { pow *= Base; i += 1 }
+    val out = new Array[Long](n - k + 1)
+    var h = 0L
+    i = 0
+    while (i < k) { h = h * Base + (bytes(i) & 0xffL); i += 1 }
+    out(0) = Hashing.mix64(h)
+    i = k
+    while (i < n) {
+      h = (h - (bytes(i - k) & 0xffL) * pow) * Base + (bytes(i) & 0xffL)
+      out(i - k + 1) = Hashing.mix64(h)
+      i += 1
+    }
+    new GenericArrayData(out)
+  }
+}
+
+case class KGramHashes(child: Expression, k: Expression)
+    extends BinaryExpression {
+  override def left: Expression = child
+  override def right: Expression = k
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def checkInputDataTypes(): TypeCheckResult =
+    if (child.dataType == StringType && k.foldable && k.dataType == IntegerType)
+      TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure("kgram_hashes expects (string, foldable int)")
+  override def nullSafeEval(text: Any, kv: Any): Any =
+    KGramHashes.compute(text.asInstanceOf[UTF8String], kv.asInstanceOf[Int])
+  override protected def doGenCode(ctx: codegen.CodegenContext,
+      ev: codegen.ExprCode): codegen.ExprCode =
+    defineCodeGen(ctx, ev, (t, kk) => s"graft.functions.KGramHashes.compute($t, $kk)")
+  override protected def withNewChildrenInternal(l: Expression, r: Expression): Expression =
+    copy(child = l, k = r)
+  override def prettyName: String = "kgram_hashes"
 }
 
 /** 64-bit SimHash of a token array: `simhash(tokens)` → bigint.
@@ -286,6 +381,9 @@ object functions {
 
   def minhash(tokens: Column, k: Int): Column =
     column(MinHashSignature(expression(tokens), Literal(k)))
+  def token_hashes(tokens: Column): Column = column(TokenHashes(expression(tokens)))
+  def kgram_hashes(text: Column, k: Int): Column =
+    column(KGramHashes(expression(text), Literal(k)))
   def simhash(tokens: Column): Column = column(SimHash64(expression(tokens)))
   def hamming64(a: Column, b: Column): Column =
     column(HammingDistance64(Cast(expression(a), LongType), Cast(expression(b), LongType)))
@@ -301,6 +399,9 @@ object functions {
     reg.createOrReplaceTempFunction("minhash",
       es => MinHashSignature(es(0), Cast(es(1), IntegerType)), "built-in")
     reg.createOrReplaceTempFunction("simhash", es => SimHash64(es.head), "built-in")
+    reg.createOrReplaceTempFunction("token_hashes", es => TokenHashes(es.head), "built-in")
+    reg.createOrReplaceTempFunction("kgram_hashes",
+      es => KGramHashes(es(0), Cast(es(1), IntegerType)), "built-in")
     reg.createOrReplaceTempFunction("hamming64",
       es => HammingDistance64(Cast(es(0), LongType), Cast(es(1), LongType)), "built-in")
     reg.createOrReplaceTempFunction("sig_agree",

@@ -111,6 +111,16 @@ object Ivf {
       else math.max(4, math.ceil(math.sqrt(vectors.count().toDouble)).toInt)
     val cents = centroids(vectors, idCol, embCol, cellCount, iters)
     val assigned = assign(vectors, idCol, embCol, cents, math.max(nprobe, 1))
+    searchFromAssigned(assigned, idCol, embCol, queryPred, topK)
+  }
+
+  /** Probe + rank phase over an (already materialized) assignment
+    * table — split out so callers can persist the assignment (the
+    * production shape: index once, search many; also what lets the
+    * DuckDB oracle replay the search over the identical rows).
+    */
+  def searchFromAssigned(assigned: DataFrame, idCol: String, embCol: String,
+                         queryPred: Column, topK: Int): DataFrame = {
     val cands = assigned.filter(col("cell_rank") === 1)
       .select(col("cell"), col(idCol).as("cand_id"), col(embCol).as("c_emb"))
     val queries = assigned.filter(queryPred)

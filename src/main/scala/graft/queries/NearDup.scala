@@ -3,7 +3,7 @@ package graft.queries
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import graft.Tables
-import graft.functions.functions.{minhash, simhash, hamming64, sig_agree}
+import graft.functions.functions.{minhash, simhash, hamming64, sig_agree, token_hashes}
 
 /** Near-duplicate detection at scale: MinHash+LSH and SimHash banding.
   *
@@ -30,8 +30,14 @@ import graft.functions.functions.{minhash, simhash, hamming64, sig_agree}
   * the oracle runs the same banding/pair logic in DuckDB over that
   * parquet. (Materializing signatures is also what a production 100 TB
   * dedup does: compute once, reuse across the cluster and pair
-  * stages.) n50 stays rows-only: its output IS the signature table,
-  * so a parquet-based oracle would only verify the roundtrip.
+  * stages.)
+  *
+  * n50 goes one level deeper (round 4): it materializes the per-token
+  * BASE hashes and the oracle recomputes the full k-permutation
+  * signature in DuckDB — wraparound 64-bit affine arithmetic via a
+  * 32-bit-split HUGEINT multiply, unsigned min per permutation — so
+  * the minhash computation itself is verified, not just the banding
+  * downstream of it.
   */
 object NearDup {
 
@@ -85,12 +91,15 @@ object NearDup {
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // ---- MinHash signatures (per-doc, deterministic) ------------------
+    // Output is the full signature array; the side table holds the
+    // per-token base hashes the oracle folds the permutations over.
     "n50_minhash_signatures" -> ((s, dir) => {
-      val d = Tables.load(s, dir, "documents")
-      d.select(col("doc_id"), minhash(tokens, K).as("sig"))
-        .select(col("doc_id"), size(col("sig")).as("sig_len"),
-          element_at(col("sig"), 1).as("h0"),
-          element_at(col("sig"), K).as(s"h${K - 1}"))
+      val p = s"${sideDir(dir)}/token_hashes"
+      Tables.load(s, dir, "documents")
+        .select(col("doc_id"), explode(token_hashes(tokens)).as("h"))
+        .write.mode("overwrite").parquet(p)
+      Tables.load(s, dir, "documents")
+        .select(col("doc_id"), minhash(tokens, K).as("sig"))
     }),
 
     // ---- MinHash-LSH dedup clusters (linear in corpus size) -----------
@@ -157,14 +166,45 @@ object NearDup {
 
   /** Oracles for everything downstream of the custom hash Expressions,
     * over the materialized signature tables (see object Scaladoc).
-    * n50 has no oracle: DuckDB can't compute minhash, and its output
-    * IS the signature table.
+    * n50's oracle rebuilds the signatures themselves from the base
+    * token hashes: v = (a·h + b) mod 2⁶⁴ per permutation via a
+    * 32-bit-split HUGEINT multiply (DuckDB BIGINT multiplication
+    * errors on overflow instead of wrapping), then the UNSIGNED min —
+    * values land in [0, 2⁶⁴) so plain numeric min is unsigned min —
+    * mapped back to the signed bigint Spark emits.
     */
   def oracles: Map[String, String] = {
     val banded = "read_parquet('/tmp/graft_oracle/sf0.01/minhash_banded/*.parquet')"
     val sigs = "read_parquet('/tmp/graft_oracle/sf0.01/minhash_sigs/*.parquet')"
     val simsigs = "read_parquet('/tmp/graft_oracle/sf0.01/simhash_sigs/*.parquet')"
+    val (cas, cbs) = graft.functions.MinHashSignature.coefficients(K)
+    val coefRows = (0 until K).map { j =>
+      s"(${j}, ${cas(j) >>> 32}, ${cas(j) & 0xFFFFFFFFL}, " +
+        s"${cbs(j) >>> 32}, ${cbs(j) & 0xFFFFFFFFL})"
+    }.mkString(",\n          ")
     Map(
+      "n50_minhash_signatures" -> s"""
+        WITH th AS (SELECT * FROM read_parquet('/tmp/graft_oracle/sf0.01/token_hashes/*.parquet')),
+        coef(j, a_hi, a_lo, b_hi, b_lo) AS (VALUES
+          $coefRows),
+        hu AS (SELECT doc_id,
+                 CASE WHEN h < 0 THEN CAST(h AS HUGEINT) + 18446744073709551616
+                      ELSE CAST(h AS HUGEINT) END AS hq
+               FROM th),
+        v AS (SELECT doc_id, j,
+                ((CAST(a_lo AS HUGEINT) * (hq % 4294967296)
+                  + (((CAST(a_lo AS HUGEINT) * (hq // 4294967296)
+                       + CAST(a_hi AS HUGEINT) * (hq % 4294967296)) % 4294967296) * 4294967296)
+                 ) % 18446744073709551616
+                 + (CAST(b_hi AS HUGEINT) * 4294967296 + CAST(b_lo AS HUGEINT))
+                ) % 18446744073709551616 AS v
+              FROM hu, coef),
+        m AS (SELECT doc_id, j, min(v) AS mv FROM v GROUP BY doc_id, j)
+        SELECT doc_id,
+          list(CAST(CASE WHEN mv >= 9223372036854775808
+                         THEN mv - 18446744073709551616 ELSE mv END AS BIGINT)
+               ORDER BY j) AS sig
+        FROM m GROUP BY doc_id""",
       "n51_minhash_dedup_clusters" -> s"""
         WITH b AS (SELECT * FROM $banded),
         rep AS (SELECT band, bucket, min(doc_id) AS bucket_rep, count(*) AS bucket_size

@@ -1,8 +1,10 @@
 package graft.queries
 
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import graft.Tables
+import graft.functions.functions.kgram_hashes
 
 /** LLM-training-data text pipeline operators over `documents` —
   * tokenization stats, quality scoring, language-ID heuristics, exact
@@ -19,6 +21,21 @@ import graft.Tables
 object TextOps {
 
   private val tokens: Column = split(col("text"), " ")
+
+  // Winnowing parameters (Schleimer et al., MOSS): byte k-grams of
+  // size KGram, selection window of WinnowW consecutive positions.
+  val KGram = 8
+  val WinnowW = 4
+
+  private def sideDir(dir: String): String =
+    s"/tmp/graft_oracle/${new java.io.File(dir).getName}"
+
+  /** Deterministic md5-prefix threshold over a salted key — the
+    * sampling primitive: reproducible across engines, executors and
+    * reruns, and cheap (one hash per row, no shuffle).
+    */
+  private def saltedMd5(salt: String): Column =
+    md5(concat(lit(salt), col("doc_id").cast("string")))
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // ---- Token counting + length stats --------------------------------
@@ -134,6 +151,58 @@ object TextOps {
         .filter(col("jaccard") >= 0.8)
         .select(col("lang"), col("doc_a"), col("doc_b"),
                 col("n_inter"), col("n_union"), col("jaccard"))
+    }),
+
+    // ---- Winnowing fingerprints (MOSS) --------------------------------
+    // Rolling k-gram hashes (codegen'd Rabin-Karp expression), then the
+    // winnowing selection: per window of WinnowW consecutive positions
+    // keep the RIGHTMOST minimum hash; distinct selections are the
+    // doc's fingerprints. Selection is pure window/join SQL, so the
+    // oracle replays it over the materialized per-position hash table.
+    // At scale: hashes are map-side; the window and the (doc_id, hash)
+    // equi-join are partitioned by doc — nothing global.
+    "t37_winnow_fingerprints" -> ((s, dir) => {
+      val p = s"${sideDir(dir)}/kgram_hashes"
+      Tables.load(s, dir, "documents")
+        .select(col("doc_id"),
+          posexplode(kgram_hashes(col("text"), KGram)).as(Seq("pos", "h")))
+        .write.mode("overwrite").parquet(p)
+      val kg = s.read.parquet(p)
+      val frame = Window.partitionBy(col("doc_id")).orderBy(col("pos"))
+        .rowsBetween(Window.currentRow, WinnowW - 1)
+      val win = kg
+        .withColumn("cnt", count(lit(1)).over(Window.partitionBy(col("doc_id"))))
+        .withColumn("wmin", min(col("h")).over(frame))
+        .filter(col("pos") <= greatest(col("cnt") - WinnowW, lit(0)))
+        .select(col("doc_id"), col("pos").as("p"), col("wmin"))
+      // rightmost occurrence of the window min: equi-join on the hash
+      // value (tiny — only rows equal to a window min survive), then
+      // max(pos) within the window span.
+      win.join(kg.select(col("doc_id"), col("pos").as("mpos"), col("h").as("wmin")),
+          Seq("doc_id", "wmin"))
+        .filter(col("mpos").between(col("p"), col("p") + WinnowW - 1))
+        .groupBy(col("doc_id"), col("p"), col("wmin"))
+        .agg(max(col("mpos")).as("fp_pos"))
+        .select(col("doc_id"), col("fp_pos"), col("wmin").as("fp_hash"))
+        .distinct()
+    }),
+
+    // ---- Deterministic sampling / split / shuffle ---------------------
+    // The training-data selection family, all as salted-md5 threshold
+    // predicates: 80/10/10 train/val/test split, a 10% Bernoulli
+    // sample, a per-lang stratified sample (20% en, 5% rest), and a
+    // deterministic shuffle key (sort by it downstream — no global
+    // window here, a single-partition row_number would not scale).
+    // Every column is reproducible on any engine that has md5.
+    "t38_sample_split" -> ((s, dir) => {
+      val d = Tables.load(s, dir, "documents")
+      val s2 = substring(saltedMd5("split:"), 1, 2)
+      d.select(col("doc_id"), col("lang"),
+        when(s2 < "cd", "train").when(s2 < "e6", "val").otherwise("test").as("split"),
+        (substring(saltedMd5("sample:"), 1, 2) < "1a").as("in_10pct_sample"),
+        (substring(saltedMd5("strat:"), 1, 2) <
+          when(col("lang") === "en", "34").otherwise("0d")).as("in_strat_sample"),
+        saltedMd5("shuffle:").as("shuffle_key"))
     })
   )
 
@@ -221,6 +290,33 @@ object TextOps {
         |    / (len(a.bag) + len(b.bag) - len(list_intersect(a.bag, b.bag))) AS jaccard
         |FROM bags a JOIN bags b ON a.lang = b.lang AND a.doc_id < b.doc_id
         |WHERE CAST(len(list_intersect(a.bag, b.bag)) AS DOUBLE)
-        |    / (len(a.bag) + len(b.bag) - len(list_intersect(a.bag, b.bag))) >= 0.8""".stripMargin
+        |    / (len(a.bag) + len(b.bag) - len(list_intersect(a.bag, b.bag))) >= 0.8""".stripMargin,
+
+    "t37_winnow_fingerprints" ->
+      s"""WITH kg AS (SELECT * FROM read_parquet('/tmp/graft_oracle/sf0.01/kgram_hashes/*.parquet')),
+        |win AS (
+        |  SELECT doc_id, pos AS p,
+        |    min(h) OVER (PARTITION BY doc_id ORDER BY pos
+        |                 ROWS BETWEEN CURRENT ROW AND ${WinnowW - 1} FOLLOWING) AS wmin,
+        |    count(*) OVER (PARTITION BY doc_id) AS cnt
+        |  FROM kg),
+        |w2 AS (SELECT * FROM win WHERE p <= greatest(cnt - $WinnowW, 0)),
+        |sel AS (
+        |  SELECT w.doc_id, w.p, w.wmin, max(k.pos) AS fp_pos
+        |  FROM w2 w JOIN kg k ON k.doc_id = w.doc_id AND k.h = w.wmin
+        |                     AND k.pos BETWEEN w.p AND w.p + ${WinnowW - 1}
+        |  GROUP BY w.doc_id, w.p, w.wmin)
+        |SELECT DISTINCT doc_id, fp_pos, wmin AS fp_hash FROM sel""".stripMargin,
+
+    "t38_sample_split" ->
+      """SELECT doc_id, lang,
+        |  CASE WHEN substr(md5('split:' || CAST(doc_id AS VARCHAR)), 1, 2) < 'cd' THEN 'train'
+        |       WHEN substr(md5('split:' || CAST(doc_id AS VARCHAR)), 1, 2) < 'e6' THEN 'val'
+        |       ELSE 'test' END AS split,
+        |  substr(md5('sample:' || CAST(doc_id AS VARCHAR)), 1, 2) < '1a' AS in_10pct_sample,
+        |  substr(md5('strat:' || CAST(doc_id AS VARCHAR)), 1, 2) <
+        |    (CASE WHEN lang = 'en' THEN '34' ELSE '0d' END) AS in_strat_sample,
+        |  md5('shuffle:' || CAST(doc_id AS VARCHAR)) AS shuffle_key
+        |FROM documents""".stripMargin
   )
 }

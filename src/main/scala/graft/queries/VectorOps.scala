@@ -64,10 +64,20 @@ object VectorOps {
     // indexed in their nearest cell, queries probe nprobe=2 cells.
     // Candidate volume per query shrinks ~k/nprobe×; the probe join
     // shuffles on the cell id. No collect, no driver-side k-means loop.
+    // The assignment table is materialized (index once, search many —
+    // the production shape) and the oracle replays the probe join +
+    // top-k over the identical rows with the bit-identical double fold.
     "v43_ivf_ann" -> ((s, dir) => {
       val e = Tables.load(s, dir, "embeddings")
-      graft.ops.Ivf.searchTopK(e, "vec_id", "embedding",
-        queryPred = col("vec_id") % 50 === 0, topK = 3, nprobe = 2)
+      val n = e.count().toDouble
+      val cents = graft.ops.Ivf.centroids(e, "vec_id", "embedding",
+        k = math.max(4, math.ceil(math.sqrt(n)).toInt), iters = 1)
+      val p = s"/tmp/graft_oracle/${new java.io.File(dir).getName}/ivf_assign"
+      graft.ops.Ivf.assign(e, "vec_id", "embedding", cents, nprobe = 2)
+        .select(col("vec_id"), col("embedding"), col("cell"), col("cell_rank"))
+        .write.mode("overwrite").parquet(p)
+      graft.ops.Ivf.searchFromAssigned(s.read.parquet(p), "vec_id", "embedding",
+        queryPred = col("vec_id") % 50 === 0, topK = 3)
     }),
 
     // ---- Embedding-cosine near-dup at scale: hyperplane LSH -----------
@@ -167,6 +177,25 @@ object VectorOps {
         |JOIN n a ON a.vec_id = id_a
         |JOIN n b ON b.vec_id = id_b
         |WHERE bit_count(xor(sa.bits, sb.bits)) <= 24""".stripMargin,
+
+    "v43_ivf_ann" ->
+      s"""WITH a AS (SELECT * FROM read_parquet('/tmp/graft_oracle/sf0.01/ivf_assign/*.parquet')),
+        |n AS (SELECT vec_id, embedding,
+        |        sqrt(${dotSql.format("embedding", "embedding")}) AS nrm
+        |      FROM a WHERE cell_rank = 1),
+        |cands AS (SELECT cell, vec_id AS cand_id FROM a WHERE cell_rank = 1),
+        |qs AS (SELECT cell, vec_id AS query_id FROM a WHERE vec_id % 50 = 0),
+        |scored AS (
+        |  SELECT query_id, qs.cell AS cell, cand_id,
+        |    ${dotSql.format("q.embedding", "c.embedding")} / (q.nrm * c.nrm) AS cos_sim
+        |  FROM qs JOIN cands ON qs.cell = cands.cell AND query_id <> cand_id
+        |  JOIN n q ON q.vec_id = query_id
+        |  JOIN n c ON c.vec_id = cand_id)
+        |SELECT query_id, cell, rk, cand_id, cos_sim FROM (
+        |  SELECT query_id, cell, cand_id, cos_sim,
+        |    ROW_NUMBER() OVER (PARTITION BY query_id
+        |                       ORDER BY cos_sim DESC, cand_id) AS rk
+        |  FROM scored) WHERE rk <= 3""".stripMargin,
 
     "v42_ann_topk" ->
       s"""WITH n AS (

@@ -90,4 +90,47 @@ class HashFunctionsSpec extends AnyFunSuite {
       .select(hyperplane_bits64($"e")).collect()(0).getLong(0)
     assert(sql == api)
   }
+
+  test("token_hashes: per-token base hash feeds the minhash affine min") {
+    val toks = Seq("alpha", "beta", "gamma")
+    val hs = Seq(Tuple1(toks)).toDF("t")
+      .select(token_hashes($"t")).collect()(0).getSeq[Long](0)
+    assert(hs.length == 3 && hs.distinct.length == 3)
+    // null elements are skipped, mirroring minhash's fold
+    val withNull = Seq(Tuple1(Seq("alpha", null, "gamma"))).toDF("t")
+      .select(token_hashes($"t")).collect()(0).getSeq[Long](0)
+    assert(withNull == Seq(hs(0), hs(2)))
+    // recompute the k=4 signature from the base hashes: unsigned min of
+    // a_j*h + b_j must equal the minhash expression's output
+    val (as, bs) = graft.functions.MinHashSignature.coefficients(4)
+    val expected = (0 until 4).map { j =>
+      hs.map(h => as(j) * h + bs(j)).minBy(v => v ^ Long.MinValue)
+    }
+    val sig = Seq(Tuple1(toks)).toDF("t")
+      .select(minhash($"t", 4)).collect()(0).getSeq[Long](0)
+    assert(sig == expected)
+  }
+
+  test("kgram_hashes: rolling equals direct recompute, edge cases") {
+    val text = "the quick brown fox jumps"
+    val k = 8
+    val got = Seq(Tuple1(text)).toDF("s")
+      .select(kgram_hashes($"s", k)).collect()(0).getSeq[Long](0)
+    val bytes = text.getBytes("UTF-8")
+    assert(got.length == bytes.length - k + 1)
+    // direct (non-rolling) polynomial evaluation per window
+    val direct = (0 to bytes.length - k).map { p =>
+      var h = 0L
+      (p until p + k).foreach(i => h = h * graft.functions.KGramHashes.Base + (bytes(i) & 0xffL))
+      graft.functions.Hashing.mix64(h)
+    }
+    assert(got == direct)
+    // shorter than k → no k-grams; deterministic across calls
+    val short = Seq(Tuple1("abc")).toDF("s")
+      .select(kgram_hashes($"s", k)).collect()(0).getSeq[Long](0)
+    assert(short.isEmpty)
+    val again = Seq(Tuple1(text)).toDF("s")
+      .select(kgram_hashes($"s", k)).collect()(0).getSeq[Long](0)
+    assert(again == got)
+  }
 }
