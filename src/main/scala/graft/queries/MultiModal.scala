@@ -5,8 +5,13 @@ import org.apache.spark.sql.functions._
 import graft.multimodal.Media
 
 /** Multimodal pipeline queries (binary payload → stub decode →
-  * features / frames). Rows-only driver checks (the decode stub isn't
-  * SQL-expressible); MediaSpec covers the semantics.
+  * features / frames). m60/m61 are rows-only driver checks (the codec
+  * decode isn't SQL-expressible); MediaSpec covers those semantics.
+  * m62 IS oracle-checked: it materializes the ingest table (real
+  * PNG/WAV payloads in a binary column) and DuckDB independently
+  * verifies the binary roundtrip (octet_length per payload) and the
+  * frame-sampling arithmetic (frame count from byte length) against
+  * the frames the Spark operator actually emitted.
   */
 object MultiModal {
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -28,8 +33,36 @@ object MultiModal {
       frames.toDF()
         .groupBy(col("media_id"))
         .agg(count(lit(1)).as("n_frames"), max(col("offset")).as("last_offset"))
+    }),
+
+    // materialized media inventory: payload byte sizes + REAL emitted
+    // frame counts, cross-verified by DuckDB from octet_length
+    "m62_media_inventory" -> ((s, dir) => {
+      val p = s"/tmp/graft_oracle/${new java.io.File(dir).getName}/media_ingest"
+      Media.ingestFromDocuments(s, dir).toDF()
+        .write.mode("overwrite").parquet(p)
+      import s.implicits._
+      val m = s.read.parquet(p).as[Media.MediaRecord]
+      val fc = Media.sampleFrames(m, frameSize = 64, stride = 32).toDF()
+        .groupBy(col("media_id")).agg(count(lit(1)).as("nf"))
+      m.toDF().select(col("media_id"),
+          col("meta.media_type").as("media_type"),
+          length(col("payload")).as("n_bytes"))
+        .join(fc, Seq("media_id"), "left")
+        .select(col("media_id"), col("media_type"), col("n_bytes"),
+          coalesce(col("nf"), lit(0L)).as("n_frames"))
     })
   )
 
-  def oracles: Map[String, String] = Map.empty
+  def oracles: Map[String, String] = Map(
+    // n_frames must equal the arithmetic count of a stride-32 window of
+    // size 64 over the payload bytes — frames only exist for video
+    "m62_media_inventory" ->
+      """SELECT media_id, meta.media_type AS media_type,
+        |  octet_length(payload) AS n_bytes,
+        |  CASE WHEN meta.media_type = 'video'
+        |       THEN (greatest(octet_length(payload) - 64, 0) + 31) // 32
+        |       ELSE 0 END AS n_frames
+        |FROM read_parquet('/tmp/graft_oracle/sf0.01/media_ingest/*.parquet')""".stripMargin
+  )
 }

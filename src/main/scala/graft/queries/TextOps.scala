@@ -168,22 +168,21 @@ object TextOps {
           posexplode(kgram_hashes(col("text"), KGram)).as(Seq("pos", "h")))
         .write.mode("overwrite").parquet(p)
       val kg = s.read.parquet(p)
+      // One window pass: min(h) gives the fingerprint hash; min_by over
+      // the (h, -pos) ordering gives the RIGHTMOST position of that
+      // min. All three functions share one frame → a single WindowExec,
+      // no self-join (the join-based first cut was 2.5× slower at
+      // sf0.1). The oracle keeps the equivalent join formulation —
+      // independent derivations agreeing is the point of the gate.
       val frame = Window.partitionBy(col("doc_id")).orderBy(col("pos"))
         .rowsBetween(Window.currentRow, WinnowW - 1)
-      val win = kg
-        .withColumn("cnt", count(lit(1)).over(Window.partitionBy(col("doc_id"))))
-        .withColumn("wmin", min(col("h")).over(frame))
+      kg.select(col("doc_id"), col("pos"),
+          count(lit(1)).over(Window.partitionBy(col("doc_id"))).as("cnt"),
+          min(col("h")).over(frame).as("fp_hash"),
+          min_by(col("pos"), struct(col("h"), (-col("pos")).as("np")))
+            .over(frame).as("fp_pos"))
         .filter(col("pos") <= greatest(col("cnt") - WinnowW, lit(0)))
-        .select(col("doc_id"), col("pos").as("p"), col("wmin"))
-      // rightmost occurrence of the window min: equi-join on the hash
-      // value (tiny — only rows equal to a window min survive), then
-      // max(pos) within the window span.
-      win.join(kg.select(col("doc_id"), col("pos").as("mpos"), col("h").as("wmin")),
-          Seq("doc_id", "wmin"))
-        .filter(col("mpos").between(col("p"), col("p") + WinnowW - 1))
-        .groupBy(col("doc_id"), col("p"), col("wmin"))
-        .agg(max(col("mpos")).as("fp_pos"))
-        .select(col("doc_id"), col("fp_pos"), col("wmin").as("fp_hash"))
+        .select(col("doc_id"), col("fp_pos"), col("fp_hash"))
         .distinct()
     }),
 
@@ -203,8 +202,61 @@ object TextOps {
         (substring(saltedMd5("strat:"), 1, 2) <
           when(col("lang") === "en", "34").otherwise("0d")).as("in_strat_sample"),
         saltedMd5("shuffle:").as("shuffle_key"))
+    }),
+
+    // ---- BPE-ish regex tokenization -----------------------------------
+    // The GPT-2-style pre-tokenizer shape, restricted to constructs
+    // RE2 (DuckDB) and java.util.regex agree on (no lookahead):
+    // contraction suffixes, letter runs, digit runs, punctuation runs.
+    // Per-row expression → scales like every other map-side op.
+    "t39_bpe_tokens" -> ((s, dir) => {
+      val d = Tables.load(s, dir, "documents")
+      val toks = regexp_extract_all(col("text"),
+        lit(BpePattern), lit(0))
+      d.select(col("doc_id"),
+        size(toks).as("n_bpe_tokens"),
+        size(array_distinct(toks)).as("n_unique_bpe"),
+        element_at(toks, 1).as("first_tok"),
+        element_at(toks, -1).as("last_tok"))
+    }),
+
+    // ---- Weighted multi-source mixing ---------------------------------
+    // Training mixes re-weight corpora (e.g. wiki ×2, crawl ×0.25).
+    // Down-weighting = per-source md5 acceptance threshold; the mix
+    // order is a deterministic interleave key. Up-weighting (>1×)
+    // would be explode(sequence(1, ceil(w))) + per-copy salt — same
+    // primitive. One hash per row, no shuffle, reproducible.
+    "t40_weighted_mix" -> ((s, dir) => {
+      val d = Tables.load(s, dir, "documents")
+      val srcNum = regexp_extract(col("source"), "src(\\d+)", 1).cast("int")
+      val threshold = when(srcNum % 4 === 0, "zz") // 1.0: every hex prefix
+        .when(srcNum % 4 === 1, "80")              // 0.5
+        .when(srcNum % 4 === 2, "40")              // 0.25
+        .otherwise("20")                           // 0.125
+      d.select(col("doc_id"), col("source"), col("lang"),
+          threshold.as("keep_below"),
+          substring(saltedMd5("mix:"), 1, 2).as("accept_hash"),
+          saltedMd5("interleave:").as("interleave_key"))
+        .filter(col("accept_hash") < col("keep_below"))
+    }),
+
+    // ---- Per-group deterministic k-sample -----------------------------
+    // "3 docs per lang" for eval sets: rank by salted md5 inside each
+    // group — the shuffle is per-group (window partition), nothing
+    // global, and the pick is stable across runs and engines.
+    "t41_per_group_sample" -> ((s, dir) => {
+      val d = Tables.load(s, dir, "documents")
+      val w = Window.partitionBy(col("lang"))
+        .orderBy(saltedMd5("pick:"), col("doc_id"))
+      d.select(col("doc_id"), col("lang"), col("source"))
+        .withColumn("pick_rank", row_number().over(w))
+        .filter(col("pick_rank") <= 3)
     })
   )
+
+  /** RE2-and-java.util.regex-identical pre-tokenizer pattern. */
+  val BpePattern: String =
+    "'(?:[sdmt]|ll|ve|re)|[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s]+"
 
   def oracles: Map[String, String] = Map(
     "t30_token_stats" ->
@@ -317,6 +369,43 @@ object TextOps {
         |  substr(md5('strat:' || CAST(doc_id AS VARCHAR)), 1, 2) <
         |    (CASE WHEN lang = 'en' THEN '34' ELSE '0d' END) AS in_strat_sample,
         |  md5('shuffle:' || CAST(doc_id AS VARCHAR)) AS shuffle_key
-        |FROM documents""".stripMargin
+        |FROM documents""".stripMargin,
+
+    "t39_bpe_tokens" -> {
+      val pat = BpePattern.replace("'", "''")
+      s"""WITH t AS (SELECT doc_id, regexp_extract_all(text, '$pat') AS toks
+        |           FROM documents)
+        |SELECT doc_id, len(toks) AS n_bpe_tokens,
+        |  len(list_distinct(toks)) AS n_unique_bpe,
+        |  toks[1] AS first_tok, toks[-1] AS last_tok
+        |FROM t""".stripMargin
+    },
+
+    "t40_weighted_mix" ->
+      """WITH d AS (
+        |  SELECT doc_id, source, lang,
+        |    CAST(regexp_extract(source, 'src(\d+)', 1) AS INT) AS src_num,
+        |    substr(md5('mix:' || CAST(doc_id AS VARCHAR)), 1, 2) AS accept_hash,
+        |    md5('interleave:' || CAST(doc_id AS VARCHAR)) AS interleave_key
+        |  FROM documents)
+        |SELECT doc_id, source, lang,
+        |  CASE WHEN src_num % 4 = 0 THEN 'zz'
+        |       WHEN src_num % 4 = 1 THEN '80'
+        |       WHEN src_num % 4 = 2 THEN '40'
+        |       ELSE '20' END AS keep_below,
+        |  accept_hash, interleave_key
+        |FROM d
+        |WHERE accept_hash < (CASE WHEN src_num % 4 = 0 THEN 'zz'
+        |                          WHEN src_num % 4 = 1 THEN '80'
+        |                          WHEN src_num % 4 = 2 THEN '40'
+        |                          ELSE '20' END)""".stripMargin,
+
+    "t41_per_group_sample" ->
+      """SELECT doc_id, lang, source, pick_rank FROM (
+        |  SELECT doc_id, lang, source,
+        |    ROW_NUMBER() OVER (PARTITION BY lang
+        |      ORDER BY md5('pick:' || CAST(doc_id AS VARCHAR)), doc_id) AS pick_rank
+        |  FROM documents)
+        |WHERE pick_rank <= 3""".stripMargin
   )
 }

@@ -50,11 +50,29 @@ object TpcH {
     * number, making every downstream decimal cast unambiguous on both
     * engines.
     */
-  private def ps(s: SparkSession, dir: String): DataFrame =
+  private def psDerive(s: SparkSession, dir: String): DataFrame =
     t(s, dir, "lineitem")
       .groupBy(col("l_partkey").as("ps_partkey"), col("l_suppkey").as("ps_suppkey"))
       .agg((lit(0.01) * min(col("l_extendedprice"))).as("ps_supplycost"),
            sum(dec(col("l_quantity"))).cast("double").as("ps_availqty"))
+
+  /** Stage the derived ps ONCE per (JVM, sf dir) and serve reads from
+    * the staged parquet. Several queries reference ps twice in one plan
+    * (h02's min-cost correlation, h11's threshold subquery); Spark
+    * plans each reference independently and exchange reuse does not
+    * collapse them, so without staging the 100 TB lineitem would be
+    * scanned+aggregated twice per query. Staging is the production
+    * shape: derive the small aggregate once, reuse everywhere.
+    */
+  private val psStaged = scala.collection.concurrent.TrieMap[String, String]()
+  private def ps(s: SparkSession, dir: String): DataFrame = {
+    val path = psStaged.getOrElseUpdate(dir, {
+      val p = s"/tmp/graft_oracle/${new java.io.File(dir).getName}/tpch_ps"
+      psDerive(s, dir).write.mode("overwrite").parquet(p)
+      p
+    })
+    s.read.parquet(path)
+  }
 
   private val psSql = """ps AS (
     SELECT l_partkey AS ps_partkey, l_suppkey AS ps_suppkey,

@@ -550,6 +550,89 @@ object StatefulOps {
       }(stateEnc, outEnc)
   }
 
+  // ---- Late-data side output ------------------------------------------
+
+  /** Side-output analog for beyond-watermark late rows (reference:
+    * WindowOperator's `sideOutput(lateDataOutputTag)` in
+    * flink-streaming-java/.../windowing/WindowOperator.java). Spark has
+    * no side outputs; stateful aggs silently DROP late rows. This
+    * operator instead TAGS each row with `is_late` = (rowtime behind
+    * the current watermark), so a downstream [[splitLateSink]] can
+    * route the main flow to the real pipeline and the late flow to a
+    * dead-letter sink. Keyed so the check shards with the same shuffle
+    * the downstream stateful op uses; no state is stored.
+    *
+    * Compose as: source → withWatermark → tagLateStreaming →
+    * splitLateSink(main = windowed agg …, late = dead-letter).
+    */
+  def tagLateStreaming(df: DataFrame, keys: Seq[String], tsCol: String): DataFrame = {
+    val schema = df.schema
+    val outSchema = StructType(schema.fields :+
+      StructField("is_late", org.apache.spark.sql.types.BooleanType, nullable = false))
+    implicit val outEnc: ExpressionEncoder[Row] = rowEnc(outSchema)
+    implicit val keyEnc = Encoders.STRING
+    val keyIdx = keys.map(schema.fieldIndex)
+    val tsIdx = schema.fieldIndex(tsCol)
+    def micros(r: Row): Long = r.get(tsIdx) match {
+      case t: java.sql.Timestamp => t.getTime * 1000 + (t.getNanos / 1000) % 1000
+      case l: Long => l
+      case i: Int => i.toLong
+      case o => o.hashCode().toLong
+    }
+    df.groupByKey(r => StatefulOps.encodeKey(r, keyIdx))
+      .flatMapGroupsWithState[Long, Row](
+        OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        // Long state type only to satisfy the API — never updated, so
+        // the state store stays empty
+        (_: String, rows: Iterator[Row], state: GroupState[Long]) =>
+          // watermark is 0 before the first trigger completes — nothing
+          // can be late until a watermark exists
+          val wmMicros = state.getCurrentWatermarkMs() * 1000L
+          rows.map(r => Row.fromSeq(
+            r.toSeq :+ (wmMicros > 0L && micros(r) < wmMicros))).toSeq.iterator
+      }(Encoders.scalaLong, outEnc)
+  }
+
+  /** CURRENT_WATERMARK() analog: append the query's current event-time
+    * watermark as a timestamp column (null until the first watermark is
+    * established — the reference's CURRENT_WATERMARK is likewise null
+    * before any watermark). Spark exposes no expression-level accessor,
+    * so this rides the same keyed shuffle as [[tagLateStreaming]]; use
+    * it when downstream logic needs watermark-relative decisions (e.g.
+    * lateness margins, SLA columns) rather than for filtering — the
+    * stateful ops already apply the watermark themselves.
+    */
+  def withWatermarkColumn(df: DataFrame, keys: Seq[String]): DataFrame = {
+    val schema = df.schema
+    val outSchema = StructType(schema.fields :+
+      StructField("current_watermark", org.apache.spark.sql.types.TimestampType))
+    implicit val outEnc: ExpressionEncoder[Row] = rowEnc(outSchema)
+    implicit val keyEnc = Encoders.STRING
+    val keyIdx = keys.map(schema.fieldIndex)
+    df.groupByKey(r => StatefulOps.encodeKey(r, keyIdx))
+      .flatMapGroupsWithState[Long, Row](
+        OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        (_: String, rows: Iterator[Row], state: GroupState[Long]) =>
+          val wmMs = state.getCurrentWatermarkMs()
+          val wm: Any = if (wmMs > 0L) new java.sql.Timestamp(wmMs) else null
+          rows.map(r => Row.fromSeq(r.toSeq :+ wm)).toSeq.iterator
+      }(Encoders.scalaLong, outEnc)
+  }
+
+  /** Route a [[tagLateStreaming]]-tagged stream to two sinks per
+    * micro-batch — the two-collector shape of Flink's
+    * `DataStream.getSideOutput`. Returns the started query handle.
+    */
+  def splitLateSink(tagged: DataFrame)(
+      mainSink: DataFrame => Unit, lateSink: DataFrame => Unit):
+      org.apache.spark.sql.streaming.StreamingQuery =
+    tagged.writeStream
+      .foreachBatch { (b: Dataset[Row], _: Long) =>
+        mainSink(b.filter(!col("is_late")).drop("is_late"))
+        lateSink(b.filter(col("is_late")).drop("is_late"))
+      }
+      .start()
+
   // ---- Lookup join (streaming) ---------------------------------------
 
   /** Streaming lookup join — the reference's LookupJoin

@@ -656,4 +656,51 @@ class StreamingSpec extends AnyFunSuite {
       .map(r => (r.getString(0), Option(r.getString(1)))).toSet
     assert(out == Set(("e1", Some("v1")), ("e2", Some("v2")), ("e3", None)))
   }
+
+  test("late-data side output: late rows are tagged and routed, not dropped") {
+    implicit val sc = spark.sqlContext
+    val in = MemoryStream[Ev]
+    val tagged = StatefulOps.tagLateStreaming(
+      in.toDF().withWatermark("ts", "10 minutes"), Seq("user"), "ts")
+    val main = scala.collection.mutable.ArrayBuffer[String]()
+    val late = scala.collection.mutable.ArrayBuffer[String]()
+    val q = StatefulOps.splitLateSink(tagged)(
+      b => main ++= b.select($"tpe").collect().map(_.getString(0)),
+      b => late ++= b.select($"tpe").collect().map(_.getString(0)))
+    try {
+      in.addData(Ev(ts("2024-01-01 00:01:00"), "u1", "on_time_1", 1.0))
+      q.processAllAvailable()
+      // advance the watermark to 00:50
+      in.addData(Ev(ts("2024-01-01 01:00:00"), "u1", "on_time_2", 1.0))
+      q.processAllAvailable()
+      // behind the 00:50 watermark → tagged late, still delivered
+      in.addData(Ev(ts("2024-01-01 00:03:00"), "u1", "late_1", 9.0),
+                 Ev(ts("2024-01-01 00:55:00"), "u2", "on_time_3", 1.0))
+      q.processAllAvailable()
+      assert(main.toSet == Set("on_time_1", "on_time_2", "on_time_3"))
+      assert(late.toSet == Set("late_1"))
+    } finally q.stop()
+  }
+
+  test("withWatermarkColumn exposes the current watermark per trigger") {
+    implicit val sc = spark.sqlContext
+    val in = MemoryStream[Ev]
+    val out = StatefulOps.withWatermarkColumn(
+      in.toDF().withWatermark("ts", "10 minutes"), Seq("user"))
+    val q = out.writeStream.format("memory").queryName("wmcol")
+      .outputMode(OutputMode.Append).start()
+    try {
+      in.addData(Ev(ts("2024-01-01 01:00:00"), "u1", "t1", 1.0))
+      q.processAllAvailable()
+      in.addData(Ev(ts("2024-01-01 02:00:00"), "u1", "t2", 1.0))
+      q.processAllAvailable()
+      val got = spark.table("wmcol")
+        .select($"tpe", $"current_watermark").collect()
+        .map(r => (r.getString(0), Option(r.getTimestamp(1)))).toMap
+      // first trigger: no watermark yet → null; second trigger:
+      // wm = 01:00 − 10 min = 00:50
+      assert(got("t1").isEmpty)
+      assert(got("t2").contains(ts("2024-01-01 00:50:00")))
+    } finally q.stop()
+  }
 }
