@@ -1,0 +1,122 @@
+package graft.functions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
+import org.apache.spark.sql.catalyst.expressions._
+import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
+import org.apache.spark.sql.types._
+
+/** Product-quantization kernels (Jégou et al., "Product Quantization
+  * for Nearest Neighbor Search", TPAMI 2011) — the compression path
+  * for similarity search at 100 TB: a D-dim float vector (256 B at
+  * D=64) becomes M sub-codes (M ints ≤ 1 B each), so a 10¹⁰-vector
+  * corpus's index fits in cluster memory. Both kernels are map-side
+  * codegen'd Expressions over broadcast codebooks — encoding and
+  * scoring add zero shuffles.
+  */
+object PqKernels {
+  /** argmin-L2 code per subspace. codebooks: [M][K][dSub]. */
+  def encode(vec: ArrayData, codebooks: Array[Array[Array[Float]]]): ArrayData = {
+    val m = codebooks.length
+    val out = new Array[Int](m)
+    var s = 0
+    while (s < m) {
+      val cb = codebooks(s)
+      val dSub = cb(0).length
+      val off = s * dSub
+      var best = 0
+      var bestD = Double.MaxValue
+      var k = 0
+      while (k < cb.length) {
+        var d = 0.0
+        var i = 0
+        while (i < dSub) {
+          val diff = vec.getFloat(off + i).toDouble - cb(k)(i).toDouble
+          d += diff * diff
+          i += 1
+        }
+        if (d < bestD) { bestD = d; best = k }
+        k += 1
+      }
+      out(s) = best
+      s += 1
+    }
+    new GenericArrayData(out)
+  }
+
+  /** Asymmetric distance (ADC): Σ_m ||q_sub(m) − cb[m][codes[m]]||².
+    * Accumulation order: per-subspace inner sum (i ascending), then
+    * outer sum (m ascending) — mirrored exactly by the oracle's nested
+    * left-to-right list folds, so results are bit-identical.
+    */
+  def adc(q: ArrayData, codes: ArrayData, codebooks: Array[Array[Array[Float]]]): Double = {
+    val m = codebooks.length
+    var total = 0.0
+    var s = 0
+    while (s < m) {
+      val cw = codebooks(s)(codes.getInt(s))
+      val dSub = cw.length
+      val off = s * dSub
+      var sub = 0.0
+      var i = 0
+      while (i < dSub) {
+        val diff = q.getFloat(off + i).toDouble - cw(i).toDouble
+        sub += diff * diff
+        i += 1
+      }
+      total += sub
+      s += 1
+    }
+    total
+  }
+}
+
+case class PqEncode(child: Expression, codebooks: Array[Array[Array[Float]]])
+    extends UnaryExpression {
+  override def dataType: DataType = ArrayType(IntegerType, containsNull = false)
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ArrayType(FloatType, _) => TypeCheckResult.TypeCheckSuccess
+    case _ => TypeCheckResult.TypeCheckFailure("pq_encode expects array<float>")
+  }
+  override def nullSafeEval(v: Any): Any =
+    PqKernels.encode(v.asInstanceOf[ArrayData], codebooks)
+  override protected def doGenCode(ctx: codegen.CodegenContext,
+      ev: codegen.ExprCode): codegen.ExprCode = {
+    val cbRef = ctx.addReferenceObj("pqCodebooks", codebooks, "float[][][]")
+    nullSafeCodeGen(ctx, ev, c =>
+      s"${ev.value} = graft.functions.PqKernels.encode($c, $cbRef);")
+  }
+  override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
+  override def prettyName: String = "pq_encode"
+}
+
+case class PqAdc(left: Expression, right: Expression,
+                 codebooks: Array[Array[Array[Float]]])
+    extends BinaryExpression {
+  override def dataType: DataType = DoubleType
+  override def checkInputDataTypes(): TypeCheckResult = (left.dataType, right.dataType) match {
+    case (ArrayType(FloatType, _), ArrayType(IntegerType, _)) =>
+      TypeCheckResult.TypeCheckSuccess
+    case _ => TypeCheckResult.TypeCheckFailure(
+      "pq_adc expects (array<float> query, array<int> codes)")
+  }
+  override def nullSafeEval(q: Any, codes: Any): Any =
+    PqKernels.adc(q.asInstanceOf[ArrayData], codes.asInstanceOf[ArrayData], codebooks)
+  override protected def doGenCode(ctx: codegen.CodegenContext,
+      ev: codegen.ExprCode): codegen.ExprCode = {
+    val cbRef = ctx.addReferenceObj("pqCodebooks", codebooks, "float[][][]")
+    nullSafeCodeGen(ctx, ev, (q, c) =>
+      s"${ev.value} = graft.functions.PqKernels.adc($q, $c, $cbRef);")
+  }
+  override protected def withNewChildrenInternal(l: Expression, r: Expression): Expression =
+    copy(left = l, right = r)
+  override def prettyName: String = "pq_adc"
+}
+
+object PqFns {
+  import org.apache.spark.sql.GraftBridge.{column, expression}
+  def pq_encode(vec: Column, codebooks: Array[Array[Array[Float]]]): Column =
+    column(PqEncode(expression(vec), codebooks))
+  def pq_adc(q: Column, codes: Column, codebooks: Array[Array[Array[Float]]]): Column =
+    column(PqAdc(expression(q), expression(codes), codebooks))
+}

@@ -1,0 +1,105 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import graft.functions.PqFns
+
+/** Product quantization (PQ) — the vector-compression path for
+  * similarity search at 100 TB (Jégou et al. 2011; same role as the
+  * PQ stage of FAISS-style IVF-PQ indexes). The D-dim corpus is
+  * encoded as M per-subspace codewords: 64-dim floats (256 B) become
+  * M=8 ints (≤8 B), a 32× memory cut, so the searchable index of a
+  * 10¹⁰-vector corpus fits in cluster RAM while the raw vectors stay
+  * on cold storage.
+  *
+  * All data-scale steps are map-side codegen'd Expressions over
+  * broadcast codebooks (zero shuffle): encoding (`pq_encode`) and
+  * asymmetric-distance scoring (`pq_adc`). Driver materialization is
+  * codebook-scale only (M×K×dSub floats — the build side of a
+  * broadcast), never data-scale:
+  *  - seeds: K vectors by hash order (TakeOrderedAndProject, K rows);
+  *  - Lloyd pass: map-side re-encode, one (sub, code, dim) aggregate
+  *    (M×K×dSub grouped rows), collected to rebuild the codebooks.
+  *
+  * At full scale this composes with IVF: cluster into cells first
+  * (graft.ops.Ivf), PQ-encode residuals per cell, scan only probed
+  * cells. Here the search scans all codes (the corpus is the probe
+  * set) — the compression, not the candidate pruning, is what PQ
+  * itself contributes.
+  */
+object Pq {
+
+  /** Train per-subspace codebooks: M subspaces, K codewords each,
+    * `iters` Lloyd passes. @return [M][K][dSub] matrix.
+    */
+  def train(vectors: DataFrame, idCol: String, embCol: String,
+            m: Int, k: Int, iters: Int): Array[Array[Array[Float]]] = {
+    require(m > 0 && k > 0 && iters >= 0)
+    val dim = vectors.select(size(col(embCol))).head().getInt(0)
+    require(dim % m == 0, s"dim $dim not divisible by M=$m")
+    val dSub = dim / m
+    // seed codewords from K hash-ordered vectors (broadcast-build)
+    val seeds = vectors.orderBy(hash(col(idCol))).limit(k)
+      .select(col(embCol).cast("array<float>")).collect()
+      .map(_.getSeq[Float](0).toArray)
+    var cbs = Array.tabulate(m, k)((s, j) =>
+      seeds(j % seeds.length).slice(s * dSub, (s + 1) * dSub))
+    var it = 0
+    while (it < iters) {
+      // map-side encode, then per-(sub, code, dim) mean
+      val means = vectors
+        .select(col(embCol).cast("array<float>").as("emb"),
+          PqFns.pq_encode(col(embCol).cast("array<float>"), cbs).as("codes"))
+        .select(posexplode(col("codes")).as(Seq("sub", "code")), col("emb"))
+        .select(col("sub"), col("code"),
+          posexplode(slice(col("emb"), col("sub") * dSub + 1, lit(dSub)))
+            .as(Seq("i", "v")))
+        .groupBy(col("sub"), col("code"), col("i"))
+        .agg(avg(col("v")).as("cv"))
+        .collect()
+      val next = cbs.map(_.map(_.clone())) // empty clusters keep old codeword
+      means.foreach { r =>
+        next(r.getInt(0))(r.getInt(1))(r.getInt(2)) = r.getDouble(3).toFloat
+      }
+      cbs = next
+      it += 1
+    }
+    cbs
+  }
+
+  /** PQ codes per vector: (idCol as cand_id, codes array<int>). */
+  def encode(vectors: DataFrame, idCol: String, embCol: String,
+             cbs: Array[Array[Array[Float]]]): DataFrame =
+    vectors.select(col(idCol).as("cand_id"),
+      PqFns.pq_encode(col(embCol).cast("array<float>"), cbs).as("codes"))
+
+  /** Codebooks as a small DataFrame (sub, code, centroid) — for
+    * materializing next to the codes so a downstream consumer (or the
+    * verification oracle) can score independently.
+    */
+  def codebooksDF(spark: org.apache.spark.sql.SparkSession,
+                  cbs: Array[Array[Array[Float]]]): DataFrame = {
+    import spark.implicits._
+    cbs.zipWithIndex.flatMap { case (sub, s) =>
+      sub.zipWithIndex.map { case (cw, c) => (s, c, cw.toSeq) }
+    }.toSeq.toDF("sub", "code", "centroid")
+  }
+
+  /** Top-k by asymmetric distance: each query keeps its exact
+    * embedding; candidates are scored from their 8-byte codes alone.
+    */
+  def searchTopK(queries: DataFrame, queryIdCol: String, queryEmbCol: String,
+                 codes: DataFrame, cbs: Array[Array[Array[Float]]],
+                 topK: Int): DataFrame = {
+    val q = queries.select(col(queryIdCol).as("query_id"),
+      col(queryEmbCol).cast("array<float>").as("q_emb"))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("adc_dist"), col("cand_id"))
+    codes.join(broadcast(q), col("query_id") =!= col("cand_id"))
+      .withColumn("adc_dist", PqFns.pq_adc(col("q_emb"), col("codes"), cbs))
+      .withColumn("rk", row_number().over(w))
+      .filter(col("rk") <= topK)
+      .select(col("query_id"), col("rk"), col("cand_id"), col("adc_dist"))
+  }
+}

@@ -71,6 +71,22 @@ object Functions3 {
       graft.sources.Avro.read(s, out)
     }),
 
+    // ---- Avro NESTED types: array + struct through the converter ------
+    // (reference: AvroRowDataSerializationSchema's nested-row branch).
+    // The oracle reads the ORIGINAL table, so the hash match proves
+    // array elements and struct fields survive the record roundtrip.
+    "q73_avro_nested" -> ((s, dir) => {
+      val d = Tables.load(s, dir, "documents")
+        .select(col("doc_id"),
+          split(col("text"), " ").as("tokens"),
+          struct(col("lang"), col("n_chars")).as("info"))
+      val out = roundtripDir("avro_nested", dir)
+      graft.sources.Avro.write(d, out)
+      graft.sources.Avro.read(s, out)
+        .select(col("doc_id"), col("tokens"),
+          col("info.lang").as("lang"), col("info.n_chars").as("n_chars"))
+    }),
+
     // ---- PARSE_URL — SqlFunctionUtils parse_url ------------------------
     "q60_url_functions" -> ((s, dir) => {
       val p = Tables.load(s, dir, "part")
@@ -159,6 +175,8 @@ object Functions3 {
     "q59_orc_roundtrip" -> "SELECT * FROM region",
     "q67_parquet_roundtrip" -> "SELECT * FROM orders",
     "q68_avro_roundtrip" -> "SELECT * FROM orders",
+    "q73_avro_nested" ->
+      "SELECT doc_id, string_split(text, ' ') AS tokens, lang, n_chars FROM documents",
 
     "q60_url_functions" ->
       """SELECT p_partkey,

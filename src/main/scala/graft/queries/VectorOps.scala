@@ -119,6 +119,25 @@ object VectorOps {
         .select(col("id_a"), col("id_b"), col("hamming"), col("cos_sim"))
     }),
 
+    // ---- PQ-compressed ANN: asymmetric-distance top-3 -----------------
+    // graft.ops.Pq: 64-dim floats → 8 sub-codes (32× memory cut — the
+    // FAISS-style compression path for 10¹⁰-vector search). Codes and
+    // codebooks are materialized; the oracle recomputes every ADC
+    // distance from them with the same nested left-to-right fold, so
+    // encoding AND scoring are independently verified.
+    "v45_pq_ann" -> ((s, dir) => {
+      val e = Tables.load(s, dir, "embeddings")
+      val cbs = graft.ops.Pq.train(e, "vec_id", "embedding", m = 8, k = 16, iters = 1)
+      val base = s"/tmp/graft_oracle/${new java.io.File(dir).getName}"
+      graft.ops.Pq.codebooksDF(s, cbs)
+        .write.mode("overwrite").parquet(s"$base/pq_codebooks")
+      graft.ops.Pq.encode(e, "vec_id", "embedding", cbs)
+        .write.mode("overwrite").parquet(s"$base/pq_codes")
+      graft.ops.Pq.searchTopK(
+        e.filter(col("vec_id") % 50 === 0), "vec_id", "embedding",
+        s.read.parquet(s"$base/pq_codes"), cbs, topK = 3)
+    }),
+
     // ---- Brute-force ANN top-3 per query vector -----------------------
     "v42_ann_topk" -> ((s, dir) => {
       val e = Tables.load(s, dir, "embeddings")
@@ -195,6 +214,30 @@ object VectorOps {
         |  SELECT query_id, cell, cand_id, cos_sim,
         |    ROW_NUMBER() OVER (PARTITION BY query_id
         |                       ORDER BY cos_sim DESC, cand_id) AS rk
+        |  FROM scored) WHERE rk <= 3""".stripMargin,
+
+    "v45_pq_ann" ->
+      """WITH codes AS (SELECT * FROM read_parquet('/tmp/graft_oracle/sf0.01/pq_codes/*.parquet')),
+        |cb AS (SELECT * FROM read_parquet('/tmp/graft_oracle/sf0.01/pq_codebooks/*.parquet')),
+        |cbl AS (SELECT sub, list(centroid ORDER BY code) AS cws FROM cb GROUP BY sub),
+        |allcb AS (SELECT list(cws ORDER BY sub) AS a FROM cbl),
+        |q AS (SELECT vec_id AS query_id, embedding FROM embeddings WHERE vec_id % 50 = 0),
+        |scored AS (
+        |  SELECT q.query_id, c.cand_id,
+        |    list_aggregate(list_transform(range(0, 8), mm ->
+        |      list_aggregate(list_transform(range(1, 9), i ->
+        |        (CAST(q.embedding[mm * 8 + i] AS DOUBLE)
+        |          - CAST(allcb.a[mm + 1][c.codes[mm + 1] + 1][i] AS DOUBLE))
+        |        * (CAST(q.embedding[mm * 8 + i] AS DOUBLE)
+        |          - CAST(allcb.a[mm + 1][c.codes[mm + 1] + 1][i] AS DOUBLE))
+        |      ), 'sum')
+        |    ), 'sum') AS adc_dist
+        |  FROM q, codes c, allcb
+        |  WHERE q.query_id <> c.cand_id)
+        |SELECT query_id, rk, cand_id, adc_dist FROM (
+        |  SELECT query_id, cand_id, adc_dist,
+        |    ROW_NUMBER() OVER (PARTITION BY query_id
+        |                       ORDER BY adc_dist, cand_id) AS rk
         |  FROM scored) WHERE rk <= 3""".stripMargin,
 
     "v42_ann_topk" ->

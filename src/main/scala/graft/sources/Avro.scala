@@ -29,14 +29,20 @@ import scala.jdk.CollectionConverters._
   *    record schema is taken from the container header of the first
   *    file.
   *
-  * Types covered: the fixture surface (int/long/float/double/boolean/
-  * string/binary/timestamp). Nested records are out of scope (the
-  * reference's converter supports them; documented narrowing).
+  * Types covered: int/long/float/double/boolean/string/binary/
+  * timestamp, plus the NESTED types the reference's converter
+  * supports — array<T>, map<string,T>, and struct (nested Avro
+  * record), each recursively nullable (AvroNestedSpec roundtrips
+  * them; q73 gates an array/struct roundtrip against the oracle).
   */
 object Avro {
 
+  private def nullableWrap(s: Schema, nullable: Boolean): Schema =
+    if (nullable) Schema.createUnion(java.util.List.of(Schema.create(Schema.Type.NULL), s))
+    else s
+
   def toAvroSchema(st: StructType, name: String = "record"): Schema = {
-    def prim(dt: DataType): Schema = dt match {
+    def conv(dt: DataType, path: String): Schema = dt match {
       case IntegerType => Schema.create(Schema.Type.INT)
       case LongType => Schema.create(Schema.Type.LONG)
       case FloatType => Schema.create(Schema.Type.FLOAT)
@@ -48,28 +54,62 @@ object Avro {
         LogicalTypes.timestampMicros().addToSchema(Schema.create(Schema.Type.LONG))
       case TimestampNTZType =>
         LogicalTypes.localTimestampMicros().addToSchema(Schema.create(Schema.Type.LONG))
+      case ArrayType(et, containsNull) =>
+        Schema.createArray(nullableWrap(conv(et, s"${path}_item"), containsNull))
+      case MapType(StringType, vt, valueContainsNull) =>
+        Schema.createMap(nullableWrap(conv(vt, s"${path}_value"), valueContainsNull))
+      case s: StructType => record(s, path)
       case other => throw new IllegalArgumentException(s"unsupported Avro type: $other")
     }
-    val fields = st.fields.map { f =>
-      val base = prim(f.dataType)
-      val s = if (f.nullable)
-        Schema.createUnion(java.util.List.of(Schema.create(Schema.Type.NULL), base))
-      else base
-      new Schema.Field(f.name, s, null, if (f.nullable) Schema.Field.NULL_DEFAULT_VALUE else null)
+    def record(s: StructType, rname: String): Schema = {
+      val fields = s.fields.map { f =>
+        val base = conv(f.dataType, s"${rname}_${f.name}")
+        new Schema.Field(f.name, nullableWrap(base, f.nullable), null,
+          if (f.nullable) Schema.Field.NULL_DEFAULT_VALUE else null)
+      }
+      Schema.createRecord(rname, null, "graft.avro", false, fields.toList.asJava)
     }
-    Schema.createRecord(name, null, "graft.avro", false, fields.toList.asJava)
+    record(st, name)
   }
 
-  private def toAvroValue(v: Any, dt: DataType): Any = (v, dt) match {
-    case (null, _) => null
-    case (t: java.sql.Timestamp, TimestampType) =>
-      t.getTime * 1000L + (t.getNanos / 1000) % 1000
-    case (t: java.time.Instant, TimestampType) =>
-      t.getEpochSecond * 1000000L + t.getNano / 1000
-    case (t: java.time.LocalDateTime, TimestampNTZType) =>
-      t.toEpochSecond(java.time.ZoneOffset.UTC) * 1000000L + t.getNano / 1000
-    case (b: Array[Byte], BinaryType) => java.nio.ByteBuffer.wrap(b)
-    case (x, _) => x
+  /** Spark value → Avro value, aligned with the (possibly union-
+    * wrapped) Avro schema node so nested records/collections carry the
+    * right sub-schemas.
+    */
+  private def toAvroValue(v: Any, dt: DataType, sch: Schema): Any = {
+    if (v == null) return null
+    val s =
+      if (sch.getType == Schema.Type.UNION)
+        sch.getTypes.asScala.find(_.getType != Schema.Type.NULL).get
+      else sch
+    (v, dt) match {
+      case (t: java.sql.Timestamp, TimestampType) =>
+        t.getTime * 1000L + (t.getNanos / 1000) % 1000
+      case (t: java.time.Instant, TimestampType) =>
+        t.getEpochSecond * 1000000L + t.getNano / 1000
+      case (t: java.time.LocalDateTime, TimestampNTZType) =>
+        t.toEpochSecond(java.time.ZoneOffset.UTC) * 1000000L + t.getNano / 1000
+      case (b: Array[Byte], BinaryType) => java.nio.ByteBuffer.wrap(b)
+      case (seq: scala.collection.Seq[_], ArrayType(et, _)) =>
+        val out = new java.util.ArrayList[Any](seq.length)
+        seq.foreach(x => out.add(toAvroValue(x, et, s.getElementType)))
+        out
+      case (m: scala.collection.Map[_, _], MapType(_, vt, _)) =>
+        val out = new java.util.HashMap[CharSequence, Any](m.size)
+        m.foreach { case (k, x) =>
+          out.put(String.valueOf(k), toAvroValue(x, vt, s.getValueType)) }
+        out
+      case (r: Row, st: StructType) =>
+        val rec = new GenericData.Record(s)
+        var i = 0
+        while (i < st.length) {
+          rec.put(st(i).name,
+            toAvroValue(r.get(i), st(i).dataType, s.getFields.get(i).schema()))
+          i += 1
+        }
+        rec
+      case (x, _) => x
+    }
   }
 
   private def fromAvroValue(v: Any, dt: DataType): Any = (v, dt) match {
@@ -85,6 +125,12 @@ object Avro {
     case (u: org.apache.avro.util.Utf8, StringType) => u.toString
     case (b: java.nio.ByteBuffer, BinaryType) =>
       val arr = new Array[Byte](b.remaining()); b.duplicate().get(arr); arr
+    case (c: java.util.Collection[_], ArrayType(et, _)) =>
+      c.asScala.map(fromAvroValue(_, et)).toSeq
+    case (m: java.util.Map[_, _], MapType(_, vt, _)) =>
+      m.asScala.map { case (k, x) => String.valueOf(k) -> fromAvroValue(x, vt) }.toMap
+    case (r: GenericRecord, st: StructType) =>
+      Row.fromSeq(st.fields.map(f => fromAvroValue(r.get(f.name), f.dataType)).toSeq)
     case (x, _) => x
   }
 
@@ -101,6 +147,7 @@ object Avro {
     df.foreachPartition { (it: Iterator[Row]) =>
       if (it.nonEmpty) {
         val avroSchema = new Schema.Parser().parse(avroJson)
+        val fieldSchemas = avroSchema.getFields.asScala.map(_.schema()).toArray
         val pid = TaskContext.getPartitionId()
         val file = new Path(dir, f"part-$pid%05d.avro")
         val os = file.getFileSystem(conf.value).create(file, true)
@@ -111,7 +158,8 @@ object Avro {
           val rec = new GenericData.Record(avroSchema)
           var i = 0
           while (i < schema.length) {
-            rec.put(schema(i).name, toAvroValue(r.get(i), schema(i).dataType))
+            rec.put(schema(i).name,
+              toAvroValue(r.get(i), schema(i).dataType, fieldSchemas(i)))
             i += 1
           }
           writer.append(rec)
@@ -138,6 +186,17 @@ object Avro {
       case Schema.Type.BOOLEAN => (BooleanType, false)
       case Schema.Type.STRING => (StringType, false)
       case Schema.Type.BYTES => (BinaryType, false)
+      case Schema.Type.ARRAY =>
+        val (et, n) = field(s.getElementType)
+        (ArrayType(et, containsNull = n), false)
+      case Schema.Type.MAP =>
+        val (vt, n) = field(s.getValueType)
+        (MapType(StringType, vt, valueContainsNull = n), false)
+      case Schema.Type.RECORD =>
+        (StructType(s.getFields.asScala.map { f =>
+          val (dt, n) = field(f.schema())
+          StructField(f.name(), dt, n)
+        }.toSeq), false)
       case other => throw new IllegalArgumentException(s"unsupported Avro type: $other")
     }
     StructType(avro.getFields.asScala.map { f =>

@@ -20,8 +20,9 @@ object ExplainAudit {
     val names = if (args.nonEmpty) args.toSeq
       else Seq("q1_pricing_summary", "q2_local_revenue", "q3_shipping_priority",
         "q11_topn_per_group", "q33_lookup_join", "v42_ann_topk",
-        "v43_ivf_ann", "v44_embedding_lsh_pairs", "h09_product_profit",
-        "h21_suppliers_waiting")
+        "v43_ivf_ann", "v44_embedding_lsh_pairs", "v45_pq_ann",
+        "h09_product_profit", "h21_suppliers_waiting", "h11_important_stock",
+        "q69_bucketed_join", "q70_salted_join", "t37_winnow_fingerprints")
     names.foreach { n =>
       println(s"\n========== $n ==========")
       graft.SparkEntry.queries(n)(spark, dir).explain("formatted")

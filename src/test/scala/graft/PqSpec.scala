@@ -1,0 +1,66 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.sql.functions._
+
+/** Product-quantization coherence: codes are valid and deterministic,
+  * ADC matches a direct recomputation, and quantization preserves
+  * neighborhood structure (a vector's own code is far closer to it
+  * than typical other codes).
+  */
+class PqSpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+
+  private lazy val e = Tables.load(spark, TestSpark.sfDir, "embeddings").cache()
+  private lazy val cbs = ops.Pq.train(e, "vec_id", "embedding", m = 8, k = 16, iters = 1)
+
+  test("codes valid, deterministic, and ADC matches direct recompute") {
+    val codes = ops.Pq.encode(e, "vec_id", "embedding", cbs).cache()
+    val n = e.count()
+    assert(codes.count() == n)
+    val bad = codes.select(explode(col("codes")).as("c"))
+      .filter(col("c") < 0 || col("c") >= 16).count()
+    assert(bad == 0)
+    // determinism
+    val again = ops.Pq.encode(e, "vec_id", "embedding", cbs)
+    assert(codes.join(again.withColumnRenamed("codes", "codes2"), "cand_id")
+      .filter(col("codes") =!= col("codes2")).count() == 0)
+
+    // ADC for one (query, cand) pair equals a plain Scala recompute
+    val q = e.orderBy("vec_id").limit(1)
+      .select(col("vec_id"), col("embedding")).head()
+    val qEmb = q.getSeq[Float](1).toArray
+    val cand = codes.orderBy(desc("cand_id")).limit(1).head()
+    val candCodes = cand.getSeq[Int](1).toArray
+    var expected = 0.0
+    for (s <- 0 until 8) {
+      val cw = cbs(s)(candCodes(s))
+      var sub = 0.0
+      for (i <- 0 until 8) {
+        val d = qEmb(s * 8 + i).toDouble - cw(i).toDouble
+        sub += d * d
+      }
+      expected += sub
+    }
+    val got = codes.filter(col("cand_id") === cand.getLong(0))
+      .select(functions.PqFns.pq_adc(
+        typedLit(qEmb.toSeq), col("codes"), cbs).as("d"))
+      .head().getDouble(0)
+    assert(got == expected)
+  }
+
+  test("own code is closer than the bulk of other codes") {
+    val codes = ops.Pq.encode(e, "vec_id", "embedding", cbs)
+    val qs = e.filter(col("vec_id") % 100 === 0)
+      .select(col("vec_id").as("query_id"), col("embedding").as("q_emb"))
+    val scored = codes.join(broadcast(qs))
+      .withColumn("adc", functions.PqFns.pq_adc(col("q_emb"), col("codes"), cbs))
+    val own = scored.filter(col("query_id") === col("cand_id"))
+      .agg(avg(col("adc"))).head().getDouble(0)
+    val other = scored.filter(col("query_id") =!= col("cand_id"))
+      .agg(avg(col("adc"))).head().getDouble(0)
+    // quantization error on the vector itself must be far below the
+    // typical inter-vector distance, else the index carries no signal
+    assert(own < other / 2, s"own=$own other=$other")
+  }
+}
