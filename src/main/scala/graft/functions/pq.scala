@@ -71,6 +71,65 @@ object PqKernels {
   }
 }
 
+object PqResidualKernels {
+  /** ADC against RESIDUAL codebooks (IVF-PQ): the candidate was
+    * encoded as `vec − cellCentroid`, so the query side subtracts the
+    * same centroid: Σ_m ||q_sub − cent_sub − cb[m][codes[m]]||².
+    * All three terms are widened to double BEFORE any subtraction, so
+    * the oracle can replicate the arithmetic exactly (a float-typed
+    * intermediate residual would make cross-engine parity depend on
+    * each engine's float-promotion rules).
+    */
+  def adcResidual(q: ArrayData, cent: ArrayData, codes: ArrayData,
+                  codebooks: Array[Array[Array[Float]]]): Double = {
+    val m = codebooks.length
+    var total = 0.0
+    var s = 0
+    while (s < m) {
+      val cw = codebooks(s)(codes.getInt(s))
+      val dSub = cw.length
+      val off = s * dSub
+      var sub = 0.0
+      var i = 0
+      while (i < dSub) {
+        val d = q.getFloat(off + i).toDouble -
+          cent.getFloat(off + i).toDouble - cw(i).toDouble
+        sub += d * d
+        i += 1
+      }
+      total += sub
+      s += 1
+    }
+    total
+  }
+}
+
+case class PqAdcResidual(first: Expression, second: Expression, third: Expression,
+                         codebooks: Array[Array[Array[Float]]])
+    extends TernaryExpression {
+  override def dataType: DataType = DoubleType
+  override def checkInputDataTypes(): TypeCheckResult =
+    (first.dataType, second.dataType, third.dataType) match {
+      case (ArrayType(FloatType, _), ArrayType(FloatType, _), ArrayType(IntegerType, _)) =>
+        TypeCheckResult.TypeCheckSuccess
+      case _ => TypeCheckResult.TypeCheckFailure(
+        "pq_adc_residual expects (array<float> q, array<float> centroid, array<int> codes)")
+    }
+  override def nullSafeEval(q: Any, cent: Any, codes: Any): Any =
+    PqResidualKernels.adcResidual(q.asInstanceOf[ArrayData],
+      cent.asInstanceOf[ArrayData], codes.asInstanceOf[ArrayData], codebooks)
+  override protected def doGenCode(ctx: codegen.CodegenContext,
+      ev: codegen.ExprCode): codegen.ExprCode = {
+    val cbRef = ctx.addReferenceObj("pqCodebooks", codebooks, "float[][][]")
+    nullSafeCodeGen(ctx, ev, (q, c, cd) =>
+      s"${ev.value} = graft.functions.PqResidualKernels.adcResidual($q, $c, $cd, $cbRef);")
+  }
+  override protected def withNewChildrenInternal(
+      f: Expression, s: Expression, t: Expression): Expression =
+    copy(first = f, second = s, third = t)
+  override def prettyName: String = "pq_adc_residual"
+}
+
 case class PqEncode(child: Expression, codebooks: Array[Array[Array[Float]]])
     extends UnaryExpression {
   override def dataType: DataType = ArrayType(IntegerType, containsNull = false)
@@ -119,4 +178,7 @@ object PqFns {
     column(PqEncode(expression(vec), codebooks))
   def pq_adc(q: Column, codes: Column, codebooks: Array[Array[Array[Float]]]): Column =
     column(PqAdc(expression(q), expression(codes), codebooks))
+  def pq_adc_residual(q: Column, cent: Column, codes: Column,
+                      codebooks: Array[Array[Array[Float]]]): Column =
+    column(PqAdcResidual(expression(q), expression(cent), expression(codes), codebooks))
 }

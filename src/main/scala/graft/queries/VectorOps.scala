@@ -138,6 +138,36 @@ object VectorOps {
         s.read.parquet(s"$base/pq_codes"), cbs, topK = 3)
     }),
 
+    // ---- IVF-PQ: coarse cells + residual codes (FAISS shape) ----------
+    // The two scale mechanisms composed: candidates shrink k/nprobe×
+    // (IVF probe) AND the scanned index is 32× smaller (PQ residual
+    // codes). Every artifact (centroids, codes, probes, codebooks) is
+    // materialized; the oracle replays probe join + residual ADC +
+    // top-k — q, centroid, and codeword are each widened to double
+    // before subtracting, so the fold is engine-independent.
+    "v46_ivfpq_ann" -> ((s, dir) => {
+      val e = Tables.load(s, dir, "embeddings")
+      val n = e.count().toDouble
+      val idx = graft.ops.IvfPq.build(e, "vec_id", "embedding",
+        cells = math.max(4, math.ceil(math.sqrt(n)).toInt), m = 8, k = 16, iters = 1)
+      val base = s"/tmp/graft_oracle/${new java.io.File(dir).getName}"
+      idx.cents.write.mode("overwrite").parquet(s"$base/ivfpq_cents")
+      idx.codes.write.mode("overwrite").parquet(s"$base/ivfpq_codes")
+      graft.ops.Pq.codebooksDF(s, idx.codebooks)
+        .write.mode("overwrite").parquet(s"$base/ivfpq_codebooks")
+      val cents = s.read.parquet(s"$base/ivfpq_cents")
+      graft.ops.Ivf.assign(e.filter(col("vec_id") % 50 === 0),
+          "vec_id", "embedding", cents, nprobe = 2)
+        .select(col("vec_id").as("query_id"), col("cell"))
+        .write.mode("overwrite").parquet(s"$base/ivfpq_probes")
+      val probes = s.read.parquet(s"$base/ivfpq_probes")
+        .join(e.select(col("vec_id").as("query_id"),
+          col("embedding").cast("array<float>").as("q_emb")), "query_id")
+      graft.ops.IvfPq.scoreProbes(probes,
+        graft.ops.IvfPq.Index(cents, s.read.parquet(s"$base/ivfpq_codes"),
+          idx.codebooks), topK = 3)
+    }),
+
     // ---- Brute-force ANN top-3 per query vector -----------------------
     "v42_ann_topk" -> ((s, dir) => {
       val e = Tables.load(s, dir, "embeddings")
@@ -236,6 +266,37 @@ object VectorOps {
         |  WHERE q.query_id <> c.cand_id)
         |SELECT query_id, rk, cand_id, adc_dist FROM (
         |  SELECT query_id, cand_id, adc_dist,
+        |    ROW_NUMBER() OVER (PARTITION BY query_id
+        |                       ORDER BY adc_dist, cand_id) AS rk
+        |  FROM scored) WHERE rk <= 3""".stripMargin,
+
+    "v46_ivfpq_ann" ->
+      """WITH cents AS (SELECT * FROM read_parquet('/tmp/graft_oracle/sf0.01/ivfpq_cents/*.parquet')),
+        |codes AS (SELECT * FROM read_parquet('/tmp/graft_oracle/sf0.01/ivfpq_codes/*.parquet')),
+        |probes AS (SELECT * FROM read_parquet('/tmp/graft_oracle/sf0.01/ivfpq_probes/*.parquet')),
+        |cb AS (SELECT * FROM read_parquet('/tmp/graft_oracle/sf0.01/ivfpq_codebooks/*.parquet')),
+        |cbl AS (SELECT sub, list(centroid ORDER BY code) AS cws FROM cb GROUP BY sub),
+        |allcb AS (SELECT list(cws ORDER BY sub) AS a FROM cbl),
+        |q AS (SELECT vec_id AS query_id, embedding FROM embeddings WHERE vec_id % 50 = 0),
+        |scored AS (
+        |  SELECT p.query_id, p.cell, c.cand_id,
+        |    list_aggregate(list_transform(range(0, 8), mm ->
+        |      list_aggregate(list_transform(range(1, 9), i ->
+        |        (CAST(q.embedding[mm * 8 + i] AS DOUBLE)
+        |          - CAST(ct.centroid[mm * 8 + i] AS DOUBLE)
+        |          - CAST(allcb.a[mm + 1][c.codes[mm + 1] + 1][i] AS DOUBLE))
+        |        * (CAST(q.embedding[mm * 8 + i] AS DOUBLE)
+        |          - CAST(ct.centroid[mm * 8 + i] AS DOUBLE)
+        |          - CAST(allcb.a[mm + 1][c.codes[mm + 1] + 1][i] AS DOUBLE))
+        |      ), 'sum')
+        |    ), 'sum') AS adc_dist
+        |  FROM probes p
+        |  JOIN codes c USING (cell)
+        |  JOIN cents ct USING (cell)
+        |  JOIN q ON q.query_id = p.query_id, allcb
+        |  WHERE p.query_id <> c.cand_id)
+        |SELECT query_id, cell, rk, cand_id, adc_dist FROM (
+        |  SELECT query_id, cell, cand_id, adc_dist,
         |    ROW_NUMBER() OVER (PARTITION BY query_id
         |                       ORDER BY adc_dist, cand_id) AS rk
         |  FROM scored) WHERE rk <= 3""".stripMargin,

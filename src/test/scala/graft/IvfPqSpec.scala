@@ -1,0 +1,69 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.sql.functions._
+
+/** IVF-PQ index coherence: codes live in rank-1 cells, search output
+  * is well-formed (ranked by non-decreasing distance, ≤ topK rows per
+  * query, candidates only from probed cells), and residual
+  * quantization keeps the own-vector distance far below the typical
+  * candidate distance.
+  */
+class IvfPqSpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+
+  private lazy val e = Tables.load(spark, TestSpark.sfDir, "embeddings").cache()
+  private lazy val idx = ops.IvfPq.build(e, "vec_id", "embedding",
+    cells = 8, m = 8, k = 16, iters = 1)
+
+  test("every vector is coded exactly once, in a valid cell") {
+    assert(idx.codes.count() == e.count())
+    assert(idx.codes.select("cand_id").distinct().count() == e.count())
+    val cells = idx.cents.select("cell").collect().map(_.getInt(0)).toSet
+    val badCell = idx.codes.filter(!col("cell").isin(cells.toSeq: _*)).count()
+    assert(badCell == 0)
+  }
+
+  test("search output well-formed and from probed cells only") {
+    val out = ops.IvfPq.searchTopK(e, "vec_id", "embedding", idx,
+      queryPred = col("vec_id") % 100 === 0, topK = 3, nprobe = 2).cache()
+    // ≤ topK rows per query, rk dense from 1, distance non-decreasing
+    val byQuery = out.groupBy("query_id")
+      .agg(count(lit(1)).as("n"), max("rk").as("maxrk"),
+        min("rk").as("minrk"),
+        (min("adc_dist") === first("adc_dist")).as("unchecked"))
+    assert(byQuery.filter(col("n") > 3 || col("maxrk") =!= col("n") ||
+      col("minrk") =!= 1).count() == 0)
+    val misordered = out.as("a").join(out.as("b"),
+        col("a.query_id") === col("b.query_id") &&
+        col("a.rk") + 1 === col("b.rk"))
+      .filter(col("a.adc_dist") > col("b.adc_dist")).count()
+    assert(misordered == 0)
+    // candidates come only from the query's probed cells
+    val probes = ops.Ivf.assign(e.filter(col("vec_id") % 100 === 0),
+        "vec_id", "embedding", idx.cents, 2)
+      .select(col("vec_id").as("query_id"), col("cell"))
+    val outside = out.join(probes, Seq("query_id", "cell"), "left_anti").count()
+    assert(outside == 0)
+    out.unpersist()
+  }
+
+  test("residual quantization: own distance far below candidate scale") {
+    val own = idx.codes.join(e.select(col("vec_id").as("cand_id"),
+        col("embedding").cast("array<float>").as("q_emb")), "cand_id")
+      .join(broadcast(idx.cents), Seq("cell"))
+      .withColumn("d", functions.PqFns.pq_adc_residual(
+        col("q_emb"), col("centroid").cast("array<float>"),
+        col("codes"), idx.codebooks))
+      .agg(avg("d")).head().getDouble(0)
+    // typical distance between distinct vectors (exact, sampled pairs)
+    val typical = e.limit(50).select(col("embedding").cast("array<float>").as("a"))
+      .crossJoin(e.orderBy(desc("vec_id")).limit(50)
+        .select(col("embedding").cast("array<float>").as("b")))
+      .withColumn("d", aggregate(zip_with(col("a"), col("b"),
+        (x, y) => (x.cast("double") - y.cast("double")) * (x.cast("double") - y.cast("double"))),
+        lit(0.0), (acc, x) => acc + x))
+      .agg(avg("d")).head().getDouble(0)
+    assert(own < typical / 2, s"own=$own typical=$typical")
+  }
+}
