@@ -240,6 +240,48 @@ object TextOps {
         .filter(col("accept_hash") < col("keep_below"))
     }),
 
+    // ---- End-to-end curation pipeline ---------------------------------
+    // The stages composed the way a production training-data run
+    // chains them: quality gate → exact dedup (normalized fingerprint,
+    // min-doc_id canonical) → near-dup dedup (MinHash-LSH cluster
+    // representative) → deterministic 80/10/10 split. One row per
+    // surviving document. The banded table for the SURVIVING set is
+    // materialized so the oracle replays the identical cluster logic;
+    // everything else (quality, md5 fingerprints, split) is plain SQL
+    // on both engines.
+    "t42_curation_pipeline" -> ((s, dir) => {
+      val d = Tables.load(s, dir, "documents")
+      val toks = split(col("text"), " ")
+      val ttr = size(array_distinct(toks)).cast("double") / size(toks)
+      val quality = d.filter(size(toks) >= 20 && ttr >= 0.2)
+      val norm = lower(trim(regexp_replace(col("text"), "\\s+", " ")))
+      val wExact = Window.partitionBy(md5(norm)).orderBy(col("doc_id"))
+      val exact = quality.withColumn("__rn", row_number().over(wExact))
+        .filter(col("__rn") === 1).drop("__rn")
+      // band the survivors (MinHash-LSH, n51 parameters) + materialize
+      val p = s"${sideDir(dir)}/pipeline_banded"
+      exact.select(col("doc_id"),
+          graft.functions.functions.minhash(
+            array_distinct(toks), NearDup.K).as("sig"))
+        .select(col("doc_id"),
+          explode(expr(s"transform(sequence(0, ${NearDup.BANDS - 1}), " +
+            s"b -> struct(b AS band, hash(slice(sig, b * ${NearDup.ROWS} + 1, " +
+            s"${NearDup.ROWS})) AS bucket))")).as("bb"))
+        .select(col("doc_id"), col("bb.band"), col("bb.bucket"))
+        .write.mode("overwrite").parquet(p)
+      val banded = s.read.parquet(p)
+      val bucketRep = banded.groupBy(col("band"), col("bucket"))
+        .agg(min(col("doc_id")).as("bucket_rep"))
+      val clusterRep = banded.join(bucketRep, Seq("band", "bucket"))
+        .groupBy(col("doc_id"))
+        .agg(min(col("bucket_rep")).as("cluster_rep"))
+      val canonical = exact.join(clusterRep, Seq("doc_id"))
+        .filter(col("cluster_rep") === col("doc_id"))
+      val s2 = substring(saltedMd5("split:"), 1, 2)
+      canonical.select(col("doc_id"), col("lang"),
+        when(s2 < "cd", "train").when(s2 < "e6", "val").otherwise("test").as("split"))
+    }),
+
     // ---- Per-group deterministic k-sample -----------------------------
     // "3 docs per lang" for eval sets: rank by salted md5 inside each
     // group — the shuffle is per-group (window partition), nothing
@@ -406,6 +448,34 @@ object TextOps {
         |    ROW_NUMBER() OVER (PARTITION BY lang
         |      ORDER BY md5('pick:' || CAST(doc_id AS VARCHAR)), doc_id) AS pick_rank
         |  FROM documents)
-        |WHERE pick_rank <= 3""".stripMargin
+        |WHERE pick_rank <= 3""".stripMargin,
+
+    "t42_curation_pipeline" ->
+      """WITH toks AS (
+        |  SELECT doc_id, lang, text, string_split(text, ' ') AS t FROM documents),
+        |quality AS (
+        |  SELECT doc_id, lang, text FROM toks
+        |  WHERE len(t) >= 20
+        |    AND CAST(len(list_distinct(t)) AS DOUBLE) / len(t) >= 0.2),
+        |exact AS (
+        |  SELECT doc_id, lang FROM (
+        |    SELECT doc_id, lang,
+        |      ROW_NUMBER() OVER (
+        |        PARTITION BY md5(lower(trim(regexp_replace(text, '\s+', ' ', 'g'))))
+        |        ORDER BY doc_id) AS rn
+        |    FROM quality) WHERE rn = 1),
+        |banded AS (SELECT * FROM read_parquet('/tmp/graft_oracle/sf0.01/pipeline_banded/*.parquet')),
+        |rep AS (SELECT band, bucket, min(doc_id) AS bucket_rep
+        |        FROM banded GROUP BY band, bucket),
+        |cluster AS (SELECT doc_id, min(bucket_rep) AS cluster_rep
+        |            FROM banded JOIN rep USING (band, bucket) GROUP BY doc_id),
+        |canonical AS (
+        |  SELECT e.doc_id, e.lang FROM exact e
+        |  JOIN cluster c ON c.doc_id = e.doc_id AND c.cluster_rep = e.doc_id)
+        |SELECT doc_id, lang,
+        |  CASE WHEN substr(md5('split:' || CAST(doc_id AS VARCHAR)), 1, 2) < 'cd' THEN 'train'
+        |       WHEN substr(md5('split:' || CAST(doc_id AS VARCHAR)), 1, 2) < 'e6' THEN 'val'
+        |       ELSE 'test' END AS split
+        |FROM canonical""".stripMargin
   )
 }

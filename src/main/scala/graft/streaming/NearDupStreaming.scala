@@ -1,0 +1,87 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, Dataset, Encoders, Row}
+import org.apache.spark.sql.catalyst.encoders.{ExpressionEncoder, RowEncoder}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+import org.apache.spark.sql.types._
+
+/** Streaming near-duplicate detection — the in-stream form of the
+  * batch MinHash-LSH family (graft.queries.NearDup): as documents
+  * arrive, each is minhash-banded map-side and checked against the
+  * LSH buckets seen so far; a doc sharing ANY band bucket with an
+  * earlier doc is flagged a near-duplicate of that doc. This is the
+  * keyed-state shape of the reference's deduplicate operators
+  * (RT/deduplicate) applied to LSH keys: state lives with the
+  * (band, bucket) shuffle partition — one small entry per bucket, so
+  * a 100 TB corpus's state is bounded by distinct-bucket count, and
+  * the filter decision streams out with at-arrival latency instead of
+  * a nightly batch job.
+  */
+object NearDupStreaming {
+
+  /** Tag each arriving document: `is_near_dup` + the doc_id of the
+    * earliest bucket-mate (`dup_of`, null for novel docs). Composes
+    * as: bands via [[bandedStream]] → per-bucket keep-first state →
+    * per-doc aggregation inside `foreachBatch` (all bands of a doc
+    * arrive in its own micro-batch, so the per-doc reduce is
+    * batch-local — no second stateful stage).
+    */
+  def nearDupTagStreaming(docs: DataFrame, idCol: String, textCol: String,
+                          k: Int = 128, bands: Int = 16)(
+      sink: DataFrame => Unit): org.apache.spark.sql.streaming.StreamingQuery = {
+    val owned = bucketOwners(bandedStream(docs, idCol, textCol, k, bands))
+    owned.writeStream
+      .foreachBatch { (b: Dataset[Row], _: Long) =>
+        val perDoc = b.groupBy(col("doc_id"))
+          .agg(
+            max(when(col("owner") =!= col("doc_id"), true).otherwise(false))
+              .as("is_near_dup"),
+            min(when(col("owner") =!= col("doc_id"), col("owner")))
+              .as("dup_of"))
+        sink(perDoc)
+      }
+      .start()
+  }
+
+  /** (doc_id, band, bucket) rows — minhash + banding, map-side. */
+  def bandedStream(docs: DataFrame, idCol: String, textCol: String,
+                   k: Int, bands: Int): DataFrame = {
+    val rows = k / bands
+    docs.select(col(idCol).as("doc_id"),
+      graft.functions.functions.minhash(
+        array_distinct(split(col(textCol), " ")), k).as("sig"))
+      .select(col("doc_id"),
+        explode(expr(s"transform(sequence(0, ${bands - 1}), " +
+          s"b -> struct(b AS band, hash(slice(sig, b * $rows + 1, $rows)) AS bucket))")).as("bb"))
+      .select(col("doc_id"), col("bb.band"), col("bb.bucket"))
+  }
+
+  /** Per-(band, bucket) keep-first: every band row comes back with the
+    * bucket's first-ever owner (arrival order; the owner of a fresh
+    * bucket is the row's own doc). State = one doc_id per bucket.
+    */
+  def bucketOwners(banded: DataFrame): DataFrame = {
+    val schema = banded.schema
+    val outSchema = StructType(schema.fields :+ StructField("owner", LongType))
+    implicit val outEnc: ExpressionEncoder[Row] =
+      ExpressionEncoder(RowEncoder.encoderFor(outSchema))
+    implicit val keyEnc = Encoders.STRING
+    val keyIdx = Seq(schema.fieldIndex("band"), schema.fieldIndex("bucket"))
+    val idIdx = schema.fieldIndex("doc_id")
+    banded.groupByKey(r => StatefulOps.encodeKey(r, keyIdx))
+      .flatMapGroupsWithState[Long, Row](
+        OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        (_: String, rows: Iterator[Row], state: GroupState[Long]) =>
+          var owner = if (state.exists) state.get else Long.MinValue
+          val out = rows.map { r =>
+            if (owner == Long.MinValue) {
+              owner = r.getLong(idIdx)
+              state.update(owner)
+            }
+            Row.fromSeq(r.toSeq :+ owner)
+          }.toSeq
+          out.iterator
+      }(Encoders.scalaLong, outEnc)
+  }
+}
