@@ -49,6 +49,31 @@ class PqSpec extends AnyFunSuite {
     assert(got == expected)
   }
 
+  test("recall@3 vs exact L2 clears the floor at the v45 config") {
+    import org.apache.spark.sql.expressions.Window
+    val cfg = ops.Pq.train(e, "vec_id", "embedding", m = 16, k = 64, iters = 2)
+    val pred = col("vec_id") % 50 === 0
+    val q = e.filter(pred).select(col("vec_id").as("query_id"),
+      col("embedding").cast("array<float>").as("q"))
+    val c = e.select(col("vec_id").as("cand_id"),
+      col("embedding").cast("array<float>").as("c"))
+    val w = Window.partitionBy(col("query_id")).orderBy(col("d"), col("cand_id"))
+    val exact = q.join(c, col("query_id") =!= col("cand_id"))
+      .withColumn("d", aggregate(zip_with(col("q"), col("c"),
+        (x, y) => (x.cast("double") - y.cast("double")) * (x.cast("double") - y.cast("double"))),
+        lit(0.0), (a, x) => a + x))
+      .withColumn("rk", row_number().over(w)).filter(col("rk") <= 3)
+      .select(col("query_id"), col("cand_id"))
+    val approx = ops.Pq.searchTopK(e.filter(pred), "vec_id", "embedding",
+      ops.Pq.encode(e, "vec_id", "embedding", cfg), cfg, 3)
+    val recall = exact.join(approx.select(col("query_id"), col("cand_id")),
+      Seq("query_id", "cand_id")).count().toDouble / exact.count()
+    // measured 0.40 at sf0.001 / 0.53 at sf0.01 on isotropic random
+    // fixtures (PQ's worst case); the floor guards against encoding or
+    // scoring regressions, not data-dependent quality
+    assert(recall >= 0.25, s"recall@3 = $recall")
+  }
+
   test("own code is closer than the bulk of other codes") {
     val codes = ops.Pq.encode(e, "vec_id", "embedding", cbs)
     val qs = e.filter(col("vec_id") % 100 === 0)
