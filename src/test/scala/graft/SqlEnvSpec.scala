@@ -40,6 +40,32 @@ class SqlEnvSpec extends AnyFunSuite {
     assert(j.collect().nonEmpty)
   }
 
+  test("round-4 functions usable from SQL text (token_hashes, kgram_hashes)") {
+    val env = SqlEnv(spark).registerTestdata(TestSpark.sfDir)
+    val rows = env.executeSql(
+      """SELECT doc_id,
+        |  size(token_hashes(split(text, ' '))) AS n_tok_hashes,
+        |  size(split(text, ' ')) AS n_toks,
+        |  size(kgram_hashes(text, 8)) AS n_kgrams,
+        |  length(text) AS n_chars
+        |FROM documents LIMIT 20""".stripMargin).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      assert(r.getInt(1) == r.getInt(2), "one base hash per token")
+      // ASCII fixture text: kgram count = byte length − k + 1
+      assert(r.getInt(3) == math.max(r.getInt(4) - 8 + 1, 0))
+    }
+    // the winnowing selection composes in pure SQL over kgram_hashes
+    val fp = env.executeSql(
+      """WITH kg AS (
+        |  SELECT doc_id, posexplode(kgram_hashes(text, 8)) AS (pos, h)
+        |  FROM documents WHERE doc_id < 5)
+        |SELECT doc_id, count(*) AS n,
+        |  count(DISTINCT h) AS n_distinct
+        |FROM kg GROUP BY doc_id""".stripMargin).collect()
+    assert(fp.nonEmpty && fp.forall(r => r.getLong(1) >= r.getLong(2)))
+  }
+
   test("window TVFs through the SQL-text path (TUMBLE/HOP/SESSION analogs)") {
     // the reference's TUMBLE(...)/HOP(...) table functions map to
     // window()/session_window() in Spark SQL text — the same entry
