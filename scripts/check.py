@@ -11,6 +11,13 @@ sorted by all columns, doubles rounded to 1e-9), and compares hashes.
 import sys, os, json, hashlib
 import duckdb
 
+class ArrayCell(Exception):
+    """Raised when a result cell is array-typed. The driver's comparator
+    sorts rows with pandas, and numpy.ndarray cells are unhashable there
+    (TypeError in sort_values) — so any array-typed output column that
+    passes locally would still go red in the driver. Reshape the query to
+    scalars (posexplode) or JSON text (to_json) instead."""
+
 def canon(rows, colnames):
     order = sorted(range(len(colnames)), key=lambda i: colnames[i])
     out = []
@@ -18,6 +25,8 @@ def canon(rows, colnames):
         vals = []
         for i in order:
             v = row[i]
+            if isinstance(v, (list, tuple, dict)):
+                raise ArrayCell(f"column '{colnames[i]}' is array/struct-typed")
             if isinstance(v, float):
                 v = round(v, 9)
                 if v == 0.0:
@@ -63,8 +72,13 @@ def main():
             print(f"SCHEMA   {name}: engine={sorted(eng_cols)} oracle={sorted(ora_cols)}")
             n_fail += 1
             continue
-        h1, c1 = canon(eng_rows, eng_cols)
-        h2, c2 = canon(ora_rows, ora_cols)
+        try:
+            h1, c1 = canon(eng_rows, eng_cols)
+            h2, c2 = canon(ora_rows, ora_cols)
+        except ArrayCell as e:
+            print(f"ARRAYCOL {name}: {e} — driver comparator would ERROR; emit scalars or to_json")
+            n_fail += 1
+            continue
         if h1 == h2:
             print(f"PASS     {name} ({c1} rows)")
             n_pass += 1

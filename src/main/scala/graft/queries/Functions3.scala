@@ -75,6 +75,9 @@ object Functions3 {
     // (reference: AvroRowDataSerializationSchema's nested-row branch).
     // The oracle reads the ORIGINAL table, so the hash match proves
     // array elements and struct fields survive the record roundtrip.
+    // The array is serialized to JSON text for the comparison because
+    // the driver's pandas comparator cannot sort array-typed cells —
+    // to_json preserves element boundaries, so it is as strong a check.
     "q73_avro_nested" -> ((s, dir) => {
       val d = Tables.load(s, dir, "documents")
         .select(col("doc_id"),
@@ -83,7 +86,7 @@ object Functions3 {
       val out = roundtripDir("avro_nested", dir)
       graft.sources.Avro.write(d, out)
       graft.sources.Avro.read(s, out)
-        .select(col("doc_id"), col("tokens"),
+        .select(col("doc_id"), to_json(col("tokens")).as("tokens_json"),
           col("info.lang").as("lang"), col("info.n_chars").as("n_chars"))
     }),
 
@@ -176,7 +179,7 @@ object Functions3 {
     "q67_parquet_roundtrip" -> "SELECT * FROM orders",
     "q68_avro_roundtrip" -> "SELECT * FROM orders",
     "q73_avro_nested" ->
-      "SELECT doc_id, string_split(text, ' ') AS tokens, lang, n_chars FROM documents",
+      "SELECT doc_id, CAST(to_json(string_split(text, ' ')) AS VARCHAR) AS tokens_json, lang, n_chars FROM documents",
 
     "q60_url_functions" ->
       """SELECT p_partkey,

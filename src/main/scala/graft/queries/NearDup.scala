@@ -91,15 +91,19 @@ object NearDup {
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // ---- MinHash signatures (per-doc, deterministic) ------------------
-    // Output is the full signature array; the side table holds the
-    // per-token base hashes the oracle folds the permutations over.
+    // One row per (doc, permutation index) — pure scalars, because the
+    // driver's pandas-based comparator cannot sort array-typed cells.
+    // The side table holds the per-token base hashes the oracle folds
+    // the permutations over.
     "n50_minhash_signatures" -> ((s, dir) => {
       val p = s"${sideDir(dir)}/token_hashes"
       Tables.load(s, dir, "documents")
         .select(col("doc_id"), explode(token_hashes(tokens)).as("h"))
         .write.mode("overwrite").parquet(p)
       Tables.load(s, dir, "documents")
-        .select(col("doc_id"), minhash(tokens, K).as("sig"))
+        .select(col("doc_id"), posexplode(minhash(tokens, K)))
+        .withColumnRenamed("pos", "sig_idx")
+        .withColumnRenamed("col", "sig_val")
     }),
 
     // ---- MinHash-LSH dedup clusters (linear in corpus size) -----------
@@ -200,11 +204,10 @@ object NearDup {
                 ) % 18446744073709551616 AS v
               FROM hu, coef),
         m AS (SELECT doc_id, j, min(v) AS mv FROM v GROUP BY doc_id, j)
-        SELECT doc_id,
-          list(CAST(CASE WHEN mv >= 9223372036854775808
-                         THEN mv - 18446744073709551616 ELSE mv END AS BIGINT)
-               ORDER BY j) AS sig
-        FROM m GROUP BY doc_id""",
+        SELECT doc_id, CAST(j AS INT) AS sig_idx,
+          CAST(CASE WHEN mv >= 9223372036854775808
+                    THEN mv - 18446744073709551616 ELSE mv END AS BIGINT) AS sig_val
+        FROM m""",
       "n51_minhash_dedup_clusters" -> s"""
         WITH b AS (SELECT * FROM $banded),
         rep AS (SELECT band, bucket, min(doc_id) AS bucket_rep, count(*) AS bucket_size
