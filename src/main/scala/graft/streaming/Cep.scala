@@ -280,9 +280,11 @@ object Cep {
     */
   def matchPatternStreaming(df: DataFrame, keyCol: String, tsCol: String,
                             idCol: String, steps: Seq[Step], withinSec: Long,
-                            afterMatch: AfterMatch = SkipPastLastRow): DataFrame =
+                            afterMatch: AfterMatch = SkipPastLastRow,
+                            ttlSec: Long = StatefulOps.DefaultTtlSec): DataFrame =
     matchBranchesStreamingImpl(df, keyCol, tsCol, idCol,
-      IndexedSeq(steps.toIndexedSeq), withinSec, afterMatch, withBranch = false)
+      IndexedSeq(steps.toIndexedSeq), withinSec, afterMatch, withBranch = false,
+      ttlSec = ttlSec)
 
   /** Streaming form of [[matchPatternBranches]] — same watermark-frozen
     * anchor discipline as [[matchPatternStreaming]], same ordered-
@@ -291,16 +293,18 @@ object Cep {
   def matchPatternBranchesStreaming(df: DataFrame, keyCol: String, tsCol: String,
                                     idCol: String, branches: Seq[Seq[Step]],
                                     withinSec: Long,
-                                    afterMatch: AfterMatch = SkipPastLastRow): DataFrame = {
+                                    afterMatch: AfterMatch = SkipPastLastRow,
+                                    ttlSec: Long = StatefulOps.DefaultTtlSec): DataFrame = {
     require(branches.nonEmpty && branches.forall(_.nonEmpty))
     matchBranchesStreamingImpl(df, keyCol, tsCol, idCol,
       branches.map(_.toIndexedSeq).toIndexedSeq, withinSec, afterMatch,
-      withBranch = true)
+      withBranch = true, ttlSec = ttlSec)
   }
 
   private def matchBranchesStreamingImpl(df: DataFrame, keyCol: String,
       tsCol: String, idCol: String, branches: IndexedSeq[IndexedSeq[Step]],
-      withinSec: Long, afterMatch: AfterMatch, withBranch: Boolean): DataFrame = {
+      withinSec: Long, afterMatch: AfterMatch, withBranch: Boolean,
+      ttlSec: Long = StatefulOps.DefaultTtlSec): DataFrame = {
     val schema = df.schema
     val keyIdx = schema.fieldIndex(keyCol)
     val outSchema = patternOutSchema(keyCol, schema(keyIdx).dataType,
@@ -322,9 +326,13 @@ object Cep {
       branches, withinSec, afterMatch, withBranch)
 
     import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+    // TTL (table.exec.state.ttl analog): a key idle past the TTL gets
+    // one empty invocation — emitting any watermark-decidable matches —
+    // then its buffer + skip cursor are purged.
+    val timeout = StatefulOps.ttlTimeout(df, ttlSec)
     df.groupByKey(r => String.valueOf(r.get(keyIdx)))
       .flatMapGroupsWithState[Row, Row](
-        OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        OutputMode.Append, timeout)(StatefulOps.withTtl(timeout, ttlSec) {
         (_: String, rows: Iterator[Row], state: GroupState[Row]) =>
           val cursor0 =
             if (state.exists)
@@ -347,7 +355,7 @@ object Cep {
             runner.tsMicros(r) + withinSec * 1000000L <= wmMicros)
           state.update(Row(keep.toSeq, cursor._1, cursor._2, cursor._3))
           out.iterator
-      }(stateEnc, outEnc)
+      })(stateEnc, outEnc)
   }
 
   /** Shared batch/streaming pattern-match driver over one or more

@@ -54,7 +54,8 @@ object Changelog {
     * keyed by `keys`; output interleaves -U rows so downstream
     * retract-aware consumers see Flink-equivalent kinds.
     */
-  def changelogNormalize(df: DataFrame, keys: Seq[String]): DataFrame = {
+  def changelogNormalize(df: DataFrame, keys: Seq[String],
+                         ttlSec: Long = StatefulOps.DefaultTtlSec): DataFrame = {
     val schema = df.schema
     require(schema.fieldNames.contains(KindCol), s"need $KindCol column")
     implicit val enc: ExpressionEncoder[Row] =
@@ -71,9 +72,10 @@ object Changelog {
       vals(kindIdx) = kind
       Row.fromSeq(vals.toIndexedSeq)
     }
+    val timeout = StatefulOps.ttlTimeout(df, ttlSec)
     df.groupByKey(r => StatefulOps.encodeKey(r, keyIdx))
       .flatMapGroupsWithState[Row, Row](
-        OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        OutputMode.Append, timeout)(StatefulOps.withTtl(timeout, ttlSec) {
         (_: String, rows: Iterator[Row], state: GroupState[Row]) =>
           val out = scala.collection.mutable.ArrayBuffer.empty[Row]
           var last: Option[Row] = if (state.exists) Some(state.get) else None
@@ -98,6 +100,6 @@ object Changelog {
             case None => if (state.exists) state.remove()
           }
           out.iterator
-      }(stateEnc, enc)
+      })(stateEnc, enc)
   }
 }

@@ -50,25 +50,30 @@ object ChangelogJoin {
   }
 
   /** Streaming form: same semantics, state persisted per key across
-    * micro-batches. State grows with live keys × rows per key — bound
-    * it upstream (windowed inputs or key TTL) exactly as the reference
-    * requires `table.exec.state.ttl` for unbounded joins.
+    * micro-batches. State grows with live keys × rows per key; `ttlSec`
+    * purges keys idle for that much event time — the analog of the
+    * `table.exec.state.ttl` the reference REQUIRES for unbounded joins
+    * (it engages only when a watermark is attached upstream; without
+    * one, state is retained forever, like Flink's default).
     */
   def streaming(left: DataFrame, leftKeys: Seq[String],
                 right: DataFrame, rightKeys: Seq[String],
-                seqCol: String, joinType: String = "inner"): DataFrame = {
+                seqCol: String, joinType: String = "inner",
+                ttlSec: Long = StatefulOps.DefaultTtlSec): DataFrame = {
     val p = new Plan(left, leftKeys, right, rightKeys, seqCol, joinType)
     import p._
-    tagged.groupByKey(keyOf)(keyEnc)
+    val taggedDs = tagged
+    val timeout = StatefulOps.ttlTimeout(taggedDs, ttlSec)
+    taggedDs.groupByKey(keyOf)(keyEnc)
       .flatMapGroupsWithState[Row, Row](
-        OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        OutputMode.Append, timeout)(StatefulOps.withTtl(timeout, ttlSec) {
         (_: String, it: Iterator[Row], state: GroupState[Row]) =>
           val st =
             if (state.exists) JoinState.fromRow(state.get) else new JoinState()
           val out = it.toArray.sortBy(_.getLong(1)).flatMap(t => process(t, st))
           state.update(JoinState.toRow(st))
           out.iterator
-      }(stateEnc, outEnc)
+      })(stateEnc, outEnc)
   }
 
   /** Per-side multiset state + the join step, shared batch/streaming.

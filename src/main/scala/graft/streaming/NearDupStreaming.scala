@@ -28,9 +28,10 @@ object NearDupStreaming {
     * batch-local — no second stateful stage).
     */
   def nearDupTagStreaming(docs: DataFrame, idCol: String, textCol: String,
-                          k: Int = 128, bands: Int = 16)(
+                          k: Int = 128, bands: Int = 16,
+                          ttlSec: Long = StatefulOps.DefaultTtlSec)(
       sink: DataFrame => Unit): org.apache.spark.sql.streaming.StreamingQuery = {
-    val owned = bucketOwners(bandedStream(docs, idCol, textCol, k, bands))
+    val owned = bucketOwners(bandedStream(docs, idCol, textCol, k, bands), ttlSec)
     owned.writeStream
       .foreachBatch { (b: Dataset[Row], _: Long) =>
         val perDoc = b.groupBy(col("doc_id"))
@@ -59,9 +60,14 @@ object NearDupStreaming {
 
   /** Per-(band, bucket) keep-first: every band row comes back with the
     * bucket's first-ever owner (arrival order; the owner of a fresh
-    * bucket is the row's own doc). State = one doc_id per bucket.
+    * bucket is the row's own doc). State = one doc_id per bucket;
+    * `ttlSec` of event-time idleness forgets a bucket's owner (the
+    * `table.exec.state.ttl` analog — requires a watermark upstream to
+    * engage), so dedup scope becomes "within the TTL horizon" instead
+    * of all-history — the standard production trade-off.
     */
-  def bucketOwners(banded: DataFrame): DataFrame = {
+  def bucketOwners(banded: DataFrame,
+                   ttlSec: Long = StatefulOps.DefaultTtlSec): DataFrame = {
     val schema = banded.schema
     val outSchema = StructType(schema.fields :+ StructField("owner", LongType))
     implicit val outEnc: ExpressionEncoder[Row] =
@@ -69,9 +75,10 @@ object NearDupStreaming {
     implicit val keyEnc = Encoders.STRING
     val keyIdx = Seq(schema.fieldIndex("band"), schema.fieldIndex("bucket"))
     val idIdx = schema.fieldIndex("doc_id")
+    val timeout = StatefulOps.ttlTimeout(banded, ttlSec)
     banded.groupByKey(r => StatefulOps.encodeKey(r, keyIdx))
       .flatMapGroupsWithState[Long, Row](
-        OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        OutputMode.Append, timeout)(StatefulOps.withTtl(timeout, ttlSec) {
         (_: String, rows: Iterator[Row], state: GroupState[Long]) =>
           var owner = if (state.exists) state.get else Long.MinValue
           val out = rows.map { r =>
@@ -82,6 +89,6 @@ object NearDupStreaming {
             Row.fromSeq(r.toSeq :+ owner)
           }.toSeq
           out.iterator
-      }(Encoders.scalaLong, outEnc)
+      })(Encoders.scalaLong, outEnc)
   }
 }

@@ -22,7 +22,8 @@ object RetractTopN {
   import Changelog.{Delete, Insert, KindCol, UpdateAfter, UpdateBefore}
 
   def apply(df: DataFrame, keys: Seq[String], idCol: String, scoreCol: String,
-            n: Int, descending: Boolean = true): DataFrame = {
+            n: Int, descending: Boolean = true,
+            ttlSec: Long = StatefulOps.DefaultTtlSec): DataFrame = {
     val schema = df.schema
     require(schema.fieldNames.contains(KindCol), s"need $KindCol column")
     val outSchema = StructType(schema.fields :+ StructField("rank_no", IntegerType))
@@ -55,9 +56,10 @@ object RetractTopN {
       Row.fromSeq(vals.toIndexedSeq :+ rank)
     }
 
+    val timeout = StatefulOps.ttlTimeout(df, ttlSec)
     df.groupByKey(r => StatefulOps.encodeKey(r, keyIdx))
       .flatMapGroupsWithState[Row, Row](
-        OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        OutputMode.Append, timeout)(StatefulOps.withTtl(timeout, ttlSec) {
         (_: String, rows: Iterator[Row], state: GroupState[Row]) =>
           var m: Map[String, Row] =
             if (state.exists)
@@ -87,6 +89,6 @@ object RetractTopN {
               out(r, Insert, rank)
           }
           (retracts ++ inserts).iterator
-      }(stateEnc, outEnc)
+      })(stateEnc, outEnc)
   }
 }

@@ -25,6 +25,72 @@ object StatefulOps {
   private[streaming] def rowEnc(schema: StructType): ExpressionEncoder[Row] =
     ExpressionEncoder(RowEncoder.encoderFor(schema))
 
+  // ---- State TTL ------------------------------------------------------
+
+  /** Default idle-state retention, in seconds of EVENT time — the
+    * analog of the reference's `table.exec.state.ttl`
+    * (flink-table-api-java/.../config/ExecutionConfigOptions.java:51
+    * and StateTtlConfig): a key whose state goes untouched while the
+    * watermark advances this far is purged. 24h, like typical
+    * production Flink settings for unbounded-keyspace dedup/TopN.
+    * Pass `ttlSec = 0` to retain state forever (Flink's default).
+    */
+  val DefaultTtlSec: Long = 86400L
+
+  /** TTL is watermark-driven, so it can only engage when the input has
+    * an event-time watermark (`withWatermark` upstream) — the same
+    * prerequisite Flink's cleanup timers have on a time
+    * characteristic. Without one, the op silently falls back to
+    * retain-forever, keeping watermark-less (e.g. pure arrival-order)
+    * pipelines valid.
+    */
+  private[streaming] def hasWatermark(df: Dataset[_]): Boolean =
+    df.queryExecution.logical.exists {
+      case _: org.apache.spark.sql.catalyst.plans.logical.EventTimeWatermark => true
+      case _ => false
+    }
+
+  private[streaming] def ttlTimeout(df: Dataset[_], ttlSec: Long): GroupStateTimeout =
+    if (ttlSec > 0 && hasWatermark(df)) GroupStateTimeout.EventTimeTimeout
+    else GroupStateTimeout.NoTimeout
+
+  /** Wrap a flatMapGroupsWithState body with TTL bookkeeping. On every
+    * data invocation the key's purge timer is re-armed to
+    * watermark + ttl (Flink's OnReadAndWrite update type). When the
+    * timer fires, the body runs once more with an EMPTY input — so
+    * watermark-buffered ops (temporal sort, event-time OVER aggs, CEP)
+    * release everything the watermark already permits, exactly like
+    * Flink draining timers before state cleanup — and the entry is
+    * then removed. All graft op bodies return materialized iterators
+    * and finish their state writes before returning, which is what
+    * makes the remove-after-body ordering here final.
+    */
+  private[streaming] def withTtl[S, O](timeout: GroupStateTimeout, ttlSec: Long)(
+      f: (String, Iterator[Row], GroupState[S]) => Iterator[O])
+      : (String, Iterator[Row], GroupState[S]) => Iterator[O] =
+    if (timeout == GroupStateTimeout.NoTimeout) f
+    else (k: String, rows: Iterator[Row], state: GroupState[S]) =>
+      if (state.hasTimedOut) {
+        val out = f(k, Iterator.empty, state)
+        state.remove()
+        out
+      } else {
+        val out = f(k, rows, state)
+        val wm = state.getCurrentWatermarkMs()
+        // wm == 0 ⇒ no watermark committed yet (the query's first
+        // micro-batch): arming now would read as "expire at the first
+        // real watermark" — a premature purge. Skip; the key's next
+        // data invocation arms the timer. Keys seen ONLY before the
+        // first watermark commit are retained forever — a bounded
+        // startup edge. Choose ttlSec comfortably above the watermark
+        // delay: a key's still-buffered rows older than the TTL
+        // horizon are dropped with the key, exactly like Flink state
+        // TTL expiring an unfired window.
+        if (state.exists && wm > 0L)
+          state.setTimeoutTimestamp(wm + ttlSec * 1000L)
+        out
+      }
+
   /** Collision-free composite grouping key: length-prefixed segments,
     * so ("ab","c") and ("a","bc") stay distinct for ANY content
     * (including separators inside values). The reference keys state by
@@ -79,7 +145,8 @@ object StatefulOps {
     * winner (update semantics, like Flink's changelog output in
     * non-insert-only mode). Output mode: update.
     */
-  def keepFirstStreaming(df: DataFrame, keys: Seq[String], orderCol: String): DataFrame = {
+  def keepFirstStreaming(df: DataFrame, keys: Seq[String], orderCol: String,
+                         ttlSec: Long = DefaultTtlSec): DataFrame = {
     val schema = df.schema
     implicit val enc: ExpressionEncoder[Row] = rowEnc(schema)
     val stateEnc: ExpressionEncoder[Row] = rowEnc(schema)
@@ -92,24 +159,29 @@ object StatefulOps {
       case i: Int => i.toLong
       case o => o.hashCode().toLong
     }
+    val timeout = ttlTimeout(df, ttlSec)
     df.groupByKey(r => StatefulOps.encodeKey(r, keyIdx))
       .flatMapGroupsWithState[Row, Row](
-        OutputMode.Update, GroupStateTimeout.NoTimeout) {
+        OutputMode.Update, timeout)(withTtl(timeout, ttlSec) {
         (_: String, rows: Iterator[Row], state: GroupState[Row]) =>
           val incoming = rows.toSeq
           val best0 = if (state.exists) Some(state.get) else None
-          val best = (best0 ++ incoming).minBy(ord)
-          state.update(best)
-          val changed = best0.forall(b => ord(best) < ord(b))
-          if (best0.isEmpty || changed) Iterator.single(best) else Iterator.empty
-      }(stateEnc, enc)
+          if (best0.isEmpty && incoming.isEmpty) Iterator.empty
+          else {
+            val best = (best0 ++ incoming).minBy(ord)
+            state.update(best)
+            val changed = best0.forall(b => ord(best) < ord(b))
+            if (best0.isEmpty || changed) Iterator.single(best) else Iterator.empty
+          }
+      })(stateEnc, enc)
   }
 
   /** Streaming keep-last dedup: every trigger emits the new latest row
     * for keys that changed (Flink's upsert/update_after behavior of
     * StreamExecDeduplicate keep-last). Output mode: update.
     */
-  def keepLastStreaming(df: DataFrame, keys: Seq[String], orderCol: String): DataFrame = {
+  def keepLastStreaming(df: DataFrame, keys: Seq[String], orderCol: String,
+                        ttlSec: Long = DefaultTtlSec): DataFrame = {
     val schema = df.schema
     implicit val enc: ExpressionEncoder[Row] = rowEnc(schema)
     // Schema-derived state encoder: state written by one build stays
@@ -125,17 +197,21 @@ object StatefulOps {
       case i: Int => i.toLong
       case o => o.hashCode().toLong
     }
+    val timeout = ttlTimeout(df, ttlSec)
     df.groupByKey(r => StatefulOps.encodeKey(r, keyIdx))
       .flatMapGroupsWithState[Row, Row](
-        OutputMode.Update, GroupStateTimeout.NoTimeout) {
+        OutputMode.Update, timeout)(withTtl(timeout, ttlSec) {
         (_: String, rows: Iterator[Row], state: GroupState[Row]) =>
           val incoming = rows.toSeq
           val best0 = if (state.exists) Some(state.get) else None
-          val best = (best0 ++ incoming).maxBy(ord)
-          val changed = best0.forall(b => ord(best) > ord(b) || !(b equals best))
-          state.update(best)
-          if (changed) Iterator.single(best) else Iterator.empty
-      }(stateEnc, enc)
+          if (best0.isEmpty && incoming.isEmpty) Iterator.empty
+          else {
+            val best = (best0 ++ incoming).maxBy(ord)
+            val changed = best0.forall(b => ord(best) > ord(b) || !(b equals best))
+            state.update(best)
+            if (changed) Iterator.single(best) else Iterator.empty
+          }
+      })(stateEnc, enc)
   }
 
   // ---- TopN -----------------------------------------------------------
@@ -157,7 +233,8 @@ object StatefulOps {
     * upsert sink).
     */
   def topNStreaming(df: DataFrame, keys: Seq[String], scoreCol: String,
-                    descending: Boolean, n: Int): DataFrame = {
+                    descending: Boolean, n: Int,
+                    ttlSec: Long = DefaultTtlSec): DataFrame = {
     val schema = df.schema
     implicit val enc: ExpressionEncoder[Row] = rowEnc(schema)
     // State = the current top-N rows, stored as one array-of-struct row
@@ -177,9 +254,10 @@ object StatefulOps {
       case _ => 0.0
     }
     val sign = if (descending) -1.0 else 1.0
+    val timeout = ttlTimeout(df, ttlSec)
     df.groupByKey(r => StatefulOps.encodeKey(r, keyIdx))
       .flatMapGroupsWithState[Row, Row](
-        OutputMode.Update, GroupStateTimeout.NoTimeout) {
+        OutputMode.Update, timeout)(withTtl(timeout, ttlSec) {
         (_: String, rows: Iterator[Row], state: GroupState[Row]) =>
           val cur: Array[Row] =
             if (state.exists) state.get.getSeq[Row](0).toArray else Array.empty[Row]
@@ -187,7 +265,7 @@ object StatefulOps {
           val changed = !merged.sameElements(cur)
           state.update(Row(merged.toSeq))
           if (changed) merged.iterator else Iterator.empty
-      }(stateEnc, enc)
+      })(stateEnc, enc)
   }
 
   // ---- Window rank (streaming) -----------------------------------------
@@ -285,7 +363,8 @@ object StatefulOps {
     * current partial window, discarded on completion — bounded by
     * `size` rows per key.
     */
-  def countWindowStreaming(df: DataFrame, keys: Seq[String], size: Int): DataFrame = {
+  def countWindowStreaming(df: DataFrame, keys: Seq[String], size: Int,
+                           ttlSec: Long = DefaultTtlSec): DataFrame = {
     require(size > 0)
     val schema = df.schema
     val outSchema = StructType(schema.fields ++ Seq(
@@ -298,9 +377,10 @@ object StatefulOps {
     val stateEnc: ExpressionEncoder[Row] = rowEnc(stateSchema)
     implicit val keyEnc = Encoders.STRING
     val keyIdx = keys.map(schema.fieldIndex)
+    val timeout = ttlTimeout(df, ttlSec)
     df.groupByKey(r => encodeKey(r, keyIdx))
       .flatMapGroupsWithState[Row, Row](
-        OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        OutputMode.Append, timeout)(withTtl(timeout, ttlSec) {
         (_: String, rows: Iterator[Row], state: GroupState[Row]) =>
           var (buf, done) =
             if (state.exists) (state.get.getSeq[Row](0).toVector, state.get.getLong(1))
@@ -318,7 +398,7 @@ object StatefulOps {
           }
           state.update(Row(buf, done))
           out.iterator
-      }(stateEnc, outEnc)
+      })(stateEnc, outEnc)
   }
 
   // ---- Temporal sort (streaming) ---------------------------------------
@@ -332,7 +412,8 @@ object StatefulOps {
     * firehoses.
     */
   def temporalSortStreaming(df: DataFrame, tsCol: String,
-                            tieBreak: Seq[String] = Nil): DataFrame = {
+                            tieBreak: Seq[String] = Nil,
+                            ttlSec: Long = DefaultTtlSec): DataFrame = {
     val schema = df.schema
     implicit val enc: ExpressionEncoder[Row] = rowEnc(schema)
     val stateEnc: ExpressionEncoder[Row] = rowEnc(StructType(Seq(
@@ -348,16 +429,17 @@ object StatefulOps {
     }
     def sortKey(r: Row): (Long, String) =
       (micros(r), tieIdx.map(i => String.valueOf(r.get(i))).mkString("|"))
+    val timeout = ttlTimeout(df, ttlSec)
     df.groupByKey(_ => "")(keyEnc)
       .flatMapGroupsWithState[Row, Row](
-        OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        OutputMode.Append, timeout)(withTtl(timeout, ttlSec) {
         (_: String, rows: Iterator[Row], state: GroupState[Row]) =>
           val buf = (if (state.exists) state.get.getSeq[Row](0) else Seq.empty[Row]) ++ rows
           val wmMicros = state.getCurrentWatermarkMs() * 1000L
           val (ready, pending) = buf.partition(micros(_) <= wmMicros)
           state.update(Row(pending))
           ready.sortBy(sortKey).iterator
-      }(stateEnc, enc)
+      })(stateEnc, enc)
   }
 
   // ---- Streaming OVER aggregation ------------------------------------
@@ -371,7 +453,8 @@ object StatefulOps {
     * for proc-time Flink jobs).
     */
   def runningAggStreaming(df: DataFrame, keys: Seq[String],
-                          orderCol: String, valueCol: String): DataFrame = {
+                          orderCol: String, valueCol: String,
+                          ttlSec: Long = DefaultTtlSec): DataFrame = {
     val schema = df.schema
     val outSchema = StructType(schema.fields ++ Seq(
       StructField("running_sum", org.apache.spark.sql.types.DoubleType),
@@ -393,9 +476,10 @@ object StatefulOps {
       case l: Long => l.toDouble; case i: Int => i.toDouble
       case b: java.math.BigDecimal => b.doubleValue(); case _ => 0.0
     }
+    val timeout = ttlTimeout(df, ttlSec)
     df.groupByKey(r => StatefulOps.encodeKey(r, keyIdx))
       .flatMapGroupsWithState[(Double, Long), Row](
-        OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        OutputMode.Append, timeout)(withTtl(timeout, ttlSec) {
         (_: String, rows: Iterator[Row], state: GroupState[(Double, Long)]) =>
           var (sum, count) = if (state.exists) state.get else (0.0, 0L)
           val out = rows.toSeq.sortBy(ord).map { r =>
@@ -404,7 +488,7 @@ object StatefulOps {
           }
           state.update((sum, count))
           out.iterator
-      }(stateEnc, outEnc)
+      })(stateEnc, outEnc)
   }
 
   /** Streaming unbounded-preceding OVER aggregate in EVENT-TIME order
@@ -426,7 +510,8 @@ object StatefulOps {
     */
   def runningAggEventTimeStreaming(df: DataFrame, keys: Seq[String],
                                    tsCol: String, valueCol: String,
-                                   tieBreak: Seq[String] = Nil): DataFrame = {
+                                   tieBreak: Seq[String] = Nil,
+                                   ttlSec: Long = DefaultTtlSec): DataFrame = {
     val schema = df.schema
     val outSchema = StructType(schema.fields ++ Seq(
       StructField("running_sum", org.apache.spark.sql.types.DoubleType),
@@ -454,9 +539,10 @@ object StatefulOps {
       case l: Long => l.toDouble; case i: Int => i.toDouble
       case b: java.math.BigDecimal => b.doubleValue(); case _ => 0.0
     }
+    val timeout = ttlTimeout(df, ttlSec)
     df.groupByKey(r => StatefulOps.encodeKey(r, keyIdx))
       .flatMapGroupsWithState[Row, Row](
-        OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        OutputMode.Append, timeout)(withTtl(timeout, ttlSec) {
         (_: String, rows: Iterator[Row], state: GroupState[Row]) =>
           var (buf, sum, count) =
             if (state.exists)
@@ -471,7 +557,7 @@ object StatefulOps {
           }
           state.update(Row(pending, sum, count))
           out.iterator
-      }(stateEnc, outEnc)
+      })(stateEnc, outEnc)
   }
 
   /** Streaming RANGE-BOUNDED preceding OVER aggregate in event time —
@@ -487,7 +573,8 @@ object StatefulOps {
   def boundedRangeAggEventTimeStreaming(df: DataFrame, keys: Seq[String],
                                         tsCol: String, valueCol: String,
                                         rangeSec: Long,
-                                        tieBreak: Seq[String] = Nil): DataFrame = {
+                                        tieBreak: Seq[String] = Nil,
+                                        ttlSec: Long = DefaultTtlSec): DataFrame = {
     val schema = df.schema
     val outSchema = StructType(schema.fields ++ Seq(
       StructField("range_sum", org.apache.spark.sql.types.DoubleType),
@@ -516,9 +603,10 @@ object StatefulOps {
       case l: Long => l.toDouble; case i: Int => i.toDouble
       case b: java.math.BigDecimal => b.doubleValue(); case _ => 0.0
     }
+    val timeout = ttlTimeout(df, ttlSec)
     df.groupByKey(r => StatefulOps.encodeKey(r, keyIdx))
       .flatMapGroupsWithState[Row, Row](
-        OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        OutputMode.Append, timeout)(withTtl(timeout, ttlSec) {
         (_: String, rows: Iterator[Row], state: GroupState[Row]) =>
           var (pending, tail) =
             if (state.exists) (state.get.getSeq[Row](0), state.get.getSeq[Row](1))
@@ -547,7 +635,7 @@ object StatefulOps {
           val keepTail = window.dropWhile(w => micros(w) < wmMicros - rangeMicros).toSeq
           state.update(Row(stillPending, keepTail))
           out.iterator
-      }(stateEnc, outEnc)
+      })(stateEnc, outEnc)
   }
 
   // ---- Late-data side output ------------------------------------------
