@@ -169,6 +169,25 @@ object Events {
         withinSec = 3600L)
     }),
 
+    // ---- CEP absence pattern — the reference's notFollowedBy-at-end
+    // (flink-cep/.../pattern/Pattern.java:325, timeout-confirmed):
+    // signups with NO purchase in the following hour — the
+    // abandoned-cart / timeout-funnel shape. Anchors a positive step,
+    // then a trailing negated step scans the frozen within-window.
+    "q74_absence_funnel" -> ((s, dir) => {
+      val e = Tables.load(s, dir, "events")
+      graft.streaming.Cep.matchPattern(
+        e, keyCol = "user_id", tsCol = "ts", idCol = "event_id",
+        steps = Seq(
+          graft.streaming.Cep.Step.once("signup",
+            r => r.getString(r.fieldIndex("event_type")) == "signup"),
+          graft.streaming.Cep.Step.notFollowedBy("purchase",
+            r => r.getString(r.fieldIndex("event_type")) == "purchase")),
+        withinSec = 3600L)
+        .select(col("user_id"), col("signup_first_id").as("signup_id"),
+                col("match_start_ts").as("signup_ts"))
+    }),
+
     // ---- Window rank — SURVEY §2.5 StreamExecWindowRank ---------------
     // Top-2 events by value per (1h tumbling window × event_type).
     "q55_window_rank" -> ((s, dir) => {
@@ -215,6 +234,22 @@ object Events {
   )
 
   def oracles: Map[String, String] = Map(
+    // Absence semantics mirror the CEP engine exactly: every signup
+    // anchors independently (SkipPastLastRow consumes only the anchor),
+    // and the negation scans rows AFTER the anchor in the engine's
+    // (ts, id-as-string) sort order, window boundary inclusive.
+    "q74_absence_funnel" ->
+      """SELECT s.user_id, s.event_id AS signup_id,
+        |       CAST(s.ts AS TIMESTAMP) AS signup_ts
+        |FROM events s
+        |WHERE s.event_type = 'signup'
+        |  AND NOT EXISTS (
+        |    SELECT 1 FROM events p
+        |    WHERE p.user_id = s.user_id AND p.event_type = 'purchase'
+        |      AND (p.ts > s.ts OR (p.ts = s.ts
+        |           AND CAST(p.event_id AS VARCHAR) > CAST(s.event_id AS VARCHAR)))
+        |      AND p.ts <= s.ts + INTERVAL '1 hour')""".stripMargin,
+
     "q41_funnel" ->
       """WITH s AS (SELECT user_id, event_id, ts FROM events WHERE event_type = 'signup'),
         |m1 AS (

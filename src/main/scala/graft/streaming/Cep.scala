@@ -109,7 +109,8 @@ object Cep {
     *  - `A+?` (reluctant) = oneOrMore(...).copy(greedy = false)
     */
   final case class Step(name: String, pred: Row => Boolean,
-                        min: Int = 1, max: Int = 1, greedy: Boolean = true)
+                        min: Int = 1, max: Int = 1, greedy: Boolean = true,
+                        negated: Boolean = false)
 
   object Step {
     def once(name: String, pred: Row => Boolean): Step = Step(name, pred)
@@ -121,6 +122,33 @@ object Cep {
       Step(name, pred, 0, 1)
     def times(name: String, pred: Row => Boolean, n: Int): Step =
       Step(name, pred, n, n)
+
+    // ---- Absence (negative) patterns — reference:
+    // flink-libraries/flink-cep/.../pattern/Pattern.java:294 (notNext),
+    // :325 (notFollowedBy). A negated step consumes NO rows and carries
+    // no measures (its <name>_count is always 0); it constrains the
+    // rows between its neighbors (or, when trailing, the rest of the
+    // anchor's within-window — absence is decidable there because a
+    // match is only attempted once the whole window is frozen: batch
+    // trivially, streaming via the watermark ≥ anchor + within rule,
+    // which is exactly Flink's timeout-confirmed notFollowedBy-at-end).
+
+    /** Zero-width assertion: the IMMEDIATE next row must not satisfy
+      * `pred` (trailing: the immediate next row inside the window, if
+      * any). The following step matches from that same position.
+      */
+    def notNext(name: String, pred: Row => Boolean): Step =
+      Step(name, pred, 0, 1, greedy = true, negated = true)
+
+    /** No row satisfying `pred` may occur before the NEXT step's match
+      * (relaxed-contiguity negation: the next step may match any later
+      * row, as long as every skipped row fails `pred`). Trailing form:
+      * no row satisfying `pred` anywhere in the rest of the anchor's
+      * within-window — "A not followed by B within T", the
+      * timeout/abandoned-cart shape.
+      */
+    def notFollowedBy(name: String, pred: Row => Boolean): Step =
+      Step(name, pred, 0, Int.MaxValue, greedy = true, negated = true)
   }
 
   /** Single-symbol alternation `(B|C)` — a predicate disjunction, which
@@ -187,6 +215,28 @@ object Cep {
       if (s == nSteps) { endPos = pos; true }
       else {
         val st = steps(s)
+        if (st.negated) {
+          // Absence step: consumes nothing, res(s) stays (-1,-1,0).
+          if (s + 1 == nSteps) {
+            // Trailing: the rest of the (frozen) window confirms absence.
+            // notNext (max=1) checks only the immediate next row;
+            // notFollowedBy checks every remaining row.
+            val scanTo = if (st.max == 1) math.min(pos + 1, limit) else limit
+            (pos until scanTo).forall(p => !st.pred(events(p))) && go(pos, s + 1)
+          } else if (st.max == 1) {
+            // Interior notNext: assert on the immediate next row, then
+            // the next step matches from that same position.
+            (pos >= limit || !st.pred(events(pos))) && go(pos, s + 1)
+          } else {
+            // Interior notFollowedBy: let the next step match at pos or
+            // any later position, provided every skipped row fails the
+            // negated predicate. Earliest continuation first (the SQL
+            // earliest-match discipline).
+            def gap(p: Int): Boolean =
+              go(p, s + 1) || (p < limit && !st.pred(events(p)) && gap(p + 1))
+            gap(pos)
+          }
+        } else {
         def reps(p: Int, c: Int): Boolean = {
           def take(): Boolean =
             c < st.max && p < limit && st.pred(events(p)) && {
@@ -201,6 +251,7 @@ object Cep {
           if (st.greedy) take() || advance() else advance() || take()
         }
         reps(pos, 0)
+        }
       }
     }
     if (go(anchor, 0) && endPos > anchor) Some((res, endPos)) else None
@@ -366,6 +417,9 @@ object Cep {
       tsCol: String, idCol: String, branches: IndexedSeq[IndexedSeq[Step]],
       withinSec: Long, afterMatch: AfterMatch,
       withBranch: Boolean) extends Serializable {
+    require(branches.forall(b => !b.head.negated),
+      "a pattern cannot START with a negated step (nothing anchors the " +
+      "match) — the reference rejects Pattern.begin(not...) the same way")
     private val keyIdx = schema.fieldIndex(keyCol)
     private val tsIdx = schema.fieldIndex(tsCol)
     private val idIdx = schema.fieldIndex(idCol)

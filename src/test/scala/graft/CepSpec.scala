@@ -365,6 +365,136 @@ class CepSpec extends AnyFunSuite {
     assert(runStreaming(Cep.SkipToFirst("b"), "cep_tofirst") == 1L)
   }
 
+  // ---- Absence patterns (notNext / notFollowedBy — Pattern.java:294,325)
+
+  test("matchPattern: trailing notFollowedBy confirms absence within the window") {
+    val df = Seq(
+      // u1: B inside the 1h window → NO match
+      (1L, "u1", ts("2024-01-01 00:00:00"), "A"),
+      (2L, "u1", ts("2024-01-01 00:30:00"), "B"),
+      // u2: B only after the window → match
+      (3L, "u2", ts("2024-01-01 00:00:00"), "A"),
+      (4L, "u2", ts("2024-01-01 01:30:00"), "B"),
+      // u3: no B at all → match
+      (5L, "u3", ts("2024-01-01 00:00:00"), "A"),
+      (6L, "u3", ts("2024-01-01 00:20:00"), "C"))
+      .toDF("event_id", "user", "ts", "kind")
+    def is(k: String) = (r: org.apache.spark.sql.Row) =>
+      r.getString(r.fieldIndex("kind")) == k
+    val out = Cep.matchPattern(df, "user", "ts", "event_id",
+      Seq(Cep.Step.once("a", is("A")), Cep.Step.notFollowedBy("b", is("B"))),
+      withinSec = 3600L).collect()
+    val users = out.map(r => r.getString(r.fieldIndex("user"))).sorted.toList
+    assert(users == List("u2", "u3"), s"got $users")
+    // the negated variable consumes nothing: count 0, ids null
+    assert(out.forall(r => r.getInt(r.fieldIndex("b_count")) == 0))
+    assert(out.forall(r => r.isNullAt(r.fieldIndex("b_first_id"))))
+    // match ends at the last CONSUMED row — the anchor itself
+    assert(out.forall(r =>
+      r.getTimestamp(r.fieldIndex("match_end_ts")) ==
+      r.getTimestamp(r.fieldIndex("match_start_ts"))))
+  }
+
+  test("matchPattern: interior notFollowedBy gates the gap to the next step") {
+    // A (¬B gap) C — the relaxed-contiguity negation: C may match any
+    // later row as long as no B occurs in between.
+    val df = Seq(
+      (1L, "u1", ts("2024-01-01 00:00:00"), "A"), // A X C → match
+      (2L, "u1", ts("2024-01-01 00:01:00"), "X"),
+      (3L, "u1", ts("2024-01-01 00:02:00"), "C"),
+      (4L, "u2", ts("2024-01-01 00:00:00"), "A"), // A B C → no match
+      (5L, "u2", ts("2024-01-01 00:01:00"), "B"),
+      (6L, "u2", ts("2024-01-01 00:02:00"), "C"),
+      (7L, "u3", ts("2024-01-01 00:00:00"), "A"), // A C B → match (B after C)
+      (8L, "u3", ts("2024-01-01 00:01:00"), "C"),
+      (9L, "u3", ts("2024-01-01 00:02:00"), "B"))
+      .toDF("event_id", "user", "ts", "kind")
+    def is(k: String) = (r: org.apache.spark.sql.Row) =>
+      r.getString(r.fieldIndex("kind")) == k
+    val out = Cep.matchPattern(df, "user", "ts", "event_id",
+      Seq(Cep.Step.once("a", is("A")),
+          Cep.Step.notFollowedBy("nb", is("B")),
+          Cep.Step.once("c", is("C"))),
+      withinSec = 3600L).collect()
+    val users = out.map(r => r.getString(r.fieldIndex("user"))).sorted.toList
+    assert(users == List("u1", "u3"), s"got $users")
+  }
+
+  test("matchPattern: notNext asserts on the immediate next row only") {
+    val df = Seq(
+      (1L, "u1", ts("2024-01-01 00:00:00"), "A"), // next is B → no match
+      (2L, "u1", ts("2024-01-01 00:01:00"), "B"),
+      (3L, "u2", ts("2024-01-01 00:00:00"), "A"), // next is C → match
+      (4L, "u2", ts("2024-01-01 00:01:00"), "C"),
+      (5L, "u2", ts("2024-01-01 00:02:00"), "B"), // later B is irrelevant
+      (6L, "u3", ts("2024-01-01 00:00:00"), "A")) // no next row → match
+      .toDF("event_id", "user", "ts", "kind")
+    def is(k: String) = (r: org.apache.spark.sql.Row) =>
+      r.getString(r.fieldIndex("kind")) == k
+    val out = Cep.matchPattern(df, "user", "ts", "event_id",
+      Seq(Cep.Step.once("a", is("A")), Cep.Step.notNext("b", is("B"))),
+      withinSec = 3600L).collect()
+    val users = out.map(r => r.getString(r.fieldIndex("user"))).sorted.toList
+    assert(users == List("u2", "u3"), s"got $users")
+  }
+
+  test("matchPattern: a pattern cannot start with a negated step") {
+    val df = Seq((1L, "u", ts("2024-01-01 00:00:00"), "A"))
+      .toDF("event_id", "user", "ts", "kind")
+    intercept[IllegalArgumentException] {
+      Cep.matchPattern(df, "user", "ts", "event_id",
+        Seq(Cep.Step.notFollowedBy("b", _ => true),
+            Cep.Step.once("a", _ => true)), 60L).collect()
+    }
+  }
+
+  test("matchPatternStreaming: late negative row kills the pending match (cross-trigger)") {
+    // "A not followed by B within 5m": u1's B arrives in a LATER
+    // trigger than its A but with a rowtime inside the window — the
+    // pending match must die. u2 (no B, and IDLE after its anchor)
+    // confirms via the state-TTL timer: flatMapGroupsWithState only
+    // invokes keys with data, so the TTL's final empty invocation is
+    // what decides idle keys' frozen anchors — the role Flink's
+    // per-key event-time timers play for timeout-confirmed
+    // notFollowedBy-at-end. (Set ttlSec ≥ withinSec + watermark lag so
+    // anchors decide before the purge.)
+    implicit val sc = spark.sqlContext
+    def isTpe(k: String) = (r: org.apache.spark.sql.Row) =>
+      r.getString(r.fieldIndex("tpe")) == k
+    val in = MemoryStream[Ev]
+    val out = Cep.matchPatternStreaming(
+      in.toDF().withWatermark("ts", "1 minute")
+        .withColumn("eid", concat_ws("-", $"user", $"ts".cast("long"))),
+      "user", "ts", "eid",
+      Seq(Cep.Step.once("a", isTpe("A")), Cep.Step.notFollowedBy("b", isTpe("B"))),
+      withinSec = 300L, ttlSec = 300L)
+    val q = out.writeStream.format("memory").queryName("cep_absence")
+      .outputMode(OutputMode.Append).start()
+    try {
+      // establish the watermark first so the anchors' TTL timers arm
+      in.addData(Ev(ts("2024-01-01 00:00:00"), "u1", "X", 0.0))
+      q.processAllAvailable()
+      in.addData(Ev(ts("2024-01-01 00:00:30"), "u1", "A", 1.0),
+                 Ev(ts("2024-01-01 00:00:30"), "u2", "A", 1.0))
+      q.processAllAvailable()
+      assert(spark.sql("SELECT * FROM cep_absence").count() == 0,
+        "nothing decidable before the watermark passes the window")
+      // the killing row: later trigger, rowtime inside u1's window
+      in.addData(Ev(ts("2024-01-01 00:03:00"), "u1", "B", 1.0))
+      q.processAllAvailable()
+      // advance the watermark past both anchors' deadlines (00:05:30);
+      // u1 decides on its own data, u2 decides on its TTL flush
+      in.addData(Ev(ts("2024-01-01 00:10:00"), "u1", "X", 0.0))
+      q.processAllAvailable()
+      in.addData(Ev(ts("2024-01-01 00:12:00"), "u1", "X", 0.0))
+      q.processAllAvailable()
+      val users = spark.sql("SELECT user FROM cep_absence").collect()
+        .map(_.getString(0)).toList
+      assert(users == List("u2"),
+        s"only the B-free key may confirm absence, got $users")
+    } finally q.stop()
+  }
+
   test("matchSequence: greedy first-match per step") {
     val df = Seq(
       (1L, "u", ts("2024-01-01 00:00:00"), "A"),
