@@ -90,6 +90,47 @@ object Functions3 {
           col("info.lang").as("lang"), col("info.n_chars").as("n_chars"))
     }),
 
+    // ---- Protobuf format roundtrip — flink-formats/flink-protobuf -----
+    // (ProtoToRowConverter.java:53 / RowToProtoConverter.java). No
+    // protobuf runtime exists on the sandbox classpath, so
+    // graft.sources.Proto implements the PUBLIC wire format directly
+    // (varint/zigzag/fixed/length-delimited/packed/map-entries; spec
+    // byte vectors verified in ProtoSpec). Encode each orders row into
+    // a message exercising int64, string, double, bool, zigzag sint32,
+    // repeated string, and map<string,int64>; decode back and emit
+    // scalars. The oracle recomputes the same values from the ORIGINAL
+    // table, so the hash match proves the whole binary roundtrip.
+    "q75_proto_roundtrip" -> ((s, dir) => {
+      import graft.functions.proto._
+      import graft.sources.Proto._
+      val msg = PbMessage(Seq(
+        PbField(1, "okey", PbInt64),
+        PbField(2, "status", PbString),
+        PbField(3, "price", PbDouble),
+        PbField(4, "urgent", PbBool),
+        PbField(5, "koff", PbSInt32),
+        PbField(6, "words", PbRepeated(PbString)),
+        PbField(7, "attrs", PbMap(PbString, PbInt64))))
+      val o = Tables.load(s, dir, "orders")
+      o.select(protoEncode(struct(
+          col("o_orderkey"),
+          col("o_orderstatus"),
+          col("o_totalprice").cast("double"),
+          (col("o_orderpriority") === "1-URGENT").as("urgent"),
+          (col("o_orderkey") % 7 - 3).cast("int").as("koff"),
+          split(col("o_orderpriority"), "-").as("words"),
+          map(lit("ck"), col("o_custkey")).as("attrs")), msg).as("pb"))
+        .select(protoDecode(col("pb"), msg).as("m"))
+        .select(col("m.okey").as("o_orderkey"),
+          col("m.status").as("o_orderstatus"),
+          col("m.price").as("price"),
+          col("m.urgent").as("urgent"),
+          col("m.koff").as("koff"),
+          size(col("m.words")).cast("long").as("n_words"),
+          element_at(col("m.words"), 1).as("first_word"),
+          element_at(col("m.attrs"), "ck").as("o_custkey"))
+    }),
+
     // ---- PARSE_URL — SqlFunctionUtils parse_url ------------------------
     "q60_url_functions" -> ((s, dir) => {
       val p = Tables.load(s, dir, "part")
@@ -178,6 +219,15 @@ object Functions3 {
     "q59_orc_roundtrip" -> "SELECT * FROM region",
     "q67_parquet_roundtrip" -> "SELECT * FROM orders",
     "q68_avro_roundtrip" -> "SELECT * FROM orders",
+    "q75_proto_roundtrip" ->
+      """SELECT o_orderkey, o_orderstatus,
+        |  CAST(o_totalprice AS DOUBLE) AS price,
+        |  (o_orderpriority = '1-URGENT') AS urgent,
+        |  CAST(o_orderkey % 7 - 3 AS INT) AS koff,
+        |  len(string_split(o_orderpriority, '-')) AS n_words,
+        |  string_split(o_orderpriority, '-')[1] AS first_word,
+        |  o_custkey
+        |FROM orders""".stripMargin,
     "q73_avro_nested" ->
       "SELECT doc_id, CAST(to_json(string_split(text, ' ')) AS VARCHAR) AS tokens_json, lang, n_chars FROM documents",
 
