@@ -1,6 +1,7 @@
 package graft.sql
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions.{col, expr}
 
 /** Thin `TableEnvironment`-style facade (reference:
   * flink-table/flink-table-api-java/.../api/internal/TableEnvironmentImpl.java:722
@@ -26,8 +27,72 @@ class SqlEnv private (val spark: SparkSession) {
 
   graft.functions.functions.register(spark)
 
-  /** Parse+plan+execute a SQL statement (query or command). */
-  def executeSql(sql: String): DataFrame = spark.sql(sql)
+  /** Parse+plan+execute a SQL statement (query or command). The
+    * reference's window-TVF text (`TUMBLE/HOP/CUMULATE(TABLE t,
+    * DESCRIPTOR(ts), INTERVAL ...)` — flink-sql-parser
+    * parserImpls.ftl, SqlTumbleTableFunction et al.) is accepted and
+    * rewritten onto [[graft.streaming.Windows]] before Spark parses
+    * the statement.
+    */
+  def executeSql(sql: String): DataFrame = spark.sql(rewriteWindowTvfs(sql))
+
+  // ---- window TVF text support ----------------------------------------
+
+  // TUMBLE(TABLE t, DESCRIPTOR(c), INTERVAL '15' MINUTE)
+  // HOP(TABLE t, DESCRIPTOR(c), INTERVAL slide, INTERVAL size)
+  // CUMULATE(TABLE t, DESCRIPTOR(c), INTERVAL step, INTERVAL max)
+  // Intervals carry no parentheses, so `[^()]+` safely spans the tail.
+  private val tvfRe =
+    """(?i)\b(TUMBLE|HOP|CUMULATE)\s*\(\s*TABLE\s+([\w.]+)\s*,\s*DESCRIPTOR\s*\(\s*(\w+)\s*\)\s*,([^()]+)\)""".r
+  private val intervalRe =
+    """(?i)INTERVAL\s*'(\d+)'\s*(SECOND|MINUTE|HOUR|DAY)S?""".r
+  private val viewCounter = new java.util.concurrent.atomic.AtomicInteger()
+
+  private def intervalSec(text: String): Long = text.trim match {
+    case intervalRe(n, unit) => n.toLong * (unit.toUpperCase match {
+      case "SECOND" => 1L
+      case "MINUTE" => 60L
+      case "HOUR" => 3600L
+      case "DAY" => 86400L
+    })
+    case other => throw new IllegalArgumentException(
+      s"window TVF: cannot parse interval '$other' (expected INTERVAL '<n>' <unit>)")
+  }
+
+  /** Replace each window-TVF call with a temp view carrying the
+    * reference's output columns: every input column plus window_start,
+    * window_end, window_time (= end − 1ms, the event-time attribute).
+    * The view body is the corresponding [[graft.streaming.Windows]]
+    * assignment, so the SQL-text path and the DataFrame path share one
+    * implementation — and one physical plan.
+    */
+  private[sql] def rewriteWindowTvfs(sql: String): String =
+    tvfRe.replaceAllIn(sql, m => {
+      val fn = m.group(1).toUpperCase
+      val table = m.group(2)
+      val ts = col(m.group(3))
+      val ivals = m.group(4).split(",").map(intervalSec)
+      val base = spark.table(table)
+      val withWin = fn match {
+        case "TUMBLE" =>
+          require(ivals.length == 1, "TUMBLE(TABLE t, DESCRIPTOR(ts), size)")
+          base.withColumn("window", graft.streaming.Windows.tumble(ts, s"${ivals(0)} seconds"))
+        case "HOP" => // Flink arg order: slide, then size
+          require(ivals.length == 2, "HOP(TABLE t, DESCRIPTOR(ts), slide, size)")
+          base.withColumn("window", graft.streaming.Windows.hop(ts, s"${ivals(1)} seconds", s"${ivals(0)} seconds"))
+        case "CUMULATE" => // step, then max size
+          require(ivals.length == 2, "CUMULATE(TABLE t, DESCRIPTOR(ts), step, maxSize)")
+          graft.streaming.Windows.cumulate(base, ts, ivals(0), ivals(1))
+      }
+      val out = withWin
+        .withColumn("window_start", col("window.start"))
+        .withColumn("window_end", col("window.end"))
+        .withColumn("window_time", col("window.end") - expr("INTERVAL 1 MILLISECOND"))
+        .drop("window")
+      val view = s"__graft_tvf_${viewCounter.incrementAndGet()}"
+      out.createOrReplaceTempView(view)
+      scala.util.matching.Regex.quoteReplacement(view)
+    })
 
   /** Register a parquet-backed table under `name`. */
   def registerParquet(name: String, path: String): SqlEnv = {

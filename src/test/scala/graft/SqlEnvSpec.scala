@@ -85,6 +85,51 @@ class SqlEnvSpec extends AnyFunSuite {
     assert(sess.nonEmpty)
   }
 
+  test("Flink window-TVF TEXT (TUMBLE/HOP/CUMULATE(TABLE, DESCRIPTOR...)) matches DataFrame form") {
+    import org.apache.spark.sql.functions._
+    val env = SqlEnv(spark).registerTestdata(TestSpark.sfDir)
+    val events = spark.table("events")
+    def canon(df: org.apache.spark.sql.DataFrame): Seq[(Long, Long)] =
+      df.collect().map(r => (r.getTimestamp(0).getTime, r.getLong(1)))
+        .sortBy(identity).toSeq
+
+    // TUMBLE — the reference's exact SQL shape (parserImpls.ftl)
+    val tumbleSql = env.executeSql(
+      """SELECT window_start, count(*) AS n
+        |FROM TUMBLE(TABLE events, DESCRIPTOR(ts), INTERVAL '1' HOUR)
+        |GROUP BY window_start""".stripMargin)
+    val tumbleDf = events
+      .withColumn("window", graft.streaming.Windows.tumble(col("ts"), "3600 seconds"))
+      .groupBy(col("window.start").as("window_start")).agg(count(lit(1)).as("n"))
+    assert(canon(tumbleSql) == canon(tumbleDf))
+
+    // HOP — Flink arg order (slide, size)
+    val hopSql = env.executeSql(
+      """SELECT window_start, count(*) AS n
+        |FROM HOP(TABLE events, DESCRIPTOR(ts), INTERVAL '15' MINUTE, INTERVAL '1' HOUR)
+        |GROUP BY window_start""".stripMargin)
+    val hopDf = events
+      .withColumn("window", graft.streaming.Windows.hop(col("ts"), "3600 seconds", "900 seconds"))
+      .groupBy(col("window.start").as("window_start")).agg(count(lit(1)).as("n"))
+    assert(canon(hopSql) == canon(hopDf))
+
+    // CUMULATE — expanding windows, (step, maxSize)
+    val cumSql = env.executeSql(
+      """SELECT window_end, count(*) AS n
+        |FROM CUMULATE(TABLE events, DESCRIPTOR(ts), INTERVAL '15' MINUTE, INTERVAL '1' HOUR)
+        |GROUP BY window_end""".stripMargin)
+    val cumDf = graft.streaming.Windows.cumulate(events, col("ts"), 900L, 3600L)
+      .groupBy(col("window.end").as("window_end")).agg(count(lit(1)).as("n"))
+    assert(canon(cumSql) == canon(cumDf))
+
+    // window_time is the event-time attribute: window_end − 1ms
+    val wt = env.executeSql(
+      """SELECT window_start, window_end, window_time
+        |FROM TUMBLE(TABLE events, DESCRIPTOR(ts), INTERVAL '1' HOUR) LIMIT 5""".stripMargin)
+      .collect()
+    assert(wt.forall(r => r.getTimestamp(2).getTime == r.getTimestamp(1).getTime - 1))
+  }
+
   test("SQL-text TPC-H Q21: correlated EXISTS/NOT EXISTS decorrelates") {
     // The reference runs its standard-corpus batteries as SQL text;
     // prove the hardest subquery shape in ours — EXISTS + NOT EXISTS
