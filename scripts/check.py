@@ -40,7 +40,25 @@ def canon(rows, colnames):
     out.sort()
     return hashlib.sha256('\n'.join(out).encode()).hexdigest(), len(out)
 
+def selftest():
+    """Guard the guard: an array-typed cell must trip ArrayCell (the
+    driver's pandas comparator dies on ndarray cells, so local green on
+    an array output would be a false promise), and scalar rows must
+    hash stably regardless of row/column order."""
+    try:
+        canon([(1, [1, 2])], ["a", "b"])
+        raise SystemExit("selftest FAIL: array cell did not raise ArrayCell")
+    except ArrayCell:
+        pass
+    h1, _ = canon([(1, "x"), (2, "y")], ["a", "b"])
+    h2, _ = canon([("y", 2), ("x", 1)], ["b", "a"])
+    assert h1 == h2, "selftest FAIL: canon not order/column invariant"
+    print("selftest OK: ArrayCell guard active, canon order-invariant")
+    raise SystemExit(0)
+
 def main():
+    if sys.argv[1:] == ["--selftest"]:
+        selftest()
     sf_dir, out_dir = sys.argv[1], sys.argv[2]
     con = duckdb.connect()
     for t in ["region","nation","customer","supplier","part","orders",
