@@ -27,14 +27,20 @@ class SqlEnv private (val spark: SparkSession) {
 
   graft.functions.functions.register(spark)
 
-  /** Parse+plan+execute a SQL statement (query or command). The
-    * reference's window-TVF text (`TUMBLE/HOP/CUMULATE(TABLE t,
-    * DESCRIPTOR(ts), INTERVAL ...)` — flink-sql-parser
-    * parserImpls.ftl, SqlTumbleTableFunction et al.) is accepted and
-    * rewritten onto [[graft.streaming.Windows]] before Spark parses
-    * the statement.
+  /** Parse+plan+execute a SQL statement (query or command). Two
+    * reference SQL surfaces Spark lacks are accepted and rewritten
+    * before Spark parses the statement:
+    *  - window-TVF text `TUMBLE/HOP/CUMULATE(TABLE t, DESCRIPTOR(ts),
+    *    INTERVAL ...)` (SqlTumbleTableFunction et al.) onto
+    *    [[graft.streaming.Windows]];
+    *  - `MATCH_RECOGNIZE (...)` (CommonExecMatch.java:82) onto
+    *    [[graft.streaming.Cep]] via [[MatchRecognizeSql]].
     */
-  def executeSql(sql: String): DataFrame = spark.sql(rewriteWindowTvfs(sql))
+  def executeSql(sql: String): DataFrame = {
+    val afterMr = MatchRecognizeSql.rewrite(spark, sql,
+      () => s"__graft_mr_${viewCounter.incrementAndGet()}")
+    spark.sql(rewriteWindowTvfs(afterMr))
+  }
 
   // ---- window TVF text support ----------------------------------------
 

@@ -130,6 +130,63 @@ class SqlEnvSpec extends AnyFunSuite {
     assert(wt.forall(r => r.getTimestamp(2).getTime == r.getTimestamp(1).getTime - 1))
   }
 
+  test("MATCH_RECOGNIZE SQL text compiles onto Cep.matchPattern (funnel + quantifier + skip)") {
+    import org.apache.spark.sql.functions._
+    import graft.streaming.Cep
+    val env = SqlEnv(spark).registerTestdata(TestSpark.sfDir)
+
+    val viaSql = env.executeSql(
+      """SELECT user_id, signup_id, purchase_id, n_purch, match_start_ts
+        |FROM events MATCH_RECOGNIZE (
+        |  PARTITION BY user_id
+        |  ORDER BY ts
+        |  MEASURES FIRST(a.event_id) AS signup_id,
+        |           LAST(b.event_id) AS purchase_id,
+        |           COUNT(b.*) AS n_purch
+        |  AFTER MATCH SKIP PAST LAST ROW
+        |  PATTERN (a b+)
+        |  WITHIN INTERVAL '1' HOUR
+        |  DEFINE a AS a.event_type = 'signup',
+        |         b AS b.event_type = 'purchase'
+        |) AS mr
+        |ORDER BY user_id, signup_id""".stripMargin).collect()
+
+    def is(k: String) = (r: org.apache.spark.sql.Row) =>
+      r.getString(r.fieldIndex("event_type")) == k
+    val viaApi = Cep.matchPattern(
+      spark.table("events"), "user_id", "ts", "event_id",
+      Seq(Cep.Step.once("a", is("signup")), Cep.Step.oneOrMore("b", is("purchase"))),
+      withinSec = 3600L)
+      .select(col("user_id"), col("a_first_id").as("signup_id"),
+        col("b_last_id").as("purchase_id"),
+        col("b_count").cast("long").as("n_purch"), col("match_start_ts"))
+      .orderBy("user_id", "signup_id").collect()
+
+    assert(viaSql.nonEmpty, "expected at least one funnel match in testdata")
+    assert(viaSql.toSeq == viaApi.toSeq)
+
+    // SKIP TO NEXT ROW finds overlapping matches — must be ≥ the default
+    val overlapping = env.executeSql(
+      """SELECT user_id FROM events MATCH_RECOGNIZE (
+        |  PARTITION BY user_id ORDER BY ts
+        |  MEASURES FIRST(a.event_id) AS aid
+        |  AFTER MATCH SKIP TO NEXT ROW
+        |  PATTERN (a b+) WITHIN INTERVAL '1' HOUR
+        |  DEFINE a AS a.event_type = 'signup', b AS b.event_type = 'purchase'
+        |)""".stripMargin).count()
+    assert(overlapping >= viaSql.length)
+
+    // an undefined pattern variable matches any row (SQL default)
+    val anyRow = env.executeSql(
+      """SELECT user_id FROM events MATCH_RECOGNIZE (
+        |  PARTITION BY user_id ORDER BY ts
+        |  MEASURES COUNT(z.*) AS nz
+        |  PATTERN (a z) WITHIN INTERVAL '1' HOUR
+        |  DEFINE a AS a.event_type = 'signup'
+        |)""".stripMargin).count()
+    assert(anyRow > 0)
+  }
+
   test("SQL-text TPC-H Q21: correlated EXISTS/NOT EXISTS decorrelates") {
     // The reference runs its standard-corpus batteries as SQL text;
     // prove the hardest subquery shape in ours — EXISTS + NOT EXISTS
