@@ -293,6 +293,64 @@ object TextOps {
       d.select(col("doc_id"), col("lang"), col("source"))
         .withColumn("pick_rank", row_number().over(w))
         .filter(col("pick_rank") <= 3)
+    }),
+
+    // ---- Benchmark decontamination (n-gram overlap) --------------------
+    // The standard pretraining hygiene op: drop/flag corpus documents
+    // sharing word-4-gram shingles with a held-out benchmark set.
+    // Scale shape: shingles become FIXED-WIDTH keys (md5/16-hex — the
+    // same trick both engines share), the benchmark side collapses to
+    // DISTINCT hashes (tiny → broadcast), and the corpus side joins
+    // map-side; the only shuffle is the per-doc count aggregation.
+    // At 100 TB the benchmark stays broadcast-sized by construction
+    // (eval sets are fixed), so the scan never reshuffles.
+    "t43_decontamination" -> ((s, dir) => {
+      val d = Tables.load(s, dir, "documents")
+      def grams5(df: org.apache.spark.sql.DataFrame) = df
+        .select(col("doc_id"), explode(
+          // sequence(1, 0) would DESCEND ([1,0]) — guard short docs
+          when(size(tokens) >= 4,
+            transform(sequence(lit(1), size(tokens) - 3),
+              i => concat_ws(" ", slice(tokens, i, lit(4)))))
+          .otherwise(array().cast("array<string>"))).as("g"))
+        .select(col("doc_id"), substring(md5(col("g")), 1, 16).as("h"))
+      val bench = grams5(d.filter(col("doc_id") % 50 === 0))
+        .select("h").distinct()
+      val corpus = grams5(d.filter(col("doc_id") % 50 =!= 0))
+      corpus.join(broadcast(bench), "h")
+        .groupBy("doc_id")
+        .agg(countDistinct(col("h")).as("n_hit_shingles"),
+             count(lit(1)).as("n_hits"))
+    }),
+
+    // ---- Gopher-style repetition metrics -------------------------------
+    // Quality signals from repeated n-grams (Rae et al., Gopher §A1.1):
+    // fraction of all word-2-grams accounted for by the MOST FREQUENT
+    // 2-gram, and the fraction of 3-gram occurrences that are
+    // duplicates. Top-2-gram needs a (doc, gram) count — two bounded
+    // shuffles keyed by doc; the 3-gram duplicate fraction reuses the
+    // codegen'd distinct_shingle_count, zero extra shuffle.
+    "t44_repetition_metrics" -> ((s, dir) => {
+      val d = Tables.load(s, dir, "documents")
+      val grams2 = d
+        .select(col("doc_id"), explode(
+          when(size(tokens) >= 2,
+            transform(sequence(lit(1), size(tokens) - 1),
+              i => concat_ws(" ", slice(tokens, i, lit(2)))))
+          .otherwise(array().cast("array<string>"))).as("g"))
+      val top2 = grams2.groupBy(col("doc_id"), col("g")).agg(count(lit(1)).as("c"))
+        .groupBy(col("doc_id"))
+        .agg((max(col("c")).cast("double") / sum(col("c"))).as("top_2gram_frac"))
+      val tri = d.select(col("doc_id"),
+        greatest(size(tokens) - 2, lit(0)).as("n3"),
+        graft.functions.ArrayFns.distinct_shingle_count(tokens, 3).as("u3"))
+        .withColumn("dup_3gram_frac",
+          when(col("n3") > 0, lit(1.0) - col("u3").cast("double") / col("n3"))
+            .otherwise(lit(0.0)))
+      tri.join(top2, Seq("doc_id"), "left")
+        .select(col("doc_id"), col("top_2gram_frac"), col("dup_3gram_frac"),
+          (coalesce(col("top_2gram_frac"), lit(0.0)) > 0.20 ||
+           col("dup_3gram_frac") > 0.30).as("repetition_flagged"))
     })
   )
 
@@ -301,6 +359,58 @@ object TextOps {
     "'(?:[sdmt]|ll|ve|re)|[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s]+"
 
   def oracles: Map[String, String] = Map(
+    "t43_decontamination" ->
+      """WITH g AS (
+        |  SELECT doc_id,
+        |    CASE WHEN len(string_split(text, ' ')) >= 4 THEN
+        |      list_transform(generate_series(1, len(string_split(text, ' ')) - 3),
+        |        i -> array_to_string(string_split(text, ' ')[i:i+3], ' '))
+        |    ELSE [] END AS grams
+        |  FROM documents
+        |), e AS (
+        |  SELECT doc_id, substr(md5(u.g), 1, 16) AS h
+        |  FROM g, unnest(grams) AS u(g)
+        |), bench AS (
+        |  SELECT DISTINCT h FROM e WHERE doc_id % 50 = 0
+        |)
+        |SELECT e.doc_id,
+        |  count(DISTINCT e.h) AS n_hit_shingles,
+        |  count(*) AS n_hits
+        |FROM e JOIN bench USING (h)
+        |WHERE e.doc_id % 50 <> 0
+        |GROUP BY e.doc_id""".stripMargin,
+
+    "t44_repetition_metrics" ->
+      """WITH toks AS (
+        |  SELECT doc_id, string_split(text, ' ') AS t FROM documents
+        |), g2 AS (
+        |  SELECT doc_id, array_to_string(t[i:i+1], ' ') AS g
+        |  FROM toks, unnest(CASE WHEN len(t) >= 2
+        |    THEN generate_series(1, len(t) - 1) ELSE [] END) AS s(i)
+        |), top2 AS (
+        |  SELECT doc_id,
+        |    CAST(max(c) AS DOUBLE) / sum(c) AS top_2gram_frac
+        |  FROM (SELECT doc_id, g, count(*) AS c FROM g2 GROUP BY 1, 2)
+        |  GROUP BY doc_id
+        |), g3 AS (
+        |  SELECT doc_id,
+        |    CASE WHEN len(t) >= 3 THEN
+        |      list_transform(generate_series(1, len(t) - 2),
+        |        i -> array_to_string(t[i:i+2], ' '))
+        |    ELSE [] END AS grams
+        |  FROM toks
+        |), tri AS (
+        |  SELECT doc_id,
+        |    CASE WHEN len(grams) > 0
+        |      THEN 1.0 - CAST(len(list_distinct(grams)) AS DOUBLE) / len(grams)
+        |      ELSE 0.0 END AS dup_3gram_frac
+        |  FROM g3
+        |)
+        |SELECT tri.doc_id, top2.top_2gram_frac, tri.dup_3gram_frac,
+        |  (COALESCE(top2.top_2gram_frac, 0.0) > 0.20
+        |   OR tri.dup_3gram_frac > 0.30) AS repetition_flagged
+        |FROM tri LEFT JOIN top2 USING (doc_id)""".stripMargin,
+
     "t30_token_stats" ->
       """SELECT doc_id,
         |  len(string_split(text, ' ')) AS n_tokens,
