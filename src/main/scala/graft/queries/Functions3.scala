@@ -90,6 +90,31 @@ object Functions3 {
           col("info.lang").as("lang"), col("info.n_chars").as("n_chars"))
     }),
 
+    // ---- Compressed CSV roundtrip — flink-formats compress factory ----
+    // (reference: flink-formats/.../CompressWriterFactory + the
+    // filesystem connector's gzip auto-detection on read). Spark's
+    // codec option covers write; read auto-detects by extension.
+    "q76_csv_gzip_roundtrip" -> ((s, dir) => {
+      val c = Tables.load(s, dir, "customer")
+      val out = roundtripDir("csvgz", dir)
+      c.write.mode("overwrite").option("header", "true")
+        .option("compression", "gzip").csv(out)
+      s.read.option("header", "true").schema(c.schema).csv(out)
+    }),
+
+    // ---- Raw (single-column) format — flink-formats/flink-raw ---------
+    // (RawFormatFactory: a topic/file of bare values ↔ one STRING/BYTES
+    // column). Spark's `text` source is the same shape: write each
+    // document's text as one line, read back as a bare `value` column.
+    // Line-safety: documents are single-line by construction (verified
+    // in the oracle by the identical SELECT).
+    "q77_raw_text_roundtrip" -> ((s, dir) => {
+      val d = Tables.load(s, dir, "documents")
+      val out = roundtripDir("rawtext", dir)
+      d.select(col("text")).write.mode("overwrite").text(out)
+      s.read.text(out).select(col("value").as("text"))
+    }),
+
     // ---- Protobuf format roundtrip — flink-formats/flink-protobuf -----
     // (ProtoToRowConverter.java:53 / RowToProtoConverter.java). No
     // protobuf runtime exists on the sandbox classpath, so
@@ -219,6 +244,8 @@ object Functions3 {
     "q59_orc_roundtrip" -> "SELECT * FROM region",
     "q67_parquet_roundtrip" -> "SELECT * FROM orders",
     "q68_avro_roundtrip" -> "SELECT * FROM orders",
+    "q76_csv_gzip_roundtrip" -> "SELECT * FROM customer",
+    "q77_raw_text_roundtrip" -> "SELECT text FROM documents",
     "q75_proto_roundtrip" ->
       """SELECT o_orderkey, o_orderstatus,
         |  CAST(o_totalprice AS DOUBLE) AS price,

@@ -67,6 +67,18 @@ object Kafka {
       from_json(col("value").cast("string"), schema).as("v"),
       col("offset"))
 
+  /** Decode a protobuf `value` column against a declared (or
+    * descriptor-set-derived, see [[ProtoDescriptors]]) message shape —
+    * the `format = 'protobuf'` path of the reference's Kafka table
+    * (flink-formats/flink-protobuf). Same output contract as
+    * [[decodeJson]]: (k, v struct, offset).
+    */
+  def decodeProto(kafkaDf: DataFrame, msg: Proto.PbMessage): DataFrame =
+    kafkaDf.select(
+      col("key").cast("string").as("k"),
+      graft.functions.proto.protoDecode(col("value"), msg).as("v"),
+      col("offset"))
+
   /** Interpret compacted-topic records as upsert changelog rows —
     * UpsertKafkaDynamicTableFactory semantics: null value = tombstone
     * (-D, payload fields null), non-null = upsert (+U). Feed the

@@ -5,7 +5,7 @@ import java.lang.reflect.{InvocationHandler, Method, Proxy}
 import java.sql.{Connection, PreparedStatement}
 import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
 import org.apache.spark.sql.types.{DoubleType, StringType, StructField, StructType}
-import graft.sources.{Jdbc, Kafka}
+import graft.sources.{Jdbc, Kafka, Proto}
 
 /** In-memory keyed "database" behind a reflective JDBC Connection —
   * top-level object so executor closures don't capture the test suite,
@@ -198,6 +198,27 @@ class JdbcKafkaSpec extends AnyFunSuite {
     val kinds = changelog.orderBy("offset").select("row_kind", "k")
       .collect().map(r => (r.getString(0), r.getString(1))).toList
     assert(kinds == List(("+U", "u1"), ("+U", "u1"), ("-D", "u1"), ("+U", "u2")))
+  }
+
+  test("decodeProto: protobuf Kafka values decode against a declared message") {
+    import graft.sources.Proto._
+    // kafka wire shape: binary key/value + offset (the fields
+    // decodeProto touches)
+    val msg = PbMessage(Seq(
+      PbField(1, "name", PbString), PbField(2, "score", PbDouble)))
+    def enc(name: String, score: Double): Array[Byte] =
+      Proto.encodeInternal(
+        new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(
+          Array[Any](org.apache.spark.unsafe.types.UTF8String.fromString(name), score)),
+        msg)
+    val kafkaDf = Seq(
+      ("u1".getBytes, enc("ann", 1.5), 1L),
+      ("u2".getBytes, enc("bob", -2.0), 2L))
+      .toDF("key", "value", "offset")
+    val out = Kafka.decodeProto(kafkaDf, msg).orderBy("offset")
+      .select($"k", $"v.name", $"v.score").collect()
+      .map(r => (r.getString(0), r.getString(1), r.getDouble(2))).toList
+    assert(out == List(("u1", "ann", 1.5), ("u2", "bob", -2.0)))
   }
 
   test("upsert-kafka feed through changelogNormalize recovers full kinds") {
