@@ -115,6 +115,27 @@ object Functions3 {
       s.read.text(out).select(col("value").as("text"))
     }),
 
+    // ---- Hadoop SequenceFile roundtrip — flink sequence-file format ---
+    // (reference: flink-formats/flink-sequence-file). No DataFrame
+    // source exists for SequenceFiles; this is one of the rare
+    // legitimate RDD seams (per-partition imperative I/O over a legacy
+    // key-value container). Text-in/Text-out, then straight back to a
+    // DataFrame; the oracle reads the original table.
+    "q78_sequence_file_roundtrip" -> ((s, dir) => {
+      val d = Tables.load(s, dir, "documents")
+      val out = roundtripDir("seqfile", dir)
+      val path = new org.apache.hadoop.fs.Path(out)
+      val fs = path.getFileSystem(s.sparkContext.hadoopConfiguration)
+      if (fs.exists(path)) fs.delete(path, true)
+      d.select(col("doc_id").cast("string"), col("text"))
+        .rdd.map(r => (r.getString(0), r.getString(1)))
+        .saveAsSequenceFile(out)
+      import s.implicits._
+      s.sparkContext.sequenceFile[String, String](out)
+        .toDF("k", "text")
+        .select(col("k").cast("bigint").as("doc_id"), col("text"))
+    }),
+
     // ---- Protobuf format roundtrip — flink-formats/flink-protobuf -----
     // (ProtoToRowConverter.java:53 / RowToProtoConverter.java). No
     // protobuf runtime exists on the sandbox classpath, so
@@ -246,6 +267,7 @@ object Functions3 {
     "q68_avro_roundtrip" -> "SELECT * FROM orders",
     "q76_csv_gzip_roundtrip" -> "SELECT * FROM customer",
     "q77_raw_text_roundtrip" -> "SELECT text FROM documents",
+    "q78_sequence_file_roundtrip" -> "SELECT doc_id, text FROM documents",
     "q75_proto_roundtrip" ->
       """SELECT o_orderkey, o_orderstatus,
         |  CAST(o_totalprice AS DOUBLE) AS price,
