@@ -180,8 +180,16 @@ object MatchRecognizeSql {
       }
     }
 
-    val matched = Cep.matchPattern(withPreds, partitionBy, orderBy, idCol,
-      steps, withinSec, afterMatch)
+    // A streaming input compiles onto the watermark-driven NFA (the
+    // reference plans MATCH_RECOGNIZE on streams the same way:
+    // StreamExecMatch); batch input takes the one-shot scan.
+    val matched =
+      if (withPreds.isStreaming)
+        Cep.matchPatternStreaming(withPreds, partitionBy, orderBy, idCol,
+          steps, withinSec, afterMatch)
+      else
+        Cep.matchPattern(withPreds, partitionBy, orderBy, idCol,
+          steps, withinSec, afterMatch)
     // rename engine measure columns to the MEASURES aliases
     val renamed = measures.foldLeft(matched) {
       case (df, ("FIRST", v, _, as)) => df.withColumn(as, col(s"${v}_first_id"))

@@ -187,6 +187,43 @@ class SqlEnvSpec extends AnyFunSuite {
     assert(anyRow > 0)
   }
 
+  test("MATCH_RECOGNIZE SQL text on a STREAMING table compiles onto the watermark NFA") {
+    import org.apache.spark.sql.functions._
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import org.apache.spark.sql.streaming.OutputMode
+    import spark.implicits._
+    implicit val sc = spark.sqlContext
+    def ts(s: String) = java.sql.Timestamp.valueOf(s)
+    val env = SqlEnv(spark)
+    val in = MemoryStream[(java.sql.Timestamp, String, String, Long)]
+    in.toDF().toDF("ts", "user", "tpe", "eid")
+      .withWatermark("ts", "1 minute")
+      .createOrReplaceTempView("stream_events")
+    val out = env.executeSql(
+      """SELECT user, aid FROM stream_events MATCH_RECOGNIZE (
+        |  PARTITION BY user ORDER BY ts
+        |  MEASURES FIRST(a.eid) AS aid
+        |  PATTERN (a b) WITHIN INTERVAL '5' MINUTE
+        |  DEFINE a AS a.tpe = 'A', b AS b.tpe = 'B'
+        |)""".stripMargin)
+    assert(out.isStreaming, "streaming input must compile to a streaming plan")
+    val q = out.writeStream.format("memory").queryName("mr_stream")
+      .outputMode(OutputMode.Append).start()
+    try {
+      in.addData((ts("2024-01-01 00:00:00"), "u1", "A", 1L),
+                 (ts("2024-01-01 00:00:30"), "u1", "B", 2L))
+      q.processAllAvailable()
+      // decidable only after the watermark passes anchor + within
+      in.addData((ts("2024-01-01 00:20:00"), "u1", "X", 3L))
+      q.processAllAvailable()
+      in.addData((ts("2024-01-01 00:30:00"), "u1", "X", 4L))
+      q.processAllAvailable()
+      val rows = spark.sql("SELECT user, aid FROM mr_stream").collect()
+        .map(r => (r.getString(0), r.getLong(1))).toList
+      assert(rows == List(("u1", 1L)))
+    } finally q.stop()
+  }
+
   test("SQL-text TPC-H Q21: correlated EXISTS/NOT EXISTS decorrelates") {
     // The reference runs its standard-corpus batteries as SQL text;
     // prove the hardest subquery shape in ours — EXISTS + NOT EXISTS
