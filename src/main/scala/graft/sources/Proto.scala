@@ -302,10 +302,28 @@ object Proto {
   def decodeInternal(bytes: Array[Byte], msg: PbMessage): InternalRow =
     decodeMsg(new Reader(bytes, 0, bytes.length), msg)
 
+  // field-number → field-index dispatch, computed ONCE per message
+  // SHAPE rather than per decoded message: the expression tree holds
+  // one PbMessage object graph, so identity-keyed memoization hits on
+  // every row after the first (including nested message types).
+  private val byNoCache =
+    java.util.Collections.synchronizedMap(
+      new java.util.IdentityHashMap[PbMessage, java.util.HashMap[Int, Int]]())
+
+  private def byNoOf(msg: PbMessage): java.util.HashMap[Int, Int] = {
+    val hit = byNoCache.get(msg)
+    if (hit != null) hit
+    else {
+      val m = new java.util.HashMap[Int, Int](msg.fields.length * 2)
+      msg.fields.zipWithIndex.foreach { case (f, i) => m.put(f.no, i) }
+      byNoCache.put(msg, m)
+      m
+    }
+  }
+
   private def decodeMsg(r: Reader, msg: PbMessage): InternalRow = {
     val n = msg.fields.length
-    val byNo = new java.util.HashMap[Int, Int](n * 2)
-    msg.fields.zipWithIndex.foreach { case (f, i) => byNo.put(f.no, i) }
+    val byNo = byNoOf(msg)
     val acc = new Array[Any](n)
     val lists = new Array[scala.collection.mutable.ArrayBuffer[Any]](n)
     val mapsK = new Array[scala.collection.mutable.ArrayBuffer[Any]](n)
