@@ -215,12 +215,15 @@ object Media {
         // images carry a REAL PNG payload, audio a REAL WAV payload
         // (both synthesized from the text bytes); video keeps raw
         // bytes for the stub codec (no video codec in the JDK)
+        // Image side varies per document (8..24) so dimension-sensitive
+        // consumers (m63's header cross-check) see real variety.
+        val side = (8 + r.getLong(0) % 17).toInt
         val payload = tpe match {
-          case "image" => ImageCodec.encodePng(ImageCodec.imageFromBytes(bytes, 16))
+          case "image" => ImageCodec.encodePng(ImageCodec.imageFromBytes(bytes, side))
           case "audio" => AudioCodec.encodeWav(AudioCodec.samplesFromBytes(bytes), 16000)
           case _ => bytes
         }
-        val (w, h) = if (tpe == "image") (16, 16) else (64, 64)
+        val (w, h) = if (tpe == "image") (side, side) else (64, 64)
         MediaRecord(r.getLong(0),
           MediaMeta(tpe, width = w, height = h, sample_rate = 16000,
             duration_ms = bytes.length.toLong),

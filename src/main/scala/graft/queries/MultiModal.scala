@@ -35,6 +35,28 @@ object MultiModal {
         .agg(count(lit(1)).as("n_frames"), max(col("offset")).as("last_offset"))
     }),
 
+    // REAL ImageIO decode, independently cross-checked: the oracle
+    // parses each materialized PNG's IHDR header (width/height as
+    // big-endian u32 at byte offsets 17/21) with DuckDB byte
+    // arithmetic — so the JDK codec's decoded dimensions are verified
+    // against a second, independent reading of the same bytes. This
+    // flips the image-decode path from rows-only to oracle-checked.
+    "m63_image_decode_dims" -> ((s, dir) => {
+      val p = s"/tmp/graft_oracle/${new java.io.File(dir).getName}/media_ingest"
+      Media.ingestFromDocuments(s, dir).toDF()
+        .write.mode("overwrite").parquet(p)
+      import s.implicits._
+      s.read.parquet(p).as[Media.MediaRecord]
+        .filter(col("meta.media_type") === "image")
+        .mapPartitions { it =>
+          val codec = Media.ImageCodec.init()
+          it.map { m =>
+            val img = codec.decode(m.payload).get
+            (m.media_id, img.getWidth.toLong, img.getHeight.toLong)
+          }
+        }.toDF("media_id", "width", "height")
+    }),
+
     // materialized media inventory: payload byte sizes + REAL emitted
     // frame counts, cross-verified by DuckDB from octet_length
     "m62_media_inventory" -> ((s, dir) => {
@@ -63,6 +85,17 @@ object MultiModal {
         |  CASE WHEN meta.media_type = 'video'
         |       THEN (greatest(octet_length(payload) - 64, 0) + 31) // 32
         |       ELSE 0 END AS n_frames
-        |FROM read_parquet('/tmp/graft_oracle/sf0.01/media_ingest/*.parquet')""".stripMargin
+        |FROM read_parquet('/tmp/graft_oracle/sf0.01/media_ingest/*.parquet')""".stripMargin,
+
+    // PNG layout: 8-byte signature, 4-byte IHDR length, 4-byte "IHDR",
+    // then width and height as big-endian u32 — hex chars 33-40 and
+    // 41-48 of the payload. An independent header parse of the SAME
+    // bytes ImageIO decoded.
+    "m63_image_decode_dims" ->
+      """SELECT media_id,
+        |  CAST(('0x' || substr(hex(payload), 33, 8)) AS BIGINT) AS width,
+        |  CAST(('0x' || substr(hex(payload), 41, 8)) AS BIGINT) AS height
+        |FROM read_parquet('/tmp/graft_oracle/sf0.01/media_ingest/*.parquet')
+        |WHERE meta.media_type = 'image'""".stripMargin
   )
 }
