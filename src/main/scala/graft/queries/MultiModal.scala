@@ -57,6 +57,27 @@ object MultiModal {
         }.toDF("media_id", "width", "height")
     }),
 
+    // REAL javax.sound decode, independently cross-checked: the oracle
+    // recomputes sample count from the canonical 44-byte PCM WAV
+    // header (data bytes / 2) and re-reads the sample rate as a
+    // little-endian u32 at byte offset 25 — two independent readers of
+    // the same WAV bytes, like m63 for PNG.
+    "m64_audio_decode_props" -> ((s, dir) => {
+      val p = s"/tmp/graft_oracle/${new java.io.File(dir).getName}/media_ingest"
+      Media.ingestFromDocuments(s, dir).toDF()
+        .write.mode("overwrite").parquet(p)
+      import s.implicits._
+      s.read.parquet(p).as[Media.MediaRecord]
+        .filter(col("meta.media_type") === "audio")
+        .mapPartitions { it =>
+          val codec = Media.AudioCodec.init()
+          it.map { m =>
+            val (samples, rate) = codec.decode(m.payload).get
+            (m.media_id, samples.length.toLong, rate.toLong)
+          }
+        }.toDF("media_id", "n_samples", "sample_rate")
+    }),
+
     // materialized media inventory: payload byte sizes + REAL emitted
     // frame counts, cross-verified by DuckDB from octet_length
     "m62_media_inventory" -> ((s, dir) => {
@@ -96,6 +117,18 @@ object MultiModal {
         |  CAST(('0x' || substr(hex(payload), 33, 8)) AS BIGINT) AS width,
         |  CAST(('0x' || substr(hex(payload), 41, 8)) AS BIGINT) AS height
         |FROM read_parquet('/tmp/graft_oracle/sf0.01/media_ingest/*.parquet')
-        |WHERE meta.media_type = 'image'""".stripMargin
+        |WHERE meta.media_type = 'image'""".stripMargin,
+
+    // Canonical PCM WAV: 44-byte header, 16-bit mono data; sample rate
+    // is a little-endian u32 at byte offset 25 (hex chars 49-56,
+    // byte-swapped to big-endian for the cast).
+    "m64_audio_decode_props" ->
+      """SELECT media_id,
+        |  (octet_length(payload) - 44) // 2 AS n_samples,
+        |  CAST(('0x' || substr(hex(payload), 55, 2) || substr(hex(payload), 53, 2)
+        |        || substr(hex(payload), 51, 2) || substr(hex(payload), 49, 2))
+        |       AS BIGINT) AS sample_rate
+        |FROM read_parquet('/tmp/graft_oracle/sf0.01/media_ingest/*.parquet')
+        |WHERE meta.media_type = 'audio'""".stripMargin
   )
 }
