@@ -26,13 +26,20 @@ object MultiModal {
              min(col("brightness")).as("min_brightness"))
     }),
 
-    // pseudo-frame sampling from "video" payloads
+    // pseudo-frame sampling from "video" payloads — oracle-checked:
+    // the stride arithmetic (frame count and last offset for a
+    // size-64/stride-32 window over the payload) is recomputed by
+    // DuckDB from octet_length of the materialized ingest table.
     "m61_frame_sampling" -> ((s, dir) => {
-      val frames = Media.sampleFrames(Media.ingestFromDocuments(s, dir),
-        frameSize = 64, stride = 32)
-      frames.toDF()
+      val p = s"/tmp/graft_oracle/${new java.io.File(dir).getName}/media_ingest"
+      Media.ingestFromDocuments(s, dir).toDF()
+        .write.mode("overwrite").parquet(p)
+      import s.implicits._
+      val m = s.read.parquet(p).as[Media.MediaRecord]
+      Media.sampleFrames(m, frameSize = 64, stride = 32).toDF()
         .groupBy(col("media_id"))
-        .agg(count(lit(1)).as("n_frames"), max(col("offset")).as("last_offset"))
+        .agg(count(lit(1)).as("n_frames"),
+             max(col("offset")).cast("long").as("last_offset"))
     }),
 
     // REAL ImageIO decode, independently cross-checked: the oracle
@@ -98,6 +105,16 @@ object MultiModal {
   )
 
   def oracles: Map[String, String] = Map(
+    // frames = range(0, max(len-64, 0), 32): count is the ceiling
+    // division, last offset is (count-1)*32; media with no frame
+    // (len <= 64) emit no row at all.
+    "m61_frame_sampling" ->
+      """SELECT media_id,
+        |  (greatest(octet_length(payload) - 64, 0) + 31) // 32 AS n_frames,
+        |  ((greatest(octet_length(payload) - 64, 0) + 31) // 32 - 1) * 32 AS last_offset
+        |FROM read_parquet('/tmp/graft_oracle/sf0.01/media_ingest/*.parquet')
+        |WHERE meta.media_type = 'video' AND octet_length(payload) > 64""".stripMargin,
+
     // n_frames must equal the arithmetic count of a stride-32 window of
     // size 64 over the payload bytes — frames only exist for video
     "m62_media_inventory" ->
