@@ -410,5 +410,7 @@ object functions {
       es => CosineSimilarity(Cast(es(0), ArrayType(FloatType)), Cast(es(1), ArrayType(FloatType))), "built-in")
     reg.createOrReplaceTempFunction("hyperplane_bits64",
       es => HyperplaneBits64(Cast(es.head, ArrayType(FloatType))), "built-in")
+    // the reference's PROCTIME() — per-record, unlike current_timestamp()
+    reg.createOrReplaceTempFunction("proctime", _ => ProcTime(), "built-in")
   }
 }

@@ -40,6 +40,14 @@ class ProcTimeSpec extends AnyFunSuite {
       "proctime must advance across rows (per-record evaluation)")
   }
 
+  test("PROCTIME() available from SQL text via SqlEnv") {
+    val env = graft.sql.SqlEnv(spark)
+    val n = env.executeSql(
+      "SELECT proctime() AS pt FROM range(5) WHERE proctime() IS NOT NULL")
+      .count()
+    assert(n == 5)
+  }
+
   test("proctime survives whole-stage codegen and filters") {
     // must not be constant-folded: a filter on proctime() > 0 keeps all
     // rows, and the column arrives non-null typed timestamp
