@@ -1,0 +1,264 @@
+package graft.sql
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** Flink-dialect DDL subset: `CREATE TABLE ... WITH ('connector'=...)`
+  * and `INSERT INTO/OVERWRITE <table> SELECT ...` — the reference
+  * user's primary batch workflow (reference: flink-table-api-java
+  * TableEnvironmentImpl.executeSql DDL branch; filesystem connector
+  * docs `docs/content/docs/connectors/table/filesystem.md`).
+  *
+  * Supported surface:
+  *  - physical columns with Flink types (CHAR/VARCHAR/STRING, BOOLEAN,
+  *    TINYINT..BIGINT, FLOAT, DOUBLE, DECIMAL(p,s), DATE,
+  *    TIMESTAMP[(p)][_LTZ], BYTES/[VAR]BINARY, ARRAY<T>, MAP<K,V>,
+  *    ROW<name T, ...>);
+  *  - `WATERMARK FOR ts AS ts - INTERVAL 'n' <unit>` (applied as
+  *    `withWatermark` when the source is streaming; recorded otherwise);
+  *  - `PRIMARY KEY (...) NOT ENFORCED` (recorded — drives upsert sinks);
+  *  - `PARTITIONED BY (...)` (write-side partitioning + read-side
+  *    partition discovery);
+  *  - connectors: `filesystem` (formats parquet/csv/json/orc/avro —
+  *    avro via graft.sources.Avro), `datagen` (bounded,
+  *    `number-of-rows`, per-field `fields.<f>.kind` = sequence with
+  *    start/end), `blackhole` (INSERT → noop).
+  *
+  * A filesystem table whose path does not exist yet registers lazily:
+  * the first INSERT materializes it and registers the view.
+  */
+object Ddl {
+
+  final case class TableDef(name: String, schema: StructType,
+                            watermark: Option[(String, String)],
+                            primaryKey: Seq[String],
+                            partitionedBy: Seq[String],
+                            options: Map[String, String]) {
+    def connector: String = options.getOrElse("connector",
+      throw new IllegalArgumentException(s"table $name: 'connector' option required"))
+    def path: String = options.getOrElse("path",
+      throw new IllegalArgumentException(s"table $name: 'path' option required"))
+    def format: String = options.getOrElse("format", "parquet")
+  }
+
+  private val createRe =
+    """(?is)^\s*CREATE\s+TABLE\s+(?:IF\s+NOT\s+EXISTS\s+)?([\w.]+)\s*\((.*)\)\s*(?:PARTITIONED\s+BY\s*\(([^)]*)\)\s*)?WITH\s*\((.*)\)\s*$""".r
+  private val insertRe =
+    """(?is)^\s*INSERT\s+(INTO|OVERWRITE)\s+([\w.]+)\s+(SELECT\b.*|VALUES\b.*)$""".r
+
+  def isCreateTable(sql: String): Boolean = createRe.findFirstIn(sql).isDefined
+  def isInsert(sql: String): Boolean = insertRe.findFirstIn(sql).isDefined
+  /** Target table of an INSERT statement, if it is one. */
+  def insertTarget(sql: String): Option[String] =
+    insertRe.findFirstMatchIn(sql).map(_.group(2))
+
+  // ---- type mapping ----------------------------------------------------
+
+  /** Flink SQL type text → Spark DataType. */
+  def flinkType(t0: String): DataType = {
+    val t = t0.trim
+    val up = t.toUpperCase
+    lazy val paren = """\((\d+)\s*(?:,\s*(\d+))?\)""".r.findFirstMatchIn(t)
+    if (up.startsWith("ARRAY<")) ArrayType(flinkType(t.substring(6, t.length - 1)))
+    else if (up.startsWith("MAP<")) {
+      val inner = t.substring(4, t.length - 1)
+      val comma = topLevelComma(inner)
+      MapType(flinkType(inner.substring(0, comma)), flinkType(inner.substring(comma + 1)))
+    } else if (up.startsWith("ROW<")) {
+      val inner = t.substring(4, t.length - 1)
+      StructType(splitTopLevel(inner).map { f =>
+        val sp = f.trim.indexOf(' ')
+        StructField(f.trim.substring(0, sp).trim, flinkType(f.trim.substring(sp + 1)))
+      })
+    } else if (up.startsWith("DECIMAL") || up.startsWith("NUMERIC")) {
+      val (p, s) = paren.map(m => (m.group(1).toInt,
+        Option(m.group(2)).map(_.toInt).getOrElse(0))).getOrElse((10, 0))
+      DecimalType(p, s)
+    } else if (up.startsWith("VARCHAR") || up.startsWith("CHAR") || up == "STRING")
+      StringType
+    else if (up.startsWith("TIMESTAMP")) TimestampType // (p) and _LTZ collapse
+    else if (up.startsWith("VARBINARY") || up.startsWith("BINARY") || up == "BYTES")
+      BinaryType
+    else up match {
+      case "BOOLEAN" => BooleanType
+      case "TINYINT" => ByteType
+      case "SMALLINT" => ShortType
+      case "INT" | "INTEGER" => IntegerType
+      case "BIGINT" => LongType
+      case "FLOAT" => FloatType
+      case "DOUBLE" => DoubleType
+      case "DATE" => DateType
+      case other => throw new IllegalArgumentException(s"unsupported Flink type: $other")
+    }
+  }
+
+  private def topLevelComma(s: String): Int = {
+    var depth = 0
+    s.indices.foreach { i =>
+      s.charAt(i) match {
+        case '<' | '(' => depth += 1
+        case '>' | ')' => depth -= 1
+        case ',' if depth == 0 => return i
+        case _ =>
+      }
+    }
+    throw new IllegalArgumentException(s"expected top-level comma in: $s")
+  }
+
+  private[sql] def splitTopLevel(s: String): Seq[String] = {
+    val out = scala.collection.mutable.ArrayBuffer.empty[String]
+    val cur = new StringBuilder
+    var depth = 0; var inStr = false
+    s.foreach {
+      case '\'' => inStr = !inStr; cur += '\''
+      case c@('<' | '(') if !inStr => depth += 1; cur += c
+      case c@('>' | ')') if !inStr => depth -= 1; cur += c
+      case ',' if depth == 0 && !inStr => out += cur.toString; cur.clear()
+      case c => cur += c
+    }
+    if (cur.nonEmpty) out += cur.toString
+    out.toSeq.map(_.trim).filter(_.nonEmpty)
+  }
+
+  // ---- CREATE TABLE ----------------------------------------------------
+
+  def parseCreateTable(sql: String): TableDef = {
+    val m = createRe.findFirstMatchIn(sql).getOrElse(
+      throw new IllegalArgumentException(s"not a CREATE TABLE: $sql"))
+    val name = m.group(1)
+    val body = m.group(2)
+    val partitioned = Option(m.group(3)).map(_.split(",").map(_.trim).toSeq).getOrElse(Nil)
+    val opts = parseOptions(m.group(4))
+
+    var watermark: Option[(String, String)] = None
+    var pk: Seq[String] = Nil
+    val fields = scala.collection.mutable.ArrayBuffer.empty[StructField]
+    splitTopLevel(body).foreach { item =>
+      val up = item.toUpperCase
+      if (up.startsWith("WATERMARK ")) {
+        val wm = """(?is)WATERMARK\s+FOR\s+(\w+)\s+AS\s+\1\s*-\s*INTERVAL\s*'([\d.]+)'\s*(\w+)""".r
+          .findFirstMatchIn(item).getOrElse(throw new IllegalArgumentException(
+            s"unsupported WATERMARK clause: $item (expected ts - INTERVAL 'n' unit)"))
+        watermark = Some((wm.group(1), s"${wm.group(2)} ${wm.group(3).toLowerCase}s"))
+      } else if (up.startsWith("PRIMARY KEY")) {
+        pk = """\(([^)]*)\)""".r.findFirstMatchIn(item)
+          .map(_.group(1).split(",").map(_.trim).toSeq).getOrElse(Nil)
+      } else if (up.startsWith("CONSTRAINT ")) {
+        // named constraint — only PK supported, same extraction
+        pk = """\(([^)]*)\)""".r.findFirstMatchIn(item)
+          .map(_.group(1).split(",").map(_.trim).toSeq).getOrElse(pk)
+      } else {
+        val sp = item.indexOf(' ')
+        require(sp > 0, s"cannot parse column: $item")
+        val colName = item.substring(0, sp).trim.stripPrefix("`").stripSuffix("`")
+        val typeTxt = item.substring(sp + 1).trim
+          .replaceAll("(?i)\\s+NOT\\s+NULL$", "")
+        fields += StructField(colName, flinkType(typeTxt))
+      }
+    }
+    TableDef(name, StructType(fields.toSeq), watermark, pk, partitioned, opts)
+  }
+
+  private def parseOptions(txt: String): Map[String, String] =
+    """'([^']*)'\s*=\s*'([^']*)'""".r.findAllMatchIn(txt)
+      .map(m => m.group(1) -> m.group(2)).toMap
+
+  /** Execute the CREATE TABLE: build the source DataFrame (if readable
+    * now) and register it. Returns true if registered, false if
+    * deferred to first INSERT (filesystem path absent).
+    */
+  def executeCreate(spark: SparkSession, d: TableDef): Boolean = d.connector match {
+    case "filesystem" =>
+      val p = new org.apache.hadoop.fs.Path(d.path)
+      val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+      if (!fs.exists(p)) false
+      else { register(spark, d); true }
+    case "datagen" =>
+      val n = d.options.getOrElse("number-of-rows", "1000").toLong
+      var df = spark.range(n).toDF("__seq")
+      d.schema.fields.foreach { f =>
+        val kind = d.options.getOrElse(s"fields.${f.name}.kind", "random")
+        val col0 = kind match {
+          case "sequence" =>
+            val start = d.options.getOrElse(s"fields.${f.name}.start", "0").toLong
+            (col("__seq") + lit(start)).cast(f.dataType)
+          case _ => // "random" — deterministic hash-derived (reproducible runs)
+            f.dataType match {
+              case StringType => md5(concat(lit(f.name), col("__seq")))
+              case _ => (abs(xxhash64(lit(f.name), col("__seq"))) % 1000000).cast(f.dataType)
+            }
+        }
+        df = df.withColumn(f.name, col0)
+      }
+      df.drop("__seq").createOrReplaceTempView(d.name)
+      true
+    case "blackhole" | "print" => true // sink-only; nothing to read
+    case other => throw new IllegalArgumentException(
+      s"unsupported connector '$other' (filesystem/datagen/blackhole)")
+  }
+
+  /** Register a readable filesystem table as a temp view. */
+  def register(spark: SparkSession, d: TableDef): Unit = {
+    val base = d.format match {
+      case "parquet" => spark.read.schema(d.schema).parquet(d.path)
+      case "orc" => spark.read.schema(d.schema).orc(d.path)
+      case "json" => spark.read.schema(d.schema).json(d.path)
+      case "csv" => spark.read.schema(d.schema)
+        .option("header", d.options.getOrElse("csv.include-header", "false"))
+        .csv(d.path)
+      case "avro" => graft.sources.Avro.read(spark, d.path)
+      case "raw" => spark.read.text(d.path)
+        .select(col("value").as(d.schema.fieldNames.head))
+      case other => throw new IllegalArgumentException(s"unsupported format '$other'")
+    }
+    val withWm = d.watermark match {
+      case Some((c, delay)) if base.isStreaming => base.withWatermark(c, delay)
+      case _ => base
+    }
+    withWm.createOrReplaceTempView(d.name)
+  }
+
+  // ---- INSERT ----------------------------------------------------------
+
+  /** Execute `INSERT INTO/OVERWRITE <t> SELECT ...` against a table
+    * DEFINED via CREATE TABLE: runs the query (through `runSql`, so
+    * nested graft SQL surfaces work), writes with the table's format,
+    * then (re)registers the view over the path.
+    */
+  def executeInsert(spark: SparkSession, defs: Map[String, TableDef],
+                    sql: String, runSql: String => DataFrame): DataFrame = {
+    val m = insertRe.findFirstMatchIn(sql).get
+    val mode = if (m.group(1).equalsIgnoreCase("OVERWRITE")) "overwrite" else "append"
+    val name = m.group(2)
+    val d = defs.getOrElse(name, throw new IllegalArgumentException(
+      s"INSERT target '$name' was not defined via CREATE TABLE"))
+    val data = runSql(m.group(3))
+    d.connector match {
+      case "blackhole" => data.write.format("noop").mode("overwrite").save()
+      case "print" => data.show(20, truncate = false)
+      case "filesystem" =>
+        val aligned = data.toDF(d.schema.fieldNames.toIndexedSeq: _*)
+        val writer0 = aligned.write.mode(mode)
+        val writer = if (d.partitionedBy.nonEmpty)
+          writer0.partitionBy(d.partitionedBy: _*) else writer0
+        d.format match {
+          case "parquet" => writer.parquet(d.path)
+          case "orc" => writer.orc(d.path)
+          case "json" => writer.json(d.path)
+          case "csv" => writer
+            .option("header", d.options.getOrElse("csv.include-header", "false"))
+            .csv(d.path)
+          case "avro" =>
+            require(mode == "overwrite" || !new java.io.File(d.path).exists(),
+              "avro INSERT supports overwrite/initial write")
+            graft.sources.Avro.write(aligned, d.path)
+          case other => throw new IllegalArgumentException(s"unsupported format '$other'")
+        }
+        register(spark, d) // now readable — (re)register the view
+      case other => throw new IllegalArgumentException(
+        s"INSERT into connector '$other' unsupported")
+    }
+    spark.emptyDataFrame
+  }
+}

@@ -27,9 +27,11 @@ class SqlEnv private (val spark: SparkSession) {
 
   graft.functions.functions.register(spark)
 
-  /** Parse+plan+execute a SQL statement (query or command). Two
-    * reference SQL surfaces Spark lacks are accepted and rewritten
-    * before Spark parses the statement:
+  /** Parse+plan+execute a SQL statement (query or command). Three
+    * reference SQL surfaces Spark lacks are accepted before Spark
+    * parses the statement:
+    *  - Flink DDL: `CREATE TABLE ... WITH ('connector'=...)` and
+    *    `INSERT INTO/OVERWRITE <created table> SELECT ...` via [[Ddl]];
     *  - window-TVF text `TUMBLE/HOP/CUMULATE(TABLE t, DESCRIPTOR(ts),
     *    INTERVAL ...)` (SqlTumbleTableFunction et al.) onto
     *    [[graft.streaming.Windows]];
@@ -37,10 +39,25 @@ class SqlEnv private (val spark: SparkSession) {
     *    [[graft.streaming.Cep]] via [[MatchRecognizeSql]].
     */
   def executeSql(sql: String): DataFrame = {
+    if (Ddl.isCreateTable(sql)) {
+      val d = Ddl.parseCreateTable(sql)
+      tableDefs.put(d.name, d)
+      Ddl.executeCreate(spark, d) // false = deferred until first INSERT
+      return spark.emptyDataFrame
+    }
+    // only route INSERTs whose target came from OUR CREATE TABLE;
+    // anything else stays Spark-native
+    if (Ddl.insertTarget(sql).exists(tableDefs.containsKey))
+      return Ddl.executeInsert(spark, asScala.toMap, sql, executeSql)
     val afterMr = MatchRecognizeSql.rewrite(spark, sql,
       () => s"__graft_mr_${viewCounter.incrementAndGet()}")
     spark.sql(rewriteWindowTvfs(afterMr))
   }
+
+  /** CREATE TABLE definitions by name (drives INSERT routing). */
+  private val tableDefs =
+    new java.util.concurrent.ConcurrentHashMap[String, Ddl.TableDef]()
+  private def asScala = { import scala.jdk.CollectionConverters._; tableDefs.asScala }
 
   // ---- window TVF text support ----------------------------------------
 

@@ -224,6 +224,85 @@ class SqlEnvSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("CREATE TABLE ... WITH + INSERT INTO: the reference user's DDL workflow") {
+    val env = SqlEnv(spark)
+    val sinkDir = s"${System.getProperty("java.io.tmpdir")}/graft_ddl_sink_${System.nanoTime()}"
+
+    // 1. source table over existing parquet, Flink DDL text verbatim
+    env.executeSql(
+      s"""CREATE TABLE nation_src (
+         |  n_nationkey BIGINT,
+         |  n_name STRING,
+         |  n_regionkey BIGINT,
+         |  n_comment STRING
+         |) WITH (
+         |  'connector' = 'filesystem',
+         |  'path' = '${TestSpark.sfDir}/nation.parquet',
+         |  'format' = 'parquet'
+         |)""".stripMargin)
+    assert(env.executeSql("SELECT count(*) AS n FROM nation_src").head().getLong(0) == 25)
+
+    // 2. sink table (path does not exist yet → lazy), INSERT INTO, read back
+    env.executeSql(
+      s"""CREATE TABLE nation_sink (
+         |  n_name STRING,
+         |  key_sum BIGINT
+         |) WITH (
+         |  'connector' = 'filesystem',
+         |  'path' = '$sinkDir',
+         |  'format' = 'csv'
+         |)""".stripMargin)
+    env.executeSql(
+      """INSERT INTO nation_sink
+        |SELECT n_name, n_nationkey + n_regionkey AS key_sum
+        |FROM nation_src WHERE n_regionkey = 1""".stripMargin)
+    val back = env.executeSql(
+      "SELECT n_name, key_sum FROM nation_sink ORDER BY n_name").collect()
+    val direct = env.executeSql(
+      """SELECT n_name, n_nationkey + n_regionkey AS key_sum
+        |FROM nation_src WHERE n_regionkey = 1 ORDER BY n_name""".stripMargin).collect()
+    assert(back.nonEmpty && back.toSeq.map(r => (r.getString(0), r.getLong(1))) ==
+      direct.toSeq.map(r => (r.getString(0), r.getLong(1))))
+
+    // 3. datagen connector (bounded, sequence field)
+    env.executeSql(
+      """CREATE TABLE gen (
+        |  id BIGINT,
+        |  tag STRING
+        |) WITH (
+        |  'connector' = 'datagen',
+        |  'number-of-rows' = '7',
+        |  'fields.id.kind' = 'sequence',
+        |  'fields.id.start' = '100'
+        |)""".stripMargin)
+    val gen = env.executeSql("SELECT min(id) AS lo, max(id) AS hi, count(*) AS n FROM gen").head()
+    assert(gen.getLong(0) == 100 && gen.getLong(1) == 106 && gen.getLong(2) == 7)
+
+    // 4. blackhole sink accepts INSERT
+    env.executeSql(
+      """CREATE TABLE sink_null (x BIGINT) WITH ('connector' = 'blackhole')""")
+    env.executeSql("INSERT INTO sink_null SELECT n_nationkey FROM nation_src")
+
+    // 5. complex types + watermark + primary key parse
+    val d = graft.sql.Ddl.parseCreateTable(
+      """CREATE TABLE t (
+        |  id BIGINT NOT NULL,
+        |  amounts ARRAY<DECIMAL(10, 2)>,
+        |  attrs MAP<STRING, INT>,
+        |  info ROW<a INT, b STRING>,
+        |  ts TIMESTAMP(3),
+        |  WATERMARK FOR ts AS ts - INTERVAL '5' SECOND,
+        |  PRIMARY KEY (id) NOT ENFORCED
+        |) WITH ('connector' = 'filesystem', 'path' = '/x', 'format' = 'parquet')""".stripMargin)
+    import org.apache.spark.sql.types._
+    assert(d.schema == StructType(Seq(
+      StructField("id", LongType), StructField("amounts", ArrayType(DecimalType(10, 2))),
+      StructField("attrs", MapType(StringType, IntegerType)),
+      StructField("info", StructType(Seq(StructField("a", IntegerType), StructField("b", StringType)))),
+      StructField("ts", TimestampType))))
+    assert(d.watermark.contains(("ts", "5 seconds")) && d.primaryKey == Seq("id"))
+  }
+
   test("SQL-text TPC-H Q21: correlated EXISTS/NOT EXISTS decorrelates") {
     // The reference runs its standard-corpus batteries as SQL text;
     // prove the hardest subquery shape in ours — EXISTS + NOT EXISTS
