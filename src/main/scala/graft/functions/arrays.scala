@@ -98,10 +98,57 @@ case class DistinctShingleCount(child: Expression, width: Expression)
   override def prettyName: String = "distinct_shingle_count"
 }
 
+/** Occurrence count of the MOST FREQUENT width-`w` token shingle, in
+  * one map-side pass (the Gopher top-n-gram numerator) — paired with
+  * the total shingle count this gives the top-n-gram fraction with
+  * ZERO shuffles, where the explode→groupBy→groupBy formulation costs
+  * two. Same tuple-of-UTF8String key discipline as
+  * [[DistinctShingleCount]], so both match a string-building oracle.
+  */
+case class TopShingleCount(child: Expression, width: Expression)
+    extends BinaryExpression with CodegenFallback {
+  override def left: Expression = child
+  override def right: Expression = width
+  override def dataType: DataType = IntegerType
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ArrayType(StringType, _) if width.foldable => TypeCheckResult.TypeCheckSuccess
+    case _ => TypeCheckResult.TypeCheckFailure(
+      "top_shingle_count expects (array<string>, foldable int)")
+  }
+  @transient private lazy val w: Int =
+    width.eval(org.apache.spark.sql.catalyst.InternalRow.empty).asInstanceOf[Int]
+
+  override def nullSafeEval(tokens: Any, wv: Any): Any = {
+    val arr = tokens.asInstanceOf[ArrayData]
+    val n = arr.numElements()
+    if (n < w) 0
+    else {
+      val toks = new Array[org.apache.spark.unsafe.types.UTF8String](n)
+      var i = 0
+      while (i < n) { toks(i) = arr.getUTF8String(i); i += 1 }
+      val counts = new java.util.HashMap[Seq[org.apache.spark.unsafe.types.UTF8String], Int]()
+      var best = 0
+      i = 0
+      while (i <= n - w) {
+        val key = toks.slice(i, i + w).toSeq
+        val c = counts.merge(key, 1, (a, b) => a + b)
+        if (c > best) best = c
+        i += 1
+      }
+      best
+    }
+  }
+  override protected def withNewChildrenInternal(l: Expression, r: Expression): Expression =
+    copy(child = l, width = r)
+  override def prettyName: String = "top_shingle_count"
+}
+
 object ArrayFns {
   import org.apache.spark.sql.GraftBridge.{column, expression}
   def sorted_intersect_count(a: Column, b: Column): Column =
     column(SortedIntersectCount(expression(a), expression(b)))
   def distinct_shingle_count(tokens: Column, width: Int): Column =
     column(DistinctShingleCount(expression(tokens), Literal(width)))
+  def top_shingle_count(tokens: Column, width: Int): Column =
+    column(TopShingleCount(expression(tokens), Literal(width)))
 }

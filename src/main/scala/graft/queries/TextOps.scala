@@ -327,30 +327,25 @@ object TextOps {
     // Quality signals from repeated n-grams (Rae et al., Gopher §A1.1):
     // fraction of all word-2-grams accounted for by the MOST FREQUENT
     // 2-gram, and the fraction of 3-gram occurrences that are
-    // duplicates. Top-2-gram needs a (doc, gram) count — two bounded
-    // shuffles keyed by doc; the 3-gram duplicate fraction reuses the
-    // codegen'd distinct_shingle_count, zero extra shuffle.
+    // duplicates. Entirely MAP-SIDE: top_shingle_count and
+    // distinct_shingle_count are one-pass expressions over the token
+    // array, so the whole metric set is a single projection — ZERO
+    // shuffles at any scale (the explode→groupBy→groupBy formulation
+    // costs two; the oracle keeps it as the independent check).
     "t44_repetition_metrics" -> ((s, dir) => {
       val d = Tables.load(s, dir, "documents")
-      val grams2 = d
-        .select(col("doc_id"), explode(
-          when(size(tokens) >= 2,
-            transform(sequence(lit(1), size(tokens) - 1),
-              i => concat_ws(" ", slice(tokens, i, lit(2)))))
-          .otherwise(array().cast("array<string>"))).as("g"))
-      val top2 = grams2.groupBy(col("doc_id"), col("g")).agg(count(lit(1)).as("c"))
-        .groupBy(col("doc_id"))
-        .agg((max(col("c")).cast("double") / sum(col("c"))).as("top_2gram_frac"))
-      val tri = d.select(col("doc_id"),
-        greatest(size(tokens) - 2, lit(0)).as("n3"),
-        graft.functions.ArrayFns.distinct_shingle_count(tokens, 3).as("u3"))
-        .withColumn("dup_3gram_frac",
-          when(col("n3") > 0, lit(1.0) - col("u3").cast("double") / col("n3"))
-            .otherwise(lit(0.0)))
-      tri.join(top2, Seq("doc_id"), "left")
-        .select(col("doc_id"), col("top_2gram_frac"), col("dup_3gram_frac"),
-          (coalesce(col("top_2gram_frac"), lit(0.0)) > 0.20 ||
-           col("dup_3gram_frac") > 0.30).as("repetition_flagged"))
+      val n2 = greatest(size(tokens) - 1, lit(0))
+      val n3 = greatest(size(tokens) - 2, lit(0))
+      d.select(col("doc_id"),
+          when(n2 > 0, graft.functions.ArrayFns.top_shingle_count(tokens, 2)
+            .cast("double") / n2).as("top_2gram_frac"),
+          when(n3 > 0, lit(1.0) -
+            graft.functions.ArrayFns.distinct_shingle_count(tokens, 3)
+              .cast("double") / n3)
+            .otherwise(lit(0.0)).as("dup_3gram_frac"))
+        .withColumn("repetition_flagged",
+          coalesce(col("top_2gram_frac"), lit(0.0)) > 0.20 ||
+          col("dup_3gram_frac") > 0.30)
     })
   )
 
