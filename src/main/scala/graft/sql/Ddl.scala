@@ -193,9 +193,66 @@ object Ddl {
       }
       df.drop("__seq").createOrReplaceTempView(d.name)
       true
+    case "kafka" | "upsert-kafka" =>
+      registerKafka(spark, d); true
     case "blackhole" | "print" => true // sink-only; nothing to read
     case other => throw new IllegalArgumentException(
-      s"unsupported connector '$other' (filesystem/datagen/blackhole)")
+      s"unsupported connector '$other' (filesystem/datagen/kafka/upsert-kafka/blackhole)")
+  }
+
+  /** Kafka / upsert-kafka DDL (reference: KafkaDynamicTableFactory /
+    * UpsertKafkaDynamicTableFactory option names). The value format is
+    * decoded against the DDL schema: `json` via [[graft.sources.Kafka
+    * .decodeJson]], `protobuf` via a `protobuf.descriptor-file` +
+    * `protobuf.message-name` pair (the protoc artifact parsed by
+    * [[graft.sources.ProtoDescriptors]]), `raw` as a bare string
+    * column. upsert-kafka additionally runs tombstone→changelog
+    * normalization keyed by the DDL PRIMARY KEY.
+    */
+  /** Raw kafka-schema source builder — injectable because the sandbox
+    * classpath carries no spark-sql-kafka jar (the same seam
+    * JdbcKafkaSpec uses for connections): production default is the
+    * real `format("kafka")` source; tests supply a synthetic frame
+    * with the kafka schema (key/value binary, offset, ...).
+    */
+  @volatile var kafkaRawSource: (SparkSession, graft.sources.Kafka.SourceConfig) => DataFrame =
+    (s, cfg) => graft.sources.Kafka.source(s, cfg)
+
+  private def registerKafka(spark: SparkSession, d: TableDef): Unit = {
+    val cfg = graft.sources.Kafka.SourceConfig(
+      bootstrapServers = d.options.getOrElse("properties.bootstrap.servers",
+        throw new IllegalArgumentException(s"table ${d.name}: 'properties.bootstrap.servers' required")),
+      topic = d.options.getOrElse("topic",
+        throw new IllegalArgumentException(s"table ${d.name}: 'topic' required")),
+      startupMode = d.options.getOrElse("scan.startup.mode", "latest"),
+      startupTimestampMs = d.options.get("scan.startup.timestamp-millis").map(_.toLong),
+      groupId = d.options.get("properties.group.id"))
+    val raw = kafkaRawSource(spark, cfg)
+    val fmt = d.options.getOrElse("format", d.options.getOrElse("value.format", "json"))
+    val decoded = fmt match {
+      case "json" => graft.sources.Kafka.decodeJson(raw, d.schema)
+      case "protobuf" =>
+        val descFile = d.options.getOrElse("protobuf.descriptor-file",
+          throw new IllegalArgumentException(
+            s"table ${d.name}: format=protobuf needs 'protobuf.descriptor-file'"))
+        val msgName = d.options.getOrElse("protobuf.message-name",
+          throw new IllegalArgumentException(
+            s"table ${d.name}: format=protobuf needs 'protobuf.message-name'"))
+        val msg = graft.sources.ProtoDescriptors.fromDescriptorSet(
+          java.nio.file.Files.readAllBytes(java.nio.file.Paths.get(descFile)), msgName)
+        graft.sources.Kafka.decodeProto(raw, msg)
+      case "raw" => raw.select(col("key").cast("string").as("k"),
+        col("value").cast("string").as("v"), col("offset"))
+      case other => throw new IllegalArgumentException(
+        s"kafka value format '$other' unsupported (json/protobuf/raw)")
+    }
+    val out =
+      if (d.connector == "upsert-kafka")
+        graft.streaming.Changelog.changelogNormalize(
+          graft.sources.Kafka.upsertToChangelog(decoded),
+          if (d.primaryKey.nonEmpty) d.primaryKey else Seq("k"))
+      else decoded
+    out.createOrReplaceTempView(d.name)
   }
 
   /** Register a readable filesystem table as a temp view. */

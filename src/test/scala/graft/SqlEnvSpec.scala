@@ -303,6 +303,93 @@ class SqlEnvSpec extends AnyFunSuite {
     assert(d.watermark.contains(("ts", "5 seconds")) && d.primaryKey == Seq("id"))
   }
 
+  test("CREATE TABLE with kafka / upsert-kafka / protobuf-format connectors") {
+    // no spark-sql-kafka jar in the sandbox: inject a synthetic
+    // kafka-schema stream through Ddl's source seam (same pattern as
+    // FakeJdbc) — the DDL parse, option translation, format decode
+    // wiring, and changelog normalization are all real.
+    import org.apache.spark.sql.types._
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import spark.implicits._
+    implicit val sc = spark.sqlContext
+    val defaultSource = graft.sql.Ddl.kafkaRawSource
+    graft.sql.Ddl.kafkaRawSource = (_, cfg) => {
+      assert(cfg.bootstrapServers == "broker:9092" && cfg.topic.startsWith("t"))
+      MemoryStream[(Array[Byte], Array[Byte], Long)].toDF()
+        .toDF("key", "value", "offset")
+    }
+    try {
+    val env = SqlEnv(spark)
+    env.executeSql(
+      """CREATE TABLE k_json (
+        |  name STRING,
+        |  score DOUBLE
+        |) WITH (
+        |  'connector' = 'kafka',
+        |  'topic' = 't1',
+        |  'properties.bootstrap.servers' = 'broker:9092',
+        |  'scan.startup.mode' = 'earliest',
+        |  'format' = 'json'
+        |)""".stripMargin)
+    val kj = spark.table("k_json")
+    assert(kj.isStreaming)
+    assert(kj.schema.fieldNames.toSeq == Seq("k", "v", "offset"))
+    assert(kj.schema("v").dataType == StructType(Seq(
+      StructField("name", StringType), StructField("score", DoubleType))))
+
+    // upsert-kafka: tombstones become a normalized changelog keyed by PK
+    env.executeSql(
+      """CREATE TABLE k_upsert (
+        |  name STRING,
+        |  score DOUBLE,
+        |  PRIMARY KEY (k) NOT ENFORCED
+        |) WITH (
+        |  'connector' = 'upsert-kafka',
+        |  'topic' = 't2',
+        |  'properties.bootstrap.servers' = 'broker:9092',
+        |  'format' = 'json'
+        |)""".stripMargin)
+    val ku = spark.table("k_upsert")
+    assert(ku.isStreaming)
+    assert(ku.schema.fieldNames.contains(graft.streaming.Changelog.KindCol))
+
+    // protobuf value format from a protoc descriptor-set file
+    import graft.sources.Proto._
+    import org.apache.spark.sql.catalyst.expressions.GenericInternalRow
+    import org.apache.spark.sql.catalyst.util.GenericArrayData
+    import org.apache.spark.unsafe.types.UTF8String
+    def u(s: String) = UTF8String.fromString(s)
+    val msgDesc = new GenericInternalRow(Array[Any](u("Ev"),
+      new GenericArrayData(Array[Any](
+        new GenericInternalRow(Array[Any](u("name"), 1, 1, 9, null)),
+        new GenericInternalRow(Array[Any](u("n"), 2, 1, 3, null)))),
+      new GenericArrayData(Array.empty[Any]), null))
+    val file = new GenericInternalRow(Array[Any](u("ev.proto"), u("demo"),
+      new GenericArrayData(Array[Any](msgDesc))))
+    val setBytes = graft.sources.Proto.encodeInternal(
+      new GenericInternalRow(Array[Any](new GenericArrayData(Array[Any](file)))),
+      graft.sources.ProtoDescriptors.metaSchema)
+    val descPath = java.nio.file.Files.createTempFile("graft_desc", ".bin")
+    java.nio.file.Files.write(descPath, setBytes)
+    env.executeSql(
+      s"""CREATE TABLE k_proto (
+         |  name STRING,
+         |  n BIGINT
+         |) WITH (
+         |  'connector' = 'kafka',
+         |  'topic' = 't3',
+         |  'properties.bootstrap.servers' = 'broker:9092',
+         |  'format' = 'protobuf',
+         |  'protobuf.descriptor-file' = '$descPath',
+         |  'protobuf.message-name' = 'Ev'
+         |)""".stripMargin)
+    val kp = spark.table("k_proto")
+    assert(kp.isStreaming)
+    assert(kp.schema("v").dataType == StructType(Seq(
+      StructField("name", StringType), StructField("n", LongType))))
+    } finally graft.sql.Ddl.kafkaRawSource = defaultSource
+  }
+
   test("SQL-text TPC-H Q21: correlated EXISTS/NOT EXISTS decorrelates") {
     // The reference runs its standard-corpus batteries as SQL text;
     // prove the hardest subquery shape in ours — EXISTS + NOT EXISTS
