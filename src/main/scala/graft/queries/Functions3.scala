@@ -136,6 +136,45 @@ object Functions3 {
         .select(col("k").cast("bigint").as("doc_id"), col("text"))
     }),
 
+    // ---- Flink DDL workflow under the oracle gate ----------------------
+    // The reference user's CREATE TABLE ... WITH / INSERT INTO text,
+    // end-to-end: define a source over the supplier parquet, INSERT a
+    // projection into a filesystem sink table (json format), read the
+    // sink back through its registered view. The oracle recomputes the
+    // projection straight from the original table, so the hash match
+    // proves the whole DDL parse → write → re-register → read cycle.
+    "q79_ddl_workflow" -> ((s, dir) => {
+      val env = graft.sql.SqlEnv(s)
+      val sink = roundtripDir("ddlsink", dir)
+      env.executeSql(
+        s"""CREATE TABLE ddl_supplier (
+           |  s_suppkey BIGINT,
+           |  s_name STRING,
+           |  s_nationkey BIGINT,
+           |  s_acctbal DOUBLE
+           |) WITH (
+           |  'connector' = 'filesystem',
+           |  'path' = '$dir/supplier.parquet',
+           |  'format' = 'parquet'
+           |)""".stripMargin)
+      env.executeSql(
+        s"""CREATE TABLE ddl_sink (
+           |  s_suppkey BIGINT,
+           |  s_name STRING,
+           |  bal_cents BIGINT
+           |) WITH (
+           |  'connector' = 'filesystem',
+           |  'path' = '$sink',
+           |  'format' = 'json'
+           |)""".stripMargin)
+      env.executeSql(
+        """INSERT OVERWRITE ddl_sink
+          |SELECT s_suppkey, s_name,
+          |       CAST(round(s_acctbal * 100) AS BIGINT) AS bal_cents
+          |FROM ddl_supplier WHERE s_nationkey < 13""".stripMargin)
+      env.executeSql("SELECT s_suppkey, s_name, bal_cents FROM ddl_sink")
+    }),
+
     // ---- Protobuf format roundtrip — flink-formats/flink-protobuf -----
     // (ProtoToRowConverter.java:53 / RowToProtoConverter.java). No
     // protobuf runtime exists on the sandbox classpath, so
@@ -268,6 +307,10 @@ object Functions3 {
     "q76_csv_gzip_roundtrip" -> "SELECT * FROM customer",
     "q77_raw_text_roundtrip" -> "SELECT text FROM documents",
     "q78_sequence_file_roundtrip" -> "SELECT doc_id, text FROM documents",
+    "q79_ddl_workflow" ->
+      """SELECT s_suppkey, s_name,
+        |  CAST(round(s_acctbal * 100) AS BIGINT) AS bal_cents
+        |FROM supplier WHERE s_nationkey < 13""".stripMargin,
     "q75_proto_roundtrip" ->
       """SELECT o_orderkey, o_orderstatus,
         |  CAST(o_totalprice AS DOUBLE) AS price,

@@ -175,8 +175,16 @@ object Ddl {
       if (!fs.exists(p)) false
       else { register(spark, d); true }
     case "datagen" =>
-      val n = d.options.getOrElse("number-of-rows", "1000").toLong
-      var df = spark.range(n).toDF("__seq")
+      // unbounded datagen ('rows-per-second') → Spark rate source;
+      // bounded ('number-of-rows') → range. Same per-field derivation.
+      val streaming = d.options.contains("rows-per-second")
+      var df =
+        if (streaming)
+          spark.readStream.format("rate")
+            .option("rowsPerSecond", d.options("rows-per-second"))
+            .load().select(col("value").as("__seq"))
+        else spark.range(d.options.getOrElse("number-of-rows", "1000").toLong)
+          .toDF("__seq")
       d.schema.fields.foreach { f =>
         val kind = d.options.getOrElse(s"fields.${f.name}.kind", "random")
         val col0 = kind match {

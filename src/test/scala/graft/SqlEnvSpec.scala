@@ -278,6 +278,17 @@ class SqlEnvSpec extends AnyFunSuite {
     val gen = env.executeSql("SELECT min(id) AS lo, max(id) AS hi, count(*) AS n FROM gen").head()
     assert(gen.getLong(0) == 100 && gen.getLong(1) == 106 && gen.getLong(2) == 7)
 
+    // 3b. unbounded datagen ('rows-per-second') registers a STREAMING view
+    env.executeSql(
+      """CREATE TABLE gen_stream (
+        |  id BIGINT
+        |) WITH (
+        |  'connector' = 'datagen',
+        |  'rows-per-second' = '5',
+        |  'fields.id.kind' = 'sequence'
+        |)""".stripMargin)
+    assert(spark.table("gen_stream").isStreaming)
+
     // 4. blackhole sink accepts INSERT
     env.executeSql(
       """CREATE TABLE sink_null (x BIGINT) WITH ('connector' = 'blackhole')""")
