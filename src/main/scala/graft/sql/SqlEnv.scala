@@ -49,7 +49,9 @@ class SqlEnv private (val spark: SparkSession) {
     // anything else stays Spark-native
     if (Ddl.insertTarget(sql).exists(tableDefs.containsKey))
       return Ddl.executeInsert(spark, asScala.toMap, sql, executeSql)
-    val afterMr = MatchRecognizeSql.rewrite(spark, sql,
+    val afterTj = TemporalJoinSql.rewrite(spark, asScala.toMap, sql,
+      () => s"__graft_tj_${viewCounter.incrementAndGet()}")
+    val afterMr = MatchRecognizeSql.rewrite(spark, afterTj,
       () => s"__graft_mr_${viewCounter.incrementAndGet()}")
     spark.sql(rewriteWindowTvfs(afterMr))
   }
