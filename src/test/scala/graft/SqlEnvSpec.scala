@@ -451,6 +451,60 @@ class SqlEnvSpec extends AnyFunSuite {
     assert(withDim.forall(!_.isNullAt(1)))
   }
 
+  test("SQL-surface edges: no WITHIN, two MATCH_RECOGNIZE, TVF in subquery, VALUES insert") {
+    import org.apache.spark.sql.functions._
+    val env = SqlEnv(spark).registerTestdata(TestSpark.sfDir)
+
+    // MATCH_RECOGNIZE without WITHIN → effectively unbounded window
+    val noWithin = env.executeSql(
+      """SELECT user_id FROM events MATCH_RECOGNIZE (
+        |  PARTITION BY user_id ORDER BY ts
+        |  MEASURES COUNT(b.*) AS nb
+        |  PATTERN (a b)
+        |  DEFINE a AS a.event_type = 'signup', b AS b.event_type = 'purchase'
+        |)""".stripMargin).count()
+    assert(noWithin > 0)
+
+    // two MATCH_RECOGNIZE clauses in one statement (recursive splice)
+    val two = env.executeSql(
+      """SELECT x.user_id FROM (
+        |  SELECT user_id FROM events MATCH_RECOGNIZE (
+        |    PARTITION BY user_id ORDER BY ts
+        |    MEASURES COUNT(a.*) AS na
+        |    PATTERN (a) WITHIN INTERVAL '1' HOUR
+        |    DEFINE a AS a.event_type = 'signup')
+        |) x JOIN (
+        |  SELECT user_id FROM events MATCH_RECOGNIZE (
+        |    PARTITION BY user_id ORDER BY ts
+        |    MEASURES COUNT(p.*) AS np
+        |    PATTERN (p) WITHIN INTERVAL '1' HOUR
+        |    DEFINE p AS p.event_type = 'purchase')
+        |) y ON x.user_id = y.user_id""".stripMargin).count()
+    assert(two > 0)
+
+    // window TVF inside a subquery
+    val sub = env.executeSql(
+      """SELECT max(n) AS mx FROM (
+        |  SELECT window_start, count(*) AS n
+        |  FROM TUMBLE(TABLE events, DESCRIPTOR(ts), INTERVAL '1' HOUR)
+        |  GROUP BY window_start)""".stripMargin).head().getLong(0)
+    assert(sub > 0)
+
+    // INSERT INTO a DDL table from VALUES
+    val vDir = s"${System.getProperty("java.io.tmpdir")}/graft_ddl_vals_${System.nanoTime()}"
+    env.executeSql(
+      s"""CREATE TABLE vals_sink (a BIGINT, b STRING) WITH (
+         |  'connector' = 'filesystem', 'path' = '$vDir', 'format' = 'parquet')""".stripMargin)
+    env.executeSql("INSERT INTO vals_sink VALUES (1, 'x'), (2, 'y')")
+    assert(env.executeSql("SELECT count(*) AS n FROM vals_sink").head().getLong(0) == 2)
+
+    // CREATE TABLE IF NOT EXISTS parses and re-registers idempotently
+    env.executeSql(
+      s"""CREATE TABLE IF NOT EXISTS vals_sink (a BIGINT, b STRING) WITH (
+         |  'connector' = 'filesystem', 'path' = '$vDir', 'format' = 'parquet')""".stripMargin)
+    assert(env.executeSql("SELECT count(*) AS n FROM vals_sink").head().getLong(0) == 2)
+  }
+
   test("SQL-text TPC-H Q21: correlated EXISTS/NOT EXISTS decorrelates") {
     // The reference runs its standard-corpus batteries as SQL text;
     // prove the hardest subquery shape in ours — EXISTS + NOT EXISTS
