@@ -1,0 +1,127 @@
+package graft.queries
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import graft.Tables
+
+/** Round-5 training-data pipeline operators over `documents`:
+  * cross-document duplicated-span statistics (the scalable stand-in
+  * for suffix-array exact-substring dedup, Lee et al. 2022
+  * "Deduplicating Training Data Makes Language Models Better"),
+  * token-budget sequence packing (the concat-and-chunk step that
+  * turns curated documents into fixed-length training sequences), and
+  * C4-style blocklist filtering (Raffel et al. 2020 §2.2's "bad words"
+  * page filter).
+  */
+object TextOps2 {
+
+  private val tokens: Column = split(col("text"), " ")
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // ---- Cross-document duplicated 4-gram spans -----------------------
+    // Per doc: how many of its 4-gram positions also occur in ANOTHER
+    // document. Scale path: explode to (gram-hash, doc) rows, count
+    // distinct docs per gram, join back on the gram hash — every
+    // shuffle keys on the 16-hex gram hash (cardinality = corpus
+    // n-grams, uniformly distributed), never a doc×doc pair join. This
+    // is the distributed approximation of the suffix-array pass in
+    // Lee et al.; t43 (decontamination) is the same skeleton against an
+    // external eval set, this one is corpus-internal.
+    "t45_dup_ngram_spans" -> ((s, dir) => {
+      val d = Tables.load(s, dir, "documents")
+      val g = d.select(col("doc_id"), explode(
+          when(size(tokens) >= 4,
+            transform(sequence(lit(1), size(tokens) - 3),
+              i => concat_ws(" ", slice(tokens, i, lit(4)))))
+          .otherwise(array().cast("array<string>"))).as("g"))
+        .select(col("doc_id"), substring(md5(col("g")), 1, 16).as("h"))
+      val docsPerGram = g.groupBy(col("h"))
+        .agg(countDistinct(col("doc_id")).as("nd"))
+      g.join(docsPerGram, Seq("h")) // same shuffle key as the groupBy
+        .groupBy(col("doc_id"))
+        .agg(count(lit(1)).as("n_grams"),
+          sum(when(col("nd") >= 2, 1).otherwise(0)).as("n_dup_grams"))
+        .withColumn("dup_frac",
+          col("n_dup_grams").cast("double") / col("n_grams"))
+    }),
+
+    // ---- Token-budget sequence packing --------------------------------
+    // Concat-and-chunk: documents are laid out in doc_id order within
+    // each source shard and cut into 256-token training sequences; a
+    // document belongs to the sequence where it STARTS (so sequences
+    // can overfill by one crossing doc — standard packing semantics).
+    // Scale: the running sum partitions by source — each shard packs
+    // independently, so there is no global sort; at 100 TB the
+    // partition key would be (source, file-split) with identical code.
+    "t46_sequence_packing" -> ((s, dir) => {
+      val budget = 256
+      val d = Tables.load(s, dir, "documents")
+      val w = Window.partitionBy(col("source")).orderBy(col("doc_id"))
+      d.select(col("source"), col("doc_id"), size(tokens).as("n_tok"))
+        .withColumn("cum", sum(col("n_tok")).over(w))
+        .withColumn("seq_id", expr(s"(cum - n_tok) div $budget"))
+        .groupBy(col("source"), col("seq_id"))
+        .agg(count(lit(1)).as("n_docs"),
+          sum(col("n_tok")).as("seq_tokens"),
+          min(col("doc_id")).as("first_doc"),
+          max(col("doc_id")).as("last_doc"))
+        .withColumn("fill_ratio",
+          col("seq_tokens").cast("double") / budget)
+    }),
+
+    // ---- C4-style blocklist filter ------------------------------------
+    // Documents containing any blocklisted token are flagged (C4 drops
+    // the whole page on a single hit). Entirely map-side: the filter
+    // lambda runs inside whole-stage codegen over the token array —
+    // zero shuffles at any scale; the blocklist (in production: the
+    // ~400-entry badwords list) rides in the plan like a broadcast.
+    "t47_blocklist_filter" -> ((s, dir) => {
+      val blocklist = Seq("slow", "dup")
+      val d = Tables.load(s, dir, "documents")
+      d.select(col("doc_id"), col("source"),
+          size(filter(tokens, t => t.isin(blocklist: _*)))
+            .as("n_blocked_tokens"))
+        .withColumn("blocked", col("n_blocked_tokens") > 0)
+    })
+  )
+
+  def oracles: Map[String, String] = Map(
+    "t45_dup_ngram_spans" ->
+      """WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+        |g AS (
+        |  SELECT doc_id,
+        |    unnest(list_transform(generate_series(1, len(toks) - 3),
+        |      i -> substring(md5(array_to_string(toks[i:i+3], ' ')), 1, 16))) AS h
+        |  FROM t WHERE len(toks) >= 4
+        |), d AS (SELECT h, count(DISTINCT doc_id) AS nd FROM g GROUP BY h)
+        |SELECT g.doc_id, count(*) AS n_grams,
+        |  CAST(sum(CASE WHEN d.nd >= 2 THEN 1 ELSE 0 END) AS BIGINT) AS n_dup_grams,
+        |  CAST(sum(CASE WHEN d.nd >= 2 THEN 1 ELSE 0 END) AS DOUBLE) / count(*) AS dup_frac
+        |FROM g JOIN d USING (h)
+        |GROUP BY g.doc_id""".stripMargin,
+
+    "t46_sequence_packing" ->
+      """WITH t AS (
+        |  SELECT source, doc_id, len(string_split(text, ' ')) AS n_tok
+        |  FROM documents
+        |), c AS (
+        |  SELECT *, sum(n_tok) OVER (PARTITION BY source ORDER BY doc_id
+        |    ROWS UNBOUNDED PRECEDING) AS cum
+        |  FROM t
+        |), s AS (SELECT *, (cum - n_tok) // 256 AS seq_id FROM c)
+        |SELECT source, seq_id, count(*) AS n_docs,
+        |  CAST(sum(n_tok) AS BIGINT) AS seq_tokens,
+        |  min(doc_id) AS first_doc, max(doc_id) AS last_doc,
+        |  CAST(sum(n_tok) AS DOUBLE) / 256 AS fill_ratio
+        |FROM s GROUP BY source, seq_id""".stripMargin,
+
+    "t47_blocklist_filter" ->
+      """SELECT doc_id, source,
+        |  len(list_filter(string_split(text, ' '),
+        |      t -> t IN ('slow', 'dup'))) AS n_blocked_tokens,
+        |  len(list_filter(string_split(text, ' '),
+        |      t -> t IN ('slow', 'dup'))) > 0 AS blocked
+        |FROM documents""".stripMargin
+  )
+}

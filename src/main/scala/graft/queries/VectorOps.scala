@@ -172,6 +172,37 @@ object VectorOps {
           idx.codebooks), topK = 3)
     }),
 
+    // ---- K-means clustering (semantic grouping) -----------------------
+    // The clustering use of the IVF machinery: spherical k-means (k=8,
+    // 2 Lloyd passes — graft.ops.Ivf.centroids, every pass distributed)
+    // with the final per-vector assignment, cosine to the owning
+    // centroid, and cluster sizes. Unlike v43 (whose oracle replays
+    // search over the materialized ASSIGNMENT), this oracle recomputes
+    // the argmax itself from the materialized centroids — cosine folds
+    // are bit-identical left-to-right double sums in both engines and
+    // ties break (cos desc, cell asc) exactly like NearestCells — so
+    // the map-side assignment expression is independently verified.
+    // Scale: assignment is a zero-shuffle codegen'd projection; the
+    // only Exchange is the cluster-size count keyed on cell.
+    "v47_kmeans_clusters" -> ((s, dir) => {
+      val e = Tables.load(s, dir, "embeddings")
+      val base = s"/tmp/graft_oracle/${new java.io.File(dir).getName}"
+      graft.ops.Ivf.centroids(e, "vec_id", "embedding", k = 8, iters = 2)
+        .write.mode("overwrite").parquet(s"$base/kmeans_cents")
+      val cents = s.read.parquet(s"$base/kmeans_cents")
+      val assigned = graft.ops.Ivf
+        .assign(e, "vec_id", "embedding", cents, nprobe = 1)
+        .filter(col("cell_rank") === 1)
+      assigned
+        .join(cents, Seq("cell")) // 8 rows — broadcast
+        .withColumn("cos_to_centroid",
+          cosine_sim(col("embedding"), col("centroid").cast("array<float>")))
+        .withColumn("cluster_size",
+          count(lit(1)).over(Window.partitionBy(col("cell"))))
+        .select(col("vec_id"), col("cell"), col("cluster_size"),
+          col("cos_to_centroid"))
+    }),
+
     // ---- Brute-force ANN top-3 per query vector -----------------------
     "v42_ann_topk" -> ((s, dir) => {
       val e = Tables.load(s, dir, "embeddings")
@@ -304,6 +335,29 @@ object VectorOps {
         |    ROW_NUMBER() OVER (PARTITION BY query_id
         |                       ORDER BY adc_dist, cand_id) AS rk
         |  FROM scored) WHERE rk <= 3""".stripMargin,
+
+    "v47_kmeans_clusters" ->
+      s"""WITH cents AS (
+        |  SELECT cell, centroid,
+        |    sqrt(${dotSql.format("centroid", "centroid")}) AS cnrm
+        |  FROM read_parquet('/tmp/graft_oracle/sf0.01/kmeans_cents/*.parquet')),
+        |n AS (SELECT vec_id, embedding,
+        |        sqrt(${dotSql.format("embedding", "embedding")}) AS nrm
+        |      FROM embeddings),
+        |scored AS (
+        |  SELECT vec_id, cell,
+        |    ${dotSql.format("n.embedding", "cents.centroid")} / (n.nrm * cents.cnrm)
+        |      AS cos_to_centroid
+        |  FROM n CROSS JOIN cents),
+        |best AS (
+        |  SELECT vec_id, cell, cos_to_centroid FROM (
+        |    SELECT *, ROW_NUMBER() OVER (PARTITION BY vec_id
+        |      ORDER BY cos_to_centroid DESC, cell) AS rk
+        |    FROM scored) WHERE rk = 1)
+        |SELECT vec_id, cell,
+        |  count(*) OVER (PARTITION BY cell) AS cluster_size,
+        |  cos_to_centroid
+        |FROM best""".stripMargin,
 
     "v42_ann_topk" ->
       s"""WITH n AS (

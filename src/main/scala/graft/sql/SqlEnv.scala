@@ -53,7 +53,7 @@ class SqlEnv private (val spark: SparkSession) {
       () => s"__graft_tj_${viewCounter.incrementAndGet()}")
     val afterMr = MatchRecognizeSql.rewrite(spark, afterTj,
       () => s"__graft_mr_${viewCounter.incrementAndGet()}")
-    spark.sql(rewriteWindowTvfs(afterMr))
+    spark.sql(rewriteLegacyGroupWindows(rewriteWindowTvfs(afterMr)))
   }
 
   /** CREATE TABLE definitions by name (drives INSERT routing). */
@@ -118,6 +118,52 @@ class SqlEnv private (val spark: SparkSession) {
       out.createOrReplaceTempView(view)
       scala.util.matching.Regex.quoteReplacement(view)
     })
+
+  // ---- legacy group-window text support --------------------------------
+
+  // Flink 1.16's pre-TVF window syntax (FlinkSqlOperatorTable's
+  // TUMBLE/HOP/SESSION group functions and their _START/_END/_ROWTIME
+  // auxiliaries; planned by StreamExecGroupWindowAggregate):
+  //   SELECT k, SESSION_START(ts, INTERVAL '30' MINUTE), COUNT(*)
+  //   FROM t GROUP BY SESSION(ts, INTERVAL '30' MINUTE), k
+  // The auxiliaries repeat the assigner's arguments, so they rewrite to
+  // plain field accesses on the grouped struct column: Spark names the
+  // grouped column `window` for window() and `session_window` for
+  // session_window(). _ROWTIME is the window's event-time attribute
+  // (end − 1ms), like the TVF rewrite's window_time.
+  private val legacyAuxRe =
+    """(?i)\b(TUMBLE|HOP|SESSION)_(START|END|ROWTIME)\s*\([^()]*\)""".r
+  // First argument must be a bare column (the TVF form's `TABLE t,` and
+  // Spark's own window()/session_window() never match this shape).
+  private val legacyGroupRe =
+    """(?i)\b(TUMBLE|HOP|SESSION)\s*\(\s*(\w+)\s*,([^()]+)\)""".r
+
+  private[sql] def rewriteLegacyGroupWindows(sql: String): String = {
+    val aux = legacyAuxRe.replaceAllIn(sql, m => {
+      val structCol =
+        if (m.group(1).equalsIgnoreCase("SESSION")) "session_window" else "window"
+      m.group(2).toUpperCase match {
+        case "START" => s"$structCol.start"
+        case "END" => s"$structCol.end"
+        case "ROWTIME" => s"($structCol.end - INTERVAL 1 MILLISECOND)"
+      }
+    })
+    legacyGroupRe.replaceAllIn(aux, m => {
+      val ts = m.group(2)
+      val ivals = m.group(3).split(",").map(intervalSec)
+      scala.util.matching.Regex.quoteReplacement(m.group(1).toUpperCase match {
+        case "TUMBLE" =>
+          require(ivals.length == 1, "TUMBLE(ts, size)")
+          s"window($ts, '${ivals(0)} seconds')"
+        case "HOP" => // Flink legacy arg order: slide, then size
+          require(ivals.length == 2, "HOP(ts, slide, size)")
+          s"window($ts, '${ivals(1)} seconds', '${ivals(0)} seconds')"
+        case "SESSION" =>
+          require(ivals.length == 1, "SESSION(ts, gap)")
+          s"session_window($ts, '${ivals(0)} seconds')"
+      })
+    })
+  }
 
   /** Register a parquet-backed table under `name`. */
   def registerParquet(name: String, path: String): SqlEnv = {

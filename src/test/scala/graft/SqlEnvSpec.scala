@@ -544,4 +544,59 @@ class SqlEnvSpec extends AnyFunSuite {
     assert(out.length == 5)
     assert(out.map(_.getString(1)).toSet.nonEmpty)
   }
+
+  test("legacy GROUP BY TUMBLE/HOP/SESSION text matches the DataFrame window forms") {
+    import org.apache.spark.sql.functions._
+    val env = SqlEnv(spark).registerTestdata(TestSpark.sfDir)
+    val events = spark.table("events")
+
+    // TUMBLE + TUMBLE_START/TUMBLE_END/TUMBLE_ROWTIME
+    val legacyTumble = env.executeSql(
+      """SELECT event_type,
+        |  TUMBLE_START(ts, INTERVAL '15' MINUTE) AS w_start,
+        |  TUMBLE_END(ts, INTERVAL '15' MINUTE) AS w_end,
+        |  TUMBLE_ROWTIME(ts, INTERVAL '15' MINUTE) AS w_rowtime,
+        |  COUNT(1) AS n
+        |FROM events
+        |GROUP BY TUMBLE(ts, INTERVAL '15' MINUTE), event_type""".stripMargin)
+    val dfTumble = events
+      .groupBy(graft.streaming.Windows.tumble(col("ts"), "900 seconds").as("window"),
+        col("event_type"))
+      .agg(count(lit(1)).as("n"))
+      .select(col("event_type"), col("window.start").as("w_start"),
+        col("window.end").as("w_end"),
+        (col("window.end") - expr("INTERVAL 1 MILLISECOND")).as("w_rowtime"),
+        col("n"))
+    assert(legacyTumble.exceptAll(dfTumble).isEmpty &&
+      dfTumble.exceptAll(legacyTumble).isEmpty)
+
+    // HOP: Flink legacy arg order is (ts, slide, size)
+    val legacyHop = env.executeSql(
+      """SELECT HOP_START(ts, INTERVAL '15' MINUTE, INTERVAL '30' MINUTE) AS w_start,
+        |  COUNT(1) AS n
+        |FROM events
+        |GROUP BY HOP(ts, INTERVAL '15' MINUTE, INTERVAL '30' MINUTE)""".stripMargin)
+    val dfHop = events
+      .groupBy(graft.streaming.Windows.hop(col("ts"), "1800 seconds", "900 seconds").as("window"))
+      .agg(count(lit(1)).as("n"))
+      .select(col("window.start").as("w_start"), col("n"))
+    assert(legacyHop.exceptAll(dfHop).isEmpty && dfHop.exceptAll(legacyHop).isEmpty)
+
+    // SESSION groups by session_window — struct column name differs
+    val legacySession = env.executeSql(
+      """SELECT user_id,
+        |  SESSION_START(ts, INTERVAL '30' MINUTE) AS s_start,
+        |  SESSION_END(ts, INTERVAL '30' MINUTE) AS s_end,
+        |  COUNT(1) AS n
+        |FROM events
+        |GROUP BY SESSION(ts, INTERVAL '30' MINUTE), user_id""".stripMargin)
+    val dfSession = events
+      .groupBy(session_window(col("ts"), "1800 seconds").as("session_window"),
+        col("user_id"))
+      .agg(count(lit(1)).as("n"))
+      .select(col("user_id"), col("session_window.start").as("s_start"),
+        col("session_window.end").as("s_end"), col("n"))
+    assert(legacySession.exceptAll(dfSession).isEmpty &&
+      dfSession.exceptAll(legacySession).isEmpty)
+  }
 }
