@@ -216,6 +216,42 @@ object Functions3 {
           element_at(col("m.attrs"), "ck").as("o_custkey"))
     }),
 
+    // ---- CDC changelog decode — flink-json debezium format -------------
+    // Debezium envelopes are CONSTRUCTED from orders (insert / update /
+    // delete by key mod 3), decoded by graft.sources.CdcFormats into
+    // +I/-U/+U/-D changelog rows, and aggregated per kind; the oracle
+    // recomputes the expected changelog directly from the base table,
+    // so envelope construction AND decode are both under the gate.
+    // Scale: from_json + explode is a map-side projection — the only
+    // Exchange is the final 4-group aggregate.
+    "q82_cdc_decode" -> ((s, dir) => {
+      import org.apache.spark.sql.types._
+      val rowS = StructType(Seq(
+        StructField("okey", LongType), StructField("price", DoubleType)))
+      val o = Tables.load(s, dir, "orders")
+      val payload = struct(col("o_orderkey").as("okey"),
+        col("o_totalprice").as("price"))
+      val bumped = struct(col("o_orderkey").as("okey"),
+        (col("o_totalprice") * 1.1).as("price"))
+      val nullRow = lit(null).cast(rowS)
+      val env = when(col("o_orderkey") % 3 === 0,
+          to_json(struct(nullRow.as("before"), payload.as("after"),
+            lit("c").as("op"))))
+        .when(col("o_orderkey") % 3 === 1,
+          to_json(struct(payload.as("before"), bumped.as("after"),
+            lit("u").as("op"))))
+        .otherwise(
+          to_json(struct(payload.as("before"), nullRow.as("after"),
+            lit("d").as("op"))))
+      graft.sources.CdcFormats
+        .fromDebeziumJson(o.select(env.as("env")), col("env"), rowS)
+        .groupBy(col("row_kind"))
+        .agg(count(lit(1)).as("n"),
+          sum(col("okey")).as("sum_key"),
+          sum(col("price").cast(DecimalType(22, 6))).cast("double")
+            .as("sum_price"))
+    }),
+
     // ---- PARSE_URL — SqlFunctionUtils parse_url ------------------------
     "q60_url_functions" -> ((s, dir) => {
       val p = Tables.load(s, dir, "part")
@@ -322,6 +358,22 @@ object Functions3 {
         |FROM orders""".stripMargin,
     "q73_avro_nested" ->
       "SELECT doc_id, CAST(to_json(string_split(text, ' ')) AS VARCHAR) AS tokens_json, lang, n_chars FROM documents",
+
+    "q82_cdc_decode" ->
+      """WITH base AS (
+        |  SELECT o_orderkey AS okey, o_totalprice AS price,
+        |    o_orderkey % 3 AS m
+        |  FROM orders
+        |), r AS (
+        |  SELECT '+I' AS row_kind, okey, price FROM base WHERE m = 0
+        |  UNION ALL SELECT '-U', okey, price FROM base WHERE m = 1
+        |  UNION ALL SELECT '+U', okey, price * 1.1 FROM base WHERE m = 1
+        |  UNION ALL SELECT '-D', okey, price FROM base WHERE m = 2
+        |)
+        |SELECT row_kind, count(*) AS n,
+        |  CAST(sum(okey) AS BIGINT) AS sum_key,
+        |  CAST(sum(CAST(price AS DECIMAL(22,6))) AS DOUBLE) AS sum_price
+        |FROM r GROUP BY row_kind""".stripMargin,
 
     "q60_url_functions" ->
       """SELECT p_partkey,
