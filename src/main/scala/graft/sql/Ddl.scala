@@ -251,8 +251,23 @@ object Ddl {
         graft.sources.Kafka.decodeProto(raw, msg)
       case "raw" => raw.select(col("key").cast("string").as("k"),
         col("value").cast("string").as("v"), col("offset"))
+      // CDC envelope formats (flink-json debezium/canal/maxwell/ogg
+      // deserialization schemas): the decoded view is already a
+      // changelog (+I/-U/+U/-D in row_kind) — the reference likewise
+      // forbids them on upsert-kafka, whose value format must be
+      // insert-only.
+      case cdc @ ("debezium-json" | "canal-json" | "maxwell-json" | "ogg-json") =>
+        require(d.connector != "upsert-kafka",
+          s"table ${d.name}: upsert-kafka requires an insert-only value format, not $cdc")
+        val v = col("value").cast("string")
+        cdc match {
+          case "debezium-json" => graft.sources.CdcFormats.fromDebeziumJson(raw, v, d.schema)
+          case "canal-json" => graft.sources.CdcFormats.fromCanalJson(raw, v, d.schema)
+          case "maxwell-json" => graft.sources.CdcFormats.fromMaxwellJson(raw, v, d.schema)
+          case _ => graft.sources.CdcFormats.fromOggJson(raw, v, d.schema)
+        }
       case other => throw new IllegalArgumentException(
-        s"kafka value format '$other' unsupported (json/protobuf/raw)")
+        s"kafka value format '$other' unsupported (json/protobuf/raw/debezium-json/canal-json/maxwell-json/ogg-json)")
     }
     val out =
       if (d.connector == "upsert-kafka")

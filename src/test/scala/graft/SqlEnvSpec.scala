@@ -398,6 +398,37 @@ class SqlEnvSpec extends AnyFunSuite {
     assert(kp.isStreaming)
     assert(kp.schema("v").dataType == StructType(Seq(
       StructField("name", StringType), StructField("n", LongType))))
+
+    // debezium-json value format: the view IS a changelog stream
+    env.executeSql(
+      """CREATE TABLE k_dbz (
+        |  id BIGINT,
+        |  score DOUBLE
+        |) WITH (
+        |  'connector' = 'kafka',
+        |  'topic' = 't4',
+        |  'properties.bootstrap.servers' = 'broker:9092',
+        |  'format' = 'debezium-json'
+        |)""".stripMargin)
+    val kd = spark.table("k_dbz")
+    assert(kd.isStreaming)
+    assert(kd.schema.fieldNames.toSeq ==
+      Seq(graft.streaming.Changelog.KindCol, "id", "score"))
+
+    // CDC formats are rejected on upsert-kafka, like the reference
+    val err = intercept[IllegalArgumentException] {
+      env.executeSql(
+        """CREATE TABLE k_bad (
+          |  id BIGINT,
+          |  PRIMARY KEY (id) NOT ENFORCED
+          |) WITH (
+          |  'connector' = 'upsert-kafka',
+          |  'topic' = 't5',
+          |  'properties.bootstrap.servers' = 'broker:9092',
+          |  'format' = 'canal-json'
+          |)""".stripMargin)
+    }
+    assert(err.getMessage.contains("insert-only"))
     } finally graft.sql.Ddl.kafkaRawSource = defaultSource
   }
 
