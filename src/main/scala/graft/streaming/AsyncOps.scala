@@ -53,6 +53,46 @@ object AsyncOps {
     }
   }
 
+  /** Retry wrapper for async lookups — the reference's
+    * RetryableLookupFunctionDelegator + AsyncRetryStrategies
+    * (flink-table-runtime/.../join/lookup/RetryableLookupFunctionDelegator.java;
+    * flink-streaming-java/.../functions/async/AsyncRetryStrategy):
+    * FIXED_DELAY strategy, retrying on exception and/or on an empty
+    * (miss) result up to `maxAttempts`. Wrap the per-element function
+    * BEFORE handing it to [[mapAsyncOrdered]]/[[mapAsyncUnordered]] —
+    * retries then consume the in-flight slot of the element they serve,
+    * preserving the capacity bound, exactly like the delegator retries
+    * within the async collector's slot.
+    *
+    * @param retryOnEmpty also retry when the lookup SUCCEEDS with an
+    *   empty Option/Iterable (the reference's
+    *   RetryPredicates.EMPTY_RESULT_PREDICATE); the final attempt's
+    *   empty result is returned as-is.
+    */
+  def withRetry[I, O](fn: I => O, maxAttempts: Int, delayMs: Long = 0L,
+                      retryOnEmpty: Boolean = false): I => O = {
+    require(maxAttempts >= 1)
+    def isEmpty(o: O): Boolean = o match {
+      case opt: Option[_] => opt.isEmpty
+      case it: Iterable[_] => it.isEmpty
+      case _ => false
+    }
+    in => {
+      var attempt = 1
+      var out: Either[Throwable, O] = null
+      var done = false
+      while (!done) {
+        out = try Right(fn(in)) catch { case e: Exception => Left(e) }
+        val retryable = out.fold(_ => true, o => retryOnEmpty && isEmpty(o))
+        if (retryable && attempt < maxAttempts) {
+          attempt += 1
+          if (delayMs > 0) Thread.sleep(delayMs)
+        } else done = true
+      }
+      out.fold(e => throw e, identity)
+    }
+  }
+
   /** UNORDERED mode (Flink's AsyncDataStream.unorderedWait): results
     * emit in COMPLETION order — lower latency than ordered when call
     * durations vary, at the cost of losing input order. Same bounded

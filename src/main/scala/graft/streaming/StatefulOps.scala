@@ -34,8 +34,17 @@ object StatefulOps {
     * watermark advances this far is purged. 24h, like typical
     * production Flink settings for unbounded-keyspace dedup/TopN.
     * Pass `ttlSec = 0` to retain state forever (Flink's default).
+    *
+    * Like the reference's config option, the default is settable per
+    * session: `spark.conf.set("graft.exec.state.ttl", "<seconds>")`.
+    * Default-parameter expressions evaluate at each call, so every
+    * stateful op whose caller leaves `ttlSec` unset picks up the
+    * session value in force when the op is built.
     */
-  val DefaultTtlSec: Long = 86400L
+  def DefaultTtlSec: Long =
+    org.apache.spark.sql.SparkSession.getActiveSession
+      .flatMap(_.conf.getOption("graft.exec.state.ttl"))
+      .map(_.toLong).getOrElse(86400L)
 
   /** TTL is watermark-driven, so it can only engage when the input has
     * an event-time watermark (`withWatermark` upstream) — the same

@@ -56,4 +56,59 @@ class AsyncOpsSpec extends AnyFunSuite {
     }.collect()
     assert(out.sorted.sameElements((0L until 64).map(_ * 2)))
   }
+
+  test("withRetry: exception retried up to maxAttempts with FIXED_DELAY") {
+    val calls = new java.util.concurrent.atomic.AtomicInteger
+    val flaky = AsyncOps.withRetry[Long, Long](i => {
+      if (calls.incrementAndGet() < 3) throw new RuntimeException("transient")
+      i * 10
+    }, maxAttempts = 3)
+    assert(flaky(7L) == 70L && calls.get() == 3)
+
+    calls.set(0)
+    val alwaysFails = AsyncOps.withRetry[Long, Long](
+      _ => { calls.incrementAndGet(); throw new RuntimeException("down") },
+      maxAttempts = 4)
+    val e = intercept[RuntimeException](alwaysFails(1L))
+    assert(e.getMessage == "down" && calls.get() == 4)
+  }
+
+  test("withRetry: empty-result retry (EMPTY_RESULT_PREDICATE analog)") {
+    val calls = new java.util.concurrent.atomic.AtomicInteger
+    val lateHit = AsyncOps.withRetry[Long, Option[String]](i =>
+      if (calls.incrementAndGet() < 2) None else Some(s"row$i"),
+      maxAttempts = 3, retryOnEmpty = true)
+    assert(lateHit(5L).contains("row5") && calls.get() == 2)
+
+    calls.set(0)
+    val neverHits = AsyncOps.withRetry[Long, Option[String]](
+      _ => { calls.incrementAndGet(); None },
+      maxAttempts = 3, retryOnEmpty = true)
+    assert(neverHits(5L).isEmpty && calls.get() == 3)
+
+    // without retryOnEmpty a miss is a result, not a retry
+    calls.set(0)
+    val once = AsyncOps.withRetry[Long, Option[String]](
+      _ => { calls.incrementAndGet(); None }, maxAttempts = 3)
+    assert(once(5L).isEmpty && calls.get() == 1)
+  }
+
+  test("withRetry composes with mapAsyncOrdered under the capacity bound") {
+    val ds = spark.range(16).coalesce(1).as[Long]
+    val out = AsyncOps.mapAsyncOrdered(ds, capacity = 4)(
+      AsyncOps.withRetry[Long, Long](i =>
+        // deterministic per-element flakiness: fail each element's first try
+        if (FlakyCounter.seen.add(i)) throw new RuntimeException("first try fails")
+        else i + 100,
+        maxAttempts = 2)).collect()
+    assert(out.sameElements((0L until 16).map(_ + 100)))
+  }
+}
+
+/** Executor-side dedup set for the retry-composition test (a lambda
+  * capturing a local mutable set would be serialized per task copy).
+  */
+object FlakyCounter {
+  val seen: java.util.concurrent.ConcurrentHashMap.KeySetView[java.lang.Long, java.lang.Boolean] =
+    java.util.concurrent.ConcurrentHashMap.newKeySet[java.lang.Long]()
 }

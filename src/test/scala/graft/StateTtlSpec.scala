@@ -146,4 +146,13 @@ class StateTtlSpec extends AnyFunSuite {
       assert(kinds == List("+I", "+I"), s"second +U after expiry must re-insert, got $kinds")
     } finally q.stop()
   }
+
+  test("graft.exec.state.ttl session config drives the default TTL") {
+    val before = StatefulOps.DefaultTtlSec
+    assert(before == 86400L)
+    spark.conf.set("graft.exec.state.ttl", "3600")
+    try assert(StatefulOps.DefaultTtlSec == 3600L)
+    finally spark.conf.unset("graft.exec.state.ttl")
+    assert(StatefulOps.DefaultTtlSec == 86400L)
+  }
 }
