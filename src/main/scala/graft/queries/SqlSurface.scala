@@ -25,7 +25,55 @@ import graft.Tables
   */
 object SqlSurface {
 
+  private def sinkDir(tag: String, dir: String): String =
+    s"${System.getProperty("java.io.tmpdir")}/graft_sql_${tag}_${math.abs(dir.hashCode)}"
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // ---- Enriched DDL workflow: computed + metadata columns, ---------
+    // CREATE VIEW, and EXECUTE STATEMENT SET (round-5 SQL surface).
+    // Reference anchors: SqlTableColumn.SqlComputedColumn /
+    // SqlMetadataColumn (flink-sql-parser parserImpls.ftl:787,814),
+    // SqlStatementSet (:1943), SqlCreateView. The oracle recomputes
+    // the computed columns and the hi/lo routing from the raw orders
+    // table; the metadata column is gated by a data-computed contract
+    // boolean (every source file name ends in .parquet), the q63/q71
+    // pattern for values DuckDB cannot observe.
+    "q83_ddl_enriched" -> ((s, dir) => {
+      val env = graft.sql.SqlEnv(s)
+      val hi = sinkDir("hi", dir); val lo = sinkDir("lo", dir)
+      env.executeSql(
+        s"""CREATE TABLE orders_enriched (
+           |  o_orderkey BIGINT,
+           |  o_totalprice DOUBLE,
+           |  o_orderdate TIMESTAMP(3),
+           |  fname STRING METADATA FROM 'file.name' VIRTUAL,
+           |  o_year AS CAST(year(o_orderdate) AS INT),
+           |  cents AS CAST(round(o_totalprice * 100) AS BIGINT)
+           |) WITH ('connector' = 'filesystem',
+           |        'path' = '$dir/orders.parquet', 'format' = 'parquet')""".stripMargin)
+      env.executeSql(
+        s"""CREATE TABLE sink_hi (o_orderkey BIGINT, o_year INT, cents BIGINT, fname STRING)
+           |WITH ('connector' = 'filesystem', 'path' = '$hi', 'format' = 'parquet')""".stripMargin)
+      env.executeSql(
+        s"""CREATE TABLE sink_lo (o_orderkey BIGINT, o_year INT, cents BIGINT, fname STRING)
+           |WITH ('connector' = 'filesystem', 'path' = '$lo', 'format' = 'json')""".stripMargin)
+      env.executeSql(
+        """EXECUTE STATEMENT SET BEGIN
+          |INSERT OVERWRITE sink_hi SELECT o_orderkey, o_year, cents, fname
+          |  FROM orders_enriched WHERE o_totalprice > 150000;
+          |INSERT OVERWRITE sink_lo SELECT o_orderkey, o_year, cents, fname
+          |  FROM orders_enriched WHERE o_totalprice <= 150000;
+          |END""".stripMargin)
+      env.executeSql(
+        """CREATE TEMPORARY VIEW routed AS
+          |SELECT 'hi' AS side, o_orderkey, o_year, cents, fname FROM sink_hi
+          |UNION ALL
+          |SELECT 'lo' AS side, o_orderkey, o_year, cents, fname FROM sink_lo""".stripMargin)
+      env.executeSql(
+        """SELECT side, o_year, count(*) AS n, sum(cents) AS sum_cents,
+          |  every(fname LIKE '%.parquet') AS meta_ok
+          |FROM routed GROUP BY side, o_year""".stripMargin)
+    }),
     // ---- ScriptTransform: pipe rows through an external process -------
     // `tr A-Z a-z` lowercases the priority column; the aggregate on top
     // proves every row made the round trip (sum over parsed-back keys).
@@ -69,6 +117,14 @@ object SqlSurface {
   )
 
   def oracles: Map[String, String] = Map(
+    "q83_ddl_enriched" ->
+      """SELECT CASE WHEN o_totalprice > 150000 THEN 'hi' ELSE 'lo' END AS side,
+        |  CAST(year(o_orderdate) AS INT) AS o_year,
+        |  count(*) AS n,
+        |  CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT) AS sum_cents,
+        |  true AS meta_ok
+        |FROM orders
+        |GROUP BY 1, 2""".stripMargin,
     "q80_script_transform" ->
       """SELECT lower(o_orderpriority) AS lower_priority,
         |  count(*) AS n,

@@ -1,6 +1,6 @@
 package graft.sql
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
 
@@ -30,16 +30,40 @@ import org.apache.spark.sql.types._
   */
 object Ddl {
 
+  /** Computed column `name AS <expr>` — reference: SqlTableColumn
+    * .SqlComputedColumn (flink-sql-parser parserImpls.ftl:787). The
+    * expression is Spark SQL text, evaluated over the physical +
+    * metadata columns at read time; computed columns are virtual and
+    * never written.
+    */
+  final case class ComputedCol(name: String, exprText: String)
+
+  /** Metadata column `name TYPE METADATA [FROM 'key'] [VIRTUAL]` —
+    * reference: SqlTableColumn.SqlMetadataColumn (parserImpls.ftl:814)
+    * + each connector's listReadableMetadata (e.g. KafkaDynamicSource
+    * .ReadableMetadata: topic/partition/offset/timestamp/...). VIRTUAL
+    * columns are read-only and excluded from INSERT alignment.
+    */
+  final case class MetaCol(name: String, dataType: DataType,
+                           key: String, virtual: Boolean)
+
   final case class TableDef(name: String, schema: StructType,
                             watermark: Option[(String, String)],
                             primaryKey: Seq[String],
                             partitionedBy: Seq[String],
-                            options: Map[String, String]) {
+                            options: Map[String, String],
+                            computed: Seq[ComputedCol] = Nil,
+                            metaCols: Seq[MetaCol] = Nil,
+                            columnOrder: Seq[String] = Nil) {
     def connector: String = options.getOrElse("connector",
       throw new IllegalArgumentException(s"table $name: 'connector' option required"))
     def path: String = options.getOrElse("path",
       throw new IllegalArgumentException(s"table $name: 'path' option required"))
     def format: String = options.getOrElse("format", "parquet")
+    /** Declared order of all columns (physical + metadata + computed). */
+    def declaredOrder: Seq[String] =
+      if (columnOrder.nonEmpty) columnOrder
+      else schema.fieldNames.toSeq ++ metaCols.map(_.name) ++ computed.map(_.name)
   }
 
   private val createRe =
@@ -106,15 +130,47 @@ object Ddl {
     throw new IllegalArgumentException(s"expected top-level comma in: $s")
   }
 
+  /** Split column items on top-level commas. Angle brackets only count
+    * as type-nesting when they read like generics (`ARRAY<INT>`: `<`
+    * glued to the preceding identifier, `>` glued to what it closes) —
+    * a spaced `a > b` comparison inside a computed-column expression is
+    * an operator, not a bracket.
+    */
   private[sql] def splitTopLevel(s: String): Seq[String] = {
+    val out = scala.collection.mutable.ArrayBuffer.empty[String]
+    val cur = new StringBuilder
+    var paren = 0; var angle = 0; var inStr = false; var prev = ' '
+    s.foreach { c =>
+      c match {
+        case '\'' => inStr = !inStr; cur += '\''
+        case '(' if !inStr => paren += 1; cur += c
+        case ')' if !inStr => paren -= 1; cur += c
+        case '<' if !inStr && (prev.isLetterOrDigit || prev == '_') =>
+          angle += 1; cur += c
+        case '>' if !inStr && angle > 0 && prev != ' ' && prev != '=' && prev != '-' =>
+          angle -= 1; cur += c
+        case ',' if paren == 0 && angle == 0 && !inStr =>
+          out += cur.toString; cur.clear()
+        case _ => cur += c
+      }
+      prev = c
+    }
+    if (cur.nonEmpty) out += cur.toString
+    out.toSeq.map(_.trim).filter(_.nonEmpty)
+  }
+
+  /** Split statements on top-level semicolons (quote- and
+    * paren-aware) — the STATEMENT SET body separator.
+    */
+  private[sql] def splitTopLevelSemi(s: String): Seq[String] = {
     val out = scala.collection.mutable.ArrayBuffer.empty[String]
     val cur = new StringBuilder
     var depth = 0; var inStr = false
     s.foreach {
       case '\'' => inStr = !inStr; cur += '\''
-      case c@('<' | '(') if !inStr => depth += 1; cur += c
-      case c@('>' | ')') if !inStr => depth -= 1; cur += c
-      case ',' if depth == 0 && !inStr => out += cur.toString; cur.clear()
+      case c@'(' if !inStr => depth += 1; cur += c
+      case c@')' if !inStr => depth -= 1; cur += c
+      case ';' if depth == 0 && !inStr => out += cur.toString; cur.clear()
       case c => cur += c
     }
     if (cur.nonEmpty) out += cur.toString
@@ -134,6 +190,13 @@ object Ddl {
     var watermark: Option[(String, String)] = None
     var pk: Seq[String] = Nil
     val fields = scala.collection.mutable.ArrayBuffer.empty[StructField]
+    val computed = scala.collection.mutable.ArrayBuffer.empty[ComputedCol]
+    val metaCols = scala.collection.mutable.ArrayBuffer.empty[MetaCol]
+    val order = scala.collection.mutable.ArrayBuffer.empty[String]
+    // `name TYPE METADATA [FROM 'key'] [VIRTUAL]` (parserImpls.ftl:814)
+    val metaRe = """(?is)^(.*?)\s+METADATA(?:\s+FROM\s+'([^']+)')?(\s+VIRTUAL)?$""".r
+    // `name AS expr` — second token is the AS keyword (parserImpls.ftl:787)
+    val computedRe = """(?is)^(`?\w+`?)\s+AS\s+(.+)$""".r
     splitTopLevel(body).foreach { item =>
       val up = item.toUpperCase
       if (up.startsWith("WATERMARK ")) {
@@ -148,16 +211,28 @@ object Ddl {
         // named constraint — only PK supported, same extraction
         pk = """\(([^)]*)\)""".r.findFirstMatchIn(item)
           .map(_.group(1).split(",").map(_.trim).toSeq).getOrElse(pk)
-      } else {
-        val sp = item.indexOf(' ')
-        require(sp > 0, s"cannot parse column: $item")
-        val colName = item.substring(0, sp).trim.stripPrefix("`").stripSuffix("`")
-        val typeTxt = item.substring(sp + 1).trim
-          .replaceAll("(?i)\\s+NOT\\s+NULL$", "")
-        fields += StructField(colName, flinkType(typeTxt))
+      } else item match {
+        case computedRe(rawName, exprText) =>
+          val colName = rawName.stripPrefix("`").stripSuffix("`")
+          computed += ComputedCol(colName, exprText.trim)
+          order += colName
+        case _ =>
+          val sp = item.indexOf(' ')
+          require(sp > 0, s"cannot parse column: $item")
+          val colName = item.substring(0, sp).trim.stripPrefix("`").stripSuffix("`")
+          val typeTxt = item.substring(sp + 1).trim
+            .replaceAll("(?i)\\s+NOT\\s+NULL$", "")
+          typeTxt match {
+            case metaRe(tpe, fromKey, virtual) =>
+              metaCols += MetaCol(colName, flinkType(tpe),
+                Option(fromKey).getOrElse(colName), virtual != null)
+            case _ => fields += StructField(colName, flinkType(typeTxt))
+          }
+          order += colName
       }
     }
-    TableDef(name, StructType(fields.toSeq), watermark, pk, partitioned, opts)
+    TableDef(name, StructType(fields.toSeq), watermark, pk, partitioned, opts,
+      computed.toSeq, metaCols.toSeq, order.toSeq)
   }
 
   private def parseOptions(txt: String): Map[String, String] =
@@ -199,7 +274,9 @@ object Ddl {
         }
         df = df.withColumn(f.name, col0)
       }
-      df.drop("__seq").createOrReplaceTempView(d.name)
+      val declared = applyDeclared(df.drop("__seq"), d,
+        k => throw new IllegalArgumentException(s"datagen has no metadata column '$k'"))
+      applyWatermark(declared, d).createOrReplaceTempView(d.name)
       true
     case "kafka" | "upsert-kafka" =>
       registerKafka(spark, d); true
@@ -237,20 +314,79 @@ object Ddl {
       groupId = d.options.get("properties.group.id"))
     val raw = kafkaRawSource(spark, cfg)
     val fmt = d.options.getOrElse("format", d.options.getOrElse("value.format", "json"))
-    val decoded = fmt match {
-      case "json" => graft.sources.Kafka.decodeJson(raw, d.schema)
-      case "protobuf" =>
-        val descFile = d.options.getOrElse("protobuf.descriptor-file",
-          throw new IllegalArgumentException(
-            s"table ${d.name}: format=protobuf needs 'protobuf.descriptor-file'"))
-        val msgName = d.options.getOrElse("protobuf.message-name",
-          throw new IllegalArgumentException(
-            s"table ${d.name}: format=protobuf needs 'protobuf.message-name'"))
-        val msg = graft.sources.ProtoDescriptors.fromDescriptorSet(
-          java.nio.file.Files.readAllBytes(java.nio.file.Paths.get(descFile)), msgName)
-        graft.sources.Kafka.decodeProto(raw, msg)
-      case "raw" => raw.select(col("key").cast("string").as("k"),
-        col("value").cast("string").as("v"), col("offset"))
+
+    // Key fields (reference: KafkaConnectorOptionsUtil.createKeyFormatProjection):
+    // 'key.fields' names declared physical columns decoded from the
+    // record KEY (raw single-field key format — the common compaction
+    // key shape); on upsert-kafka the PRIMARY KEY IS the key, like
+    // UpsertKafkaDynamicTableFactory derives it.
+    val keyFields: Seq[String] =
+      if (d.connector == "upsert-kafka") d.primaryKey
+      else d.options.get("key.fields").map(_.split(",").map(_.trim).toSeq).getOrElse(Nil)
+    // 'value.fields-include' = ALL | EXCEPT_KEY (default EXCEPT_KEY
+    // when key fields exist — KafkaConnectorOptions.VALUE_FIELDS_INCLUDE)
+    val valueHasKeyFields =
+      d.options.getOrElse("value.fields-include", "EXCEPT_KEY").equalsIgnoreCase("ALL")
+    val valueSchema = StructType(d.schema.fields.filter(f =>
+      valueHasKeyFields || !keyFields.contains(f.name)))
+
+    def keyCol(f: StructField): Column =
+      col("key").cast("string").cast(f.dataType).as(f.name)
+
+    /** Flatten a decoded `__v` struct frame to the declared physical
+      * columns (key fields from the record key), then metadata +
+      * computed + declared order.
+      */
+    def flatten(withV: DataFrame, extraLead: Seq[String] = Nil): DataFrame = {
+      var df = withV
+      d.schema.fields.foreach { f =>
+        df = df.withColumn(f.name,
+          if (keyFields.contains(f.name) && !valueHasKeyFields) keyCol(f)
+          else col(s"__v.${f.name}"))
+      }
+      applyDeclared(df, d, kafkaMetadata, extraLead)
+    }
+
+    val out = fmt match {
+      case "json" | "protobuf" =>
+        val valueCol = fmt match {
+          case "json" => from_json(col("value").cast("string"), valueSchema)
+          case _ =>
+            val descFile = d.options.getOrElse("protobuf.descriptor-file",
+              throw new IllegalArgumentException(
+                s"table ${d.name}: format=protobuf needs 'protobuf.descriptor-file'"))
+            val msgName = d.options.getOrElse("protobuf.message-name",
+              throw new IllegalArgumentException(
+                s"table ${d.name}: format=protobuf needs 'protobuf.message-name'"))
+            val msg = graft.sources.ProtoDescriptors.fromDescriptorSet(
+              java.nio.file.Files.readAllBytes(java.nio.file.Paths.get(descFile)), msgName)
+            graft.functions.proto.protoDecode(col("value"), msg)
+        }
+        val withV = raw.withColumn("__v", valueCol)
+        if (d.connector == "upsert-kafka") {
+          // Tombstone (null value) → -D with non-key fields null;
+          // non-null → +U; then changelog-normalize keyed by the PK
+          // (UpsertKafkaDynamicTableFactory semantics).
+          require(d.primaryKey.nonEmpty,
+            s"table ${d.name}: upsert-kafka requires a PRIMARY KEY")
+          val kinded = withV.withColumn(graft.streaming.Changelog.KindCol,
+            when(col("value").isNull || col("__v").isNull,
+              graft.streaming.Changelog.Delete)
+              .otherwise(graft.streaming.Changelog.UpdateAfter))
+          graft.streaming.Changelog.changelogNormalize(
+            flatten(kinded, Seq(graft.streaming.Changelog.KindCol)), d.primaryKey)
+        } else flatten(withV)
+      case "raw" =>
+        // Bare-string value into the single non-key physical column
+        // (flink-formats/flink-raw RawFormatDeserializationSchema).
+        val target = d.schema.fields.filterNot(f => keyFields.contains(f.name))
+        require(target.length == 1,
+          s"table ${d.name}: format=raw needs exactly one non-key physical column")
+        var df = raw.withColumn(target.head.name,
+          col("value").cast("string").cast(target.head.dataType))
+        d.schema.fields.filter(f => keyFields.contains(f.name))
+          .foreach(f => df = df.withColumn(f.name, keyCol(f)))
+        applyDeclared(df, d, kafkaMetadata)
       // CDC envelope formats (flink-json debezium/canal/maxwell/ogg
       // deserialization schemas): the decoded view is already a
       // changelog (+I/-U/+U/-D in row_kind) — the reference likewise
@@ -269,14 +405,70 @@ object Ddl {
       case other => throw new IllegalArgumentException(
         s"kafka value format '$other' unsupported (json/protobuf/raw/debezium-json/canal-json/maxwell-json/ogg-json)")
     }
-    val out =
-      if (d.connector == "upsert-kafka")
-        graft.streaming.Changelog.changelogNormalize(
-          graft.sources.Kafka.upsertToChangelog(decoded),
-          if (d.primaryKey.nonEmpty) d.primaryKey else Seq("k"))
-      else decoded
-    out.createOrReplaceTempView(d.name)
+    applyWatermark(out, d).createOrReplaceTempView(d.name)
   }
+
+  // ---- metadata / computed column application --------------------------
+
+  /** Filesystem readable metadata (reference: filesystem connector docs
+    * `docs/content/docs/connectors/table/filesystem.md` — file.path,
+    * file.name, file.size, file.modification-time), served from Spark's
+    * hidden `_metadata` struct on file sources.
+    */
+  private def fsMetadata(key: String): Column = key match {
+    case "file.path" => col("_metadata.file_path")
+    case "file.name" => col("_metadata.file_name")
+    case "file.size" => col("_metadata.file_size")
+    case "file.modification-time" => col("_metadata.file_modification_time")
+    case other => throw new IllegalArgumentException(
+      s"filesystem metadata key '$other' unsupported " +
+        "(file.path/file.name/file.size/file.modification-time)")
+  }
+
+  /** Kafka readable metadata (reference: KafkaDynamicSource
+    * .ReadableMetadata:517), mapped onto Spark's kafka source columns.
+    * `leader-epoch` has no Spark analog and reads as NULL (the
+    * reference's type is INT NULL, so a null is legal there too).
+    */
+  private def kafkaMetadata(key: String): Column = key match {
+    case "topic" => col("topic")
+    case "partition" => col("partition")
+    case "offset" => col("offset")
+    case "timestamp" => col("timestamp")
+    case "timestamp-type" => col("timestampType")
+    case "headers" => col("headers")
+    case "leader-epoch" => lit(null).cast(IntegerType)
+    case other => throw new IllegalArgumentException(
+      s"kafka metadata key '$other' unsupported " +
+        "(topic/partition/offset/timestamp/timestamp-type/headers/leader-epoch)")
+  }
+
+  /** Append declared metadata + computed columns (in declaration order:
+    * metadata first, then computed, so computed expressions can
+    * reference both physical and metadata columns — the reference's
+    * schema resolution order in DefaultSchemaResolver), then project to
+    * the declared column order. `extraLead` prepends bookkeeping
+    * columns (the changelog kind for upsert-kafka/CDC views).
+    */
+  private[sql] def applyDeclared(df0: DataFrame, d: TableDef,
+                                 metaSource: String => Column,
+                                 extraLead: Seq[String] = Nil): DataFrame = {
+    var df = df0
+    d.metaCols.foreach { mc =>
+      df = df.withColumn(mc.name, metaSource(mc.key).cast(mc.dataType))
+    }
+    d.computed.foreach { cc => df = df.withColumn(cc.name, expr(cc.exprText)) }
+    df.select((extraLead ++ d.declaredOrder).map(col): _*)
+  }
+
+  /** Apply the declared watermark if the frame is streaming (batch
+    * frames record it only — Spark watermarks are a streaming concept).
+    */
+  private def applyWatermark(df: DataFrame, d: TableDef): DataFrame =
+    d.watermark match {
+      case Some((c, delay)) if df.isStreaming => df.withWatermark(c, delay)
+      case _ => df
+    }
 
   /** Register a readable filesystem table as a temp view. */
   def register(spark: SparkSession, d: TableDef): Unit = {
@@ -292,11 +484,8 @@ object Ddl {
         .select(col("value").as(d.schema.fieldNames.head))
       case other => throw new IllegalArgumentException(s"unsupported format '$other'")
     }
-    val withWm = d.watermark match {
-      case Some((c, delay)) if base.isStreaming => base.withWatermark(c, delay)
-      case _ => base
-    }
-    withWm.createOrReplaceTempView(d.name)
+    val declared = applyDeclared(base, d, fsMetadata)
+    applyWatermark(declared, d).createOrReplaceTempView(d.name)
   }
 
   // ---- INSERT ----------------------------------------------------------

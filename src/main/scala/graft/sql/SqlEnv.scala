@@ -39,6 +39,42 @@ class SqlEnv private (val spark: SparkSession) {
     *    [[graft.streaming.Cep]] via [[MatchRecognizeSql]].
     */
   def executeSql(sql: String): DataFrame = {
+    sql match {
+      // SET 'key' = 'value' — SQL-client session config (reference:
+      // flink-table-planner SetOperationParseStrategy +
+      // operations/command/SetOperation.java). Config keys the
+      // reference reads are mapped onto their Spark/graft analogs;
+      // anything else lands in the session conf verbatim.
+      case setKvRe(k, v) => applySet(k, v); return spark.emptyDataFrame
+      // bare SET — list the session configuration, like the client does
+      case setListRe() =>
+        import spark.implicits._
+        return spark.conf.getAll.toSeq.sortBy(_._1).toDF("key", "value")
+      case resetRe(k) =>
+        spark.conf.unset(translateConfKey(k)._1); return spark.emptyDataFrame
+      // CREATE [TEMPORARY] VIEW v AS <query> (SqlCreateView) — the
+      // body runs back through executeSql so every graft SQL surface
+      // (DDL tables, window TVFs, MATCH_RECOGNIZE) works in a view.
+      case createViewRe(name, body) =>
+        executeSql(body).createOrReplaceTempView(name)
+        return spark.emptyDataFrame
+      case dropRe(name) =>
+        tableDefs.remove(name); spark.catalog.dropTempView(name)
+        return spark.emptyDataFrame
+      // EXECUTE STATEMENT SET BEGIN <insert>; <insert>; END
+      // (parserImpls.ftl:1943 SqlStatementSet): every statement must be
+      // an INSERT, executed in order against this env — the multi-sink
+      // pipeline shape. Spark analog: the inserts share this session's
+      // temp views; each sink is its own job (micro-batch sinks would
+      // each own their trigger, like the reference's per-sink chains).
+      case stmtSetRe(body) =>
+        val stmts = Ddl.splitTopLevelSemi(body).filter(_.nonEmpty)
+        require(stmts.nonEmpty && stmts.forall(Ddl.isInsert),
+          "STATEMENT SET supports INSERT statements only")
+        stmts.foreach(executeSql)
+        return spark.emptyDataFrame
+      case _ =>
+    }
     if (Ddl.isCreateTable(sql)) {
       val d = Ddl.parseCreateTable(sql)
       tableDefs.put(d.name, d)
@@ -60,6 +96,53 @@ class SqlEnv private (val spark: SparkSession) {
   private val tableDefs =
     new java.util.concurrent.ConcurrentHashMap[String, Ddl.TableDef]()
   private def asScala = { import scala.jdk.CollectionConverters._; tableDefs.asScala }
+
+  // ---- command statements (SET / views / statement sets) ---------------
+
+  private val setKvRe = """(?is)^\s*SET\s+'([^']+)'\s*=\s*'([^']*)'\s*;?\s*$""".r
+  private val setListRe = """(?is)^\s*SET\s*;?\s*$""".r
+  private val resetRe = """(?is)^\s*RESET\s+'([^']+)'\s*;?\s*$""".r
+  private val createViewRe =
+    """(?is)^\s*CREATE\s+(?:TEMPORARY\s+)?VIEW\s+(?:IF\s+NOT\s+EXISTS\s+)?([\w.]+)\s+AS\s+(.+)$""".r
+  private val dropRe =
+    """(?is)^\s*DROP\s+(?:TEMPORARY\s+)?(?:TABLE|VIEW)\s+(?:IF\s+EXISTS\s+)?([\w.]+)\s*;?\s*$""".r
+  private val stmtSetRe =
+    """(?is)^\s*(?:EXECUTE\s+)?STATEMENT\s+SET\s+BEGIN\s+(.+?)\s*;?\s*END\s*;?\s*$""".r
+
+  /** Reference config keys → their analog here. Durations accept
+    * Flink's notation ('1 h', '30 s', '100 ms', bare millis).
+    */
+  private def translateConfKey(k: String): (String, String => String) = k match {
+    case "table.exec.state.ttl" =>
+      ("graft.exec.state.ttl", v => flinkDurationSec(v).toString)
+    case "table.exec.resource.default-parallelism" =>
+      ("spark.sql.shuffle.partitions", identity)
+    case "table.optimizer.join.broadcast-threshold" =>
+      ("spark.sql.autoBroadcastJoinThreshold", identity)
+    case other => (other, identity)
+  }
+
+  private def applySet(k: String, v: String): Unit = {
+    val (key, conv) = translateConfKey(k)
+    spark.conf.set(key, conv(v))
+  }
+
+  /** Flink duration text → whole seconds ('1 h', '10 min', '30 s',
+    * '500 ms', bare number = millis — org.apache.flink.util.TimeUtils).
+    */
+  private def flinkDurationSec(v: String): Long = {
+    val m = """(?i)^\s*(\d+)\s*([a-z]*)\s*$""".r.findFirstMatchIn(v).getOrElse(
+      throw new IllegalArgumentException(s"cannot parse duration: '$v'"))
+    val n = m.group(1).toLong
+    m.group(2).toLowerCase match {
+      case "" | "ms" | "milli" | "millisecond" | "milliseconds" => n / 1000
+      case "s" | "sec" | "second" | "seconds" => n
+      case "min" | "minute" | "minutes" => n * 60
+      case "h" | "hour" | "hours" => n * 3600
+      case "d" | "day" | "days" => n * 86400
+      case u => throw new IllegalArgumentException(s"unknown duration unit '$u'")
+    }
+  }
 
   // ---- window TVF text support ----------------------------------------
 

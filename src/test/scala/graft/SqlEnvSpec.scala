@@ -2,6 +2,7 @@ package graft
 
 import org.scalatest.funsuite.AnyFunSuite
 import graft.sql.SqlEnv
+import graft.streaming.StatefulOps
 
 /** The user-facing SQL surface: a reference user's `executeSql`
   * workflow ported 1:1 (SURVEY.md §3.1).
@@ -344,13 +345,19 @@ class SqlEnvSpec extends AnyFunSuite {
         |)""".stripMargin)
     val kj = spark.table("k_json")
     assert(kj.isStreaming)
-    assert(kj.schema.fieldNames.toSeq == Seq("k", "v", "offset"))
-    assert(kj.schema("v").dataType == StructType(Seq(
-      StructField("name", StringType), StructField("score", DoubleType))))
+    // the view carries the DECLARED schema, flattened — the reference's
+    // produced row is physical columns in declaration order
+    assert(kj.schema.fieldNames.toSeq == Seq("name", "score"))
+    assert(kj.schema("name").dataType == StringType &&
+      kj.schema("score").dataType == DoubleType)
 
-    // upsert-kafka: tombstones become a normalized changelog keyed by PK
+    // upsert-kafka: tombstones become a normalized changelog keyed by
+    // the PRIMARY KEY, which names a declared column decoded from the
+    // record key (UpsertKafkaDynamicTableFactory derives key.fields
+    // from the PK)
     env.executeSql(
       """CREATE TABLE k_upsert (
+        |  k STRING,
         |  name STRING,
         |  score DOUBLE,
         |  PRIMARY KEY (k) NOT ENFORCED
@@ -362,7 +369,8 @@ class SqlEnvSpec extends AnyFunSuite {
         |)""".stripMargin)
     val ku = spark.table("k_upsert")
     assert(ku.isStreaming)
-    assert(ku.schema.fieldNames.contains(graft.streaming.Changelog.KindCol))
+    assert(ku.schema.fieldNames.toSeq ==
+      Seq(graft.streaming.Changelog.KindCol, "k", "name", "score"))
 
     // protobuf value format from a protoc descriptor-set file
     import graft.sources.Proto._
@@ -396,8 +404,8 @@ class SqlEnvSpec extends AnyFunSuite {
          |)""".stripMargin)
     val kp = spark.table("k_proto")
     assert(kp.isStreaming)
-    assert(kp.schema("v").dataType == StructType(Seq(
-      StructField("name", StringType), StructField("n", LongType))))
+    assert(kp.schema.fieldNames.toSeq == Seq("name", "n"))
+    assert(kp.schema("n").dataType == LongType)
 
     // debezium-json value format: the view IS a changelog stream
     env.executeSql(
@@ -629,5 +637,146 @@ class SqlEnvSpec extends AnyFunSuite {
         col("session_window.end").as("s_end"), col("n"))
     assert(legacySession.exceptAll(dfSession).isEmpty &&
       dfSession.exceptAll(legacySession).isEmpty)
+  }
+
+  test("computed and metadata columns in filesystem DDL") {
+    val env = SqlEnv(spark)
+    env.executeSql(
+      s"""CREATE TABLE orders_cm (
+         |  o_orderkey BIGINT,
+         |  o_totalprice DOUBLE,
+         |  o_orderdate TIMESTAMP(3),
+         |  fname STRING METADATA FROM 'file.name' VIRTUAL,
+         |  big AS o_totalprice > 100000,
+         |  o_year AS year(o_orderdate)
+         |) WITH ('connector' = 'filesystem',
+         |        'path' = '${TestSpark.sfDir}/orders.parquet',
+         |        'format' = 'parquet')""".stripMargin)
+    val t = spark.table("orders_cm")
+    // declared order: physical, metadata, computed — as written
+    assert(t.schema.fieldNames.toSeq ==
+      Seq("o_orderkey", "o_totalprice", "o_orderdate", "fname", "big", "o_year"))
+    val rows = env.executeSql(
+      """SELECT count(*) AS n,
+        |  sum(CASE WHEN big = (o_totalprice > 100000) THEN 0 ELSE 1 END) AS bad_big,
+        |  sum(CASE WHEN o_year = year(o_orderdate) THEN 0 ELSE 1 END) AS bad_year,
+        |  sum(CASE WHEN fname LIKE '%.parquet' THEN 0 ELSE 1 END) AS bad_file
+        |FROM orders_cm""".stripMargin).collect().head
+    assert(rows.getLong(0) > 0 && rows.getLong(1) == 0 &&
+      rows.getLong(2) == 0 && rows.getLong(3) == 0)
+  }
+
+  test("kafka DDL with metadata columns, key fields, and computed columns") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    implicit val sc = spark.sqlContext
+    val defaultSource = graft.sql.Ddl.kafkaRawSource
+    graft.sql.Ddl.kafkaRawSource = (_, _) => {
+      MemoryStream[(Array[Byte], Array[Byte], Long)].toDF()
+        .toDF("key", "value", "offset")
+        .withColumn("topic", lit("t_meta"))
+        .withColumn("partition", lit(3))
+        .withColumn("timestamp", expr("timestamp_millis(1700000000000 + offset)"))
+        .withColumn("timestampType", lit(0))
+    }
+    try {
+      val env = SqlEnv(spark)
+      env.executeSql(
+        """CREATE TABLE k_meta (
+          |  user_id STRING,
+          |  score DOUBLE,
+          |  part INT METADATA FROM 'partition' VIRTUAL,
+          |  off BIGINT METADATA FROM 'offset' VIRTUAL,
+          |  kts TIMESTAMP(3) METADATA FROM 'timestamp' VIRTUAL,
+          |  high AS score > 0.5
+          |) WITH (
+          |  'connector' = 'kafka',
+          |  'topic' = 't_meta',
+          |  'properties.bootstrap.servers' = 'broker:9092',
+          |  'scan.startup.mode' = 'earliest',
+          |  'format' = 'json',
+          |  'key.fields' = 'user_id'
+          |)""".stripMargin)
+      val t = spark.table("k_meta")
+      assert(t.isStreaming)
+      assert(t.schema.fieldNames.toSeq ==
+        Seq("user_id", "score", "part", "off", "kts", "high"))
+      import org.apache.spark.sql.types._
+      assert(t.schema("part").dataType == IntegerType &&
+        t.schema("off").dataType == LongType &&
+        t.schema("kts").dataType == TimestampType &&
+        t.schema("high").dataType == BooleanType)
+    } finally graft.sql.Ddl.kafkaRawSource = defaultSource
+  }
+
+  test("SET / RESET map reference config keys onto session conf") {
+    val env = SqlEnv(spark)
+    val before = StatefulOps.DefaultTtlSec
+    env.executeSql("SET 'table.exec.state.ttl' = '1 h'")
+    assert(spark.conf.get("graft.exec.state.ttl") == "3600")
+    assert(StatefulOps.DefaultTtlSec == 3600L)
+    env.executeSql("SET 'table.exec.state.ttl' = '90000 ms'")
+    assert(StatefulOps.DefaultTtlSec == 90L)
+    env.executeSql("RESET 'table.exec.state.ttl'")
+    assert(StatefulOps.DefaultTtlSec == before)
+    // arbitrary custom key passes through verbatim
+    env.executeSql("SET 'graft.test.custom' = 'abc'")
+    assert(spark.conf.get("graft.test.custom") == "abc")
+    // bare SET lists the configuration
+    val listed = env.executeSql("SET")
+    assert(listed.columns.toSeq == Seq("key", "value") && listed.count() > 0)
+  }
+
+  test("CREATE VIEW / DROP VIEW over graft SQL surfaces") {
+    val env = SqlEnv(spark).registerTestdata(TestSpark.sfDir)
+    env.executeSql(
+      """CREATE TEMPORARY VIEW big_cust AS
+        |SELECT o_custkey, sum(o_totalprice) AS total
+        |FROM orders GROUP BY o_custkey HAVING total > 200000""".stripMargin)
+    val n = env.executeSql("SELECT count(*) AS n FROM big_cust").collect().head.getLong(0)
+    assert(n > 0)
+    env.executeSql("DROP VIEW big_cust")
+    intercept[Exception] { spark.table("big_cust").collect() }
+  }
+
+  test("EXECUTE STATEMENT SET runs multiple INSERTs against one env") {
+    val tmp = java.nio.file.Files.createTempDirectory("graft_stmtset").toString
+    val env = SqlEnv(spark).registerTestdata(TestSpark.sfDir)
+    env.executeSql(
+      s"""CREATE TABLE out_hi (k BIGINT, p DOUBLE) WITH (
+         |'connector' = 'filesystem', 'path' = '$tmp/hi', 'format' = 'parquet')""".stripMargin)
+    env.executeSql(
+      s"""CREATE TABLE out_lo (k BIGINT, p DOUBLE) WITH (
+         |'connector' = 'filesystem', 'path' = '$tmp/lo', 'format' = 'json')""".stripMargin)
+    env.executeSql(
+      """EXECUTE STATEMENT SET BEGIN
+        |INSERT INTO out_hi SELECT o_orderkey, o_totalprice FROM orders WHERE o_totalprice > 150000;
+        |INSERT INTO out_lo SELECT o_orderkey, o_totalprice FROM orders WHERE o_totalprice <= 150000;
+        |END""".stripMargin)
+    val hi = spark.table("out_hi").count()
+    val lo = spark.table("out_lo").count()
+    val all = spark.table("orders").count()
+    assert(hi > 0 && lo > 0 && hi + lo == all)
+    // non-INSERT statements are rejected, like the reference's parser
+    val err = intercept[IllegalArgumentException] {
+      env.executeSql("STATEMENT SET BEGIN SELECT 1; END")
+    }
+    assert(err.getMessage.contains("INSERT"))
+  }
+
+  test("datagen DDL applies computed columns") {
+    val env = SqlEnv(spark)
+    env.executeSql(
+      """CREATE TABLE gen_ts (
+        |  id BIGINT,
+        |  ts AS timestamp_millis(1700000000000 + id * 1000),
+        |  WATERMARK FOR ts AS ts - INTERVAL '5' SECOND
+        |) WITH ('connector' = 'datagen', 'number-of-rows' = '10',
+        |        'fields.id.kind' = 'sequence', 'fields.id.start' = '0')""".stripMargin)
+    val rows = spark.table("gen_ts").orderBy("id").collect()
+    assert(rows.length == 10)
+    assert(rows.head.getTimestamp(1).getTime == 1700000000000L)
+    assert(rows.last.getTimestamp(1).getTime == 1700000009000L)
   }
 }
