@@ -203,6 +203,44 @@ object VectorOps {
           col("cos_to_centroid"))
     }),
 
+    // ---- SemDeDup: semantic dedup via kmeans + in-cluster cosine ------
+    // (Abbas et al. 2023, "SemDeDup: Data-efficient learning at
+    // web-scale through semantic deduplication" — public paper): cluster
+    // embeddings with kmeans, then inside each cluster mark any vector
+    // whose cosine similarity to a LOWER-id cluster-mate exceeds eps as
+    // a semantic duplicate; the lowest id of each close group survives
+    // (the deterministic keep-first rule n51's LSH dedup uses, replayable
+    // in SQL — the paper's keep-farthest-from-centroid variant differs
+    // only in the ORDER BY). Scale: the pair join is CELL-blocked, never
+    // all-pairs; in production k grows with N to bound per-cell size
+    // (the paper uses k=110k for 5B docs) and the per-cell join is the
+    // paper's own O(n_cell²) step. Assignment is the map-side codegen'd
+    // nearest_cells expression — zero shuffle before the cell-keyed join.
+    "v48_semdedup" -> ((s, dir) => {
+      val e = Tables.load(s, dir, "embeddings")
+      val base = s"/tmp/graft_oracle/${new java.io.File(dir).getName}"
+      graft.ops.Ivf.centroids(e, "vec_id", "embedding", k = 8, iters = 2)
+        .write.mode("overwrite").parquet(s"$base/semdedup_cents")
+      val cents = s.read.parquet(s"$base/semdedup_cents")
+      val assigned = graft.ops.Ivf
+        .assign(e, "vec_id", "embedding", cents, nprobe = 1)
+        .filter(col("cell_rank") === 1)
+        .select(col("cell"), col("vec_id"), col("embedding"))
+      val a = assigned.select(col("cell"), col("vec_id").as("id_a"),
+        col("embedding").as("emb_a"))
+      val b = assigned.select(col("cell"), col("vec_id").as("id_b"),
+        col("embedding").as("emb_b"))
+      val close = a.join(b, Seq("cell")).where(col("id_a") < col("id_b"))
+        .withColumn("cos_sim", cosine_sim(col("emb_a"), col("emb_b")))
+        .filter(col("cos_sim") >= 0.35)
+      val dups = close.groupBy(col("cell"), col("id_b").as("vec_id"))
+        .agg(count(lit(1)).as("n_close"))
+      assigned.join(dups, Seq("cell", "vec_id"), "left")
+        .select(col("vec_id"), col("cell"),
+          coalesce(col("n_close"), lit(0L)).as("n_close"),
+          col("n_close").isNull.as("kept"))
+    }),
+
     // ---- Brute-force ANN top-3 per query vector -----------------------
     "v42_ann_topk" -> ((s, dir) => {
       val e = Tables.load(s, dir, "embeddings")
@@ -358,6 +396,35 @@ object VectorOps {
         |  count(*) OVER (PARTITION BY cell) AS cluster_size,
         |  cos_to_centroid
         |FROM best""".stripMargin,
+
+    "v48_semdedup" ->
+      s"""WITH cents AS (
+        |  SELECT cell, centroid,
+        |    sqrt(${dotSql.format("centroid", "centroid")}) AS cnrm
+        |  FROM read_parquet('/tmp/graft_oracle/sf0.01/semdedup_cents/*.parquet')),
+        |n AS (SELECT vec_id, embedding,
+        |        sqrt(${dotSql.format("embedding", "embedding")}) AS nrm
+        |      FROM embeddings),
+        |scored AS (
+        |  SELECT vec_id, cell,
+        |    ${dotSql.format("n.embedding", "cents.centroid")} / (n.nrm * cents.cnrm)
+        |      AS cos_to_centroid
+        |  FROM n CROSS JOIN cents),
+        |asg AS (
+        |  SELECT s.vec_id, s.cell, n.embedding, n.nrm FROM (
+        |    SELECT *, ROW_NUMBER() OVER (PARTITION BY vec_id
+        |      ORDER BY cos_to_centroid DESC, cell) AS rk
+        |    FROM scored) s JOIN n ON s.vec_id = n.vec_id WHERE s.rk = 1),
+        |dups AS (
+        |  SELECT b.cell, b.vec_id, count(*) AS n_close
+        |  FROM asg a JOIN asg b ON a.cell = b.cell AND a.vec_id < b.vec_id
+        |  WHERE ${dotSql.format("a.embedding", "b.embedding")} / (a.nrm * b.nrm) >= 0.35
+        |  GROUP BY b.cell, b.vec_id)
+        |SELECT asg.vec_id, asg.cell,
+        |  coalesce(dups.n_close, 0) AS n_close,
+        |  (dups.n_close IS NULL) AS kept
+        |FROM asg LEFT JOIN dups
+        |  ON asg.cell = dups.cell AND asg.vec_id = dups.vec_id""".stripMargin,
 
     "v42_ann_topk" ->
       s"""WITH n AS (
