@@ -374,6 +374,26 @@ case class CosineSimilarity(left: Expression, right: Expression)
   override def prettyName: String = "cosine_sim"
 }
 
+/** `HASH_CODE(str)` — reference: SqlFunctionUtils.java:996
+  * (`Math.abs(str.hashCode())`, Java String semantics, so
+  * `Integer.MIN_VALUE` stays negative exactly like the reference).
+  */
+case class JavaHashCode(child: Expression) extends UnaryExpression {
+  override def checkInputDataTypes(): TypeCheckResult =
+    if (child.dataType == StringType) TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(s"hash_code needs STRING, got ${child.dataType}")
+  override def dataType: DataType = IntegerType
+  override protected def nullSafeEval(input: Any): Any =
+    math.abs(input.asInstanceOf[UTF8String].toString.hashCode)
+  override protected def doGenCode(ctx: org.apache.spark.sql.catalyst.expressions.codegen.CodegenContext,
+                                   ev: org.apache.spark.sql.catalyst.expressions.codegen.ExprCode)
+  : org.apache.spark.sql.catalyst.expressions.codegen.ExprCode =
+    defineCodeGen(ctx, ev, c => s"java.lang.Math.abs($c.toString().hashCode())")
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+  override def prettyName: String = "hash_code"
+}
+
 /** Column-API + SQL registration for the custom expressions. */
 object functions {
   import org.apache.spark.sql.SparkSession
@@ -412,5 +432,37 @@ object functions {
       es => HyperplaneBits64(Cast(es.head, ArrayType(FloatType))), "built-in")
     // the reference's PROCTIME() — per-record, unlike current_timestamp()
     reg.createOrReplaceTempFunction("proctime", _ => ProcTime(), "built-in")
+    // HASH_CODE(str) — FlinkSqlOperatorTable straggler
+    reg.createOrReplaceTempFunction("hash_code",
+      es => JavaHashCode(Cast(es.head, StringType)), "built-in")
+    // Remaining FlinkSqlOperatorTable names with no Spark builtin,
+    // registered as SQL scalar functions (inlined at plan time, so they
+    // stay inside whole-stage codegen):
+    //  - SPLIT_INDEX (SqlFunctionUtils.splitIndex:387): 0-based,
+    //    LITERAL separator (\Q..\E quoting), NULL when index < 0 or
+    //    out of range; split(limit -1) preserves trailing empties like
+    //    splitByWholeSeparatorPreserveAllTokens.
+    //  - TRUNCATE (SqlFunctionUtils.struncate: BigDecimal ROUND_DOWN):
+    //    toward-zero via the BIGINT cast.
+    //  - IS_ALPHA / IS_DIGIT / IS_DECIMAL (SqlFunctionUtils:62 family).
+    //  - RAND_INTEGER(n): uniform int in [0, n).
+    Seq(
+      """CREATE OR REPLACE TEMPORARY FUNCTION split_index(s STRING, sep STRING, i INT)
+        |RETURNS STRING RETURN
+        |CASE WHEN i < 0 THEN CAST(NULL AS STRING)
+        |     ELSE get(split(s, concat('\\Q', sep, '\\E'), -1), i) END""".stripMargin,
+      """CREATE OR REPLACE TEMPORARY FUNCTION truncate(x DOUBLE, d INT)
+        |RETURNS DOUBLE RETURN
+        |CAST(CAST(x * pow(10, d) AS BIGINT) AS DOUBLE) / pow(10, d)""".stripMargin,
+      """CREATE OR REPLACE TEMPORARY FUNCTION is_alpha(s STRING)
+        |RETURNS BOOLEAN RETURN s rlike '^[A-Za-z]+$'""".stripMargin,
+      """CREATE OR REPLACE TEMPORARY FUNCTION is_digit(s STRING)
+        |RETURNS BOOLEAN RETURN s rlike '^[0-9]+$'""".stripMargin,
+      """CREATE OR REPLACE TEMPORARY FUNCTION is_decimal(s STRING)
+        |RETURNS BOOLEAN RETURN
+        |s rlike '^[+-]?([0-9]+(\\.[0-9]*)?|\\.[0-9]+)([eE][+-]?[0-9]+)?$'""".stripMargin,
+      """CREATE OR REPLACE TEMPORARY FUNCTION rand_integer(n INT)
+        |RETURNS INT RETURN CAST(floor(rand() * n) AS INT)""".stripMargin
+    ).foreach(spark.sql(_))
   }
 }

@@ -53,6 +53,20 @@ object Strings {
   def isDecimal(c: Column): Column =
     c.rlike("^[+-]?([0-9]+(\\.[0-9]*)?|\\.[0-9]+)([eE][+-]?[0-9]+)?$")
 
+  /** SPLIT_INDEX(str, sep, index) — 0-based, literal separator, NULL
+    * when index is negative or out of range
+    * (SqlFunctionUtils.splitIndex:387; preserve-all-tokens split).
+    */
+  def splitIndex(str: Column, sep: String, index: Column): Column =
+    when(index < 0, lit(null).cast("string"))
+      .otherwise(get(split(str, java.util.regex.Pattern.quote(sep), -1), index))
+
+  /** TRUNCATE(x, d) — toward-zero truncation at d decimal places
+    * (SqlFunctionUtils.struncate: BigDecimal ROUND_DOWN).
+    */
+  def truncateNum(x: Column, d: Int): Column =
+    (x * pow(lit(10), lit(d))).cast("bigint").cast("double") / pow(lit(10), lit(d))
+
   /** TEMPORAL_OVERLAPS(s1, e1, s2, e2): whether the two periods share
     * any instant; endpoints may arrive unordered, like the SQL
     * OVERLAPS predicate the reference implements.

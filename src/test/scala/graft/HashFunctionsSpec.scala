@@ -133,4 +133,42 @@ class HashFunctionsSpec extends AnyFunSuite {
       .select(kgram_hashes($"s", k)).collect()(0).getSeq[Long](0)
     assert(again == got)
   }
+
+  test("FlinkSqlOperatorTable stragglers: split_index / hash_code / truncate / is_* / rand_integer") {
+    graft.functions.functions.register(spark)
+    val r = spark.sql(
+      """SELECT
+        |  split_index('a.b.c', '.', 1) AS si_mid,
+        |  split_index('a.b.c', '.', 5) AS si_oob,
+        |  split_index('a.b.c', '.', -1) AS si_neg,
+        |  split_index('x,,y,', ',', 3) AS si_trail,
+        |  hash_code('graft') AS hc,
+        |  hash_code('') AS hc_empty,
+        |  truncate(3.14159d, 2) AS tr_pos,
+        |  truncate(-3.19d, 1) AS tr_neg,
+        |  is_alpha('Abc') AS ia_t, is_alpha('a1') AS ia_f,
+        |  is_digit('123') AS id_t, is_digit('1a') AS id_f,
+        |  is_decimal('-3.2e4') AS dec_t, is_decimal('x') AS dec_f,
+        |  rand_integer(10) AS ri
+        |""".stripMargin).collect()(0)
+    assert(r.getString(0) == "b")
+    assert(r.isNullAt(1) && r.isNullAt(2))
+    // preserve-all-tokens: trailing empty token exists at index 3
+    assert(r.getString(3) == "")
+    assert(r.getInt(4) == math.abs("graft".hashCode))
+    assert(r.getInt(5) == 0)
+    assert(r.getDouble(6) == 3.14 && r.getDouble(7) == -3.1)
+    assert(r.getBoolean(8) && !r.getBoolean(9))
+    assert(r.getBoolean(10) && !r.getBoolean(11))
+    assert(r.getBoolean(12) && !r.getBoolean(13))
+    assert(r.getInt(14) >= 0 && r.getInt(14) < 10)
+
+    // Column-API forms agree with the SQL-text forms
+    import graft.functions.Strings
+    val c = Seq(("a|b|c", 2)).toDF("s", "i")
+      .select(Strings.splitIndex($"s", "|", $"i").as("si"),
+        Strings.truncateNum(lit(9.8765), 3).as("tr"))
+      .collect()(0)
+    assert(c.getString(0) == "c" && c.getDouble(1) == 9.876)
+  }
 }
