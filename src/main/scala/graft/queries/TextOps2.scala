@@ -83,10 +83,59 @@ object TextOps2 {
           size(filter(tokens, t => t.isin(blocklist: _*)))
             .as("n_blocked_tokens"))
         .withColumn("blocked", col("n_blocked_tokens") > 0)
+    }),
+
+    // ---- C4-style line-level dedup across the corpus ------------------
+    // (Raffel et al. 2020 §2.2 deduplicate "three-sentence spans";
+    // CCNet dedups paragraphs the same way.) "Lines" here are 4-word
+    // aligned chunks (the synthetic corpus has no sentence
+    // punctuation); each distinct line survives only at its globally
+    // first occurrence (min (doc_id, pos)), then documents are
+    // reassembled from their surviving lines in order. Scale: shuffle 1
+    // keys on the line text for the keep-first rank, shuffle 2 on
+    // doc_id for reassembly — linear, no pair joins; at 100 TB the
+    // rank shuffle keys on a line HASH with uniform cardinality.
+    "t48_line_dedup" -> ((s, dir) => {
+      val d = Tables.load(s, dir, "documents")
+      val lines = d.select(col("doc_id"),
+        posexplode(expr(
+          "transform(sequence(0, CAST((size(split(text, ' ')) + 3) DIV 4 AS INT) - 1), " +
+            "i -> concat_ws(' ', slice(split(text, ' '), i * 4 + 1, 4)))"))
+          .as(Seq("pos", "line")))
+      val ranked = lines.withColumn("rn", row_number().over(
+        Window.partitionBy(col("line")).orderBy(col("doc_id"), col("pos"))))
+      val agg = ranked.filter(col("rn") === 1).groupBy("doc_id").agg(
+        count(lit(1)).as("n_kept"),
+        array_join(transform(
+          array_sort(collect_list(struct(col("pos"), col("line")))),
+          x => x.getField("line")), " ").as("dedup_text"))
+      d.select(col("doc_id"),
+          expr("CAST((size(split(text, ' ')) + 3) DIV 4 AS BIGINT)").as("n_chunks"))
+        .join(agg, Seq("doc_id"), "left")
+        .select(col("doc_id"), col("n_chunks"),
+          coalesce(col("n_kept"), lit(0L)).as("n_kept"),
+          coalesce(col("dedup_text"), lit("")).as("dedup_text"))
     })
   )
 
   def oracles: Map[String, String] = Map(
+    "t48_line_dedup" ->
+      """WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+        |lines0 AS (
+        |  SELECT doc_id, unnest(list_transform(range((len(toks) + 3) // 4),
+        |    i -> struct_pack(pos := i,
+        |      line := array_to_string(list_slice(toks, i * 4 + 1, i * 4 + 4), ' ')))) AS s
+        |  FROM t),
+        |lines AS (SELECT doc_id, s.pos AS pos, s.line AS line FROM lines0),
+        |ranked AS (SELECT *, ROW_NUMBER() OVER (PARTITION BY line
+        |  ORDER BY doc_id, pos) AS rn FROM lines),
+        |kept AS (SELECT doc_id, count(*) AS n_kept,
+        |  string_agg(line, ' ' ORDER BY pos) AS dedup_text
+        |  FROM ranked WHERE rn = 1 GROUP BY doc_id)
+        |SELECT t.doc_id, (len(t.toks) + 3) // 4 AS n_chunks,
+        |  coalesce(k.n_kept, 0) AS n_kept,
+        |  coalesce(k.dedup_text, '') AS dedup_text
+        |FROM t LEFT JOIN kept k ON t.doc_id = k.doc_id""".stripMargin,
     "t45_dup_ngram_spans" ->
       """WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
         |g AS (
