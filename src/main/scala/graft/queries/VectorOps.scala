@@ -222,10 +222,16 @@ object VectorOps {
       graft.ops.Ivf.centroids(e, "vec_id", "embedding", k = 8, iters = 2)
         .write.mode("overwrite").parquet(s"$base/semdedup_cents")
       val cents = s.read.parquet(s"$base/semdedup_cents")
-      val assigned = graft.ops.Ivf
+      // Stage the assignment once (v43's index-once shape): without it
+      // the self-join's branches each recompute the map-side
+      // nearest_cells projection over the full corpus — 3 assignment
+      // passes instead of 1 at 100 TB.
+      graft.ops.Ivf
         .assign(e, "vec_id", "embedding", cents, nprobe = 1)
         .filter(col("cell_rank") === 1)
         .select(col("cell"), col("vec_id"), col("embedding"))
+        .write.mode("overwrite").parquet(s"$base/semdedup_assign")
+      val assigned = s.read.parquet(s"$base/semdedup_assign")
       val a = assigned.select(col("cell"), col("vec_id").as("id_a"),
         col("embedding").as("emb_a"))
       val b = assigned.select(col("cell"), col("vec_id").as("id_b"),
