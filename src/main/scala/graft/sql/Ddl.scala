@@ -66,10 +66,16 @@ object Ddl {
       else schema.fieldNames.toSeq ++ metaCols.map(_.name) ++ computed.map(_.name)
   }
 
+  // Column list is LAZY so a trailing `PARTITIONED BY (...)` clause is
+  // not swallowed by the column group (backtracking still steps over
+  // nested parens inside DECIMAL(p,s)/ROW<...> because the tail must
+  // match `[PARTITIONED BY] WITH (...)`).
   private val createRe =
-    """(?is)^\s*CREATE\s+TABLE\s+(?:IF\s+NOT\s+EXISTS\s+)?([\w.]+)\s*\((.*)\)\s*(?:PARTITIONED\s+BY\s*\(([^)]*)\)\s*)?WITH\s*\((.*)\)\s*$""".r
+    """(?is)^\s*CREATE\s+TABLE\s+(?:IF\s+NOT\s+EXISTS\s+)?([\w.]+)\s*\((.*?)\)\s*(?:PARTITIONED\s+BY\s*\(([^)]*)\)\s*)?WITH\s*\((.*)\)\s*$""".r
+  // Optional static partition spec (RichSqlInsert.getStaticPartitions:71):
+  // INSERT INTO/OVERWRITE t [PARTITION (k='v', ...)] SELECT ...
   private val insertRe =
-    """(?is)^\s*INSERT\s+(INTO|OVERWRITE)\s+([\w.]+)\s+(SELECT\b.*|VALUES\b.*)$""".r
+    """(?is)^\s*INSERT\s+(INTO|OVERWRITE)\s+([\w.]+)\s*(?:PARTITION\s*\(([^)]*)\)\s*)?\s+(SELECT\b.*|VALUES\b.*)$""".r
 
   def isCreateTable(sql: String): Boolean = createRe.findFirstIn(sql).isDefined
   def isInsert(sql: String): Boolean = insertRe.findFirstIn(sql).isDefined
@@ -375,7 +381,12 @@ object Ddl {
               .otherwise(graft.streaming.Changelog.UpdateAfter))
           graft.streaming.Changelog.changelogNormalize(
             flatten(kinded, Seq(graft.streaming.Changelog.KindCol)), d.primaryKey)
-        } else flatten(withV)
+        } else if (fmt == "json" &&
+          d.options.getOrElse("json.ignore-parse-errors", "false") == "true")
+          // skip unparseable values (JsonFormatOptions.java:37) —
+          // from_json yields a null struct on malformed input
+          flatten(withV.filter(col("__v").isNotNull))
+        else flatten(withV)
       case "raw" =>
         // Bare-string value into the single non-key physical column
         // (flink-formats/flink-raw RawFormatDeserializationSchema).
@@ -472,12 +483,22 @@ object Ddl {
 
   /** Register a readable filesystem table as a temp view. */
   def register(spark: SparkSession, d: TableDef): Unit = {
+    // 'json.ignore-parse-errors' / 'csv.ignore-parse-errors'
+    // (flink-json JsonFormatOptions.java:37, flink-csv CsvFormatOptions):
+    // skip unparseable records instead of failing — Spark's
+    // DROPMALFORMED mode is the same row-skipping contract.
+    def parseMode(fmt: String): String =
+      if (d.options.getOrElse(s"$fmt.ignore-parse-errors", "false") == "true")
+        "DROPMALFORMED" else "FAILFAST"
     val base = d.format match {
       case "parquet" => spark.read.schema(d.schema).parquet(d.path)
       case "orc" => spark.read.schema(d.schema).orc(d.path)
-      case "json" => spark.read.schema(d.schema).json(d.path)
+      case "json" => spark.read.schema(d.schema)
+        .option("mode", parseMode("json")).json(d.path)
       case "csv" => spark.read.schema(d.schema)
         .option("header", d.options.getOrElse("csv.include-header", "false"))
+        .option("sep", d.options.getOrElse("csv.field-delimiter", ","))
+        .option("mode", parseMode("csv"))
         .csv(d.path)
       case "avro" => graft.sources.Avro.read(spark, d.path)
       case "raw" => spark.read.text(d.path)
@@ -502,13 +523,40 @@ object Ddl {
     val name = m.group(2)
     val d = defs.getOrElse(name, throw new IllegalArgumentException(
       s"INSERT target '$name' was not defined via CREATE TABLE"))
-    val data = runSql(m.group(3))
+    // Static partitions (RichSqlInsert.getStaticPartitions:71): values
+    // appended as literal columns, NOT expected in the SELECT list;
+    // OVERWRITE with a static spec replaces only the touched
+    // partitions (Spark's dynamic partitionOverwriteMode), like the
+    // reference's filesystem sink.
+    val staticParts: Seq[(String, String)] = Option(m.group(3)).toSeq.flatMap(
+      _.split(",").map(_.trim).filter(_.nonEmpty).map { kv =>
+        val eq = kv.indexOf('=')
+        require(eq > 0, s"cannot parse static partition: $kv")
+        (kv.substring(0, eq).trim, kv.substring(eq + 1).trim.stripPrefix("'").stripSuffix("'"))
+      })
+    staticParts.foreach { case (k, _) => require(d.partitionedBy.contains(k),
+      s"static partition column '$k' is not in PARTITIONED BY (${d.partitionedBy.mkString(", ")})") }
+    val data0 = runSql(m.group(4))
+    // The SELECT list omits the static partition columns (reference
+    // semantics), so rename its output positionally to the declared
+    // NON-static columns, add the static literals, then restore
+    // declared order.
+    val data = if (staticParts.isEmpty) data0 else {
+      val nonStatic = d.schema.fieldNames.filterNot(staticParts.map(_._1).toSet)
+      staticParts.foldLeft(data0.toDF(nonStatic.toIndexedSeq: _*)) {
+        case (df, (k, v)) =>
+          df.withColumn(k, lit(v).cast(d.schema.fields.find(_.name == k)
+            .map(_.dataType).getOrElse(StringType)))
+      }.select(d.schema.fieldNames.toIndexedSeq.map(col): _*)
+    }
     d.connector match {
       case "blackhole" => data.write.format("noop").mode("overwrite").save()
       case "print" => data.show(20, truncate = false)
       case "filesystem" =>
         val aligned = data.toDF(d.schema.fieldNames.toIndexedSeq: _*)
         val writer0 = aligned.write.mode(mode)
+          .option("partitionOverwriteMode",
+            if (staticParts.nonEmpty) "dynamic" else "static")
         val writer = if (d.partitionedBy.nonEmpty)
           writer0.partitionBy(d.partitionedBy: _*) else writer0
         d.format match {

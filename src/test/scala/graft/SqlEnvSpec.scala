@@ -765,6 +765,74 @@ class SqlEnvSpec extends AnyFunSuite {
     assert(err.getMessage.contains("INSERT"))
   }
 
+  test("INSERT with static partition spec writes only that partition") {
+    val tmp = java.nio.file.Files.createTempDirectory("graft_statpart").toString
+    val env = SqlEnv(spark).registerTestdata(TestSpark.sfDir)
+    env.executeSql(
+      s"""CREATE TABLE part_sink (k BIGINT, p DOUBLE, dt STRING)
+         |PARTITIONED BY (dt)
+         |WITH ('connector' = 'filesystem', 'path' = '$tmp/t', 'format' = 'parquet')""".stripMargin)
+    // static partition value is NOT in the SELECT list (RichSqlInsert)
+    env.executeSql(
+      """INSERT OVERWRITE part_sink PARTITION (dt = '2024-01-01')
+        |SELECT o_orderkey, o_totalprice FROM orders WHERE o_orderkey % 2 = 0""".stripMargin)
+    env.executeSql(
+      """INSERT OVERWRITE part_sink PARTITION (dt = '2024-01-02')
+        |SELECT o_orderkey, o_totalprice FROM orders WHERE o_orderkey % 2 = 1""".stripMargin)
+    val t = spark.table("part_sink")
+    val byDt = t.groupBy("dt").count().collect()
+      .map(r => (r.getString(0), r.getLong(1))).toMap
+    assert(byDt.keySet == Set("2024-01-01", "2024-01-02"))
+    assert(byDt.values.sum == spark.table("orders").count())
+    // second OVERWRITE of one partition must not clobber the other
+    // (dynamic partition-overwrite, like the reference's sink)
+    env.executeSql(
+      """INSERT OVERWRITE part_sink PARTITION (dt = '2024-01-01')
+        |SELECT o_orderkey, o_totalprice FROM orders
+        |WHERE o_orderkey % 2 = 0 AND o_totalprice > 150000""".stripMargin)
+    val after = spark.table("part_sink").groupBy("dt").count().collect()
+      .map(r => (r.getString(0), r.getLong(1))).toMap
+    assert(after("2024-01-02") == byDt("2024-01-02"), "untouched partition survives")
+    assert(after("2024-01-01") < byDt("2024-01-01"))
+    // unknown partition column is rejected
+    val err = intercept[IllegalArgumentException] {
+      env.executeSql("INSERT INTO part_sink PARTITION (nope = 'x') SELECT 1, 2.0")
+    }
+    assert(err.getMessage.contains("PARTITIONED BY"))
+  }
+
+  test("ignore-parse-errors skips malformed records (json/csv formats)") {
+    val tmp = java.nio.file.Files.createTempDirectory("graft_badrows")
+    val jsonDir = tmp.resolve("j"); java.nio.file.Files.createDirectory(jsonDir)
+    java.nio.file.Files.writeString(jsonDir.resolve("part-0.json"),
+      """{"id": 1, "name": "a"}
+        |not json at all {{{
+        |{"id": 2, "name": "b"}
+        |""".stripMargin)
+    val env = SqlEnv(spark)
+    env.executeSql(
+      s"""CREATE TABLE j_tolerant (id BIGINT, name STRING) WITH (
+         |'connector' = 'filesystem', 'path' = '$jsonDir', 'format' = 'json',
+         |'json.ignore-parse-errors' = 'true')""".stripMargin)
+    // collect columns (a bare count() short-circuits parsing and would
+    // count raw lines, malformed included)
+    val jRows = spark.table("j_tolerant").collect()
+      .map(r => (r.getLong(0), r.getString(1))).toList.sorted
+    assert(jRows == List((1L, "a"), (2L, "b")))
+
+    val csvDir = tmp.resolve("c"); java.nio.file.Files.createDirectory(csvDir)
+    java.nio.file.Files.writeString(csvDir.resolve("part-0.csv"),
+      "1;a\nbroken_line_without_delims_and_extra;x;y;z\n2;b\n")
+    env.executeSql(
+      s"""CREATE TABLE c_tolerant (id BIGINT, name STRING) WITH (
+         |'connector' = 'filesystem', 'path' = '$csvDir', 'format' = 'csv',
+         |'csv.field-delimiter' = ';',
+         |'csv.ignore-parse-errors' = 'true')""".stripMargin)
+    val cRows = spark.table("c_tolerant").collect()
+      .map(r => (r.getLong(0), r.getString(1))).toList.sorted
+    assert(cRows == List((1L, "a"), (2L, "b")))
+  }
+
   test("datagen DDL applies computed columns") {
     val env = SqlEnv(spark)
     env.executeSql(
