@@ -115,6 +115,26 @@ object TextOps2 {
         .select(col("doc_id"), col("n_chunks"),
           coalesce(col("n_kept"), lit(0L)).as("n_kept"),
           coalesce(col("dedup_text"), lit("")).as("dedup_text"))
+    }),
+
+    // ---- BPE merge-pair counting (tokenizer training step) ------------
+    // The first iteration of BPE training (Sennrich et al. 2016;
+    // SentencePiece/HF tokenizers): count adjacent symbol pairs across
+    // the corpus weighted by word frequency — the argmax pair becomes
+    // the first merge rule. Scale: corpus → word-frequency table
+    // (Zipf-small, one shuffle on word), then char pairs explode off
+    // the DISTINCT word table (not the corpus), one shuffle on pair
+    // (≤ alphabet² keys) with map-side partial sums. This is exactly
+    // how distributed tokenizer training parallelizes.
+    "t49_bpe_pair_counts" -> ((s, dir) => {
+      val d = Tables.load(s, dir, "documents")
+      val words = d.select(explode(tokens).as("w"))
+        .groupBy("w").agg(count(lit(1)).as("wc"))
+        .filter(length(col("w")) >= 2)
+      words.select(col("wc"), explode(expr(
+          "transform(sequence(1, length(w) - 1), i -> substring(w, i, 2))")).as("pair"))
+        .groupBy("pair").agg(sum("wc").as("n"))
+        .orderBy(desc("n"), asc("pair")).limit(50)
     })
   )
 
@@ -136,6 +156,18 @@ object TextOps2 {
         |  coalesce(k.n_kept, 0) AS n_kept,
         |  coalesce(k.dedup_text, '') AS dedup_text
         |FROM t LEFT JOIN kept k ON t.doc_id = k.doc_id""".stripMargin,
+
+    "t49_bpe_pair_counts" ->
+      """WITH w AS (
+        |  SELECT w, count(*) AS wc FROM (
+        |    SELECT unnest(string_split(text, ' ')) AS w FROM documents)
+        |  GROUP BY w),
+        |p AS (
+        |  SELECT wc, unnest(list_transform(range(1, length(w)),
+        |    i -> substr(w, CAST(i AS INT), 2))) AS pair
+        |  FROM w WHERE length(w) >= 2)
+        |SELECT pair, CAST(sum(wc) AS BIGINT) AS n
+        |FROM p GROUP BY pair ORDER BY n DESC, pair LIMIT 50""".stripMargin,
     "t45_dup_ngram_spans" ->
       """WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
         |g AS (
