@@ -35,7 +35,13 @@ object Bench {
     // Skipped queries are still timed and reported in the queries map
     // (so round-over-round per-query diffs stay complete); they are
     // only excluded from the headline "value" total.
+    // SPARK_GRAFT_ONLY="q1_x q2_y" benches a subset — the 9-run
+    // fresh-JVM median playbook for investigating per-query drift
+    // without the full battery's 25-minute wall.
+    val only = sys.env.get("SPARK_GRAFT_ONLY")
+      .map(_.split("\\s+").toSet).getOrElse(Set.empty[String])
     val sorted = SparkEntry.queries.toSeq.sortBy(_._1)
+      .filter { case (n, _) => only.isEmpty || only(n) }
     def runOnce(name: String, fn: (SparkSession, String) => org.apache.spark.sql.DataFrame): Double = {
       val t0 = System.nanoTime()
       try fn(spark, sfDir).write.format("noop").mode("overwrite").save()

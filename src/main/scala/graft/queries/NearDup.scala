@@ -165,6 +165,57 @@ object NearDup {
           hamming64(col("sig_a"), col("sig_b")).as("hamming"))
         .distinct()
         .filter(col("hamming") <= 16)
+    }),
+
+    // ---- Full connected components over the LSH bucket graph ----------
+    // n51 is ONE union-find hop (doc → min over its buckets); chained
+    // duplicates (A~B via bucket x, B~C via bucket y) need the
+    // transitive closure. Hash-to-min label propagation over the
+    // BIPARTITE doc–bucket graph: each round takes min(label) per
+    // bucket then min over each doc's buckets — two shuffles, both on
+    // bounded keys (bucket, then doc_id), NEVER a doc×doc pair join,
+    // so a degenerate bucket costs |bucket| rows, not |bucket|².
+    // Converges in O(cluster diameter) rounds (near-dup clusters are
+    // shallow; the 20-round bound is generous). The driver-side loop
+    // only issues a `changed == 0` COUNT per round — the labels stay
+    // distributed. Each round ends in localCheckpoint(): caching alone
+    // would keep the LOGICAL plan growing (Catalyst re-analyzes the
+    // whole accumulated tree every round — iterative-algorithm plan
+    // blowup); checkpointing truncates the lineage so round N plans
+    // against a leaf. On a cluster this would be checkpoint() to
+    // reliable storage for executor-loss tolerance.
+    "n54_connected_components" -> ((s, dir) => {
+      val b = bandedTable(s, dir)
+      var labels = b.select(col("doc_id")).distinct()
+        .withColumn("label", col("doc_id"))
+      var changed = 1L
+      var iter = 0
+      var prevCkpt: DataFrame = null
+      while (changed > 0 && iter < 20) {
+        val bucketMin = b.join(labels, "doc_id")
+          .groupBy(col("band"), col("bucket"))
+          .agg(min(col("label")).as("bmin"))
+        val cand = b.join(bucketMin, Seq("band", "bucket"))
+          .groupBy(col("doc_id")).agg(min(col("bmin")).as("cand"))
+        val next = labels.join(cand, Seq("doc_id"))
+          .select(col("doc_id"),
+            least(col("label"), col("cand")).as("label"),
+            (col("cand") < col("label")).as("moved"))
+          .localCheckpoint()
+        changed = next.filter(col("moved")).count()
+        // checkpoint blocks are pinned (non-recomputable) — release the
+        // superseded round's or they accumulate for the JVM lifetime
+        if (prevCkpt != null) prevCkpt.unpersist()
+        prevCkpt = next
+        labels = next.select(col("doc_id"), col("label"))
+        iter += 1
+      }
+      val sizes = labels.groupBy(col("label"))
+        .agg(count(lit(1)).as("component_size"))
+      labels.join(sizes, "label")
+        .select(col("doc_id"), col("label").as("component"),
+          col("component_size"),
+          (col("doc_id") === col("label")).as("is_canonical"))
     })
   )
 
@@ -242,6 +293,26 @@ object NearDup {
         SELECT DISTINCT l.doc_id AS doc_a, r.doc_id AS doc_b,
                bit_count(xor(l.sig, r.sig)) AS hamming
         FROM f l JOIN f r USING (chunk, ck)
-        WHERE l.doc_id < r.doc_id AND bit_count(xor(l.sig, r.sig)) <= 16""")
+        WHERE l.doc_id < r.doc_id AND bit_count(xor(l.sig, r.sig)) <= 16""",
+
+      // Transitive closure by recursive CTE: the oracle CAN afford the
+      // doc×doc edge expansion the Spark path avoids, because at the
+      // gate SF near-dup clusters are small. min over the closure per
+      // doc = the component representative.
+      "n54_connected_components" -> s"""
+        WITH RECURSIVE
+        b AS (SELECT * FROM $banded),
+        e AS (SELECT DISTINCT l.doc_id AS a, r.doc_id AS nb
+              FROM b l JOIN b r USING (band, bucket)),
+        r(a, nb) AS (
+          SELECT a, nb FROM e
+          UNION
+          SELECT r.a, e.nb FROM r JOIN e ON r.nb = e.a
+        ),
+        comp AS (SELECT a AS doc_id, min(nb) AS component FROM r GROUP BY a)
+        SELECT doc_id, component,
+          count(*) OVER (PARTITION BY component) AS component_size,
+          doc_id = component AS is_canonical
+        FROM comp""")
   }
 }

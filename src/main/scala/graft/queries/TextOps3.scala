@@ -1,0 +1,201 @@
+package graft.queries
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.Tables
+
+/** Round-5 additions to the training-data curation surface: PII
+  * redaction (the scrubbing pass corpora like Dolma/FineWeb run before
+  * release), BM25 relevance scoring (distributed tf/df — the retrieval
+  * primitive behind quality-classifier seed sets), and DSIR-style
+  * hashed-n-gram importance weights (Xie et al. 2023, "Data Selection
+  * for Language Models via Importance Resampling") for
+  * target-distribution data selection.
+  *
+  * Regex discipline is t39's: patterns stay inside the RE2 ∩
+  * java.util.regex common subset so the DuckDB oracle executes the
+  * SAME pattern text — no backrefs, no lookaround, no possessive
+  * quantifiers.
+  */
+object TextOps3 {
+
+  private val tokens: Column = split(col("text"), " ")
+
+  // PII patterns — RE2 ∩ java.util.regex safe.
+  private val EmailRe = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+  private val Ipv4Re = "\\b\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\b"
+  private val PhoneRe = "\\b555-\\d{4}\\b"
+
+  /** The synthetic corpus carries no real PII, so the query plants
+    * deterministic PII derived from doc_id (same arithmetic in the
+    * oracle) — the detection/redaction path is then actually
+    * exercised on every row rather than counting zeros.
+    */
+  private def enriched: Column =
+    concat(col("text"),
+      lit(" contact user"), col("doc_id").cast("string"),
+      lit("@example.com ip 10."), (col("doc_id") % 256).cast("string"),
+      lit("."), (col("doc_id") % 100).cast("string"),
+      lit(".7 phone 555-"),
+      lpad((col("doc_id") % 10000).cast("string"), 4, "0"))
+
+  // BM25 constants (the standard Robertson defaults).
+  private val K1 = 1.2
+  private val B = 0.75
+  private val QueryTerms = Seq("spark", "join", "merge")
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // ---- PII detection + redaction ------------------------------------
+    // Entirely map-side: three codegen'd regex counts and a chained
+    // regexp_replace per row — zero shuffles at any corpus size. At
+    // 100 TB this is the cheapest pass in the pipeline (pure scan
+    // throughput); the regexes are pre-compiled once per task by
+    // Spark's regexp expressions.
+    "t50_pii_redaction" -> ((s, dir) => {
+      val d = Tables.load(s, dir, "documents")
+      d.select(col("doc_id"), enriched.as("et"))
+        .select(col("doc_id"),
+          regexp_count(col("et"), lit(EmailRe)).as("n_email"),
+          regexp_count(col("et"), lit(Ipv4Re)).as("n_ip"),
+          regexp_count(col("et"), lit(PhoneRe)).as("n_phone"),
+          regexp_replace(
+            regexp_replace(
+              regexp_replace(col("et"), EmailRe, "<EMAIL>"),
+              Ipv4Re, "<IP>"),
+            PhoneRe, "<PHONE>").as("redacted"))
+    }),
+
+    // ---- BM25 scoring against a fixed query ---------------------------
+    // Scale shape: the term filter lands BEFORE the tf shuffle, so
+    // only query-term occurrences (a vanishing fraction of the corpus)
+    // ever leave the scan stage; df and the corpus stats are
+    // broadcast back (df has |query| rows, stats has 1). The only
+    // data-scale shuffle keys on doc_id for the final per-doc sum.
+    "t51_bm25" -> ((s, dir) => {
+      val d = Tables.load(s, dir, "documents")
+        .select(col("doc_id"), tokens.as("toks"))
+      val dl = d.select(col("doc_id"), size(col("toks")).as("dl"))
+      val stats = dl.agg(avg(col("dl")).as("avgdl"),
+        count(lit(1)).as("n_docs"))
+      val tf = d.select(col("doc_id"), explode(col("toks")).as("term"))
+        .filter(col("term").isin(QueryTerms: _*))
+        .groupBy(col("doc_id"), col("term"))
+        .agg(count(lit(1)).as("tf"))
+      val dfreq = tf.groupBy(col("term"))
+        .agg(count(lit(1)).as("df")) // tf is already distinct per (doc, term)
+      tf.join(broadcast(dfreq), "term")
+        .join(dl, "doc_id")
+        .crossJoin(broadcast(stats))
+        .withColumn("idf",
+          log((col("n_docs") - col("df") + 0.5) / (col("df") + 0.5) + 1.0))
+        .withColumn("score_t",
+          col("idf") * (col("tf") * (K1 + 1.0)) /
+            (col("tf") + lit(K1) * (lit(1.0 - B) + lit(B) * col("dl") / col("avgdl"))))
+        .groupBy(col("doc_id"))
+        .agg(sum(col("score_t")).as("bm25"),
+          count(lit(1)).as("n_matched"))
+    }),
+
+    // ---- DSIR hashed-n-gram importance weights ------------------------
+    // Features: word unigrams + bigrams hashed into 4096 buckets (3
+    // hex chars of md5 — the same cross-engine hash trick as t45).
+    // Target distribution = lang='en' docs, raw = whole corpus; a
+    // bucket's weight is the smoothed log-likelihood ratio
+    // ln p̂_target(b) − ln p̂_raw(b), and a document's importance is
+    // its mean bucket weight — Xie et al.'s hashed n-gram LM ratio.
+    // Scale shape: the weight table is FIXED SIZE (4096 rows) however
+    // big the corpus is, so it joins back as a broadcast; the corpus
+    // only flows through a bucket-keyed agg (bounded cardinality) and
+    // one doc_id-keyed agg. No data-scale join edges.
+    "t52_dsir_weights" -> ((s, dir) => {
+      val nBuckets = 4096
+      val alpha = 0.5
+      val d = Tables.load(s, dir, "documents")
+        .select(col("doc_id"), col("lang"), tokens.as("toks"))
+      val grams = d.select(col("doc_id"), col("lang"),
+          explode(concat(col("toks"),
+            when(size(col("toks")) >= 2,
+              transform(sequence(lit(1), size(col("toks")) - 1),
+                i => concat_ws(" ", element_at(col("toks"), i),
+                  element_at(col("toks"), i + 1))))
+              .otherwise(array().cast("array<string>")))).as("g"))
+        .select(col("doc_id"), col("lang"),
+          substring(md5(col("g")), 1, 3).as("bucket"))
+      val counts = grams.groupBy(col("bucket"))
+        .agg(count(lit(1)).as("raw_cnt"),
+          sum(when(col("lang") === "en", 1L).otherwise(0L)).as("tgt_cnt"))
+      val totals = counts.agg(sum(col("raw_cnt")).as("raw_tot"),
+        sum(col("tgt_cnt")).as("tgt_tot"))
+      val weights = counts.crossJoin(broadcast(totals))
+        .withColumn("w",
+          log((col("tgt_cnt") + alpha) / (col("tgt_tot") + alpha * nBuckets)) -
+            log((col("raw_cnt") + alpha) / (col("raw_tot") + alpha * nBuckets)))
+        .select(col("bucket"), col("w"))
+      grams.join(broadcast(weights), "bucket")
+        .groupBy(col("doc_id"))
+        .agg(count(lit(1)).as("n_grams"),
+          avg(col("w")).as("importance"))
+    })
+  )
+
+  def oracles: Map[String, String] = Map(
+    "t50_pii_redaction" ->
+      s"""WITH e AS (
+        |  SELECT doc_id,
+        |    text || ' contact user' || CAST(doc_id AS VARCHAR)
+        |      || '@example.com ip 10.' || CAST(doc_id % 256 AS VARCHAR)
+        |      || '.' || CAST(doc_id % 100 AS VARCHAR)
+        |      || '.7 phone 555-'
+        |      || lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0') AS et
+        |  FROM documents)
+        |SELECT doc_id,
+        |  len(regexp_extract_all(et, '$EmailRe')) AS n_email,
+        |  len(regexp_extract_all(et, '$Ipv4Re')) AS n_ip,
+        |  len(regexp_extract_all(et, '$PhoneRe')) AS n_phone,
+        |  regexp_replace(regexp_replace(regexp_replace(et,
+        |    '$EmailRe', '<EMAIL>', 'g'),
+        |    '$Ipv4Re', '<IP>', 'g'),
+        |    '$PhoneRe', '<PHONE>', 'g') AS redacted
+        |FROM e""".stripMargin,
+
+    "t51_bm25" ->
+      s"""WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+        |dl AS (SELECT doc_id, len(toks) AS dl FROM t),
+        |st AS (SELECT avg(dl) AS avgdl, count(*) AS n_docs FROM dl),
+        |tf AS (
+        |  SELECT doc_id, term, count(*) AS tf FROM (
+        |    SELECT doc_id, unnest(toks) AS term FROM t)
+        |  WHERE term IN (${QueryTerms.map("'" + _ + "'").mkString(", ")})
+        |  GROUP BY doc_id, term),
+        |df AS (SELECT term, count(*) AS df FROM tf GROUP BY term)
+        |SELECT tf.doc_id,
+        |  sum(ln((st.n_docs - df.df + 0.5) / (df.df + 0.5) + 1.0)
+        |      * (tf.tf * ${K1 + 1.0})
+        |      / (tf.tf + $K1 * (1.0 - $B + $B * dl.dl / st.avgdl))) AS bm25,
+        |  count(*) AS n_matched
+        |FROM tf JOIN df USING (term) JOIN dl ON tf.doc_id = dl.doc_id, st
+        |GROUP BY tf.doc_id""".stripMargin,
+
+    "t52_dsir_weights" ->
+      """WITH t AS (SELECT doc_id, lang, string_split(text, ' ') AS toks FROM documents),
+        |g0 AS (
+        |  SELECT doc_id, lang, unnest(
+        |    list_concat(toks,
+        |      CASE WHEN len(toks) >= 2 THEN
+        |        list_transform(range(1, len(toks)), i -> toks[i] || ' ' || toks[i+1])
+        |      ELSE CAST([] AS VARCHAR[]) END)) AS g
+        |  FROM t),
+        |g AS (SELECT doc_id, lang, substring(md5(g), 1, 3) AS bucket FROM g0),
+        |c AS (SELECT bucket, count(*) AS raw_cnt,
+        |        sum(CASE WHEN lang = 'en' THEN 1 ELSE 0 END) AS tgt_cnt
+        |      FROM g GROUP BY bucket),
+        |tot AS (SELECT sum(raw_cnt) AS raw_tot, sum(tgt_cnt) AS tgt_tot FROM c),
+        |w AS (SELECT bucket,
+        |        ln((tgt_cnt + 0.5) / (tgt_tot + 0.5 * 4096))
+        |          - ln((raw_cnt + 0.5) / (raw_tot + 0.5 * 4096)) AS w
+        |      FROM c, tot)
+        |SELECT g.doc_id, count(*) AS n_grams, avg(w.w) AS importance
+        |FROM g JOIN w USING (bucket)
+        |GROUP BY g.doc_id""".stripMargin
+  )
+}

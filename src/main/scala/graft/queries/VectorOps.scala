@@ -260,6 +260,37 @@ object VectorOps {
       scored.withColumn("rk", row_number().over(w))
         .filter(col("rk") <= 3)
         .select(col("query_id"), col("rk"), col("cand_id"), col("cos_sim"))
+    }),
+
+    // ---- Int8 scalar quantization of the embedding column -------------
+    // The store-8×-smaller step every vector index applies before
+    // PQ/IVF (and what an embedding lakehouse ships to serving). Per
+    // DIMENSION min/max over the corpus (a 64-row aggregate), then a
+    // map-side affine quantize + dequantize-error per element. Scale
+    // shape: one bounded agg (64 rows out however big the corpus is)
+    // broadcast back; the element stream never shuffles except for the
+    // per-vector regroup on vec_id. Identical double arithmetic on
+    // both engines: (v−lo), (hi−lo)/255, round — round-half-up equals
+    // round-half-away here because the operand is non-negative.
+    "v49_int8_quantization" -> ((s, dir) => {
+      val e = Tables.load(s, dir, "embeddings")
+      val elems = e.select(col("vec_id"),
+          posexplode(col("embedding")).as(Seq("dim", "v")))
+        .select(col("vec_id"), col("dim"), col("v").cast("double").as("v"))
+      val ranges = elems.groupBy(col("dim"))
+        .agg(min(col("v")).as("lo"), max(col("v")).as("hi"))
+      elems.join(broadcast(ranges), "dim")
+        .withColumn("scale", (col("hi") - col("lo")) / lit(255.0))
+        .withColumn("code",
+          (round((col("v") - col("lo")) / col("scale"), 0).cast("int") - 128))
+        .withColumn("deq",
+          (col("code") + 128).cast("double") * col("scale") + col("lo"))
+        .withColumn("err", abs(col("v") - col("deq")))
+        .groupBy(col("vec_id"))
+        .agg(count(lit(1)).as("n_dims"),
+          sum(col("code").cast("long")).as("sum_code"),
+          avg(col("err")).as("mean_abs_err"),
+          max(col("err")).as("max_abs_err"))
     })
   )
 
@@ -445,6 +476,21 @@ object VectorOps {
         |  SELECT query_id, cand_id, cos_sim,
         |    ROW_NUMBER() OVER (PARTITION BY query_id
         |                       ORDER BY cos_sim DESC, cand_id) AS rk
-        |  FROM scored) WHERE rk <= 3""".stripMargin
+        |  FROM scored) WHERE rk <= 3""".stripMargin,
+
+    "v49_int8_quantization" ->
+      """WITH el AS (
+        |  SELECT vec_id, i AS dim, CAST(embedding[i + 1] AS DOUBLE) AS v
+        |  FROM embeddings, range(0, 64) t(i)),
+        |rg AS (SELECT dim, min(v) AS lo, max(v) AS hi FROM el GROUP BY dim),
+        |q AS (SELECT vec_id, v, lo, hi, (hi - lo) / 255.0 AS scale
+        |      FROM el JOIN rg USING (dim)),
+        |c AS (SELECT vec_id, v, scale, lo,
+        |        CAST(round((v - lo) / scale) AS INT) - 128 AS code FROM q),
+        |d AS (SELECT vec_id, code,
+        |        abs(v - (CAST(code + 128 AS DOUBLE) * scale + lo)) AS err FROM c)
+        |SELECT vec_id, count(*) AS n_dims, CAST(sum(code) AS BIGINT) AS sum_code,
+        |  avg(err) AS mean_abs_err, max(err) AS max_abs_err
+        |FROM d GROUP BY vec_id""".stripMargin
   )
 }
