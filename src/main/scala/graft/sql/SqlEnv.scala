@@ -73,6 +73,70 @@ class SqlEnv private (val spark: SparkSession) {
           "STATEMENT SET supports INSERT statements only")
         stmts.foreach(executeSql)
         return spark.emptyDataFrame
+      // SHOW TABLES / SHOW VIEWS / SHOW FUNCTIONS — catalog listings
+      // with Flink's literal result headers (SqlShowTables et al. in
+      // flink-sql-parser; TableEnvironmentImpl returns one string
+      // column named like "table name").
+      case showRe(what) =>
+        import spark.implicits._
+        return what.toUpperCase match {
+          case "TABLES" =>
+            (tableDefs.keySet.toArray.map(_.toString) ++
+              spark.catalog.listTables().collect().map(_.name))
+              .distinct.sorted.toSeq.toDF("table name")
+          case "VIEWS" =>
+            spark.catalog.listTables().collect()
+              .filter(t => t.tableType == "TEMPORARY" && !tableDefs.containsKey(t.name))
+              .map(_.name).distinct.sorted.toSeq.toDF("view name")
+          case _ =>
+            spark.catalog.listFunctions().collect()
+              .map(_.name).distinct.sorted.toSeq.toDF("function name")
+        }
+      // DESCRIBE t — Flink's six-column shape (name, type, null, key,
+      // extras, watermark: SqlRichDescribeTable → DescribeTableOperation).
+      // key/extras/watermark come from OUR CREATE TABLE def when the
+      // table was declared through DDL, else null.
+      case descRe(name) =>
+        import spark.implicits._
+        val d = Option(tableDefs.get(name))
+        val pk = d.map(_.primaryKey).getOrElse(Nil).toSet
+        val wm = d.flatMap(_.watermark).map { case (c, delay) =>
+          c -> s"`$c` - INTERVAL '$delay'" }.toMap
+        val computed = d.map { td =>
+          td.computed.map(c => c.name -> s"AS ${c.exprText}").toMap ++
+            td.metaCols.map(m => m.name -> s"METADATA FROM '${m.key}'").toMap
+        }.getOrElse(Map.empty[String, String])
+        // DDL tables describe their DECLARED shape (the table may not be
+        // materialized yet — filesystem CREATE defers to first INSERT);
+        // plain views fall back to the catalog schema. Computed columns
+        // carry no declared type (it is derived), matching their extras.
+        val fields: Seq[(String, String, Boolean)] = d match {
+          case Some(td) =>
+            val declared = td.schema.fields.map(f =>
+              (f.name, f.dataType.sql, f.nullable)).toSeq ++
+              td.metaCols.map(m => (m.name, m.dataType.sql, true)) ++
+              td.computed.map(c => (c.name, null: String, true))
+            val byName = declared.map(x => x._1 -> x).toMap
+            td.declaredOrder.flatMap(byName.get)
+          case None => spark.table(name).schema.fields.toSeq.map(f =>
+            (f.name, f.dataType.sql, f.nullable))
+        }
+        return fields.map { case (n, t, nl) =>
+          (n, t, nl,
+            if (pk(n)) "PRI" else null,
+            computed.getOrElse(n, null),
+            wm.getOrElse(n, null))
+        }.toDF("name", "type", "null", "key", "extras", "watermark")
+      // EXPLAIN [PLAN FOR] <query> — the statement runs through every
+      // graft rewrite (DDL views, TVFs, MATCH_RECOGNIZE) and the
+      // OPTIMIZED+physical plan text returns as one row, like the
+      // reference's single "result" column (SqlExplain →
+      // ExplainOperation).
+      case explainRe(body) =>
+        import spark.implicits._
+        val plan = executeSql(body).queryExecution.explainString(
+          org.apache.spark.sql.execution.ExtendedMode)
+        return Seq(plan).toDF("result")
       case _ =>
     }
     if (Ddl.isCreateTable(sql)) {
@@ -108,6 +172,12 @@ class SqlEnv private (val spark: SparkSession) {
     """(?is)^\s*DROP\s+(?:TEMPORARY\s+)?(?:TABLE|VIEW)\s+(?:IF\s+EXISTS\s+)?([\w.]+)\s*;?\s*$""".r
   private val stmtSetRe =
     """(?is)^\s*(?:EXECUTE\s+)?STATEMENT\s+SET\s+BEGIN\s+(.+?)\s*;?\s*END\s*;?\s*$""".r
+  private val showRe =
+    """(?is)^\s*SHOW\s+(TABLES|VIEWS|FUNCTIONS)\s*;?\s*$""".r
+  private val descRe =
+    """(?is)^\s*DESC(?:RIBE)?\s+([\w.]+)\s*;?\s*$""".r
+  private val explainRe =
+    """(?is)^\s*EXPLAIN\s+(?:PLAN\s+FOR\s+)?(.+)$""".r
 
   /** Reference config keys → their analog here. Durations accept
     * Flink's notation ('1 h', '30 s', '100 ms', bare millis).

@@ -847,4 +847,48 @@ class SqlEnvSpec extends AnyFunSuite {
     assert(rows.head.getTimestamp(1).getTime == 1700000000000L)
     assert(rows.last.getTimestamp(1).getTime == 1700000009000L)
   }
+
+  test("SHOW TABLES / SHOW VIEWS / SHOW FUNCTIONS / DESCRIBE / EXPLAIN") {
+    val env = SqlEnv(spark).registerTestdata(TestSpark.sfDir)
+    env.executeSql(
+      """CREATE TABLE show_t (
+        |  id BIGINT,
+        |  ts TIMESTAMP(3),
+        |  doubled AS id * 2,
+        |  WATERMARK FOR ts AS ts - INTERVAL '5' SECOND,
+        |  PRIMARY KEY (id) NOT ENFORCED
+        |) WITH ('connector' = 'filesystem',
+        |        'path' = '/tmp/graft_sql_show_t', 'format' = 'parquet')""".stripMargin)
+
+    val tables = env.executeSql("SHOW TABLES").collect().map(_.getString(0))
+    assert(tables.contains("show_t") && tables.contains("orders"))
+    assert(env.executeSql("SHOW TABLES").columns.sameElements(Array("table name")))
+
+    env.executeSql("CREATE VIEW show_v AS SELECT o_orderkey FROM orders")
+    val views = env.executeSql("SHOW VIEWS").collect().map(_.getString(0))
+    assert(views.contains("show_v"))
+
+    val fns = env.executeSql("SHOW FUNCTIONS").collect().map(_.getString(0))
+    assert(fns.contains("minhash") && fns.contains("simhash"))
+
+    // Flink's six-column DESCRIBE shape with key/extras/watermark rows
+    val desc = env.executeSql("DESCRIBE show_t")
+    assert(desc.columns.sameElements(
+      Array("name", "type", "null", "key", "extras", "watermark")))
+    val byName = desc.collect().map(r => r.getString(0) -> r).toMap
+    assert(byName("id").getString(3) == "PRI")
+    assert(byName("doubled").getString(4).startsWith("AS "))
+    assert(Option(byName("ts").getString(5)).exists(_.contains("INTERVAL")))
+
+    val plan = env.executeSql(
+      "EXPLAIN SELECT count(*) FROM orders WHERE o_totalprice > 0")
+      .collect()(0).getString(0)
+    assert(plan.contains("Physical Plan"))
+    // EXPLAIN body goes through the graft rewrites too
+    val plan2 = env.executeSql(
+      """EXPLAIN SELECT window_start, count(*) AS n
+        |FROM TUMBLE(TABLE events, DESCRIPTOR(ts), INTERVAL '1' HOUR)
+        |GROUP BY window_start""".stripMargin).collect()(0).getString(0)
+    assert(plan2.contains("Physical Plan"))
+  }
 }
