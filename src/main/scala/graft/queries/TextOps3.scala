@@ -81,9 +81,14 @@ object TextOps3 {
         .filter(col("term").isin(QueryTerms: _*))
         .groupBy(col("doc_id"), col("term"))
         .agg(count(lit(1)).as("tf"))
-      val dfreq = tf.groupBy(col("term"))
-        .agg(count(lit(1)).as("df")) // tf is already distinct per (doc, term)
-      tf.join(broadcast(dfreq), "term")
+      // df as a window count over tf (tf is unique per (doc, term), so
+      // count(*) per term = document frequency). A groupBy-join would
+      // DOUBLE-PLAN the whole scan→explode→filter→agg chain (the ps
+      // lesson: exchange reuse does not collapse it) — the window runs
+      // over the already-tiny tf table instead of re-reading the corpus.
+      val withDf = tf.withColumn("df", count(lit(1)).over(
+        org.apache.spark.sql.expressions.Window.partitionBy(col("term"))))
+      withDf
         .join(dl, "doc_id")
         .crossJoin(broadcast(stats))
         .withColumn("idf",
@@ -135,6 +140,52 @@ object TextOps3 {
         .groupBy(col("doc_id"))
         .agg(count(lit(1)).as("n_grams"),
           avg(col("w")).as("importance"))
+    }),
+
+    // ---- Gopher quality rules (Rae et al. 2021, Appendix A) -----------
+    // The full rule battery every modern corpus pass applies (Gopher,
+    // then MassiveText/FineWeb/Dolma variants): word-count bounds,
+    // mean-word-length bounds, symbol-to-word ratio, bullet/ellipsis
+    // line fractions, alphabetic-word fraction, stopword floor.
+    // Entirely map-side (one codegen'd projection; the lambda filters
+    // run inside whole-stage codegen) — zero shuffles at any corpus
+    // size. Two thresholds are fixture-scaled so `passes` carries
+    // signal on the short synthetic docs (10-99 words, vocabulary with
+    // one natural stopword): word-count floor 25 (Gopher: 50) and
+    // stopword floor 1 (Gopher: 2). Everything else is the paper's
+    // constant.
+    "t53_gopher_rules" -> ((s, dir) => {
+      val stop = Seq("the", "be", "to", "of", "and", "that", "have", "with")
+      val d = Tables.load(s, dir, "documents")
+        .select(col("doc_id"), col("text"), tokens.as("toks"),
+          split(col("text"), "\n").as("lines"))
+        .withColumn("n_words", size(col("toks")))
+      d.select(col("doc_id"), col("n_words"),
+          (aggregate(transform(col("toks"), w => length(w)), lit(0),
+            (acc, x) => acc + x).cast("double") / col("n_words"))
+            .as("mean_word_len"),
+          ((length(col("text")) - length(regexp_replace(col("text"), "#", ""))
+            + (length(col("text")) -
+               length(regexp_replace(col("text"), "\\.\\.\\.", ""))) / 3)
+            .cast("double") / col("n_words")).as("symbol_ratio"),
+          (size(filter(col("lines"), l => l.startsWith("- ") ||
+              l.startsWith("* "))).cast("double") / size(col("lines")))
+            .as("bullet_line_frac"),
+          (size(filter(col("lines"), l => l.endsWith("...")))
+            .cast("double") / size(col("lines"))).as("ellipsis_line_frac"),
+          (size(filter(col("toks"), w => w.rlike("[A-Za-z]")))
+            .cast("double") / col("n_words")).as("alpha_word_frac"),
+          size(filter(
+            array(stop.map(lit): _*), sw => array_contains(col("toks"), sw)))
+            .as("n_stopwords"))
+        .withColumn("passes",
+          col("n_words").between(25, 100000) &&
+            col("mean_word_len").between(3.0, 10.0) &&
+            col("symbol_ratio") <= 0.1 &&
+            col("bullet_line_frac") <= 0.9 &&
+            col("ellipsis_line_frac") <= 0.3 &&
+            col("alpha_word_frac") >= 0.8 &&
+            col("n_stopwords") >= 1)
     })
   )
 
@@ -196,6 +247,35 @@ object TextOps3 {
         |      FROM c, tot)
         |SELECT g.doc_id, count(*) AS n_grams, avg(w.w) AS importance
         |FROM g JOIN w USING (bucket)
-        |GROUP BY g.doc_id""".stripMargin
+        |GROUP BY g.doc_id""".stripMargin,
+
+    "t53_gopher_rules" ->
+      """WITH t AS (
+        |  SELECT doc_id, text, string_split(text, ' ') AS toks,
+        |         string_split(text, chr(10)) AS lines,
+        |         len(string_split(text, ' ')) AS n_words
+        |  FROM documents),
+        |m AS (
+        |  SELECT doc_id, n_words,
+        |    CAST(list_aggregate(list_transform(toks, w -> length(w)), 'sum')
+        |         AS DOUBLE) / n_words AS mean_word_len,
+        |    CAST(length(text) - length(replace(text, '#', ''))
+        |         + (length(text) - length(replace(text, '...', ''))) // 3
+        |         AS DOUBLE) / n_words AS symbol_ratio,
+        |    CAST(len(list_filter(lines, l -> l LIKE '- %' OR l LIKE '* %'))
+        |         AS DOUBLE) / len(lines) AS bullet_line_frac,
+        |    CAST(len(list_filter(lines, l -> l LIKE '%...'))
+        |         AS DOUBLE) / len(lines) AS ellipsis_line_frac,
+        |    CAST(len(list_filter(toks, w -> regexp_matches(w, '[A-Za-z]')))
+        |         AS DOUBLE) / n_words AS alpha_word_frac,
+        |    len(list_filter(['the','be','to','of','and','that','have','with'],
+        |        s -> list_contains(toks, s))) AS n_stopwords
+        |  FROM t)
+        |SELECT *,
+        |  (n_words BETWEEN 25 AND 100000 AND mean_word_len BETWEEN 3.0 AND 10.0
+        |   AND symbol_ratio <= 0.1 AND bullet_line_frac <= 0.9
+        |   AND ellipsis_line_frac <= 0.3 AND alpha_word_frac >= 0.8
+        |   AND n_stopwords >= 1) AS passes
+        |FROM m""".stripMargin
   )
 }

@@ -62,6 +62,15 @@ class TextOps3Spec extends AnyFunSuite {
       comp.agg(countDistinct(col("component"))).head().getLong(0))
   }
 
+  test("t53: gopher rules produce a real pass/fail mix and bounded metrics") {
+    val r = SparkEntry.queries("t53_gopher_rules")(spark, dir)
+    val n = r.count()
+    val np = r.filter(col("passes")).count()
+    assert(np > 0 && np < n) // thresholds are fixture-scaled to keep signal
+    assert(r.filter(col("alpha_word_frac") > 1.0 ||
+      col("bullet_line_frac") > 1.0 || col("n_stopwords") > 8).count() == 0)
+  }
+
   test("v49: codes stay in int8 range and dequant error is within half a step") {
     val r = SparkEntry.queries("v49_int8_quantization")(spark, dir)
     // half-step bound: err ≤ scale/2 per dim; bound by the widest dim
