@@ -186,6 +186,37 @@ object TextOps3 {
             col("ellipsis_line_frac") <= 0.3 &&
             col("alpha_word_frac") >= 0.8 &&
             col("n_stopwords") >= 1)
+    }),
+
+    // ---- Count-min-sketch heavy hitters -------------------------------
+    // The third sketch next to HLL (q63) and approx-percentiles (q71):
+    // corpus-wide frequent-token estimation through a FIXED-SIZE
+    // mergeable structure (Cormode & Muthukrishnan 2005). d=4 hash
+    // rows × w=4096 buckets (md5-prefix hashing, the cross-engine
+    // trick): the corpus flows through ONE (row,bucket)-keyed agg with
+    // cardinality ≤ d·w whatever the data size — map-side partial
+    // counts do the heavy lifting — and the 16k-row sketch broadcasts
+    // back to score candidates. est(token) = min over rows of its
+    // bucket count, which can only OVERestimate (spec-gated). At
+    // 100 TB you materialize the sketch once and probe it for any key
+    // without touching the corpus again.
+    "t54_heavy_hitters" -> ((s, dir) => {
+      val dRows = 4
+      val d = Tables.load(s, dir, "documents")
+      val toks = d.select(explode(tokens).as("token"))
+      val hashed = toks.select(col("token"),
+          explode(expr(s"transform(sequence(0, ${dRows - 1}), " +
+            "r -> struct(r AS hrow, substring(md5(concat(r, ':', token)), 1, 3) AS bucket))")).as("rb"))
+        .select(col("token"), col("rb.hrow"), col("rb.bucket"))
+      val sketch = hashed.groupBy(col("hrow"), col("bucket"))
+        .agg(count(lit(1)).as("cnt"))
+      // candidates = distinct tokens with their (row, bucket) probes;
+      // the min over rows is the CMS point estimate
+      val est = hashed.distinct()
+        .join(broadcast(sketch), Seq("hrow", "bucket"))
+        .groupBy(col("token"))
+        .agg(min(col("cnt")).as("est"))
+      est.orderBy(col("est").desc, col("token")).limit(50)
     })
   )
 
@@ -276,6 +307,20 @@ object TextOps3 {
         |   AND symbol_ratio <= 0.1 AND bullet_line_frac <= 0.9
         |   AND ellipsis_line_frac <= 0.3 AND alpha_word_frac >= 0.8
         |   AND n_stopwords >= 1) AS passes
-        |FROM m""".stripMargin
+        |FROM m""".stripMargin,
+
+    "t54_heavy_hitters" ->
+      """WITH toks AS (
+        |  SELECT unnest(string_split(text, ' ')) AS token FROM documents),
+        |hashed AS (
+        |  SELECT token, r AS hrow,
+        |    substring(md5(CAST(r AS VARCHAR) || ':' || token), 1, 3) AS bucket
+        |  FROM toks, range(0, 4) t(r)),
+        |sketch AS (SELECT hrow, bucket, count(*) AS cnt
+        |           FROM hashed GROUP BY hrow, bucket),
+        |cand AS (SELECT DISTINCT token, hrow, bucket FROM hashed),
+        |est AS (SELECT token, min(cnt) AS est
+        |        FROM cand JOIN sketch USING (hrow, bucket) GROUP BY token)
+        |SELECT token, est FROM est ORDER BY est DESC, token LIMIT 50""".stripMargin
   )
 }

@@ -71,6 +71,19 @@ class TextOps3Spec extends AnyFunSuite {
       col("bullet_line_frac") > 1.0 || col("n_stopwords") > 8).count() == 0)
   }
 
+  test("t54: CMS estimates only overestimate and rank the true top token first") {
+    val est = SparkEntry.queries("t54_heavy_hitters")(spark, dir)
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val exact = graft.Tables.load(spark, dir, "documents")
+      .select(explode(split(col("text"), " ")).as("t"))
+      .groupBy("t").count()
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    // CMS invariant: min-of-bucket-counts can never undercount
+    assert(est.forall { case (t, e) => e >= exact(t) })
+    val trueTop = exact.maxBy(x => (x._2, x._1))._1
+    assert(est.contains(trueTop))
+  }
+
   test("v49: codes stay in int8 range and dequant error is within half a step") {
     val r = SparkEntry.queries("v49_int8_quantization")(spark, dir)
     // half-step bound: err ≤ scale/2 per dim; bound by the widest dim
