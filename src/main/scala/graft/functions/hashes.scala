@@ -210,6 +210,63 @@ case class KGramHashes(child: Expression, k: Expression)
   override def prettyName: String = "kgram_hashes"
 }
 
+/** Per-position word-n-gram hashes: `ngram_hashes(tokens, n)` →
+  * array<bigint>, one 64-bit hash per n-gram start position (empty when
+  * the document has fewer than n tokens). The allocation-free
+  * replacement for `md5(concat_ws(" ", slice(tokens, i, n)))`-style
+  * gram keys (reference semantics: the shingle dedup family of
+  * SURVEY.md §2.5): each token hashes once (FNV-1a + splitmix), the n
+  * per-token hashes combine in a polynomial ring, and the shuffle key
+  * becomes a fixed 8-byte long instead of a built gram string — the
+  * per-token cost that dominates corpus-scale n-gram passes (t43/t45)
+  * at 100 TB.
+  */
+object NgramHashes {
+  private val Base = 0x100000001b3L
+  /** Static kernel shared by eval and generated code. */
+  def compute(arr: ArrayData, n: Int): ArrayData = {
+    val t = arr.numElements()
+    if (n <= 0 || t < n) return new GenericArrayData(Array.emptyLongArray)
+    val th = new Array[Long](t)
+    var i = 0
+    while (i < t) {
+      th(i) = if (arr.isNullAt(i)) 0L else Hashing.hashToken(arr.getUTF8String(i))
+      i += 1
+    }
+    val out = new Array[Long](t - n + 1)
+    i = 0
+    while (i <= t - n) {
+      var h = 0xcbf29ce484222325L
+      var j = 0
+      while (j < n) { h = h * Base + th(i + j); j += 1 }
+      out(i) = Hashing.mix64(h)
+      i += 1
+    }
+    new GenericArrayData(out)
+  }
+}
+
+case class NgramHashes(child: Expression, n: Expression)
+    extends BinaryExpression {
+  override def left: Expression = child
+  override def right: Expression = n
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ArrayType(StringType, _) if n.foldable && n.dataType == IntegerType =>
+      TypeCheckResult.TypeCheckSuccess
+    case _ =>
+      TypeCheckResult.TypeCheckFailure("ngram_hashes expects (array<string>, foldable int)")
+  }
+  override def nullSafeEval(tokens: Any, nv: Any): Any =
+    NgramHashes.compute(tokens.asInstanceOf[ArrayData], nv.asInstanceOf[Int])
+  override protected def doGenCode(ctx: codegen.CodegenContext,
+      ev: codegen.ExprCode): codegen.ExprCode =
+    defineCodeGen(ctx, ev, (t, nn) => s"graft.functions.NgramHashes.compute($t, $nn)")
+  override protected def withNewChildrenInternal(l: Expression, r: Expression): Expression =
+    copy(child = l, n = r)
+  override def prettyName: String = "ngram_hashes"
+}
+
 /** 64-bit SimHash of a token array: `simhash(tokens)` → bigint.
   * Near-duplicate docs differ in few bits (small Hamming distance).
   */
@@ -404,6 +461,8 @@ object functions {
   def token_hashes(tokens: Column): Column = column(TokenHashes(expression(tokens)))
   def kgram_hashes(text: Column, k: Int): Column =
     column(KGramHashes(expression(text), Literal(k)))
+  def ngram_hashes(tokens: Column, n: Int): Column =
+    column(NgramHashes(expression(tokens), Literal(n)))
   def simhash(tokens: Column): Column = column(SimHash64(expression(tokens)))
   def hamming64(a: Column, b: Column): Column =
     column(HammingDistance64(Cast(expression(a), LongType), Cast(expression(b), LongType)))
@@ -422,6 +481,8 @@ object functions {
     reg.createOrReplaceTempFunction("token_hashes", es => TokenHashes(es.head), "built-in")
     reg.createOrReplaceTempFunction("kgram_hashes",
       es => KGramHashes(es(0), Cast(es(1), IntegerType)), "built-in")
+    reg.createOrReplaceTempFunction("ngram_hashes",
+      es => NgramHashes(es(0), Cast(es(1), IntegerType)), "built-in")
     reg.createOrReplaceTempFunction("hamming64",
       es => HammingDistance64(Cast(es(0), LongType), Cast(es(1), LongType)), "built-in")
     reg.createOrReplaceTempFunction("sig_agree",

@@ -31,11 +31,22 @@ import graft.functions.functions.cosine_sim
 object Ivf {
 
   /** k-means centroids after `iters` Lloyd passes.
+    *
+    * Trains driver-local over a bounded hash-ordered sample
+    * (`sampleCap` rows — independent of corpus size, so the collect
+    * stays metadata-scale at 100 TB): the FAISS practice of fitting the
+    * coarse quantizer on a sample while only the ASSIGNMENT (a map-side
+    * codegen'd expression here) sees every vector. `sampleCap <= 0`
+    * falls back to fully distributed Lloyd passes (one assign +
+    * recompute shuffle per pass) for when the centroids must be fit on
+    * the whole corpus.
     * @return (cell: int, centroid: array<float>)
     */
   def centroids(vectors: DataFrame, idCol: String, embCol: String,
-                k: Int, iters: Int): DataFrame = {
+                k: Int, iters: Int, sampleCap: Int = 1 << 14): DataFrame = {
     require(k > 0 && iters >= 0)
+    if (sampleCap > 0)
+      return centroidsLocal(vectors, idCol, embCol, k, iters, sampleCap)
     val seedW = Window.orderBy(hash(col(idCol))) // k rows only
     var cents = vectors.orderBy(hash(col(idCol))).limit(k)
       .select(row_number().over(seedW).as("cell"),
@@ -47,6 +58,58 @@ object Ivf {
       i += 1
     }
     cents
+  }
+
+  /** Driver-local spherical Lloyd over one bounded sample collect —
+    * the same seeding (first k by `hash(id)` order, cells numbered
+    * 1..k), the same cosine argmax with (sim desc, cell asc) ties
+    * ([[graft.functions.NearestCells]]), the same per-dimension mean
+    * with empty cells dropping out — minus the per-pass distributed
+    * assign/recompute jobs (whose DataFrame lineage re-executed every
+    * earlier pass on each iteration).
+    */
+  private def centroidsLocal(vectors: DataFrame, idCol: String, embCol: String,
+                             k: Int, iters: Int, sampleCap: Int): DataFrame = {
+    val spark = vectors.sparkSession
+    import spark.implicits._
+    val sample = vectors.orderBy(hash(col(idCol))).limit(math.max(k, sampleCap))
+      .select(col(embCol).cast("array<float>")).collect()
+      .map(_.getSeq[Float](0).toArray)
+    require(sample.nonEmpty, "k-means needs at least one vector")
+    var cells: Array[Int] = Array.tabulate(math.min(k, sample.length))(_ + 1)
+    var cents: Array[Array[Float]] = sample.take(k).map(_.clone())
+    var i = 0
+    while (i < iters) {
+      val dim = cents.map(_.length).max
+      val norms = cents.map(c => math.sqrt(c.foldLeft(0.0)((a, x) => a + x.toDouble * x)))
+      val sums = Array.fill(cents.length, dim)(0.0)
+      val counts = Array.fill(cents.length)(0L)
+      sample.foreach { vec =>
+        val vnorm = math.sqrt(vec.foldLeft(0.0)((a, x) => a + x.toDouble * x))
+        var best = 0; var bestSim = Double.NegativeInfinity
+        var c = 0
+        while (c < cents.length) {
+          val cent = cents(c)
+          val lim = math.min(vec.length, cent.length)
+          var dot = 0.0; var d = 0
+          while (d < lim) { dot += vec(d).toDouble * cent(d); d += 1 }
+          val sim = if (vnorm == 0.0 || norms(c) == 0.0) 0.0 else dot / (vnorm * norms(c))
+          // strict > keeps the lowest cell id on ties, like NearestCells
+          if (sim > bestSim) { bestSim = sim; best = c }
+          c += 1
+        }
+        counts(best) += 1
+        val acc = sums(best)
+        var d = 0
+        while (d < math.min(vec.length, dim)) { acc(d) += vec(d); d += 1 }
+      }
+      val keep = cells.indices.filter(counts(_) > 0L) // empty cells drop out
+      cells = keep.map(cells).toArray
+      cents = keep.map(c => sums(c).map(x => (x / counts(c)).toFloat)).toArray
+      i += 1
+    }
+    cells.zip(cents).toSeq.map { case (c, v) => (c, v.toSeq) }
+      .toDF("cell", "centroid")
   }
 
   /** Collect the (small) centroid table to the driver as a matrix —

@@ -32,10 +32,22 @@ object Pq {
 
   /** Train per-subspace codebooks: M subspaces, K codewords each,
     * `iters` Lloyd passes. @return [M][K][dSub] matrix.
+    *
+    * Training runs driver-local over a bounded hash-ordered sample
+    * (`sampleCap` rows — independent of corpus size, so the collect is
+    * metadata-scale at 100 TB too). This is how production PQ indexes
+    * are trained: FAISS fits codebooks on a 10⁴–10⁶-point sample, never
+    * the corpus — only ENCODING must see every vector, and that stays a
+    * map-side codegen'd expression here. `sampleCap <= 0` falls back to
+    * full-corpus distributed Lloyd (one encode + one (sub,code,dim)
+    * aggregate job per pass) for when the codebooks must see all data.
     */
   def train(vectors: DataFrame, idCol: String, embCol: String,
-            m: Int, k: Int, iters: Int): Array[Array[Array[Float]]] = {
+            m: Int, k: Int, iters: Int,
+            sampleCap: Int = 1 << 14): Array[Array[Array[Float]]] = {
     require(m > 0 && k > 0 && iters >= 0)
+    if (sampleCap > 0)
+      return trainLocal(vectors, idCol, embCol, m, k, iters, sampleCap)
     val dim = vectors.select(size(col(embCol))).head().getInt(0)
     require(dim % m == 0, s"dim $dim not divisible by M=$m")
     val dSub = dim / m
@@ -63,6 +75,63 @@ object Pq {
         next(r.getInt(0))(r.getInt(1))(r.getInt(2)) = r.getDouble(3).toFloat
       }
       cbs = next
+      it += 1
+    }
+    cbs
+  }
+
+  /** Driver-local Lloyd over one bounded sample collect: the same
+    * seeding (first K by `hash(id)` order), the same argmin-L2 encode
+    * ([[graft.functions.PqFns.encode]] keeps the lowest code on ties),
+    * the same per-(sub, code, dim) mean with empty clusters keeping
+    * their old codeword — minus `iters` distributed jobs.
+    */
+  private def trainLocal(vectors: DataFrame, idCol: String, embCol: String,
+                         m: Int, k: Int, iters: Int,
+                         sampleCap: Int): Array[Array[Array[Float]]] = {
+    val sample = vectors.orderBy(hash(col(idCol))).limit(math.max(k, sampleCap))
+      .select(col(embCol).cast("array<float>")).collect()
+      .map(_.getSeq[Float](0).toArray)
+    require(sample.nonEmpty, "PQ training needs at least one vector")
+    val dim = sample(0).length
+    require(dim % m == 0, s"dim $dim not divisible by M=$m")
+    val dSub = dim / m
+    val seeds = sample.take(k)
+    var cbs = Array.tabulate(m, k)((s, j) =>
+      seeds(j % seeds.length).slice(s * dSub, (s + 1) * dSub))
+    var it = 0
+    while (it < iters) {
+      val sums = Array.fill(m, k, dSub)(0.0)
+      val counts = Array.fill(m, k)(0L)
+      sample.foreach { vec =>
+        var s = 0
+        while (s < m) {
+          val cb = cbs(s)
+          val off = s * dSub
+          var best = 0; var bestD = Double.MaxValue
+          var c = 0
+          while (c < k) {
+            val cw = cb(c)
+            var d2 = 0.0; var d = 0
+            while (d < dSub) {
+              val diff = vec(off + d).toDouble - cw(d); d2 += diff * diff; d += 1
+            }
+            if (d2 < bestD) { bestD = d2; best = c }
+            c += 1
+          }
+          counts(s)(best) += 1
+          val acc = sums(s)(best)
+          var d = 0
+          while (d < dSub) { acc(d) += vec(off + d); d += 1 }
+          s += 1
+        }
+      }
+      cbs = Array.tabulate(m, k)((s, c) =>
+        if (counts(s)(c) == 0L) cbs(s)(c) // empty cluster keeps old codeword
+        else {
+          val n = counts(s)(c).toDouble
+          sums(s)(c).map(x => (x / n).toFloat)
+        })
       it += 1
     }
     cbs

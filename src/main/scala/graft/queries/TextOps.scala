@@ -298,22 +298,22 @@ object TextOps {
     // ---- Benchmark decontamination (n-gram overlap) --------------------
     // The standard pretraining hygiene op: drop/flag corpus documents
     // sharing word-4-gram shingles with a held-out benchmark set.
-    // Scale shape: shingles become FIXED-WIDTH keys (md5/16-hex — the
-    // same trick both engines share), the benchmark side collapses to
+    // Scale shape: shingles become FIXED-WIDTH 64-bit keys (the
+    // codegen'd ngram_hashes), the benchmark side collapses to
     // DISTINCT hashes (tiny → broadcast), and the corpus side joins
     // map-side; the only shuffle is the per-doc count aggregation.
     // At 100 TB the benchmark stays broadcast-sized by construction
     // (eval sets are fixed), so the scan never reshuffles.
     "t43_decontamination" -> ((s, dir) => {
       val d = Tables.load(s, dir, "documents")
+      // ngram_hashes → 8-byte long keys, no gram-string allocation, and
+      // short docs (<4 tokens) yield an empty array that explode drops —
+      // the same rows the oracle's len >= 4 guard keeps. The hash is
+      // engine-internal (join key + countDistinct only), so the DuckDB
+      // oracle keeps its own md5 keys.
       def grams5(df: org.apache.spark.sql.DataFrame) = df
-        .select(col("doc_id"), explode(
-          // sequence(1, 0) would DESCEND ([1,0]) — guard short docs
-          when(size(tokens) >= 4,
-            transform(sequence(lit(1), size(tokens) - 3),
-              i => concat_ws(" ", slice(tokens, i, lit(4)))))
-          .otherwise(array().cast("array<string>"))).as("g"))
-        .select(col("doc_id"), substring(md5(col("g")), 1, 16).as("h"))
+        .select(col("doc_id"),
+          explode(graft.functions.functions.ngram_hashes(tokens, 4)).as("h"))
       val bench = grams5(d.filter(col("doc_id") % 50 === 0))
         .select("h").distinct()
       val corpus = grams5(d.filter(col("doc_id") % 50 =!= 0))

@@ -21,27 +21,35 @@ object TextOps2 {
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // ---- Cross-document duplicated 4-gram spans -----------------------
     // Per doc: how many of its 4-gram positions also occur in ANOTHER
-    // document. Scale path: explode to (gram-hash, doc) rows, count
-    // distinct docs per gram, join back on the gram hash — every
-    // shuffle keys on the 16-hex gram hash (cardinality = corpus
-    // n-grams, uniformly distributed), never a doc×doc pair join. This
-    // is the distributed approximation of the suffix-array pass in
+    // document. Scale path: explode to (gram-hash, doc) rows via the
+    // codegen'd ngram_hashes (8-byte long keys, no gram-string
+    // allocation), pre-aggregate to per-(doc, gram) counts, count docs
+    // per gram off that compact table, join back on the gram hash —
+    // every shuffle keys on the 64-bit gram hash (cardinality = corpus
+    // n-grams, uniformly distributed), never a doc×doc pair join, and
+    // the (doc, gram)→Exchange(h) subtree is shared by the join's two
+    // branches (ReusedExchange), so the corpus explodes exactly ONCE.
+    // This is the distributed approximation of the suffix-array pass in
     // Lee et al.; t43 (decontamination) is the same skeleton against an
-    // external eval set, this one is corpus-internal.
+    // external eval set, this one is corpus-internal. The hash is
+    // engine-internal (never output), so the DuckDB oracle keeps its
+    // own md5 keys — counts agree regardless of hash choice.
     "t45_dup_ngram_spans" -> ((s, dir) => {
       val d = Tables.load(s, dir, "documents")
-      val g = d.select(col("doc_id"), explode(
-          when(size(tokens) >= 4,
-            transform(sequence(lit(1), size(tokens) - 3),
-              i => concat_ws(" ", slice(tokens, i, lit(4)))))
-          .otherwise(array().cast("array<string>"))).as("g"))
-        .select(col("doc_id"), substring(md5(col("g")), 1, 16).as("h"))
-      val docsPerGram = g.groupBy(col("h"))
-        .agg(countDistinct(col("doc_id")).as("nd"))
-      g.join(docsPerGram, Seq("h")) // same shuffle key as the groupBy
+      val gc = d.select(col("doc_id"),
+          explode(graft.functions.functions.ngram_hashes(tokens, 4)).as("h"))
+        .groupBy(col("doc_id"), col("h")).agg(count(lit(1)).as("c"))
+      // nd via a window over h instead of a groupBy+self-join: the
+      // join formulation re-plans the explode subtree per branch (its
+      // Exchange canonicalizes differently once Catalyst prunes the
+      // count into a DISTINCT), so the corpus would scan+explode
+      // twice; the window keeps ONE scan and shuffles only the
+      // compact (doc, gram, c) table. (doc,h) is distinct here ⇒
+      // per-h row count = distinct docs.
+      gc.withColumn("nd", count(lit(1)).over(Window.partitionBy(col("h"))))
         .groupBy(col("doc_id"))
-        .agg(count(lit(1)).as("n_grams"),
-          sum(when(col("nd") >= 2, 1).otherwise(0)).as("n_dup_grams"))
+        .agg(sum(col("c")).as("n_grams"),
+          sum(when(col("nd") >= 2, col("c")).otherwise(0L)).as("n_dup_grams"))
         .withColumn("dup_frac",
           col("n_dup_grams").cast("double") / col("n_grams"))
     }),

@@ -174,7 +174,8 @@ object VectorOps {
 
     // ---- K-means clustering (semantic grouping) -----------------------
     // The clustering use of the IVF machinery: spherical k-means (k=8,
-    // 2 Lloyd passes — graft.ops.Ivf.centroids, every pass distributed)
+    // 2 Lloyd passes — graft.ops.Ivf.centroids, fit on a bounded
+    // hash-ordered sample like a FAISS coarse quantizer)
     // with the final per-vector assignment, cosine to the owning
     // centroid, and cluster sizes. Unlike v43 (whose oracle replays
     // search over the materialized ASSIGNMENT), this oracle recomputes

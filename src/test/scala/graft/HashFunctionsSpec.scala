@@ -134,6 +134,35 @@ class HashFunctionsSpec extends AnyFunSuite {
     assert(again == got)
   }
 
+  test("ngram_hashes: position count, gram equality, edge cases") {
+    val df = Seq(
+      ("a", Seq("w", "x", "y", "z", "w", "x", "y", "z")),
+      ("b", Seq("q", "w", "x", "y", "z", "k"))).toDF("id", "toks")
+    val hs = df.orderBy("id")
+      .select(ngram_hashes($"toks", 4)).collect().map(_.getSeq[Long](0))
+    assert(hs(0).length == 5 && hs(1).length == 3)
+    // same 4-gram (w x y z) hashes identically at every site, across docs
+    assert(hs(0)(0) == hs(0)(4) && hs(0)(0) == hs(1)(1))
+    // distinct grams disperse
+    assert(hs(0).distinct.length == 4) // wxyz, xyzw, yzwx, zwxy
+    // shorter than n → empty; n must see token BOUNDARIES, not chars:
+    // ["ab","c"] vs ["a","bc"] join to the same chars but differ as grams
+    val edge = Seq(
+      ("s", Seq("a", "b", "c")),
+      ("p1", Seq("ab", "c")),
+      ("p2", Seq("a", "bc"))).toDF("id", "toks")
+    val eh = edge.orderBy($"id".desc) // s, p2, p1
+      .select(ngram_hashes($"toks", 4).as("h4"), ngram_hashes($"toks", 2).as("h2"))
+      .collect()
+    assert(eh(0).getSeq[Long](0).isEmpty) // 3 tokens, n=4
+    assert(eh(1).getSeq[Long](1)(0) != eh(2).getSeq[Long](1)(0))
+    // SQL registration agrees with the Column API
+    graft.functions.functions.register(spark)
+    val viaSql = spark.sql(
+      "SELECT ngram_hashes(array('w','x','y','z','w'), 4) AS h").collect()(0).getSeq[Long](0)
+    assert(viaSql == Seq(hs(0)(0), hs(0)(1)))
+  }
+
   test("FlinkSqlOperatorTable stragglers: split_index / hash_code / truncate / is_* / rand_integer") {
     graft.functions.functions.register(spark)
     val r = spark.sql(

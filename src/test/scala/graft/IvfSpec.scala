@@ -60,4 +60,29 @@ class IvfSpec extends AnyFunSuite {
     assert(rHigh >= 0.9, s"nprobe=16 recall below contract: $rHigh")
     assert(rHigh >= r2 - 1e-9, "recall must not degrade with more probes")
   }
+
+  test("sample-local Lloyd matches distributed Lloyd when the sample covers the corpus") {
+    val dir = TestSpark.sfDir
+    val e = graft.Tables.load(spark, dir, "embeddings")
+    def asMap(df: org.apache.spark.sql.DataFrame) = df
+      .select(col("cell").cast("int"), col("centroid").cast("array<float>"))
+      .collect().map(r => r.getInt(0) -> r.getSeq[Float](1)).toMap
+    // one pass: both paths assign against the bitwise-identical seeds,
+    // so means differ only by float summation order (a second pass
+    // could legitimately flip a borderline vector between cells)
+    val local = asMap(graft.ops.Ivf.centroids(e, "vec_id", "embedding",
+      k = 8, iters = 1)) // default sampleCap ≥ corpus ⇒ sample IS the corpus
+    val dist = asMap(graft.ops.Ivf.centroids(e, "vec_id", "embedding",
+      k = 8, iters = 1, sampleCap = -1))
+    // same surviving cells; per-dimension means agree up to float
+    // summation order (the two paths fold partial sums differently)
+    assert(local.keySet == dist.keySet)
+    local.foreach { case (cell, cv) =>
+      val dv = dist(cell)
+      assert(cv.length == dv.length)
+      cv.zip(dv).foreach { case (a, b) =>
+        assert(math.abs(a - b) <= 1e-4f, s"cell $cell drifted: $a vs $b")
+      }
+    }
+  }
 }

@@ -88,4 +88,18 @@ class PqSpec extends AnyFunSuite {
     // typical inter-vector distance, else the index carries no signal
     assert(own < other / 2, s"own=$own other=$other")
   }
+
+  test("sample-local training matches distributed training when the sample covers the corpus") {
+    val dist = ops.Pq.train(e, "vec_id", "embedding",
+      m = 8, k = 16, iters = 1, sampleCap = -1)
+    // default sampleCap ≥ corpus size ⇒ identical math modulo the order
+    // the per-cluster double sums fold in
+    cbs.zip(dist).zipWithIndex.foreach { case ((ls, ds), s) =>
+      ls.zip(ds).zipWithIndex.foreach { case ((lc, dc), c) =>
+        lc.zip(dc).foreach { case (a, b) =>
+          assert(math.abs(a - b) <= 1e-4f, s"codebook[$s][$c] drifted: $a vs $b")
+        }
+      }
+    }
+  }
 }
