@@ -52,6 +52,30 @@ object Bench {
     }
     if (sys.env.getOrElse("SPARK_GRAFT_WARMUP", "1") == "1")
       sorted.foreach { case (n, f) => runOnce(n, f) }
+    // Environment calibration: two fixed jobs whose cost is independent
+    // of any query code — a reader comparing rounds divides medians by
+    // these to separate plan regressions from host-speed drift (this
+    // sandbox's vCPUs are time-shared; absolute wall times swing >10×
+    // between quiet and contended windows).
+    def medianOf(ts: Seq[Double]): Double = ts.sorted.apply(ts.length / 2)
+    // bit_xor, not sum: summing 200M arbitrary longs overflows ANSI
+    // LongType; xor is closed over Long. Never let calibration kill the
+    // bench — fall back to -1 on any failure.
+    val calibSpark = try medianOf((1 to 3).map { _ =>
+      val t0 = System.nanoTime()
+      spark.range(0L, 200000000L, 1L, cpus.toInt)
+        .selectExpr("bit_xor(xxhash64(id)) AS s").collect()
+      (System.nanoTime() - t0) / 1e9
+    }) catch { case e: Throwable =>
+      System.err.println(s"[bench] calibration failed: $e"); -1.0
+    }
+    val calibJvm = medianOf((1 to 3).map { _ =>
+      val t0 = System.nanoTime()
+      var acc = 0L; var i = 0L
+      while (i < 100000000L) { acc ^= graft.functions.Hashing.mix64(i); i += 1 }
+      if (acc == 42L) println("") // keep the loop observable
+      (System.nanoTime() - t0) / 1e9
+    })
     val results = sorted.map { case (name, fn) =>
       val ts = (1 to runs).map(_ => runOnce(name, fn)).sorted
       val median = ts(ts.length / 2)
@@ -65,7 +89,8 @@ object Bench {
     val qs = m(results.map(r => r._1 -> r._2))
     val sds = m(results.map(r => r._1 -> r._3))
     val sk = skipped.map("\"" + _ + "\"").mkString("[", ",", "]")
-    val json = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"stddev":$sds,"runs":$runs,"skipped":$sk,"sf":"$sfDir"}"""
+    val json = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"stddev":$sds,"runs":$runs,"skipped":$sk,""" +
+      f""""calib_spark32_sec":$calibSpark%.4f,"calib_jvm1_sec":$calibJvm%.4f,"sf":"$sfDir"}"""
     println(json)
     // Durability: the driver's stdout capture truncates long tails, so
     // also write the full per-query JSON to a committed file — the next
