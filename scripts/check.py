@@ -40,6 +40,39 @@ def canon(rows, colnames):
     out.sort()
     return hashlib.sha256('\n'.join(out).encode()).hexdigest(), len(out)
 
+def canon_pandas(df):
+    """Second canon mode mimicking the driver's pandas comparator
+    (sort_values over all columns + per-dtype string casting). Catches
+    representation-level divergence the repr canon can't see — e.g. an
+    engine int column that arrives with NULLs becomes float64 in pandas
+    and renders '5.0' where the oracle's non-null int64 renders '5'.
+    Local PANDIFF predicts driver hash-red even when repr-canon passes."""
+    import pandas as pd
+    df = df.reindex(sorted(df.columns), axis=1)
+    if len(df):
+        df = df.sort_values(by=list(df.columns), kind='mergesort').reset_index(drop=True)
+    def cell(x):
+        # date vs midnight-timestamp hash EQUAL (calibrated on the
+        # driver: q39 emits parquet DATE vs DuckDB datetime64 and is
+        # driver-green), while int-vs-float renders DIFFER (t46's
+        # HUGEINT->float64 seq_id was driver-red).
+        if x is None or (not isinstance(x, (list, tuple, dict)) and pd.isna(x)):
+            return 'NULL'
+        if hasattr(x, 'isoformat'):
+            v = x.isoformat()
+            return v[:-9] if v.endswith(('T00:00:00', ' 00:00:00')) else v
+        return str(x)
+    parts = []
+    for c in df.columns:
+        s = df[c]
+        if s.dtype.kind == 'f':
+            s = s.map(lambda x: 'NULL' if pd.isna(x) else repr(round(x, 9) + 0.0))
+        else:
+            s = s.map(cell)
+        parts.append(s.tolist())
+    lines = sorted('\x01'.join(str(v) for v in row) for row in zip(*parts)) if parts else []
+    return hashlib.sha256('\n'.join(lines).encode()).hexdigest(), len(df)
+
 def selftest():
     """Guard the guard: an array-typed cell must trip ArrayCell (the
     driver's pandas comparator dies on ndarray cells, so local green on
@@ -98,8 +131,26 @@ def main():
             n_fail += 1
             continue
         if h1 == h2:
-            print(f"PASS     {name} ({c1} rows)")
-            n_pass += 1
+            # repr canon green — also run the pandas-mimic canon so a
+            # dtype/representation divergence (the t46 class of driver
+            # red) is caught locally. Exceptions here are advisory only.
+            pdiff = None
+            try:
+                import pandas as pd
+                edf = pd.read_parquet(qdir)
+                odf = con.execute(oracle[name]).df()
+                p1, _ = canon_pandas(edf)
+                p2, _ = canon_pandas(odf)
+                if p1 != p2:
+                    pdiff = "pandas-canon hashes differ"
+            except Exception as e:
+                print(f"  (pandas-canon skipped for {name}: {e})")
+            if pdiff:
+                print(f"PANDIFF  {name}: {pdiff} — driver comparator would likely red this")
+                n_fail += 1
+            else:
+                print(f"PASS     {name} ({c1} rows)")
+                n_pass += 1
         else:
             print(f"HASHDIFF {name}: engine {c1} rows, oracle {c2} rows")
             # show first diffs

@@ -6,24 +6,54 @@ import org.apache.spark.sql.SparkSession
   * forcing full materialization through a noop sink (count() would let
   * Catalyst prune the projected columns), and prints one JSON line.
   *
-  * Methodology: one warmup pass (JIT, codegen cache, page cache), then
-  * SPARK_GRAFT_RUNS (default 3) timed runs per query; the reported
-  * per-query number is the MEDIAN and a stddev map quantifies noise —
-  * the driver compares rounds against a frozen baseline, so
-  * run-to-run variance matters more than absolute wall time.
+  * Methodology: per query, one warmup pass (JIT, codegen cache, page
+  * cache) immediately followed by SPARK_GRAFT_RUNS (default 3) timed
+  * runs; the reported per-query number is the MEDIAN and a stddev map
+  * quantifies noise — the driver compares rounds against a frozen
+  * baseline, so run-to-run variance matters more than absolute wall
+  * time.
   *
-  * `t36_jaccard_pairs` is excluded from the headline timing: it is the
-  * documented intentionally-quadratic exact-Jaccard fixture (the LSH
-  * queries n51/n53 are the scale path), and letting an O(n²) baseline
-  * dominate 26% of the bench total hides regressions in the operators
-  * that matter at 100 TB. It still runs in the correctness gate.
+  * Timeout-proofing (round 6): the driver's round-5 bench was killed
+  * by its wall budget and left NO artifact (one write at the very
+  * end). Now the full cumulative JSON is rewritten to the output file
+  * after EVERY query, so a kill at any point leaves every completed
+  * row parseable ("partial":true marks an in-flight file). A wall
+  * budget (SPARK_GRAFT_BENCH_BUDGET_SEC, default 1080 s) degrades
+  * gracefully: under 25% budget remaining → 1 run and no warmup per
+  * query; under 2% → stop and report the rest in "not_run".
+  *
+  * `t36_jaccard_pairs` — the documented intentionally-quadratic
+  * exact-Jaccard baseline (LSH queries n51/n53 are the scale path) —
+  * is NOT run at all by default: at ~12 s/run it was 12% of battery
+  * wall for a query excluded from the headline by design.
+  * SPARK_GRAFT_BENCH_T36=1 re-enables it (still excluded from the
+  * headline total). It always runs in the correctness gate.
+  *
+  * SPARK_GRAFT_ONLY="q1_x q2_y" benches a subset — the 9-run
+  * fresh-JVM median playbook for per-query drift investigation. A
+  * subset run records "only":[...] in the JSON and defaults its
+  * output file to BENCH_SUBSET.json so it can never silently
+  * overwrite the committed full-battery artifact.
   */
 object Bench {
   def main(args: Array[String]): Unit = {
+    val startNano = System.nanoTime()
+    def elapsed: Double = (System.nanoTime() - startNano) / 1e9
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
     val runs = sys.env.getOrElse("SPARK_GRAFT_RUNS", "3").toInt
+    val budget = sys.env.getOrElse("SPARK_GRAFT_BENCH_BUDGET_SEC", "1080").toDouble
+    val warmupOn = sys.env.getOrElse("SPARK_GRAFT_WARMUP", "1") == "1"
+    // run-but-not-in-headline-total (kept for round-over-round compat)
     val skipped = Seq("t36_jaccard_pairs")
+    // not run at all unless explicitly re-enabled
+    val excluded =
+      if (sys.env.getOrElse("SPARK_GRAFT_BENCH_T36", "0") == "1") Seq.empty[String]
+      else Seq("t36_jaccard_pairs")
+    val only = sys.env.get("SPARK_GRAFT_ONLY")
+      .map(_.split("\\s+").toSet).getOrElse(Set.empty[String])
+    val outFile = sys.env.getOrElse("SPARK_GRAFT_BENCH_FILE",
+      if (only.nonEmpty) "BENCH_SUBSET.json" else "BENCH_LOCAL.json")
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
@@ -32,16 +62,9 @@ object Bench {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
-    // Skipped queries are still timed and reported in the queries map
-    // (so round-over-round per-query diffs stay complete); they are
-    // only excluded from the headline "value" total.
-    // SPARK_GRAFT_ONLY="q1_x q2_y" benches a subset — the 9-run
-    // fresh-JVM median playbook for investigating per-query drift
-    // without the full battery's 25-minute wall.
-    val only = sys.env.get("SPARK_GRAFT_ONLY")
-      .map(_.split("\\s+").toSet).getOrElse(Set.empty[String])
     val sorted = SparkEntry.queries.toSeq.sortBy(_._1)
       .filter { case (n, _) => only.isEmpty || only(n) }
+      .filterNot { case (n, _) => excluded.contains(n) }
     def runOnce(name: String, fn: (SparkSession, String) => org.apache.spark.sql.DataFrame): Double = {
       val t0 = System.nanoTime()
       try fn(spark, sfDir).write.format("noop").mode("overwrite").save()
@@ -50,13 +73,12 @@ object Bench {
       }
       (System.nanoTime() - t0) / 1e9
     }
-    if (sys.env.getOrElse("SPARK_GRAFT_WARMUP", "1") == "1")
-      sorted.foreach { case (n, f) => runOnce(n, f) }
     // Environment calibration: two fixed jobs whose cost is independent
     // of any query code — a reader comparing rounds divides medians by
     // these to separate plan regressions from host-speed drift (this
     // sandbox's vCPUs are time-shared; absolute wall times swing >10×
-    // between quiet and contended windows).
+    // between quiet and contended windows). Runs FIRST so even a
+    // truncated artifact carries the calibration context.
     def medianOf(ts: Seq[Double]): Double = ts.sorted.apply(ts.length / 2)
     // bit_xor, not sum: summing 200M arbitrary longs overflows ANSI
     // LongType; xor is closed over Long. Never let calibration kill the
@@ -76,28 +98,59 @@ object Bench {
       if (acc == 42L) println("") // keep the loop observable
       (System.nanoTime() - t0) / 1e9
     })
-    val results = sorted.map { case (name, fn) =>
-      val ts = (1 to runs).map(_ => runOnce(name, fn)).sorted
-      val median = ts(ts.length / 2)
-      val mean = ts.sum / ts.length
-      val sd = math.sqrt(ts.map(t => (t - mean) * (t - mean)).sum / ts.length)
-      (name, median, sd)
-    }
+
     def m(kv: Seq[(String, Double)]): String =
       kv.map { case (k, v) => "\"" + k + "\":" + f"$v%.4f" }.mkString("{", ",", "}")
-    val total = results.filterNot(r => skipped.contains(r._1)).map(_._2).sum
-    val qs = m(results.map(r => r._1 -> r._2))
-    val sds = m(results.map(r => r._1 -> r._3))
-    val sk = skipped.map("\"" + _ + "\"").mkString("[", ",", "]")
-    val json = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"stddev":$sds,"runs":$runs,"skipped":$sk,""" +
-      f""""calib_spark32_sec":$calibSpark%.4f,"calib_jvm1_sec":$calibJvm%.4f,"sf":"$sfDir"}"""
+    def arr(xs: Seq[String]): String = xs.map("\"" + _ + "\"").mkString("[", ",", "]")
+    def renderJson(results: Seq[(String, Double, Double)], notRun: Seq[String],
+                   partial: Boolean): String = {
+      val total = results.filterNot(r => skipped.contains(r._1)).map(_._2).sum
+      val onlyField =
+        if (only.nonEmpty) s""""only":${arr(only.toSeq.sorted)},""" else ""
+      val partialField = if (partial) """"partial":true,""" else ""
+      s"""{"metric":"total","value":$total,"unit":"sec",""" +
+        s""""queries":${m(results.map(r => r._1 -> r._2))},""" +
+        s""""stddev":${m(results.map(r => r._1 -> r._3))},""" +
+        s""""runs":$runs,"skipped":${arr(skipped)},"excluded":${arr(excluded)},""" +
+        s""""not_run":${arr(notRun)},$onlyField$partialField""" +
+        f""""calib_spark32_sec":$calibSpark%.4f,"calib_jvm1_sec":$calibJvm%.4f,""" +
+        s""""budget_sec":$budget,"sf":"$sfDir"}"""
+    }
+    def writeFile(json: String): Unit =
+      try java.nio.file.Files.writeString(java.nio.file.Paths.get(outFile), json + "\n")
+      catch { case e: Throwable => System.err.println(s"[bench] could not write $outFile: $e") }
+
+    val results = scala.collection.mutable.ArrayBuffer.empty[(String, Double, Double)]
+    var stoppedAt = -1
+    var i = 0
+    while (i < sorted.length && stoppedAt < 0) {
+      val (name, fn) = sorted(i)
+      if (elapsed > budget * 0.98) {
+        System.err.println(f"[bench] budget exhausted at $elapsed%.0f s — stopping before $name")
+        stoppedAt = i
+      } else {
+        // Degrade near the budget: 1 run, no warmup, so every remaining
+        // query still gets a (noisier) row instead of none.
+        val degraded = elapsed > budget * 0.75
+        if (warmupOn && !degraded) runOnce(name, fn)
+        val nRuns = if (degraded) 1 else runs
+        val ts = (1 to nRuns).map(_ => runOnce(name, fn)).sorted
+        val median = ts(ts.length / 2)
+        val mean = ts.sum / ts.length
+        val sd = math.sqrt(ts.map(t => (t - mean) * (t - mean)).sum / ts.length)
+        results += ((name, median, sd))
+        // Durability: rewrite the cumulative artifact after EVERY query
+        // so a driver-side kill (round-5's rc=124) still leaves every
+        // completed row on disk, parseable.
+        val notRunYet = sorted.drop(i + 1).map(_._1)
+        writeFile(renderJson(results.toSeq, notRunYet, partial = notRunYet.nonEmpty))
+        i += 1
+      }
+    }
+    val notRun = if (stoppedAt >= 0) sorted.drop(stoppedAt).map(_._1) else Seq.empty
+    val json = renderJson(results.toSeq, notRun, partial = false)
     println(json)
-    // Durability: the driver's stdout capture truncates long tails, so
-    // also write the full per-query JSON to a committed file — the next
-    // round's judge reads this when BENCH_r{N}.json is cut mid-battery.
-    val outFile = sys.env.getOrElse("SPARK_GRAFT_BENCH_FILE", "BENCH_LOCAL.json")
-    try java.nio.file.Files.writeString(java.nio.file.Paths.get(outFile), json + "\n")
-    catch { case e: Throwable => System.err.println(s"[bench] could not write $outFile: $e") }
+    writeFile(json)
     spark.stop()
   }
 }

@@ -5,9 +5,12 @@ import org.apache.spark.sql.functions._
 import graft.multimodal.Media
 
 /** Multimodal pipeline queries (binary payload → stub decode →
-  * features / frames). m60/m61 are rows-only driver checks (the codec
-  * decode isn't SQL-expressible); MediaSpec covers those semantics.
-  * m62 IS oracle-checked: it materializes the ingest table (real
+  * features / frames). Every query is oracle-checked via
+  * materialize-then-replay: the codec decode itself isn't
+  * SQL-expressible (MediaSpec covers those semantics), but each query
+  * materializes its intermediate table and lets DuckDB replay the
+  * SQL-expressible tail.
+  * m62 materializes the ingest table (real
   * PNG/WAV payloads in a binary column) and DuckDB independently
   * verifies the binary roundtrip (octet_length per payload) and the
   * frame-sampling arithmetic (frame count from byte length) against
@@ -15,10 +18,18 @@ import graft.multimodal.Media
   */
 object MultiModal {
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
-    // per-modality feature aggregate over decoded payloads
+    // per-modality feature aggregate over decoded payloads —
+    // oracle-checked via materialize-then-replay (the m61/m62 trick):
+    // the codec decode stays spec-land (MediaSpec), but the per-media
+    // feature table is written to parquet and BOTH engines aggregate
+    // it, so the count/total_bytes/min/max arithmetic is verified.
     "m60_media_features" -> ((s, dir) => {
-      val feats = Media.extractFeatures(Media.ingestFromDocuments(s, dir))
-      feats.toDF()
+      val p = s"/tmp/graft_oracle/${new java.io.File(dir).getName}/media_features"
+      Media.extractFeatures(Media.ingestFromDocuments(s, dir)).toDF()
+        .select(col("media_id"), col("media_type"), col("n_bytes"),
+          col("brightness"))
+        .write.mode("overwrite").parquet(p)
+      s.read.parquet(p)
         .groupBy(col("media_type"))
         .agg(count(lit(1)).as("n_media"),
              sum(col("n_bytes")).as("total_bytes"),
@@ -105,6 +116,17 @@ object MultiModal {
   )
 
   def oracles: Map[String, String] = Map(
+    // re-aggregates the materialized per-media feature table; max/min
+    // select stored doubles verbatim (no float arithmetic on either
+    // side), sum/count are integer — representation-safe.
+    "m60_media_features" ->
+      """SELECT media_type, count(*) AS n_media,
+        |  CAST(sum(n_bytes) AS BIGINT) AS total_bytes,
+        |  max(brightness) AS max_brightness,
+        |  min(brightness) AS min_brightness
+        |FROM read_parquet('/tmp/graft_oracle/sf0.01/media_features/*.parquet')
+        |GROUP BY media_type""".stripMargin,
+
     // frames = range(0, max(len-64, 0), 32): count is the ceiling
     // division, last offset is (count-1)*32; media with no frame
     // (len <= 64) emit no row at all.

@@ -230,6 +230,11 @@ object NearDup {
         labels = next.select(col("doc_id"), col("label"))
         iter += 1
       }
+      // A component with diameter > 20 would silently emit
+      // non-converged labels while the oracle's recursive CTE computes
+      // the full closure — make any divergence attributable.
+      require(changed == 0,
+        s"n54 label propagation did not converge in $iter rounds ($changed moved)")
       val sizes = labels.groupBy(col("label"))
         .agg(count(lit(1)).as("component_size"))
       labels.join(sizes, "label")

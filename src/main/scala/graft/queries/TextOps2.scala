@@ -65,17 +65,23 @@ object TextOps2 {
     "t46_sequence_packing" -> ((s, dir) => {
       val budget = 256
       val d = Tables.load(s, dir, "documents")
+      // Frame pinned to ROWS (not Spark's default RANGE): on a tie in
+      // doc_id RANGE would sum peers together and diverge from the
+      // oracle's ROWS frame. All-integer output surface (ppm instead of
+      // a raw double) so the driver's pandas comparator can never see a
+      // float-representation difference.
       val w = Window.partitionBy(col("source")).orderBy(col("doc_id"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
       d.select(col("source"), col("doc_id"), size(tokens).as("n_tok"))
         .withColumn("cum", sum(col("n_tok")).over(w))
         .withColumn("seq_id", expr(s"(cum - n_tok) div $budget"))
         .groupBy(col("source"), col("seq_id"))
         .agg(count(lit(1)).as("n_docs"),
           sum(col("n_tok")).as("seq_tokens"),
-          min(col("doc_id")).as("first_doc"),
-          max(col("doc_id")).as("last_doc"))
-        .withColumn("fill_ratio",
-          col("seq_tokens").cast("double") / budget)
+          min(col("doc_id")).cast("long").as("first_doc"),
+          max(col("doc_id")).cast("long").as("last_doc"))
+        .withColumn("fill_ratio_ppm",
+          round(col("seq_tokens") * lit(1000000L) / budget).cast("long"))
     }),
 
     // ---- C4-style blocklist filter ------------------------------------
@@ -198,11 +204,13 @@ object TextOps2 {
         |  SELECT *, sum(n_tok) OVER (PARTITION BY source ORDER BY doc_id
         |    ROWS UNBOUNDED PRECEDING) AS cum
         |  FROM t
-        |), s AS (SELECT *, (cum - n_tok) // 256 AS seq_id FROM c)
+        |), s AS (SELECT *,
+        |  CAST((cum - n_tok) // 256 AS BIGINT) AS seq_id FROM c)
         |SELECT source, seq_id, count(*) AS n_docs,
         |  CAST(sum(n_tok) AS BIGINT) AS seq_tokens,
-        |  min(doc_id) AS first_doc, max(doc_id) AS last_doc,
-        |  CAST(sum(n_tok) AS DOUBLE) / 256 AS fill_ratio
+        |  CAST(min(doc_id) AS BIGINT) AS first_doc,
+        |  CAST(max(doc_id) AS BIGINT) AS last_doc,
+        |  CAST(round(sum(n_tok) * 1000000.0 / 256) AS BIGINT) AS fill_ratio_ppm
         |FROM s GROUP BY source, seq_id""".stripMargin,
 
     "t47_blocklist_filter" ->

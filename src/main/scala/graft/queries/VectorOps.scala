@@ -282,11 +282,17 @@ object VectorOps {
         .agg(min(col("v")).as("lo"), max(col("v")).as("hi"))
       elems.join(broadcast(ranges), "dim")
         .withColumn("scale", (col("hi") - col("lo")) / lit(255.0))
+        // degenerate (constant) dimension: scale=0 would make 0/0=NaN,
+        // which Spark casts to int 0 but DuckDB errors on — pin code 0
+        // / err 0 explicitly on both sides
         .withColumn("code",
-          (round((col("v") - col("lo")) / col("scale"), 0).cast("int") - 128))
+          when(col("scale") === 0, lit(0)).otherwise(
+            round((col("v") - col("lo")) / col("scale"), 0).cast("int") - 128))
         .withColumn("deq",
           (col("code") + 128).cast("double") * col("scale") + col("lo"))
-        .withColumn("err", abs(col("v") - col("deq")))
+        .withColumn("err",
+          when(col("scale") === 0, lit(0.0))
+            .otherwise(abs(col("v") - col("deq"))))
         .groupBy(col("vec_id"))
         .agg(count(lit(1)).as("n_dims"),
           sum(col("code").cast("long")).as("sum_code"),
@@ -487,9 +493,11 @@ object VectorOps {
         |q AS (SELECT vec_id, v, lo, hi, (hi - lo) / 255.0 AS scale
         |      FROM el JOIN rg USING (dim)),
         |c AS (SELECT vec_id, v, scale, lo,
-        |        CAST(round((v - lo) / scale) AS INT) - 128 AS code FROM q),
+        |        CASE WHEN scale = 0 THEN 0
+        |             ELSE CAST(round((v - lo) / scale) AS INT) - 128 END AS code FROM q),
         |d AS (SELECT vec_id, code,
-        |        abs(v - (CAST(code + 128 AS DOUBLE) * scale + lo)) AS err FROM c)
+        |        CASE WHEN scale = 0 THEN 0
+        |             ELSE abs(v - (CAST(code + 128 AS DOUBLE) * scale + lo)) END AS err FROM c)
         |SELECT vec_id, count(*) AS n_dims, CAST(sum(code) AS BIGINT) AS sum_code,
         |  avg(err) AS mean_abs_err, max(err) AS max_abs_err
         |FROM d GROUP BY vec_id""".stripMargin

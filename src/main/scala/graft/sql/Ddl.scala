@@ -82,6 +82,10 @@ object Ddl {
   /** Target table of an INSERT statement, if it is one. */
   def insertTarget(sql: String): Option[String] =
     insertRe.findFirstMatchIn(sql).map(_.group(2))
+  /** Source query (SELECT/VALUES tail) of an INSERT statement, if it
+    * is one — lets EXPLAIN plan the source without running the sink. */
+  def insertSource(sql: String): Option[String] =
+    insertRe.findFirstMatchIn(sql).map(_.group(4))
 
   // ---- type mapping ----------------------------------------------------
 

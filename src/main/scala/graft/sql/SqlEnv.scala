@@ -57,9 +57,11 @@ class SqlEnv private (val spark: SparkSession) {
       // (DDL tables, window TVFs, MATCH_RECOGNIZE) works in a view.
       case createViewRe(name, body) =>
         executeSql(body).createOrReplaceTempView(name)
+        createdViews.add(name)
         return spark.emptyDataFrame
       case dropRe(name) =>
-        tableDefs.remove(name); spark.catalog.dropTempView(name)
+        tableDefs.remove(name); createdViews.remove(name)
+        spark.catalog.dropTempView(name)
         return spark.emptyDataFrame
       // EXECUTE STATEMENT SET BEGIN <insert>; <insert>; END
       // (parserImpls.ftl:1943 SqlStatementSet): every statement must be
@@ -84,9 +86,11 @@ class SqlEnv private (val spark: SparkSession) {
             (tableDefs.keySet.toArray.map(_.toString) ++
               spark.catalog.listTables().collect().map(_.name))
               .distinct.sorted.toSeq.toDF("table name")
+          // only objects created with CREATE VIEW (SqlShowViews lists
+          // catalog views, not every temp table registration)
           case "VIEWS" =>
             spark.catalog.listTables().collect()
-              .filter(t => t.tableType == "TEMPORARY" && !tableDefs.containsKey(t.name))
+              .filter(t => t.tableType == "TEMPORARY" && createdViews.contains(t.name))
               .map(_.name).distinct.sorted.toSeq.toDF("view name")
           case _ =>
             spark.catalog.listFunctions().collect()
@@ -127,14 +131,28 @@ class SqlEnv private (val spark: SparkSession) {
             computed.getOrElse(n, null),
             wm.getOrElse(n, null))
         }.toDF("name", "type", "null", "key", "extras", "watermark")
-      // EXPLAIN [PLAN FOR] <query> — the statement runs through every
-      // graft rewrite (DDL views, TVFs, MATCH_RECOGNIZE) and the
-      // OPTIMIZED+physical plan text returns as one row, like the
-      // reference's single "result" column (SqlExplain →
-      // ExplainOperation).
+      // EXPLAIN [PLAN FOR] <query|insert> — PLANS ONLY, never executes
+      // (SqlExplain → ExplainOperation only calls the planner). An
+      // INSERT body explains its SOURCE query (Ddl.executeInsert
+      // writes eagerly, so routing it through executeSql would perform
+      // the write); command statements (SET/CREATE/DROP/SHOW/...) are
+      // rejected like the reference's parser does.
       case explainRe(body) =>
         import spark.implicits._
-        val plan = executeSql(body).queryExecution.explainString(
+        val trimmed = body.trim
+        val isCommand = trimmed match {
+          case setKvRe(_, _) | setListRe() | resetRe(_) | createViewRe(_, _)
+               | dropRe(_) | stmtSetRe(_) | showRe(_) | descRe(_) => true
+          case _ => Ddl.isCreateTable(trimmed)
+        }
+        require(!isCommand,
+          "EXPLAIN supports queries and INSERT statements only")
+        // any INSERT explains its source: DDL-table inserts write
+        // eagerly in executeInsert, native ones in spark.sql itself
+        val toPlan =
+          if (Ddl.isInsert(trimmed)) Ddl.insertSource(trimmed).get
+          else trimmed
+        val plan = executeSql(toPlan).queryExecution.explainString(
           org.apache.spark.sql.execution.ExtendedMode)
         return Seq(plan).toDF("result")
       case _ =>
@@ -159,6 +177,9 @@ class SqlEnv private (val spark: SparkSession) {
   /** CREATE TABLE definitions by name (drives INSERT routing). */
   private val tableDefs =
     new java.util.concurrent.ConcurrentHashMap[String, Ddl.TableDef]()
+  /** Names created through CREATE VIEW (drives SHOW VIEWS). */
+  private val createdViews =
+    java.util.concurrent.ConcurrentHashMap.newKeySet[String]()
   private def asScala = { import scala.jdk.CollectionConverters._; tableDefs.asScala }
 
   // ---- command statements (SET / views / statement sets) ---------------

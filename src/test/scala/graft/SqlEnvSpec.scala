@@ -891,4 +891,50 @@ class SqlEnvSpec extends AnyFunSuite {
         |GROUP BY window_start""".stripMargin).collect()(0).getString(0)
     assert(plan2.contains("Physical Plan"))
   }
+
+  test("SHOW VIEWS lists only CREATE VIEW objects, not registered base tables") {
+    val env = SqlEnv(spark).registerTestdata(TestSpark.sfDir)
+    env.executeSql("CREATE VIEW only_this_view AS SELECT o_orderkey FROM orders")
+    val views = env.executeSql("SHOW VIEWS").collect().map(_.getString(0))
+    assert(views.contains("only_this_view"))
+    // base tables registered via registerTestdata are temp views in the
+    // Spark catalog but must NOT appear in SHOW VIEWS (reference lists
+    // only CREATE VIEW objects)
+    assert(!views.contains("orders") && !views.contains("documents"))
+    env.executeSql("DROP VIEW only_this_view")
+    val after = env.executeSql("SHOW VIEWS").collect().map(_.getString(0))
+    assert(!after.contains("only_this_view"))
+  }
+
+  test("EXPLAIN only plans — INSERT body does not write, commands are rejected") {
+    val env = SqlEnv(spark).registerTestdata(TestSpark.sfDir)
+    val dir = "/tmp/graft_sql_explain_noexec"
+    org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(dir))
+    env.executeSql(
+      s"""CREATE TABLE explain_sink (k BIGINT, n BIGINT)
+         |WITH ('connector' = 'filesystem', 'path' = '$dir',
+         |      'format' = 'parquet')""".stripMargin)
+    val plan = env.executeSql(
+      """EXPLAIN INSERT INTO explain_sink
+        |SELECT o_orderkey AS k, count(*) AS n FROM orders
+        |GROUP BY o_orderkey""".stripMargin).collect()(0).getString(0)
+    // the SOURCE query is planned...
+    assert(plan.contains("Physical Plan"))
+    // ...but the sink write did NOT happen (reference's EXPLAIN [PLAN
+    // FOR] only calls the planner; Ddl.executeInsert would have
+    // materialized the parquet directory)
+    assert(!new java.io.File(dir).exists() ||
+      new java.io.File(dir).listFiles().forall(_.getName.startsWith("_")))
+    // command statements are rejected, and crucially not executed
+    intercept[IllegalArgumentException] {
+      env.executeSql("EXPLAIN SET 'graft.explain.should.not.set' = 'x'")
+    }
+    assert(spark.conf.getOption("graft.explain.should.not.set").isEmpty)
+    intercept[IllegalArgumentException] {
+      env.executeSql("EXPLAIN CREATE VIEW explain_v AS SELECT 1")
+    }
+    intercept[IllegalArgumentException] {
+      env.executeSql("EXPLAIN SHOW TABLES")
+    }
+  }
 }
