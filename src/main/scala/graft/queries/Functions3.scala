@@ -252,6 +252,50 @@ object Functions3 {
             .as("sum_price"))
     }),
 
+    // ---- CDC end-to-end: debezium → changelog → retract-aware agg ------
+    // The reference's canonical CDC consumption path
+    // (DebeziumJsonDeserializationSchema → ChangelogNormalize →
+    // GroupAggFunction): a per-key envelope LIFECYCLE (insert; odd keys
+    // update price×1.1; keys ≡0 mod 5 delete, with `before` carrying
+    // the latest visible value as a real CDC source would) is decoded
+    // into +I/-U/+U/-D rows, then aggregated retract-aware — each kind
+    // contributes its sign (+I/+U accumulate, -U/-D retract), exactly
+    // GroupAggFunction's accumulate/retract protocol, so the result IS
+    // the post-changelog state. The oracle replays the lifecycle
+    // directly from orders, so envelope construction, decode, AND the
+    // retraction arithmetic are all under the gate. Scale: decode is a
+    // map-side projection; the single Exchange is the 7-bucket agg with
+    // map-side partial sums. The streaming form of the same path
+    // (changelogNormalize + out-of-order -U/+U) is CdcPipelineSpec.
+    "q84_cdc_pipeline" -> ((s, dir) => {
+      import org.apache.spark.sql.types._
+      val rowS = StructType(Seq(
+        StructField("okey", LongType), StructField("price", DoubleType)))
+      val o = Tables.load(s, dir, "orders")
+      val payload = struct(col("o_orderkey").as("okey"),
+        col("o_totalprice").as("price"))
+      val bumped = struct(col("o_orderkey").as("okey"),
+        (col("o_totalprice") * 1.1).as("price"))
+      val nullRow = lit(null).cast(rowS)
+      val creates = o.select(to_json(struct(
+        nullRow.as("before"), payload.as("after"), lit("c").as("op"))).as("env"))
+      val updates = o.filter(col("o_orderkey") % 2 === 1)
+        .select(to_json(struct(
+          payload.as("before"), bumped.as("after"), lit("u").as("op"))).as("env"))
+      val deletes = o.filter(col("o_orderkey") % 5 === 0)
+        .select(to_json(struct(
+          when(col("o_orderkey") % 2 === 1, bumped).otherwise(payload).as("before"),
+          nullRow.as("after"), lit("d").as("op"))).as("env"))
+      val changelog = graft.sources.CdcFormats.fromDebeziumJson(
+        creates.unionAll(updates).unionAll(deletes), col("env"), rowS)
+      val sign = when(col("row_kind").isin("+I", "+U"), 1).otherwise(-1)
+      changelog
+        .groupBy((col("okey") % 7).as("bucket"))
+        .agg(sum(sign).as("n_alive"),
+          sum((col("price") * sign).cast(DecimalType(22, 6))).cast("double")
+            .as("sum_price"))
+    }),
+
     // ---- PARSE_URL — SqlFunctionUtils parse_url ------------------------
     "q60_url_functions" -> ((s, dir) => {
       val p = Tables.load(s, dir, "part")
@@ -374,6 +418,23 @@ object Functions3 {
         |  CAST(sum(okey) AS BIGINT) AS sum_key,
         |  CAST(sum(CAST(price AS DECIMAL(22,6))) AS DOUBLE) AS sum_price
         |FROM r GROUP BY row_kind""".stripMargin,
+
+    "q84_cdc_pipeline" ->
+      """WITH base AS (
+        |  SELECT o_orderkey AS okey, o_totalprice AS price,
+        |    o_orderkey % 2 AS odd, o_orderkey % 5 AS five
+        |  FROM orders
+        |), r AS (
+        |  SELECT okey, price, 1 AS sign FROM base
+        |  UNION ALL SELECT okey, price, -1 FROM base WHERE odd = 1
+        |  UNION ALL SELECT okey, price * 1.1, 1 FROM base WHERE odd = 1
+        |  UNION ALL SELECT okey,
+        |    CASE WHEN odd = 1 THEN price * 1.1 ELSE price END, -1
+        |  FROM base WHERE five = 0
+        |)
+        |SELECT okey % 7 AS bucket, CAST(sum(sign) AS BIGINT) AS n_alive,
+        |  CAST(sum(CAST(price * sign AS DECIMAL(22,6))) AS DOUBLE) AS sum_price
+        |FROM r GROUP BY 1""".stripMargin,
 
     "q60_url_functions" ->
       """SELECT p_partkey,

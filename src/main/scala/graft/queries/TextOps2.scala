@@ -149,8 +149,95 @@ object TextOps2 {
           "transform(sequence(1, length(w) - 1), i -> substring(w, i, 2))")).as("pair"))
         .groupBy("pair").agg(sum("wc").as("n"))
         .orderBy(desc("n"), asc("pair")).limit(50)
+    }),
+
+    // ---- Iterative BPE merge training (Sennrich et al. 2016) ----------
+    // The full distributed tokenizer-training loop t49 only took one
+    // step of: count adjacent symbol pairs weighted by word frequency,
+    // merge the argmax pair corpus-wide, re-segment, repeat. Scale
+    // shape: the corpus collapses ONCE into the Zipf-bounded
+    // word-frequency table (one shuffle on word); every round after
+    // that touches only that bounded table — pair counts shuffle on
+    // ≤|vocab|² keys with map-side partial sums, the re-segmentation is
+    // a map-side higher-order fold, and the only driver collect per
+    // round is the single argmax row (the Ivf/Pq bounded-collect
+    // discipline). localCheckpoint per round kills the lineage blowup
+    // (the n54 pattern); on a cluster it would be checkpoint() for
+    // executor-loss tolerance. Greedy left-to-right non-overlapping
+    // merge semantics: the fold compares whole symbols, so "aaa" under
+    // (a,a) becomes [aa, a], never [aa, aa] — matching the reference
+    // BPE implementations.
+    "t55_bpe_merges" -> ((s, dir) => {
+      val nMerges = 8
+      val d = Tables.load(s, dir, "documents")
+      var words = d.select(explode(tokens).as("w"))
+        .filter(col("w") =!= "")
+        .groupBy("w").agg(count(lit(1)).as("wc"))
+        .select(col("wc"), expr("split(w, '')").as("syms"))
+        .localCheckpoint()
+      var prev = words
+      val rules = Seq.newBuilder[(Long, String, String, Long)]
+      for (rank <- 1 to nMerges) {
+        val best = words.filter(size(col("syms")) >= 2)
+          .select(col("wc"), explode(expr(
+            "transform(sequence(1, size(syms) - 1), " +
+              "i -> struct(element_at(syms, i) AS l, element_at(syms, i + 1) AS r))")).as("p"))
+          .groupBy(col("p.l").as("l"), col("p.r").as("r"))
+          .agg(sum("wc").as("n"))
+          .orderBy(desc("n"), asc("l"), asc("r"))
+          .limit(1).collect()(0)
+        val (l, r, n) = (best.getString(0), best.getString(1), best.getLong(2))
+        rules += ((rank.toLong, l, r, n))
+        val (ql, qr) = (l.replace("'", "''"), r.replace("'", "''"))
+        val next = words.withColumn("syms", expr(
+          s"aggregate(syms, CAST(array() AS array<string>), (acc, x) -> " +
+            s"CASE WHEN size(acc) > 0 AND element_at(acc, -1) = '$ql' AND x = '$qr' " +
+            s"THEN concat(slice(acc, 1, size(acc) - 1), array('$ql$qr')) " +
+            s"ELSE concat(acc, array(x)) END)"))
+          .localCheckpoint()
+        prev.unpersist(); prev = next; words = next
+      }
+      import s.implicits._
+      rules.result().toDF("merge_rank", "lhs", "rhs", "pair_count")
+        .select(col("merge_rank"), col("lhs"), col("rhs"),
+          concat(col("lhs"), col("rhs")).as("merged"), col("pair_count"))
     })
   )
+
+  /** DuckDB replay of the t55 training loop: 8 unrolled rounds, each
+    * recomputing the pair argmax from the previous round's
+    * re-segmentation. The re-segmentation fold is `list_reduce` over a
+    * chr(31)-delimited accumulator (DuckDB's reduce accumulates the
+    * element type, so the symbol list rides as a delimited string and
+    * splits back per round) — same greedy left-to-right
+    * non-overlapping semantics as the engine's `aggregate` fold.
+    */
+  private def t55Oracle(nMerges: Int): String = {
+    val base =
+      """WITH w0 AS (
+        |  SELECT w, count(*) AS wc FROM (
+        |    SELECT unnest(string_split(text, ' ')) AS w FROM documents)
+        |  WHERE w <> '' GROUP BY w),
+        |s0 AS (SELECT wc,
+        |  list_transform(range(length(w)), i -> substr(w, CAST(i + 1 AS INT), 1)) AS syms
+        |  FROM w0)""".stripMargin
+    val rounds = (1 to nMerges).map { k =>
+      s"""p$k AS (SELECT wc, unnest(list_transform(range(1, len(syms)),
+         |    i -> struct_pack(l := syms[CAST(i AS INT)], r := syms[CAST(i AS INT) + 1]))) AS p
+         |  FROM s${k - 1} WHERE len(syms) >= 2),
+         |b$k AS (SELECT p.l AS lhs, p.r AS rhs, CAST(sum(wc) AS BIGINT) AS n
+         |  FROM p$k GROUP BY 1, 2 ORDER BY n DESC, lhs, rhs LIMIT 1),
+         |s$k AS (SELECT wc, string_split(list_reduce(syms, (acc, x) ->
+         |    CASE WHEN x = b.rhs AND (acc = b.lhs OR acc LIKE '%' || chr(31) || b.lhs)
+         |    THEN acc || x ELSE acc || chr(31) || x END), chr(31)) AS syms
+         |  FROM s${k - 1}, b$k b)""".stripMargin
+    }.mkString(",\n")
+    val out = (1 to nMerges).map { k =>
+      s"""SELECT CAST($k AS BIGINT) AS merge_rank, lhs, rhs,
+         |  lhs || rhs AS merged, n AS pair_count FROM b$k""".stripMargin
+    }.mkString("\nUNION ALL\n")
+    s"$base,\n$rounds\n$out"
+  }
 
   def oracles: Map[String, String] = Map(
     "t48_line_dedup" ->
@@ -182,6 +269,8 @@ object TextOps2 {
         |  FROM w WHERE length(w) >= 2)
         |SELECT pair, CAST(sum(wc) AS BIGINT) AS n
         |FROM p GROUP BY pair ORDER BY n DESC, pair LIMIT 50""".stripMargin,
+
+    "t55_bpe_merges" -> t55Oracle(8),
     "t45_dup_ngram_spans" ->
       """WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
         |g AS (

@@ -4,7 +4,7 @@ import org.apache.spark.sql.{DataFrame, Encoders, Row}
 import org.apache.spark.sql.catalyst.encoders.{ExpressionEncoder, RowEncoder}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
-import org.apache.spark.sql.types.{StringType, StructField, StructType}
+import org.apache.spark.sql.types.{DoubleType, LongType, StringType, StructField, StructType}
 
 /** Explicit changelog-stream model — the reference's central data-model
   * concept (SURVEY.md §1.1; RowKind at
@@ -101,5 +101,63 @@ object Changelog {
           }
           out.iterator
       })(stateEnc, enc)
+  }
+
+  /** Retract-aware streaming group aggregate — the GroupAggFunction
+    * accumulate/retract protocol (flink-table-runtime/.../aggregate/
+    * GroupAggFunction.java:140): consumes a changelog keyed by `keys`;
+    * +I/+U accumulate `valueCol` into (cnt, sum), -U/-D retract it;
+    * the updated aggregate is emitted per key per trigger (Spark's
+    * update output mode stands in for the reference's retract-stream
+    * emission — the sink sees latest-value upserts, the narrowing
+    * documented for the whole stateful family). State per key is the
+    * two-number accumulator; a key whose count returns to zero drops
+    * its state entirely (GroupAggFunction's cleanupState path), so a
+    * churning keyspace doesn't accrete dead accumulators even before
+    * the TTL fires.
+    */
+  def retractGroupAgg(df: DataFrame, keys: Seq[String], valueCol: String,
+                      ttlSec: Long = StatefulOps.DefaultTtlSec): DataFrame = {
+    val schema = df.schema
+    require(schema.fieldNames.contains(KindCol), s"need $KindCol column")
+    val kindIdx = schema.fieldIndex(KindCol)
+    val valIdx = schema.fieldIndex(valueCol)
+    val keyIdx = keys.map(schema.fieldIndex)
+    implicit val keyEnc = Encoders.STRING
+    implicit val stateEnc = Encoders.product[(Long, Double)]
+    val outSchema = StructType(keys.map(k => schema(k)) ++ Seq(
+      StructField("cnt", LongType, nullable = false),
+      StructField("sum_val", DoubleType, nullable = false)))
+    implicit val outEnc: ExpressionEncoder[Row] =
+      ExpressionEncoder(RowEncoder.encoderFor(outSchema))
+    def num(r: Row): Double = r.get(valIdx) match {
+      case n: java.lang.Number => n.doubleValue
+      case _ => 0.0
+    }
+    val timeout = StatefulOps.ttlTimeout(df, ttlSec)
+    df.groupByKey(r => StatefulOps.encodeKey(r, keyIdx))
+      .flatMapGroupsWithState[(Long, Double), Row](
+        OutputMode.Update, timeout)(StatefulOps.withTtl(timeout, ttlSec) {
+        (_: String, rows: Iterator[Row], state: GroupState[(Long, Double)]) =>
+          if (!rows.hasNext) Iterator.empty // TTL timeout: state drops, no emission
+          else {
+            val it = rows.buffered
+            val keyVals = keyIdx.map(it.head.get)
+            var (cnt, sum) = if (state.exists) state.get else (0L, 0.0)
+            it.foreach { r =>
+              val acc = r.getString(kindIdx) match {
+                case Insert | UpdateAfter => 1
+                case _ => -1
+              }
+              cnt += acc
+              sum += acc * num(r)
+            }
+            if (cnt <= 0) { if (state.exists) state.remove() }
+            else state.update((cnt, sum))
+            // a fully-retracted key reports an exact zero sum (no float
+            // residue from the +x/-x cancellation)
+            Iterator(Row.fromSeq(keyVals ++ Seq(cnt, if (cnt <= 0) 0.0 else sum)))
+          }
+      })
   }
 }

@@ -97,4 +97,31 @@ class TextOps3Spec extends AnyFunSuite {
       .count() == 0)
     assert(r.filter(col("n_dims") =!= 64).count() == 0)
   }
+
+  test("t55: BPE merge training is deterministic and consistent with t49") {
+    def run() = SparkEntry.queries("t55_bpe_merges")(spark, dir)
+      .orderBy("merge_rank")
+      .collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getString(2),
+        r.getString(3), r.getLong(4)))
+    val a = run()
+    // merge order is fully deterministic (argmax tie-break on (n desc,
+    // lhs, rhs)) — a second training run yields the identical rules
+    assert(a.sameElements(run()))
+    assert(a.map(_._1).sameElements(1L to 8L))
+    assert(a.forall { case (_, l, r, m, n) => m == l + r && n > 0 })
+    // rank-1 rule IS t49's argmax char pair (t49 counts the same first
+    // iteration; its 2-char pair key equals lhs||rhs for single chars)
+    val t49Top = SparkEntry.queries("t49_bpe_pair_counts")(spark, dir)
+      .orderBy(desc("n"), asc("pair")).limit(1).collect()(0)
+    assert(a.head._4 == t49Top.getString(0) && a.head._5 == t49Top.getLong(1))
+    // later rules reference previously-merged symbols or base chars
+    // only: every lhs/rhs is either 1 char or a previously-made merge
+    val made = scala.collection.mutable.Set.empty[String]
+    a.foreach { case (_, l, r, m, _) =>
+      assert(l.length == 1 || made.contains(l), s"lhs $l not derivable")
+      assert(r.length == 1 || made.contains(r), s"rhs $r not derivable")
+      made += m
+    }
+  }
 }
