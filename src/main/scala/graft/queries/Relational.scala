@@ -147,7 +147,12 @@ object Relational {
     }),
 
     // ---- Over-window aggregation (batch) — SURVEY §2.4 OverAggregate ---
-    // ROWS frame running sum, LAG/LEAD, RANK over partition.
+    // ROWS frame running sum, LAG/LEAD, RANK over partition. The rank
+    // partitions by (priority, order month), not bare priority: a
+    // 5-value partition key is a 5-reducer bottleneck at 100×, while
+    // priority×month cardinality GROWS with the data's timespan — the
+    // scale-honest shape for a global-rank-like demo (a true global
+    // top-N would go through WindowGroupLimit, as q11 does).
     "q10_over_windows" -> ((s, dir) => {
       val o = Tables.load(s, dir, "orders")
       val byCust = Window.partitionBy(col("o_custkey")).orderBy(col("o_orderdate"), col("o_orderkey"))
@@ -159,8 +164,9 @@ object Relational {
         lag(col("o_orderkey"), 1).over(byCust).as("prev_order"),
         lead(col("o_orderkey"), 1).over(byCust).as("next_order"),
         row_number().over(byCust).as("order_seq"),
-        rank().over(Window.partitionBy(col("o_orderpriority"))
-          .orderBy(col("o_totalprice").desc, col("o_orderkey"))).as("price_rank"))
+        rank().over(
+          Window.partitionBy(col("o_orderpriority"), date_trunc("month", col("o_orderdate")))
+            .orderBy(col("o_totalprice").desc, col("o_orderkey"))).as("price_rank"))
     }),
 
     // ---- Rank → Top-N per group — SURVEY §2.5 (WindowGroupLimit) -------
@@ -353,7 +359,8 @@ object Relational {
         |  ROW_NUMBER() OVER
         |    (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey) AS order_seq,
         |  RANK() OVER
-        |    (PARTITION BY o_orderpriority ORDER BY o_totalprice DESC, o_orderkey) AS price_rank
+        |    (PARTITION BY o_orderpriority, date_trunc('month', o_orderdate)
+        |     ORDER BY o_totalprice DESC, o_orderkey) AS price_rank
         |FROM orders""".stripMargin,
 
     "q11_topn_per_group" ->
