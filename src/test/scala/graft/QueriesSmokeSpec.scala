@@ -23,12 +23,8 @@ class QueriesSmokeSpec extends AnyFunSuite {
     assert(SparkEntry.entry(spark).count() > 0)
   }
 
-  test("oracle coverage: every query has oracle SQL or is a declared rows-only op") {
-    val rowsOnly = Set("n50_minhash_signatures", "n51_minhash_dedup_clusters",
-      "n52_simhash_pairs", "n53_minhash_lsh_pairs",
-      "m60_media_features", "m61_frame_sampling", "v43_ivf_ann")
-    val missing = SparkEntry.queries.keySet --
-      SparkEntry.oracleSql.keySet -- rowsOnly
+  test("oracle coverage: EVERY query has oracle SQL (zero rows-only since round 6)") {
+    val missing = SparkEntry.queries.keySet -- SparkEntry.oracleSql.keySet
     assert(missing.isEmpty, s"queries without oracle: $missing")
     val orphans = SparkEntry.oracleSql.keySet -- SparkEntry.queries.keySet
     assert(orphans.isEmpty, s"oracles without query: $orphans")
