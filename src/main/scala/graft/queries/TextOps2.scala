@@ -168,41 +168,72 @@ object TextOps2 {
     // (a,a) becomes [aa, a], never [aa, aa] — matching the reference
     // BPE implementations.
     "t55_bpe_merges" -> ((s, dir) => {
-      val nMerges = 8
-      val d = Tables.load(s, dir, "documents")
-      var words = d.select(explode(tokens).as("w"))
-        .filter(col("w") =!= "")
-        .groupBy("w").agg(count(lit(1)).as("wc"))
-        .select(col("wc"), expr("split(w, '')").as("syms"))
-        .localCheckpoint()
-      var prev = words
-      val rules = Seq.newBuilder[(Long, String, String, Long)]
-      for (rank <- 1 to nMerges) {
-        val best = words.filter(size(col("syms")) >= 2)
-          .select(col("wc"), explode(expr(
-            "transform(sequence(1, size(syms) - 1), " +
-              "i -> struct(element_at(syms, i) AS l, element_at(syms, i + 1) AS r))")).as("p"))
-          .groupBy(col("p.l").as("l"), col("p.r").as("r"))
-          .agg(sum("wc").as("n"))
-          .orderBy(desc("n"), asc("l"), asc("r"))
-          .limit(1).collect()(0)
-        val (l, r, n) = (best.getString(0), best.getString(1), best.getLong(2))
-        rules += ((rank.toLong, l, r, n))
-        val (ql, qr) = (l.replace("'", "''"), r.replace("'", "''"))
-        val next = words.withColumn("syms", expr(
-          s"aggregate(syms, CAST(array() AS array<string>), (acc, x) -> " +
-            s"CASE WHEN size(acc) > 0 AND element_at(acc, -1) = '$ql' AND x = '$qr' " +
-            s"THEN concat(slice(acc, 1, size(acc) - 1), array('$ql$qr')) " +
-            s"ELSE concat(acc, array(x)) END)"))
-          .localCheckpoint()
-        prev.unpersist(); prev = next; words = next
-      }
+      val (rules, _) = trainBpe(s, dir, 8)
       import s.implicits._
-      rules.result().toDF("merge_rank", "lhs", "rhs", "pair_count")
+      rules.toDF("merge_rank", "lhs", "rhs", "pair_count")
         .select(col("merge_rank"), col("lhs"), col("rhs"),
           concat(col("lhs"), col("rhs")).as("merged"), col("pair_count"))
+    }),
+
+    // ---- BPE tokenizer APPLICATION (the train→apply loop closed) ------
+    // Segment the corpus with the t55-trained merges and report per-doc
+    // token statistics — the distributed "tokenize the corpus" pass a
+    // training pipeline runs after tokenizer training. Scale: the
+    // trained segmentation is a VOCAB-bounded (word → n_subtokens)
+    // table broadcast onto one corpus explode; one doc_id regroup.
+    // All-integer output surface.
+    "t57_bpe_encode" -> ((s, dir) => {
+      val (_, seg) = trainBpe(s, dir, 8)
+      val wordTokens = seg.select(col("w"), size(col("syms")).cast("long").as("n_bpe"))
+      val d = Tables.load(s, dir, "documents")
+      d.select(col("doc_id"), explode(tokens).as("w"))
+        .filter(col("w") =!= "")
+        .join(broadcast(wordTokens), "w")
+        .groupBy("doc_id")
+        .agg(count(lit(1)).as("n_words"),
+          sum(col("n_bpe")).as("n_bpe_tokens"),
+          sum(length(col("w")).cast("long")).as("n_chars"))
     })
   )
+
+  /** Shared distributed BPE trainer (t55/t57): returns the ordered
+    * merge rules and the final per-word segmentation (w, wc, syms).
+    * See the t55 Scaladoc for the scale analysis; the per-round
+    * localCheckpoint keeps lineage flat, superseded checkpoints are
+    * unpersisted.
+    */
+  private def trainBpe(s: SparkSession, dir: String, nMerges: Int)
+      : (Seq[(Long, String, String, Long)], DataFrame) = {
+    val d = Tables.load(s, dir, "documents")
+    var words = d.select(explode(tokens).as("w"))
+      .filter(col("w") =!= "")
+      .groupBy("w").agg(count(lit(1)).as("wc"))
+      .select(col("w"), col("wc"), expr("split(w, '')").as("syms"))
+      .localCheckpoint()
+    var prev = words
+    val rules = Seq.newBuilder[(Long, String, String, Long)]
+    for (rank <- 1 to nMerges) {
+      val best = words.filter(size(col("syms")) >= 2)
+        .select(col("wc"), explode(expr(
+          "transform(sequence(1, size(syms) - 1), " +
+            "i -> struct(element_at(syms, i) AS l, element_at(syms, i + 1) AS r))")).as("p"))
+        .groupBy(col("p.l").as("l"), col("p.r").as("r"))
+        .agg(sum("wc").as("n"))
+        .orderBy(desc("n"), asc("l"), asc("r"))
+        .limit(1).collect()(0)
+      val (l, r, n) = (best.getString(0), best.getString(1), best.getLong(2))
+      rules += ((rank.toLong, l, r, n))
+      val (ql, qr) = (l.replace("'", "''"), r.replace("'", "''"))
+      val next = words.withColumn("syms", expr(
+        s"aggregate(syms, CAST(array() AS array<string>), (acc, x) -> " +
+          s"CASE WHEN size(acc) > 0 AND element_at(acc, -1) = '$ql' AND x = '$qr' " +
+          s"THEN concat(slice(acc, 1, size(acc) - 1), array('$ql$qr')) " +
+          s"ELSE concat(acc, array(x)) END)"))
+        .localCheckpoint()
+      prev.unpersist(); prev = next; words = next
+    }
+    (rules.result(), words)
+  }
 
   /** DuckDB replay of the t55 training loop: 8 unrolled rounds, each
     * recomputing the pair argmax from the previous round's
@@ -212,13 +243,13 @@ object TextOps2 {
     * splits back per round) — same greedy left-to-right
     * non-overlapping semantics as the engine's `aggregate` fold.
     */
-  private def t55Oracle(nMerges: Int): String = {
+  private def bpeChain(nMerges: Int): String = {
     val base =
       """WITH w0 AS (
         |  SELECT w, count(*) AS wc FROM (
         |    SELECT unnest(string_split(text, ' ')) AS w FROM documents)
         |  WHERE w <> '' GROUP BY w),
-        |s0 AS (SELECT wc,
+        |s0 AS (SELECT w, wc,
         |  list_transform(range(length(w)), i -> substr(w, CAST(i + 1 AS INT), 1)) AS syms
         |  FROM w0)""".stripMargin
     val rounds = (1 to nMerges).map { k =>
@@ -227,17 +258,32 @@ object TextOps2 {
          |  FROM s${k - 1} WHERE len(syms) >= 2),
          |b$k AS (SELECT p.l AS lhs, p.r AS rhs, CAST(sum(wc) AS BIGINT) AS n
          |  FROM p$k GROUP BY 1, 2 ORDER BY n DESC, lhs, rhs LIMIT 1),
-         |s$k AS (SELECT wc, string_split(list_reduce(syms, (acc, x) ->
+         |s$k AS (SELECT w, wc, string_split(list_reduce(syms, (acc, x) ->
          |    CASE WHEN x = b.rhs AND (acc = b.lhs OR acc LIKE '%' || chr(31) || b.lhs)
          |    THEN acc || x ELSE acc || chr(31) || x END), chr(31)) AS syms
          |  FROM s${k - 1}, b$k b)""".stripMargin
     }.mkString(",\n")
+    s"$base,\n$rounds"
+  }
+
+  private def t55Oracle(nMerges: Int): String = {
     val out = (1 to nMerges).map { k =>
       s"""SELECT CAST($k AS BIGINT) AS merge_rank, lhs, rhs,
          |  lhs || rhs AS merged, n AS pair_count FROM b$k""".stripMargin
     }.mkString("\nUNION ALL\n")
-    s"$base,\n$rounds\n$out"
+    s"${bpeChain(nMerges)}\n$out"
   }
+
+  private def t57Oracle(nMerges: Int): String =
+    s"""${bpeChain(nMerges)}
+       |SELECT d.doc_id, count(*) AS n_words,
+       |  CAST(sum(len(s.syms)) AS BIGINT) AS n_bpe_tokens,
+       |  CAST(sum(length(d.w)) AS BIGINT) AS n_chars
+       |FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS w
+       |      FROM documents) d
+       |JOIN s$nMerges s ON d.w = s.w
+       |WHERE d.w <> ''
+       |GROUP BY d.doc_id""".stripMargin
 
   def oracles: Map[String, String] = Map(
     "t48_line_dedup" ->
@@ -271,6 +317,7 @@ object TextOps2 {
         |FROM p GROUP BY pair ORDER BY n DESC, pair LIMIT 50""".stripMargin,
 
     "t55_bpe_merges" -> t55Oracle(8),
+    "t57_bpe_encode" -> t57Oracle(8),
     "t45_dup_ngram_spans" ->
       """WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
         |g AS (

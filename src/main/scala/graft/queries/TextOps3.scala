@@ -217,6 +217,48 @@ object TextOps3 {
         .groupBy(col("token"))
         .agg(min(col("cnt")).as("est"))
       est.orderBy(col("est").desc, col("token")).limit(50)
+    }),
+
+    // ---- CCNet-style n-gram LM perplexity filter ----------------------
+    // (Wenzek et al. 2020 "CCNet": score web documents by the
+    // perplexity of a small LM trained on target-domain text; keep the
+    // low-perplexity head.) A bigram add-α LM is trained on the
+    // lang='en' slice, then every document is scored by its mean
+    // per-pair log-probability. Scale shape (the t51/t52 discipline):
+    // the LM is VOCAB-bounded, not corpus-bounded — unigram/bigram
+    // count tables come from one explode+agg over the target slice and
+    // broadcast back onto the corpus pair stream; scoring is one
+    // corpus explode, two broadcast joins, one doc_id regroup. At
+    // 100 TB the LM tables are still Zipf-small (the reference
+    // pipeline ships KenLM files to every worker — same shape).
+    // log determinism: Spark log ≡ java Math.log vs DuckDB ln agree
+    // within 1e-9 rounding at these magnitudes (t52 precedent).
+    "t56_lm_perplexity" -> ((s, dir) => {
+      val alpha = 0.5
+      val d = Tables.load(s, dir, "documents")
+        .select(col("doc_id"), col("lang"), tokens.as("toks"))
+        .filter(size(col("toks")) >= 2)
+      val pairs = d.select(col("doc_id"), col("lang"), explode(expr(
+          "transform(sequence(1, size(toks) - 1), " +
+            "i -> struct(element_at(toks, i) AS w1, element_at(toks, i + 1) AS w2))")).as("p"))
+        .select(col("doc_id"), col("lang"), col("p.w1"), col("p.w2"))
+      val target = pairs.filter(col("lang") === "en")
+      val uni = target.groupBy(col("w1")).agg(count(lit(1)).as("c1"))
+      val bi = target.groupBy(col("w1"), col("w2")).agg(count(lit(1)).as("c2"))
+      val vocab = target.agg(
+        countDistinct(col("w1")).as("v")) // context vocabulary size
+      pairs
+        .join(broadcast(bi), Seq("w1", "w2"), "left")
+        .join(broadcast(uni), Seq("w1"), "left")
+        .crossJoin(broadcast(vocab))
+        .withColumn("lp",
+          log((coalesce(col("c2"), lit(0L)) + alpha) /
+            (coalesce(col("c1"), lit(0L)) + (col("v") + 1) * alpha)))
+        .groupBy(col("doc_id"))
+        .agg(count(lit(1)).as("n_pairs"),
+          avg(col("lp")).as("avg_logprob"))
+        .withColumn("cross_entropy", -col("avg_logprob"))
+        .withColumn("keep", col("cross_entropy") < 7.0)
     })
   )
 
@@ -321,6 +363,32 @@ object TextOps3 {
         |cand AS (SELECT DISTINCT token, hrow, bucket FROM hashed),
         |est AS (SELECT token, min(cnt) AS est
         |        FROM cand JOIN sketch USING (hrow, bucket) GROUP BY token)
-        |SELECT token, est FROM est ORDER BY est DESC, token LIMIT 50""".stripMargin
+        |SELECT token, est FROM est ORDER BY est DESC, token LIMIT 50""".stripMargin,
+
+    "t56_lm_perplexity" ->
+      """WITH t AS (
+        |  SELECT doc_id, lang, string_split(text, ' ') AS toks FROM documents
+        |  WHERE len(string_split(text, ' ')) >= 2),
+        |p0 AS (
+        |  SELECT doc_id, lang, unnest(list_transform(range(1, len(toks)),
+        |    i -> struct_pack(w1 := toks[CAST(i AS INT)],
+        |                     w2 := toks[CAST(i AS INT) + 1]))) AS p
+        |  FROM t),
+        |p AS (SELECT doc_id, lang, p.w1 AS w1, p.w2 AS w2 FROM p0),
+        |tgt AS (SELECT w1, w2 FROM p WHERE lang = 'en'),
+        |uni AS (SELECT w1, count(*) AS c1 FROM tgt GROUP BY w1),
+        |bi AS (SELECT w1, w2, count(*) AS c2 FROM tgt GROUP BY w1, w2),
+        |v AS (SELECT count(DISTINCT w1) AS v FROM tgt),
+        |lp AS (
+        |  SELECT p.doc_id,
+        |    ln((coalesce(bi.c2, 0) + 0.5) /
+        |       (coalesce(uni.c1, 0) + 0.5 * (v.v + 1))) AS lp
+        |  FROM p
+        |  LEFT JOIN bi ON p.w1 = bi.w1 AND p.w2 = bi.w2
+        |  LEFT JOIN uni ON p.w1 = uni.w1
+        |  CROSS JOIN v)
+        |SELECT doc_id, count(*) AS n_pairs, avg(lp) AS avg_logprob,
+        |  -avg(lp) AS cross_entropy, -avg(lp) < 7.0 AS keep
+        |FROM lp GROUP BY doc_id""".stripMargin
   )
 }

@@ -98,6 +98,34 @@ class TextOps3Spec extends AnyFunSuite {
     assert(r.filter(col("n_dims") =!= 64).count() == 0)
   }
 
+  test("t56: LM-trained-on-en scores en docs lower cross-entropy than non-en") {
+    val r = SparkEntry.queries("t56_lm_perplexity")(spark, dir)
+      .join(graft.Tables.load(spark, dir, "documents").select(col("doc_id"), col("lang")),
+        "doc_id")
+    val byLang = r.groupBy(col("lang") === "en")
+      .agg(avg(col("cross_entropy")).as("ce"))
+      .collect().map(x => x.getBoolean(0) -> x.getDouble(1)).toMap
+    // the filter's whole premise (CCNet): target-domain text is less
+    // surprising to a target-domain LM
+    assert(byLang(true) < byLang(false),
+      s"en ${byLang(true)} should be < non-en ${byLang(false)}")
+    // every scored doc has >= 1 pair and a finite score
+    assert(r.filter(col("n_pairs") < 1 || isnan(col("cross_entropy")) ||
+      col("cross_entropy").isNull).count() == 0)
+  }
+
+  test("t57: BPE encoding is bounded by chars above and words below") {
+    val r = SparkEntry.queries("t57_bpe_encode")(spark, dir)
+    // merges only ever SHRINK a word's token count from |chars| and
+    // can never go below 1 token per word
+    assert(r.filter(col("n_bpe_tokens") > col("n_chars") ||
+      col("n_bpe_tokens") < col("n_words")).count() == 0)
+    // the 8 trained merges actually compress something in the corpus
+    val totals = r.agg(sum("n_bpe_tokens").as("b"), sum("n_chars").as("c"))
+      .collect()(0)
+    assert(totals.getLong(0) < totals.getLong(1))
+  }
+
   test("t55: BPE merge training is deterministic and consistent with t49") {
     def run() = SparkEntry.queries("t55_bpe_merges")(spark, dir)
       .orderBy("merge_rank")
