@@ -193,6 +193,79 @@ object TextOps2 {
         .agg(count(lit(1)).as("n_words"),
           sum(col("n_bpe")).as("n_bpe_tokens"),
           sum(length(col("w")).cast("long")).as("n_chars"))
+    }),
+
+    // ---- URL canonicalization + URL-level dedup -----------------------
+    // The C4/RefinedWeb first pass: canonicalize each page's URL
+    // (lowercase, strip tracking query params, strip the trailing
+    // slash) and keep only the first page per canonical URL. The
+    // synthetic corpus carries no URL column, so URLs are derived from
+    // doc_id with deliberate COLLISIONS (mod-cycled host/path plus a
+    // rotating utm-param / trailing-slash / bare variant) — the
+    // canonicalizer then has real work on every row. Scale: one
+    // shuffle on the canonical-URL hash for the keep-first rank;
+    // regex canonicalization is map-side codegen. Patterns stay in the
+    // RE2 ∩ java.util.regex subset (t39 discipline).
+    "t58_url_dedup" -> ((s, dir) => {
+      val d = Tables.load(s, dir, "documents")
+      val url = concat(lit("https://Site"), (col("doc_id") % 40).cast("string"),
+        lit(".Example.COM/p/"), (col("doc_id") % 120).cast("string"),
+        when(col("doc_id") % 3 === 0, lit("?utm_source=feed"))
+          .when(col("doc_id") % 3 === 1, lit("/")).otherwise(lit("")))
+      val canon = lower(regexp_replace(
+        regexp_replace(url, "\\?utm_[^#]*$", ""), "/+$", ""))
+      val wFirst = Window.partitionBy(col("canon_url")).orderBy(col("doc_id"))
+      d.select(col("doc_id"), url.as("url"), canon.as("canon_url"))
+        .withColumn("kept",
+          row_number().over(wFirst) === 1)
+        .withColumn("n_variants",
+          count(lit(1)).over(Window.partitionBy(col("canon_url"))).cast("long"))
+    }),
+
+    // ---- Exact-substring duplicate-span REMOVAL -----------------------
+    // Lee et al. 2021 ("Deduplicating Training Data Makes Language
+    // Models Better", ExactSubstr): t45 DETECTS cross-document
+    // duplicated 4-gram spans; this query performs the actual removal —
+    // every token covered by a duplicated gram occurrence is cut,
+    // EXCEPT at the gram's globally-first (canonical) occurrence, and
+    // documents are reassembled from their surviving tokens in order.
+    // Scale: all shuffles key on the gram (uniform) or on (doc,pos);
+    // never a doc×doc join. Gram keys here are the gram STRINGS so the
+    // removal is exact and the oracle replays it verbatim; at 100 TB
+    // you'd switch the g-keyed shuffles to the 64-bit `ngram_hashes`
+    // keys (t45's trick) and accept the birthday-bounded collision
+    // rate, as the reference pipeline does.
+    "t59_exact_substr_removal" -> ((s, dir) => {
+      val d = Tables.load(s, dir, "documents")
+        .select(col("doc_id"), tokens.as("toks"))
+      val occ = d.filter(size(col("toks")) >= 4)
+        .select(col("doc_id"), posexplode(expr(
+          "transform(sequence(1, size(toks) - 3), i -> concat_ws(' ', slice(toks, i, 4)))"))
+          .as(Seq("pi", "g")))
+        .select(col("doc_id"), (col("pi") + 1).cast("long").as("pos"), col("g"))
+      // per gram: distinct-doc count + canonical (first) occurrence;
+      // struct min orders (doc_id, pos) lexicographically
+      val gi = occ.groupBy("g").agg(
+        countDistinct(col("doc_id")).as("nd"),
+        min(struct(col("doc_id"), col("pos"))).as("first"))
+      val rem = occ.join(gi, "g")
+        .filter(col("nd") >= 2 &&
+          !(col("doc_id") === col("first.doc_id") && col("pos") === col("first.pos")))
+        .select(col("doc_id"), explode(expr("sequence(pos, pos + 3)")).as("p"))
+        .distinct()
+      val tok = d.select(col("doc_id"), posexplode(col("toks")).as(Seq("pi", "w")))
+        .select(col("doc_id"), (col("pi") + 1).cast("long").as("p"), col("w"))
+      val kc = tok.join(rem, Seq("doc_id", "p"), "left_anti")
+        .groupBy("doc_id")
+        .agg(count(lit(1)).as("n_kept"),
+          concat_ws(" ", transform(
+            array_sort(collect_list(struct(col("p"), col("w")))),
+            x => x.getField("w"))).as("cleaned_text"))
+      d.select(col("doc_id"), size(col("toks")).cast("long").as("n_tokens"))
+        .join(kc, Seq("doc_id"), "left")
+        .select(col("doc_id"), col("n_tokens"),
+          (col("n_tokens") - coalesce(col("n_kept"), lit(0L))).as("n_removed"),
+          coalesce(col("cleaned_text"), lit("")).as("cleaned_text"))
     })
   )
 
@@ -318,6 +391,51 @@ object TextOps2 {
 
     "t55_bpe_merges" -> t55Oracle(8),
     "t57_bpe_encode" -> t57Oracle(8),
+
+    "t58_url_dedup" ->
+      """WITH u AS (
+        |  SELECT doc_id,
+        |    'https://Site' || (doc_id % 40) || '.Example.COM/p/' || (doc_id % 120)
+        |      || CASE doc_id % 3 WHEN 0 THEN '?utm_source=feed'
+        |                         WHEN 1 THEN '/' ELSE '' END AS url
+        |  FROM documents),
+        |c AS (
+        |  SELECT doc_id, url,
+        |    lower(regexp_replace(regexp_replace(url, '\?utm_[^#]*$', ''),
+        |                         '/+$', '')) AS canon_url
+        |  FROM u)
+        |SELECT doc_id, url, canon_url,
+        |  ROW_NUMBER() OVER (PARTITION BY canon_url ORDER BY doc_id) = 1 AS kept,
+        |  CAST(count(*) OVER (PARTITION BY canon_url) AS BIGINT) AS n_variants
+        |FROM c""".stripMargin,
+
+    "t59_exact_substr_removal" ->
+      """WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+        |occ AS (
+        |  SELECT doc_id, i AS pos, array_to_string(toks[CAST(i AS INT):CAST(i + 3 AS INT)], ' ') AS g
+        |  FROM t, UNNEST(range(1, len(toks) - 2)) AS u(i)
+        |  WHERE len(toks) >= 4),
+        |gi AS (SELECT g, count(DISTINCT doc_id) AS nd, min(doc_id) AS fd
+        |       FROM occ GROUP BY g),
+        |gi2 AS (SELECT gi.g, gi.nd, gi.fd, min(o.pos) AS fp
+        |        FROM gi JOIN occ o ON o.g = gi.g AND o.doc_id = gi.fd
+        |        GROUP BY gi.g, gi.nd, gi.fd),
+        |rem AS (
+        |  SELECT DISTINCT o.doc_id, o.pos + k AS p
+        |  FROM occ o JOIN gi2 ON o.g = gi2.g, UNNEST(range(0, 4)) AS r(k)
+        |  WHERE gi2.nd >= 2 AND NOT (o.doc_id = gi2.fd AND o.pos = gi2.fp)),
+        |tok AS (
+        |  SELECT doc_id, i AS p, toks[CAST(i AS INT)] AS w
+        |  FROM t, UNNEST(range(1, len(toks) + 1)) AS u(i)),
+        |kc AS (
+        |  SELECT tok.doc_id, count(*) AS n_kept,
+        |    string_agg(tok.w, ' ' ORDER BY tok.p) AS cleaned_text
+        |  FROM tok LEFT JOIN rem ON tok.doc_id = rem.doc_id AND tok.p = rem.p
+        |  WHERE rem.p IS NULL GROUP BY tok.doc_id)
+        |SELECT t.doc_id, CAST(len(t.toks) AS BIGINT) AS n_tokens,
+        |  CAST(len(t.toks) - coalesce(kc.n_kept, 0) AS BIGINT) AS n_removed,
+        |  coalesce(kc.cleaned_text, '') AS cleaned_text
+        |FROM t LEFT JOIN kc ON t.doc_id = kc.doc_id""".stripMargin,
     "t45_dup_ngram_spans" ->
       """WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
         |g AS (

@@ -126,6 +126,22 @@ class TextOps3Spec extends AnyFunSuite {
     assert(totals.getLong(0) < totals.getLong(1))
   }
 
+  test("t59: exact-substring removal is token-consistent and selective") {
+    val r = SparkEntry.queries("t59_exact_substr_removal")(spark, dir)
+    // cleaned text really contains n_tokens - n_removed tokens
+    val bad = r.filter(
+      when(col("cleaned_text") === "", lit(0))
+        .otherwise(size(split(col("cleaned_text"), " ")))
+        =!= col("n_tokens") - col("n_removed")).count()
+    assert(bad == 0)
+    // the synthetic corpus plants duplicated spans → some docs lose
+    // tokens; removal must be selective, not a wipe
+    val agg = r.agg(sum("n_removed").as("rm"), sum("n_tokens").as("tot"))
+      .collect()(0)
+    assert(agg.getLong(0) > 0 && agg.getLong(0) < agg.getLong(1))
+    assert(r.filter(col("n_removed") === 0).count() > 0)
+  }
+
   test("t55: BPE merge training is deterministic and consistent with t49") {
     def run() = SparkEntry.queries("t55_bpe_merges")(spark, dir)
       .orderBy("merge_rank")
