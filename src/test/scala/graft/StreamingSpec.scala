@@ -703,4 +703,62 @@ class StreamingSpec extends AnyFunSuite {
       assert(got("t2").contains(ts("2024-01-01 00:50:00")))
     } finally q.stop()
   }
+
+  test("earlyFireWindowAgg: delay throttles early fires; watermark emits one final") {
+    implicit val sc = spark.sqlContext
+    val in = MemoryStream[Ev]
+    // 1-hour delay: rapid triggers must NOT re-fire early results
+    val out = StatefulOps.earlyFireWindowAgg(
+      in.toDF().withWatermark("ts", "1 minute"),
+      Seq("user"), "ts", "value", windowSec = 600, earlyDelayMs = 3600 * 1000L)
+    val q = out.writeStream.format("memory").queryName("earlyfire")
+      .outputMode(OutputMode.Update).start()
+    try {
+      in.addData(Ev(ts("2024-01-01 00:01:00"), "u1", "a", 1.0))
+      q.processAllAvailable()
+      in.addData(Ev(ts("2024-01-01 00:02:00"), "u1", "a", 2.0))
+      q.processAllAvailable()
+      in.addData(Ev(ts("2024-01-01 00:03:00"), "u1", "a", 4.0))
+      q.processAllAvailable()
+      val early = spark.table("earlyfire").filter(!$"is_final").collect()
+      // first result fires undelayed; the two follow-ups are throttled
+      assert(early.length == 1)
+      assert(early(0).getLong(2) == 1L && early(0).getDouble(3) == 1.0)
+      assert(spark.table("earlyfire").filter($"is_final").count() == 0)
+      // watermark past window end (00:00–00:10) → exactly one FINAL
+      // with the full accumulation, fired WITHOUT new data for u1
+      in.addData(Ev(ts("2024-01-01 00:30:00"), "u2", "x", 9.0))
+      q.processAllAvailable()
+      in.addData(Ev(ts("2024-01-01 00:40:00"), "u2", "x", 9.0))
+      q.processAllAvailable()
+      val fin = spark.table("earlyfire").filter($"is_final" && $"user" === "u1")
+        .collect()
+      assert(fin.length == 1)
+      val expectedStart =
+        ts("2024-01-01 00:01:00").getTime / 600000L * 600000L
+      assert(fin(0).getLong(1) == expectedStart)
+      assert(fin(0).getLong(2) == 3L && fin(0).getDouble(3) == 7.0)
+    } finally q.stop()
+  }
+
+  test("earlyFireWindowAgg: zero delay fires on every trigger (update-mode analog)") {
+    implicit val sc = spark.sqlContext
+    val in = MemoryStream[Ev]
+    val out = StatefulOps.earlyFireWindowAgg(
+      in.toDF().withWatermark("ts", "1 minute"),
+      Seq("user"), "ts", "value", windowSec = 600, earlyDelayMs = 0L)
+    val q = out.writeStream.format("memory").queryName("earlyfire0")
+      .outputMode(OutputMode.Update).start()
+    try {
+      in.addData(Ev(ts("2024-01-01 00:01:00"), "u1", "a", 1.0))
+      q.processAllAvailable()
+      in.addData(Ev(ts("2024-01-01 00:02:00"), "u1", "a", 2.0))
+      q.processAllAvailable()
+      val early = spark.table("earlyfire0").filter(!$"is_final").collect()
+      assert(early.length == 2)
+      // cumulative, not per-batch: 1 then 1+2
+      assert(early.map(r => (r.getLong(2), r.getDouble(3))).toSet ==
+        Set((1L, 1.0), (2L, 3.0)))
+    } finally q.stop()
+  }
 }
