@@ -71,7 +71,7 @@ object Ddl {
   // nested parens inside DECIMAL(p,s)/ROW<...> because the tail must
   // match `[PARTITIONED BY] WITH (...)`).
   private val createRe =
-    """(?is)^\s*CREATE\s+TABLE\s+(?:IF\s+NOT\s+EXISTS\s+)?([\w.]+)\s*\((.*?)\)\s*(?:PARTITIONED\s+BY\s*\(([^)]*)\)\s*)?WITH\s*\((.*)\)\s*$""".r
+    """(?is)^\s*CREATE\s+TABLE\s+(?:IF\s+NOT\s+EXISTS\s+)?`?([\w.]+)`?\s*\((.*?)\)\s*(?:PARTITIONED\s+BY\s*\(([^)]*)\)\s*)?WITH\s*\((.*)\)\s*$""".r
   // Optional static partition spec (RichSqlInsert.getStaticPartitions:71):
   // INSERT INTO/OVERWRITE t [PARTITION (k='v', ...)] SELECT ...
   private val insertRe =
@@ -86,6 +86,69 @@ object Ddl {
     * is one — lets EXPLAIN plan the source without running the sink. */
   def insertSource(sql: String): Option[String] =
     insertRe.findFirstMatchIn(sql).map(_.group(4))
+
+  // ---- SHOW CREATE TABLE ----------------------------------------------
+
+  /** Spark DataType → Flink type text, the reverse of [[flinkType]] —
+    * used by SHOW CREATE TABLE (reference: SqlShowCreateTable →
+    * ShowCreateTableOperation → ShowCreateUtil.buildShowCreateTableRow).
+    */
+  def flinkTypeName(t: DataType): String = t match {
+    case LongType => "BIGINT"
+    case IntegerType => "INT"
+    case ShortType => "SMALLINT"
+    case ByteType => "TINYINT"
+    case DoubleType => "DOUBLE"
+    case FloatType => "FLOAT"
+    case StringType => "STRING"
+    case BooleanType => "BOOLEAN"
+    case BinaryType => "BYTES"
+    case DateType => "DATE"
+    case TimestampType | TimestampNTZType => "TIMESTAMP(3)"
+    case d: DecimalType => s"DECIMAL(${d.precision}, ${d.scale})"
+    case a: ArrayType => s"ARRAY<${flinkTypeName(a.elementType)}>"
+    case m: MapType =>
+      s"MAP<${flinkTypeName(m.keyType)}, ${flinkTypeName(m.valueType)}>"
+    case s: StructType =>
+      "ROW<" + s.fields.map(f => s"`${f.name}` ${flinkTypeName(f.dataType)}")
+        .mkString(", ") + ">"
+    case other => other.sql
+  }
+
+  /** Reconstruct the CREATE TABLE DDL for a declared table, in the
+    * reference's ShowCreateUtil layout: declared column order (physical
+    * + metadata + computed), WATERMARK, PRIMARY KEY ... NOT ENFORCED,
+    * PARTITIONED BY, WITH (sorted options).
+    */
+  def showCreate(d: TableDef): String = {
+    val phys = d.schema.fields.map(f =>
+      f.name -> s"`${f.name}` ${flinkTypeName(f.dataType)}").toMap
+    val comp = d.computed.map(c => c.name -> s"`${c.name}` AS ${c.exprText}").toMap
+    val meta = d.metaCols.map(m => m.name ->
+      (s"`${m.name}` ${flinkTypeName(m.dataType)} METADATA FROM '${m.key}'" +
+        (if (m.virtual) " VIRTUAL" else ""))).toMap
+    val byName = phys ++ meta ++ comp
+    val cols = d.declaredOrder.flatMap(byName.get)
+    // stored delay is "<n> <unit>s" (parseCreateTable) → '<n>' <UNIT>
+    val wm = d.watermark.map { case (c, delay) =>
+      val parts = delay.split(" ")
+      val unit = parts.lift(1).map(_.stripSuffix("s").toUpperCase).getOrElse("SECOND")
+      s"WATERMARK FOR `$c` AS `$c` - INTERVAL '${parts(0)}' $unit"
+    }
+    val pk =
+      if (d.primaryKey.nonEmpty)
+        Some(s"PRIMARY KEY (${d.primaryKey.map(k => s"`$k`").mkString(", ")}) NOT ENFORCED")
+      else None
+    val body = (cols ++ wm ++ pk).mkString(",\n  ")
+    val part =
+      if (d.partitionedBy.nonEmpty)
+        s"\nPARTITIONED BY (${d.partitionedBy.map(k => s"`$k`").mkString(", ")})"
+      else ""
+    val opts = d.options.toSeq.sortBy(_._1)
+      .map { case (k, v) => s"'$k' = '${v.replace("'", "''")}'" }
+      .mkString(",\n  ")
+    s"CREATE TABLE `${d.name}` (\n  $body\n)$part\nWITH (\n  $opts\n)"
+  }
 
   // ---- type mapping ----------------------------------------------------
 
@@ -194,7 +257,9 @@ object Ddl {
       throw new IllegalArgumentException(s"not a CREATE TABLE: $sql"))
     val name = m.group(1)
     val body = m.group(2)
-    val partitioned = Option(m.group(3)).map(_.split(",").map(_.trim).toSeq).getOrElse(Nil)
+    val partitioned = Option(m.group(3))
+      .map(_.split(",").map(_.trim.stripPrefix("`").stripSuffix("`")).toSeq)
+      .getOrElse(Nil)
     val opts = parseOptions(m.group(4))
 
     var watermark: Option[(String, String)] = None
@@ -210,17 +275,19 @@ object Ddl {
     splitTopLevel(body).foreach { item =>
       val up = item.toUpperCase
       if (up.startsWith("WATERMARK ")) {
-        val wm = """(?is)WATERMARK\s+FOR\s+(\w+)\s+AS\s+\1\s*-\s*INTERVAL\s*'([\d.]+)'\s*(\w+)""".r
+        val wm = """(?is)WATERMARK\s+FOR\s+`?(\w+)`?\s+AS\s+`?\1`?\s*-\s*INTERVAL\s*'([\d.]+)'\s*(\w+)""".r
           .findFirstMatchIn(item).getOrElse(throw new IllegalArgumentException(
             s"unsupported WATERMARK clause: $item (expected ts - INTERVAL 'n' unit)"))
         watermark = Some((wm.group(1), s"${wm.group(2)} ${wm.group(3).toLowerCase}s"))
       } else if (up.startsWith("PRIMARY KEY")) {
         pk = """\(([^)]*)\)""".r.findFirstMatchIn(item)
-          .map(_.group(1).split(",").map(_.trim).toSeq).getOrElse(Nil)
+          .map(_.group(1).split(",").map(_.trim.stripPrefix("`").stripSuffix("`")).toSeq)
+          .getOrElse(Nil)
       } else if (up.startsWith("CONSTRAINT ")) {
         // named constraint — only PK supported, same extraction
         pk = """\(([^)]*)\)""".r.findFirstMatchIn(item)
-          .map(_.group(1).split(",").map(_.trim).toSeq).getOrElse(pk)
+          .map(_.group(1).split(",").map(_.trim.stripPrefix("`").stripSuffix("`")).toSeq)
+          .getOrElse(pk)
       } else item match {
         case computedRe(rawName, exprText) =>
           val colName = rawName.stripPrefix("`").stripSuffix("`")

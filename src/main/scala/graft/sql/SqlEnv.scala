@@ -96,6 +96,32 @@ class SqlEnv private (val spark: SparkSession) {
             spark.catalog.listFunctions().collect()
               .map(_.name).distinct.sorted.toSeq.toDF("function name")
         }
+      // SHOW CREATE TABLE t — reconstruct the DDL (SqlShowCreateTable →
+      // ShowCreateUtil); only tables declared through OUR CREATE TABLE
+      // carry enough metadata, like the reference restricting to
+      // catalog tables.
+      case showCreateRe(name) =>
+        import spark.implicits._
+        val d = Option(tableDefs.get(name)).getOrElse(throw new IllegalArgumentException(
+          s"SHOW CREATE TABLE: '$name' was not created via CREATE TABLE"))
+        return Seq(Ddl.showCreate(d)).toDF("result")
+      // SHOW COLUMNS FROM t ≡ DESCRIBE t (SqlShowColumns shares
+      // DESCRIBE's six-column shape in the reference)
+      case showColumnsRe(name) =>
+        return executeSql(s"DESCRIBE $name")
+      // USE CATALOG c / USE db — session-scoped like the SQL client;
+      // SHOW CATALOGS / SHOW DATABASES list them with Flink's literal
+      // one-column headers
+      case useCatalogRe(c) =>
+        currentCatalog = c; return spark.emptyDataFrame
+      case useDbRe(db) =>
+        currentDatabase = db; return spark.emptyDataFrame
+      case showCatalogsRe() =>
+        import spark.implicits._
+        return Seq(currentCatalog).distinct.sorted.toDF("catalog name")
+      case showDatabasesRe() =>
+        import spark.implicits._
+        return Seq(currentDatabase).distinct.sorted.toDF("database name")
       // DESCRIBE t — Flink's six-column shape (name, type, null, key,
       // extras, watermark: SqlRichDescribeTable → DescribeTableOperation).
       // key/extras/watermark come from OUR CREATE TABLE def when the
@@ -142,7 +168,9 @@ class SqlEnv private (val spark: SparkSession) {
         val trimmed = body.trim
         val isCommand = trimmed match {
           case setKvRe(_, _) | setListRe() | resetRe(_) | createViewRe(_, _)
-               | dropRe(_) | stmtSetRe(_) | showRe(_) | descRe(_) => true
+               | dropRe(_) | stmtSetRe(_) | showRe(_) | descRe(_)
+               | showCreateRe(_) | showColumnsRe(_) | useCatalogRe(_)
+               | useDbRe(_) | showCatalogsRe() | showDatabasesRe() => true
           case _ => Ddl.isCreateTable(trimmed)
         }
         require(!isCommand,
@@ -195,6 +223,16 @@ class SqlEnv private (val spark: SparkSession) {
     """(?is)^\s*(?:EXECUTE\s+)?STATEMENT\s+SET\s+BEGIN\s+(.+?)\s*;?\s*END\s*;?\s*$""".r
   private val showRe =
     """(?is)^\s*SHOW\s+(TABLES|VIEWS|FUNCTIONS)\s*;?\s*$""".r
+  private val showCreateRe =
+    """(?is)^\s*SHOW\s+CREATE\s+TABLE\s+([\w.]+)\s*;?\s*$""".r
+  private val showColumnsRe =
+    """(?is)^\s*SHOW\s+COLUMNS\s+(?:FROM|IN)\s+([\w.]+)\s*;?\s*$""".r
+  private val useCatalogRe = """(?is)^\s*USE\s+CATALOG\s+([\w.]+)\s*;?\s*$""".r
+  private val useDbRe = """(?is)^\s*USE\s+(?!CATALOG\b)([\w.]+)\s*;?\s*$""".r
+  private val showCatalogsRe = """(?is)^\s*SHOW\s+CATALOGS\s*;?\s*$""".r
+  private val showDatabasesRe = """(?is)^\s*SHOW\s+DATABASES\s*;?\s*$""".r
+  @volatile private var currentCatalog = "default_catalog"
+  @volatile private var currentDatabase = "default_database"
   private val descRe =
     """(?is)^\s*DESC(?:RIBE)?\s+([\w.]+)\s*;?\s*$""".r
   private val explainRe =

@@ -906,6 +906,46 @@ class SqlEnvSpec extends AnyFunSuite {
     assert(!after.contains("only_this_view"))
   }
 
+  test("SHOW CREATE TABLE roundtrips through the parser; SHOW COLUMNS ≡ DESCRIBE; USE/SHOW CATALOGS") {
+    val env = SqlEnv(spark).registerTestdata(TestSpark.sfDir)
+    env.executeSql(
+      """CREATE TABLE sct_t (
+        |  id BIGINT,
+        |  price DECIMAL(10, 2),
+        |  ts TIMESTAMP(3),
+        |  doubled AS id * 2,
+        |  WATERMARK FOR ts AS ts - INTERVAL '5' SECOND,
+        |  PRIMARY KEY (id) NOT ENFORCED
+        |) WITH ('connector' = 'filesystem',
+        |        'path' = '/tmp/graft_sql_sct_t', 'format' = 'parquet')""".stripMargin)
+    val ddl = env.executeSql("SHOW CREATE TABLE sct_t").collect()(0).getString(0)
+    assert(ddl.contains("CREATE TABLE `sct_t`"))
+    assert(ddl.contains("`id` BIGINT") && ddl.contains("`price` DECIMAL(10, 2)"))
+    assert(ddl.contains("`doubled` AS id * 2"))
+    assert(ddl.contains("WATERMARK FOR `ts` AS `ts` - INTERVAL '5' SECOND"))
+    assert(ddl.contains("PRIMARY KEY (`id`) NOT ENFORCED"))
+    assert(ddl.contains("'connector' = 'filesystem'"))
+    // the emitted DDL must parse back to an equivalent table — the
+    // reference's ShowCreateUtil contract (executable output)
+    val env2 = SqlEnv(spark)
+    env2.executeSql(ddl.replace("`sct_t`", "sct_t2").replace("'/tmp/graft_sql_sct_t'", "'/tmp/graft_sql_sct_t2'"))
+    val d1 = env.executeSql("DESCRIBE sct_t").collect().map(_.toString).toSeq
+    val d2 = env2.executeSql("DESCRIBE sct_t2").collect().map(_.toString).toSeq
+    assert(d1 == d2)
+    // SHOW COLUMNS shares DESCRIBE's six-column shape
+    val sc1 = env.executeSql("SHOW COLUMNS FROM sct_t").collect().map(_.toString).toSeq
+    assert(sc1 == d1)
+    // catalog/database session surface
+    assert(env.executeSql("SHOW CATALOGS").collect().map(_.getString(0)).toSeq ==
+      Seq("default_catalog"))
+    env.executeSql("USE CATALOG other_cat")
+    env.executeSql("USE other_db")
+    assert(env.executeSql("SHOW CATALOGS").collect().map(_.getString(0)).toSeq ==
+      Seq("other_cat"))
+    assert(env.executeSql("SHOW DATABASES").collect().map(_.getString(0)).toSeq ==
+      Seq("other_db"))
+  }
+
   test("EXPLAIN only plans — INSERT body does not write, commands are rejected") {
     val env = SqlEnv(spark).registerTestdata(TestSpark.sfDir)
     val dir = "/tmp/graft_sql_explain_noexec"
