@@ -243,13 +243,17 @@ object TextOps2 {
           "transform(sequence(1, size(toks) - 3), i -> concat_ws(' ', slice(toks, i, 4)))"))
           .as(Seq("pi", "g")))
         .select(col("doc_id"), (col("pi") + 1).cast("long").as("pos"), col("g"))
-      // per gram: distinct-doc count + canonical (first) occurrence;
-      // struct min orders (doc_id, pos) lexicographically
-      val gi = occ.groupBy("g").agg(
-        countDistinct(col("doc_id")).as("nd"),
-        min(struct(col("doc_id"), col("pos"))).as("first"))
-      val rem = occ.join(gi, "g")
-        .filter(col("nd") >= 2 &&
+      // per-gram canonical occurrence + multi-doc test via ONE window
+      // over g (the t45 discipline: a groupBy+join-back formulation
+      // re-plans — and re-explodes — the corpus subtree per branch;
+      // the window keys a single shuffle on the uniform gram). Struct
+      // min orders (doc_id, pos) lexicographically = globally first;
+      // ≥2 distinct docs ⟺ min(doc_id) ≠ max(doc_id).
+      val wg = Window.partitionBy(col("g"))
+      val rem = occ
+        .withColumn("first", min(struct(col("doc_id"), col("pos"))).over(wg))
+        .withColumn("multi", min(col("doc_id")).over(wg) =!= max(col("doc_id")).over(wg))
+        .filter(col("multi") &&
           !(col("doc_id") === col("first.doc_id") && col("pos") === col("first.pos")))
         .select(col("doc_id"), explode(expr("sequence(pos, pos + 3)")).as("p"))
         .distinct()

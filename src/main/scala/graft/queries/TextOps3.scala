@@ -243,10 +243,16 @@ object TextOps3 {
             "i -> struct(element_at(toks, i) AS w1, element_at(toks, i + 1) AS w2))")).as("p"))
         .select(col("doc_id"), col("lang"), col("p.w1"), col("p.w2"))
       val target = pairs.filter(col("lang") === "en")
-      val uni = target.groupBy(col("w1")).agg(count(lit(1)).as("c1"))
+      // ONE corpus explode builds the whole LM: unigram context counts
+      // are per-w1 sums of the bigram table (identical by construction)
+      // and the context-vocab size is its distinct-w1 row count, so
+      // both derive from the vocab²-bounded bi table — checkpointed so
+      // Catalyst cannot re-plan (and re-scan the corpus for) each
+      // derived subtree (the t51 double-plan lesson).
       val bi = target.groupBy(col("w1"), col("w2")).agg(count(lit(1)).as("c2"))
-      val vocab = target.agg(
-        countDistinct(col("w1")).as("v")) // context vocabulary size
+        .localCheckpoint()
+      val uni = bi.groupBy(col("w1")).agg(sum(col("c2")).as("c1"))
+      val vocab = uni.agg(count(lit(1)).as("v")) // context vocabulary size
       pairs
         .join(broadcast(bi), Seq("w1", "w2"), "left")
         .join(broadcast(uni), Seq("w1"), "left")
