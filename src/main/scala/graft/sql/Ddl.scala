@@ -316,6 +316,14 @@ object Ddl {
     """'([^']*)'\s*=\s*'([^']*)'""".r.findAllMatchIn(txt)
       .map(m => m.group(1) -> m.group(2)).toMap
 
+  /** Public option-pair parser for ALTER TABLE SET / table property
+    * lists (same quoting rules as the CREATE TABLE WITH clause). */
+  def parseOptionPairs(txt: String): Map[String, String] = parseOptions(txt)
+
+  /** Quoted key list for ALTER TABLE RESET: ('k1', 'k2'). */
+  def parseOptionKeys(txt: String): Seq[String] =
+    """'([^']*)'""".r.findAllMatchIn(txt).map(_.group(1)).toSeq
+
   /** Execute the CREATE TABLE: build the source DataFrame (if readable
     * now) and register it. Returns true if registered, false if
     * deferred to first INSERT (filesystem path absent).

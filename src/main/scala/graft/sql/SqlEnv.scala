@@ -163,6 +163,33 @@ class SqlEnv private (val spark: SparkSession) {
       // writes eagerly, so routing it through executeSql would perform
       // the write); command statements (SET/CREATE/DROP/SHOW/...) are
       // rejected like the reference's parser does.
+      // ALTER TABLE — registry + catalog updates (rename moves the
+      // temp view; SET merges options; RESET drops keys)
+      case alterRenameRe(oldName, newName) =>
+        val d = Option(tableDefs.remove(oldName)).getOrElse(
+          throw new IllegalArgumentException(
+            s"ALTER TABLE: '$oldName' was not created via CREATE TABLE"))
+        tableDefs.put(newName, d.copy(name = newName))
+        if (spark.catalog.tableExists(oldName)) {
+          spark.table(oldName).createOrReplaceTempView(newName)
+          spark.catalog.dropTempView(oldName)
+        }
+        return spark.emptyDataFrame
+      case alterSetRe(name, props) =>
+        val d = Option(tableDefs.get(name)).getOrElse(
+          throw new IllegalArgumentException(
+            s"ALTER TABLE: '$name' was not created via CREATE TABLE"))
+        tableDefs.put(name, d.copy(options = d.options ++ Ddl.parseOptionPairs(props)))
+        return spark.emptyDataFrame
+      case alterResetRe(name, keysTxt) =>
+        val d = Option(tableDefs.get(name)).getOrElse(
+          throw new IllegalArgumentException(
+            s"ALTER TABLE: '$name' was not created via CREATE TABLE"))
+        val drop = Ddl.parseOptionKeys(keysTxt).toSet
+        require(!drop.contains("connector"),
+          "ALTER TABLE RESET: 'connector' cannot be reset (reference restriction)")
+        tableDefs.put(name, d.copy(options = d.options.filterNot(kv => drop(kv._1))))
+        return spark.emptyDataFrame
       case explainRe(body) =>
         import spark.implicits._
         val trimmed = body.trim
@@ -170,7 +197,8 @@ class SqlEnv private (val spark: SparkSession) {
           case setKvRe(_, _) | setListRe() | resetRe(_) | createViewRe(_, _)
                | dropRe(_) | stmtSetRe(_) | showRe(_) | descRe(_)
                | showCreateRe(_) | showColumnsRe(_) | useCatalogRe(_)
-               | useDbRe(_) | showCatalogsRe() | showDatabasesRe() => true
+               | useDbRe(_) | showCatalogsRe() | showDatabasesRe()
+               | alterRenameRe(_, _) | alterSetRe(_, _) | alterResetRe(_, _) => true
           case _ => Ddl.isCreateTable(trimmed)
         }
         require(!isCommand,
@@ -184,6 +212,46 @@ class SqlEnv private (val spark: SparkSession) {
           org.apache.spark.sql.execution.ExtendedMode)
         return Seq(plan).toDF("result")
       case _ =>
+    }
+    // CREATE TABLE ... LIKE must be tried BEFORE the plain create (the
+    // plain regex's greedy WITH group would swallow a LIKE tail)
+    createLikeRe.findFirstMatchIn(sql).foreach { m =>
+      val (name, base) = (m.group(1), m.group(4))
+      val baseDef = Option(tableDefs.get(base)).getOrElse(
+        throw new IllegalArgumentException(
+          s"CREATE TABLE LIKE: base '$base' was not created via CREATE TABLE"))
+      val mods = Option(m.group(5)).map(_.toUpperCase).getOrElse("")
+      // parse the new columns/options by synthesizing a plain CREATE
+      // (dummy column keeps the body non-empty; placeholder option
+      // keeps WITH parseable when absent)
+      val colsTxt = Option(m.group(2)).map(_.trim).filter(_.nonEmpty)
+        .map(_ + ", __like_dummy INT").getOrElse("__like_dummy INT")
+      val withTxt = Option(m.group(3)).filter(_.trim.nonEmpty)
+        .getOrElse("'__like_ph'='1'")
+      val d0 = Ddl.parseCreateTable(s"CREATE TABLE $name ($colsTxt) WITH ($withTxt)")
+      val newOpts = d0.options - "__like_ph"
+      val dupCols = d0.schema.fieldNames.toSet.intersect(baseDef.schema.fieldNames.toSet)
+      require(dupCols.isEmpty, s"CREATE TABLE LIKE: duplicate columns $dupCols")
+      val merged = baseDef.copy(
+        name = name,
+        schema = org.apache.spark.sql.types.StructType(
+          baseDef.schema.fields ++ d0.schema.fields.filterNot(_.name == "__like_dummy")),
+        watermark = d0.watermark.orElse(baseDef.watermark),
+        primaryKey = if (d0.primaryKey.nonEmpty) d0.primaryKey else baseDef.primaryKey,
+        partitionedBy =
+          if (d0.partitionedBy.nonEmpty) d0.partitionedBy else baseDef.partitionedBy,
+        // default = INCLUDING ALL + OVERWRITING OPTIONS (FLIP-110's
+        // default merge); EXCLUDING OPTIONS starts from the new WITH
+        options =
+          if (mods.contains("EXCLUDING OPTIONS")) newOpts
+          else baseDef.options ++ newOpts,
+        computed = baseDef.computed ++ d0.computed,
+        metaCols = baseDef.metaCols ++ d0.metaCols,
+        columnOrder = baseDef.declaredOrder ++
+          d0.declaredOrder.filterNot(_ == "__like_dummy"))
+      tableDefs.put(name, merged)
+      Ddl.executeCreate(spark, merged)
+      return spark.emptyDataFrame
     }
     if (Ddl.isCreateTable(sql)) {
       val d = Ddl.parseCreateTable(sql)
@@ -225,6 +293,18 @@ class SqlEnv private (val spark: SparkSession) {
     """(?is)^\s*SHOW\s+(TABLES|VIEWS|FUNCTIONS)\s*;?\s*$""".r
   private val showCreateRe =
     """(?is)^\s*SHOW\s+CREATE\s+TABLE\s+([\w.]+)\s*;?\s*$""".r
+  // ALTER TABLE (SqlAlterTableRename / SqlAlterTableOptions /
+  // SqlAlterTableReset — parserImpls.ftl:600)
+  private val alterRenameRe =
+    """(?is)^\s*ALTER\s+TABLE\s+`?([\w.]+)`?\s+RENAME\s+TO\s+`?([\w.]+)`?\s*;?\s*$""".r
+  private val alterSetRe =
+    """(?is)^\s*ALTER\s+TABLE\s+`?([\w.]+)`?\s+SET\s*\((.*)\)\s*;?\s*$""".r
+  private val alterResetRe =
+    """(?is)^\s*ALTER\s+TABLE\s+`?([\w.]+)`?\s+RESET\s*\((.*)\)\s*;?\s*$""".r
+  // CREATE TABLE ... LIKE base [(mods)] (SqlTableLike — parserImpls.ftl,
+  // FLIP-110): columns/WITH optional, base supplies the rest
+  private val createLikeRe =
+    """(?is)^\s*CREATE\s+TABLE\s+(?:IF\s+NOT\s+EXISTS\s+)?`?([\w.]+)`?\s*(?:\((.*?)\)\s*)?(?:WITH\s*\((.*?)\)\s*)?LIKE\s+`?([\w.]+)`?\s*(?:\(\s*([^)]*)\)\s*)?;?\s*$""".r
   private val showColumnsRe =
     """(?is)^\s*SHOW\s+COLUMNS\s+(?:FROM|IN)\s+([\w.]+)\s*;?\s*$""".r
   private val useCatalogRe = """(?is)^\s*USE\s+CATALOG\s+([\w.]+)\s*;?\s*$""".r

@@ -946,6 +946,54 @@ class SqlEnvSpec extends AnyFunSuite {
       Seq("other_db"))
   }
 
+  test("ALTER TABLE RENAME/SET/RESET and CREATE TABLE LIKE") {
+    val env = SqlEnv(spark).registerTestdata(TestSpark.sfDir)
+    val dir = "/tmp/graft_sql_alter_t"
+    org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(dir))
+    env.executeSql(
+      s"""CREATE TABLE alter_t (
+         |  id BIGINT, ts TIMESTAMP(3),
+         |  WATERMARK FOR ts AS ts - INTERVAL '5' SECOND
+         |) WITH ('connector' = 'filesystem', 'path' = '$dir',
+         |        'format' = 'parquet', 'csv.ignore-parse-errors' = 'true')""".stripMargin)
+    // SET merges, RESET drops, both visible through SHOW CREATE TABLE
+    env.executeSql("ALTER TABLE alter_t SET ('format' = 'json', 'k2' = 'v2')")
+    env.executeSql("ALTER TABLE alter_t RESET ('csv.ignore-parse-errors')")
+    val ddl = env.executeSql("SHOW CREATE TABLE alter_t").collect()(0).getString(0)
+    assert(ddl.contains("'format' = 'json'") && ddl.contains("'k2' = 'v2'"))
+    assert(!ddl.contains("csv.ignore-parse-errors"))
+    intercept[IllegalArgumentException] {
+      env.executeSql("ALTER TABLE alter_t RESET ('connector')")
+    }
+    // RENAME moves the registry entry (and the view, once materialized)
+    env.executeSql("ALTER TABLE alter_t RENAME TO alter_t2")
+    assert(env.executeSql("SHOW CREATE TABLE alter_t2").collect()(0)
+      .getString(0).contains("CREATE TABLE `alter_t2`"))
+    intercept[IllegalArgumentException] {
+      env.executeSql("SHOW CREATE TABLE alter_t")
+    }
+    // LIKE: base schema/watermark carried over, new column appended,
+    // new options override (FLIP-110 default merge)
+    env.executeSql(
+      """CREATE TABLE like_t (extra STRING)
+        |WITH ('path' = '/tmp/graft_sql_like_t') LIKE alter_t2""".stripMargin)
+    val likeDdl = env.executeSql("SHOW CREATE TABLE like_t").collect()(0).getString(0)
+    assert(likeDdl.contains("`id` BIGINT") && likeDdl.contains("`extra` STRING"))
+    assert(likeDdl.contains("WATERMARK FOR `ts`"))
+    assert(likeDdl.contains("'path' = '/tmp/graft_sql_like_t'"))
+    assert(likeDdl.contains("'format' = 'json'")) // inherited from base
+    // EXCLUDING OPTIONS starts from the new WITH alone
+    env.executeSql(
+      """CREATE TABLE like_x (extra STRING)
+        |WITH ('connector' = 'blackhole') LIKE alter_t2 (EXCLUDING OPTIONS)""".stripMargin)
+    val xDdl = env.executeSql("SHOW CREATE TABLE like_x").collect()(0).getString(0)
+    assert(xDdl.contains("'connector' = 'blackhole'") && !xDdl.contains("json"))
+    // bare LIKE (no columns, no WITH) clones the definition
+    env.executeSql("CREATE TABLE like_bare LIKE alter_t2")
+    val bareDdl = env.executeSql("SHOW CREATE TABLE like_bare").collect()(0).getString(0)
+    assert(bareDdl.contains("`id` BIGINT") && bareDdl.contains("'format' = 'json'"))
+  }
+
   test("EXPLAIN only plans — INSERT body does not write, commands are rejected") {
     val env = SqlEnv(spark).registerTestdata(TestSpark.sfDir)
     val dir = "/tmp/graft_sql_explain_noexec"
