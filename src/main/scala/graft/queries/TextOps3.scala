@@ -1,6 +1,7 @@
 package graft.queries
 
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import graft.Tables
 
@@ -265,6 +266,64 @@ object TextOps3 {
           avg(col("lp")).as("avg_logprob"))
         .withColumn("cross_entropy", -col("avg_logprob"))
         .withColumn("keep", col("cross_entropy") < 7.0)
+    }),
+
+    // ---- Output sharding + per-shard manifest -------------------------
+    // The write-out step of a training-data pipeline: every document is
+    // assigned to one of 16 shards by a salted content-independent
+    // hash (so shards are balanced and assignment is reproducible),
+    // and the per-shard MANIFEST rows (doc/token/char totals, doc-id
+    // range) are what the training job reads to plan its input splits.
+    // Scale: one map-side hash + one 16-key agg with map-side partials;
+    // in production the same frame is `write.partitionBy(shard)` and
+    // the manifest is the bookkeeping table. All-integer surface.
+    "t60_shard_manifest" -> ((s, dir) => {
+      val nShards = 16
+      val d = Tables.load(s, dir, "documents")
+      val shard = (conv(substring(
+          md5(concat(lit("shard:"), col("doc_id").cast("string"))), 1, 4),
+        16, 10).cast("long") % nShards).as("shard")
+      d.select(shard, col("doc_id"), size(tokens).cast("long").as("n_tok"),
+          length(col("text")).cast("long").as("n_chars"))
+        .groupBy(col("shard"))
+        .agg(count(lit(1)).as("n_docs"),
+          sum(col("n_tok")).as("total_tokens"),
+          sum(col("n_chars")).as("total_chars"),
+          min(col("doc_id")).as("min_doc"),
+          max(col("doc_id")).as("max_doc"))
+    }),
+
+    // ---- Token-budget mixture selection -------------------------------
+    // "Build me a 20k-token training mix at these source weights" — the
+    // data-mixture step every pretraining run starts with (cf. The
+    // Pile / Dolma mixture tables): per-source token quotas from the
+    // weight vector, then each source contributes its docs in
+    // deterministic doc_id order until its quota is crossed (the last
+    // doc may overshoot — t46's packing convention). Scale: quota
+    // arithmetic is a literal; selection is ONE windowed cumsum per
+    // source partition (source cardinality = mixture size, each
+    // partition's scan is sequential exactly like the file order a
+    // real packer reads); all-integer surface.
+    "t61_token_budget_mix" -> ((s, dir) => {
+      val budget = 3000L
+      val d = Tables.load(s, dir, "documents")
+      val weights = Seq("src0" -> 4L, "src1" -> 2L, "src2" -> 1L,
+        "src3" -> 1L, "src4" -> 1L, "src5" -> 1L)
+      val wSum = weights.map(_._2).sum
+      // Scala-side long arithmetic: Column./ is double division
+      val quota = weights.foldLeft(lit(0L)) { case (acc, (k, v)) =>
+        when(col("source") === k, lit(v * budget / wSum)).otherwise(acc) }
+        .as("quota")
+      val wnd = Window.partitionBy(col("source")).orderBy(col("doc_id"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      d.select(col("source"), col("doc_id"),
+          size(tokens).cast("long").as("n_tok"), quota)
+        .withColumn("cum", sum(col("n_tok")).over(wnd))
+        .filter(col("cum") - col("n_tok") < col("quota"))
+        .groupBy(col("source"))
+        .agg(count(lit(1)).as("n_docs_sel"),
+          sum(col("n_tok")).as("tokens_sel"),
+          first(col("quota")).as("quota"))
     })
   )
 
@@ -395,6 +454,35 @@ object TextOps3 {
         |  CROSS JOIN v)
         |SELECT doc_id, count(*) AS n_pairs, avg(lp) AS avg_logprob,
         |  -avg(lp) AS cross_entropy, -avg(lp) < 7.0 AS keep
-        |FROM lp GROUP BY doc_id""".stripMargin
+        |FROM lp GROUP BY doc_id""".stripMargin,
+
+    "t60_shard_manifest" ->
+      """WITH t AS (
+        |  SELECT CAST(('0x' || substr(md5('shard:' || CAST(doc_id AS VARCHAR)), 1, 4))
+        |           AS BIGINT) % 16 AS shard,
+        |    doc_id, len(string_split(text, ' ')) AS n_tok,
+        |    length(text) AS n_chars
+        |  FROM documents)
+        |SELECT shard, count(*) AS n_docs,
+        |  CAST(sum(n_tok) AS BIGINT) AS total_tokens,
+        |  CAST(sum(n_chars) AS BIGINT) AS total_chars,
+        |  CAST(min(doc_id) AS BIGINT) AS min_doc,
+        |  CAST(max(doc_id) AS BIGINT) AS max_doc
+        |FROM t GROUP BY shard""".stripMargin,
+
+    "t61_token_budget_mix" ->
+      """WITH t AS (
+        |  SELECT source, doc_id, len(string_split(text, ' ')) AS n_tok,
+        |    (CASE source WHEN 'src0' THEN 4 WHEN 'src1' THEN 2
+        |                 WHEN 'src2' THEN 1 WHEN 'src3' THEN 1
+        |                 WHEN 'src4' THEN 1 WHEN 'src5' THEN 1
+        |                 ELSE 0 END) * 3000 // 10 AS quota
+        |  FROM documents),
+        |c AS (SELECT *, sum(n_tok) OVER (PARTITION BY source ORDER BY doc_id
+        |        ROWS UNBOUNDED PRECEDING) AS cum FROM t)
+        |SELECT source, count(*) AS n_docs_sel,
+        |  CAST(sum(n_tok) AS BIGINT) AS tokens_sel,
+        |  CAST(min(quota) AS BIGINT) AS quota
+        |FROM c WHERE cum - n_tok < quota GROUP BY source""".stripMargin
   )
 }

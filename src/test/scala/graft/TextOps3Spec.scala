@@ -142,6 +142,32 @@ class TextOps3Spec extends AnyFunSuite {
     assert(r.filter(col("n_removed") === 0).count() > 0)
   }
 
+  test("t60: shard manifest accounts for every document exactly once") {
+    val r = SparkEntry.queries("t60_shard_manifest")(spark, dir).collect()
+    val d = graft.Tables.load(spark, dir, "documents")
+    val total = d.count()
+    val totalTok = d.select(sum(size(split(col("text"), " ")))).head().getLong(0)
+    assert(r.map(_.getLong(1)).sum == total)
+    assert(r.map(_.getLong(2)).sum == totalTok)
+    assert(r.forall(x => x.getLong(0) >= 0 && x.getLong(0) < 16))
+  }
+
+  test("t61: mixture selection respects quotas up to one-doc overshoot") {
+    val rows = SparkEntry.queries("t61_token_budget_mix")(spark, dir).collect()
+    assert(rows.nonEmpty)
+    val maxTok = graft.Tables.load(spark, dir, "documents")
+      .select(max(size(split(col("text"), " ")))).head().getInt(0).toLong
+    rows.foreach { x =>
+      val (sel, quota) = (x.getLong(2), x.getLong(3))
+      // either the quota was crossed (overshoot bounded by one doc) or
+      // the source ran out of documents under quota
+      assert(sel < quota + maxTok)
+    }
+    // weight ratios surface in the quotas (src0:src2 = 4:1)
+    val byName = rows.map(x => x.getString(0) -> x.getLong(3)).toMap
+    for (a <- byName.get("src0"); b <- byName.get("src2")) assert(a == 4 * b)
+  }
+
   test("t55: BPE merge training is deterministic and consistent with t49") {
     def run() = SparkEntry.queries("t55_bpe_merges")(spark, dir)
       .orderBy("merge_rank")
