@@ -113,10 +113,86 @@ object SqlSurface {
         FROM events_q81
         GROUP BY SESSION(ts, INTERVAL '30' MINUTE), user_id
       """)
+    }),
+
+    // ---- SQL/JSON standard family (SqlJsonUtils.java; functions/ ----
+    // json.scala): JSON_VALUE/JSON_QUERY/JSON_EXISTS scalar access,
+    // the IS JSON predicate and JSON_OBJECT(KEY..VALUE) call syntax
+    // (both SqlEnv text rewrites), JSON_STRING serialization. The doc
+    // under test is assembled from columns identically in both
+    // engines; both minify on re-serialization (probed), so the
+    // object-valued extractions compare bit-for-bit.
+    "q85_sql_json" -> ((s, dir) => {
+      val env = graft.sql.SqlEnv(s)
+      Tables.load(s, dir, "events").createOrReplaceTempView("events_q85")
+      env.executeSql("""
+        WITH j AS (
+          SELECT event_id, event_type,
+                 concat('{"id":', event_id, ',"type":"', event_type,
+                        '","props":', props, '}') AS doc
+          FROM events_q85 WHERE event_id < 200
+        )
+        SELECT CAST(event_id AS BIGINT) AS event_id,
+               json_value(doc, '$.type') AS jv_type,
+               CAST(json_value(doc, '$.props.k') AS BIGINT) AS jv_k,
+               json_query(doc, '$.props') AS jq_props,
+               json_exists(doc, '$.props.k') AS ex_k,
+               doc IS JSON AS isj,
+               JSON_OBJECT(KEY 'id' VALUE event_id) AS obj,
+               json_string(event_type) AS js
+        FROM j
+      """)
+    }),
+
+    // ---- JSON aggregates (JsonObjectAggFunction.java / -------------
+    // JsonArrayAggFunction.java): entries sorted for determinism at
+    // any parallelism (documented narrowing — the reference emits in
+    // nondeterministic arrival order); the oracle rebuilds the same
+    // sorted serialization with string_agg ORDER BY.
+    "q86_json_agg" -> ((s, dir) => {
+      val env = graft.sql.SqlEnv(s)
+      Tables.load(s, dir, "events").createOrReplaceTempView("events_q86")
+      env.executeSql("""
+        SELECT event_type,
+               JSON_OBJECTAGG(KEY CAST(user_id AS STRING) VALUE n) AS obj,
+               JSON_ARRAYAGG(n) AS arr
+        FROM (SELECT event_type, user_id, CAST(count(*) AS BIGINT) AS n
+              FROM events_q86 GROUP BY event_type, user_id)
+        GROUP BY event_type
+      """)
     })
   )
 
   def oracles: Map[String, String] = Map(
+    "q85_sql_json" ->
+      """WITH j AS (
+        |  SELECT event_id, event_type,
+        |         concat('{"id":', event_id, ',"type":"', event_type,
+        |                '","props":', props, '}') AS doc
+        |  FROM events WHERE event_id < 200
+        |)
+        |SELECT CAST(event_id AS BIGINT) AS event_id,
+        |  CASE WHEN json_type(doc, '$.type') IN ('OBJECT', 'ARRAY') THEN NULL
+        |       ELSE json_extract_string(doc, '$.type') END AS jv_type,
+        |  CAST(CASE WHEN json_type(doc, '$.props.k') IN ('OBJECT', 'ARRAY') THEN NULL
+        |            ELSE json_extract_string(doc, '$.props.k') END AS BIGINT) AS jv_k,
+        |  CASE WHEN json_type(doc, '$.props') IN ('OBJECT', 'ARRAY')
+        |       THEN CAST(json_extract(doc, '$.props') AS VARCHAR) ELSE NULL END AS jq_props,
+        |  json_type(doc, '$.props.k') IS NOT NULL AS ex_k,
+        |  json_valid(doc) AS isj,
+        |  CAST(json_object('id', event_id) AS VARCHAR) AS obj,
+        |  CAST(to_json(event_type) AS VARCHAR) AS js
+        |FROM j""".stripMargin,
+    "q86_json_agg" ->
+      """WITH g AS (
+        |  SELECT event_type, user_id, CAST(count(*) AS BIGINT) AS n
+        |  FROM events GROUP BY event_type, user_id
+        |)
+        |SELECT event_type,
+        |  '{' || string_agg('"' || CAST(user_id AS VARCHAR) || '":' || CAST(n AS VARCHAR),
+        |                    ',' ORDER BY CAST(user_id AS VARCHAR)) || '}' AS obj,
+        |  '[' || string_agg(CAST(n AS VARCHAR), ',' ORDER BY n) || ']' AS arr
+        |FROM g GROUP BY event_type""".stripMargin,
     "q83_ddl_enriched" ->
       """SELECT CASE WHEN o_totalprice > 150000 THEN 'hi' ELSE 'lo' END AS side,
         |  CAST(year(o_orderdate) AS INT) AS o_year,

@@ -267,7 +267,70 @@ class SqlEnv private (val spark: SparkSession) {
       () => s"__graft_tj_${viewCounter.incrementAndGet()}")
     val afterMr = MatchRecognizeSql.rewrite(spark, afterTj,
       () => s"__graft_mr_${viewCounter.incrementAndGet()}")
-    spark.sql(rewriteLegacyGroupWindows(rewriteWindowTvfs(afterMr)))
+    spark.sql(rewriteLegacyGroupWindows(rewriteWindowTvfs(
+      rewriteJsonSyntax(afterMr))))
+  }
+
+  /** SQL/JSON call syntax Spark's parser rejects, rewritten onto the
+    * registered function names (reference: SqlJsonObjectFunction /
+    * SqlJsonArrayFunction KEY..VALUE + ON NULL clauses, and the
+    * `IS JSON` predicate — Calcite SqlJsonValueExpressionOperator):
+    *  - `JSON_OBJECT(KEY k VALUE v [, ...] [NULL|ABSENT ON NULL])`
+    *    → `json_object(k, v, ...)` / `json_object_absent(...)`
+    *  - `JSON_ARRAY(v, ... [ABSENT|NULL ON NULL])` → `json_array[_null]`
+    *  - `JSON_OBJECTAGG/JSON_ARRAYAGG(...)` likewise
+    *  - `<col|(expr)> IS [NOT] JSON` → `[NOT] is_json(x)`
+    */
+  private[sql] def rewriteJsonSyntax(sql: String): String = {
+    if (!"""(?is).*(JSON_(OBJECT|ARRAY)|IS\s+(NOT\s+)?JSON\b).*""".r
+          .matches(sql)) return sql
+    var s = sql
+    val isJsonRe =
+      """(?is)((?:'[^']*')|(?:[\w.`]+)|(?:\([^()]*\)))\s+IS\s+(NOT\s+)?JSON\b""".r
+    s = isJsonRe.replaceAllIn(s, m =>
+      java.util.regex.Matcher.quoteReplacement(
+        (if (m.group(2) != null) "NOT " else "") + s"is_json(${m.group(1)})"))
+    val callRe = """(?i)\bJSON_(OBJECTAGG|OBJECT|ARRAYAGG|ARRAY)\s*\(""".r
+    // right-to-left so earlier offsets stay valid; inner calls first
+    for (m <- callRe.findAllMatchIn(s).toList.reverse) {
+      val open = s.indexOf('(', m.start)
+      val close = matchingParen(s, open)
+      if (close > open) {
+        var inner = s.substring(open + 1, close)
+        inner = """(?is)\bKEY\s+(.+?)\s+VALUE\s+""".r.replaceAllIn(inner,
+          mm => java.util.regex.Matcher.quoteReplacement(mm.group(1) + ", "))
+        var behavior: String = null
+        inner = """(?is)\s+(NULL|ABSENT)\s+ON\s+NULL\s*$""".r
+          .replaceAllIn(inner, mm => { behavior = mm.group(1).toUpperCase; "" })
+        val target = m.group(1).toUpperCase match {
+          case "OBJECT" =>
+            if (behavior == "ABSENT") "json_object_absent" else "json_object"
+          case "ARRAY" =>
+            if (behavior == "NULL") "json_array_null" else "json_array"
+          case "OBJECTAGG" => "json_objectagg"
+          case "ARRAYAGG" => "json_arrayagg"
+        }
+        s = s.substring(0, m.start) + target + "(" + inner + ")" +
+          s.substring(close + 1)
+      }
+    }
+    s
+  }
+
+  /** Index of the `)` matching the `(` at `open` (skips '...' strings). */
+  private def matchingParen(s: String, open: Int): Int = {
+    var depth = 0; var inStr = false; var i = open
+    while (i < s.length) {
+      s.charAt(i) match {
+        case '\'' => inStr = !inStr
+        case '(' if !inStr => depth += 1
+        case ')' if !inStr =>
+          depth -= 1; if (depth == 0) return i
+        case _ =>
+      }
+      i += 1
+    }
+    -1
   }
 
   /** CREATE TABLE definitions by name (drives INSERT routing). */
