@@ -1,7 +1,7 @@
 package graft.functions
 
 import org.apache.spark.sql.SparkSession
-import org.apache.spark.sql.catalyst.analysis.UnresolvedFunction
+import org.apache.spark.sql.catalyst.analysis.{UnresolvedExtractValue, UnresolvedFunction}
 import org.apache.spark.sql.catalyst.expressions._
 import org.apache.spark.sql.types._
 
@@ -12,15 +12,18 @@ import org.apache.spark.sql.types._
   *  - JSON_VALUE (jsonValue:138): lax path, RETURNING STRING, NULL ON
   *    EMPTY / NULL ON ERROR defaults → a non-scalar result is an error
   *    → NULL. Here: `get_json_object` (same Jackson-style lax access,
-  *    same minified re-serialization) gated to scalar results.
+  *    same minified re-serialization) gated by [[JsonNodeKind]] — the
+  *    ACTUAL parsed node type, like the reference — so a scalar string
+  *    whose text starts with '[' or '{' still classifies as a string.
   *  - JSON_QUERY (jsonQuery:193): WITHOUT ARRAY WRAPPER, NULL ON
   *    EMPTY/ERROR defaults → only object/array results survive.
-  *  - JSON_EXISTS (jsonExists:110): FALSE ON ERROR. Narrowing: a path
-  *    hitting an explicit JSON null reports false here (Spark's
-  *    `get_json_object` folds JSON null and absent into SQL NULL);
-  *    the reference reports true. Documented, spec-pinned.
-  *  - IS JSON (isJsonValue:274): any parseable JSON document. The SQL
-  *    predicate text `x IS JSON` is rewritten onto `is_json(x)` by
+  *  - JSON_EXISTS (jsonExists:110): FALSE ON ERROR; a path hitting an
+  *    explicit JSON null reports TRUE (node kind 'null'), matching the
+  *    reference. Narrowing: wildcard/union paths report false
+  *    ([[JsonNodeKind]] path subset).
+  *  - IS JSON (isJsonValue:274): any parseable JSON document
+  *    (`json_node_kind(s, '$')` succeeds). The SQL predicate text
+  *    `x IS JSON` is rewritten onto `is_json(x)` by
   *    [[graft.sql.SqlEnv]].
   *  - JSON_STRING (BuiltInFunctionDefinitions JSON_STRING): serialize
   *    any scalar to JSON text; implemented as `to_json(array(x))` with
@@ -38,7 +41,9 @@ import org.apache.spark.sql.types._
   *    arrival order, which is nondeterministic under parallelism; here
   *    entries are sorted (by key / by value) so the aggregate is
   *    deterministic at any parallelism — a strictly stronger contract,
-  *    documented. ABSENT ON NULL for arrayagg matches `collect_list`
+  *    documented. Duplicate keys upsert like the reference (last one
+  *    wins; under the sorted order that is the greatest value per
+  *    key). ABSENT ON NULL for arrayagg matches `collect_list`
   *    dropping nulls.
   *  - SHA224/SHA384/SHA512 (FlinkSqlOperatorTable): `sha2(x, n)`.
   *  - CURRENT_ROW_TIMESTAMP (FlinkSqlOperatorTable.CURRENT_ROW_TIMESTAMP):
@@ -76,10 +81,24 @@ object jsonfns {
       es => StructsToJson(Map.empty, CreateArray(es.toSeq)), "built-in")
 
     // ---- aggregates (deterministic order: sorted entries) ----------
-    reg.createOrReplaceTempFunction("json_objectagg",
-      es => fn("to_json", fn("map_from_entries",
-        fn("sort_array", fn("collect_list", fn("struct", es: _*))))),
-      "built-in")
+    reg.createOrReplaceTempFunction("json_objectagg", es => {
+      val entries = fn("sort_array", fn("collect_list",
+        CreateNamedStruct(Seq(Literal("k"), es(0), Literal("v"), es(1)))))
+      // duplicate keys upsert (JsonObjectAggFunction last-wins); the
+      // entries are sorted ascending, so keep an entry only when the
+      // NEXT entry has a different key — map_from_entries under the
+      // default EXCEPTION dedup policy would otherwise throw
+      val x = UnresolvedNamedLambdaVariable(Seq("x"))
+      val i = UnresolvedNamedLambdaVariable(Seq("i"))
+      val keepLastPerKey = LambdaFunction(
+        Or(EqualTo(Add(i, Literal(1)), fn("size", entries)),
+          Not(EqualTo(
+            UnresolvedExtractValue(
+              fn("element_at", entries, Add(i, Literal(2))), Literal("k")),
+            UnresolvedExtractValue(x, Literal("k"))))),
+        Seq(x, i))
+      fn("to_json", fn("map_from_entries", fn("filter", entries, keepLastPerKey)))
+    }, "built-in")
     reg.createOrReplaceTempFunction("json_arrayagg",
       es => fn("to_json", fn("sort_array", fn("collect_list", es.head))),
       "built-in")
@@ -107,23 +126,25 @@ object jsonfns {
     reg.createOrReplaceTempFunction("current_row_timestamp",
       _ => ProcTime(), "built-in")
 
+    // the node-type classifier behind the four predicates above
+    reg.createOrReplaceTempFunction("json_node_kind",
+      es => JsonNodeKind(es(0), es(1)), "built-in")
+
     // ---- fixed-arity scalars (SQL-text functions: inlined at plan --
-    // time, stay inside whole-stage codegen) -------------------------
+    // time) ----------------------------------------------------------
     Seq(
       """CREATE OR REPLACE TEMPORARY FUNCTION json_value(j STRING, p STRING)
         |RETURNS STRING RETURN
-        |CASE WHEN get_json_object(j, p) RLIKE '^[\\[{]' THEN CAST(NULL AS STRING)
-        |     ELSE get_json_object(j, p) END""".stripMargin,
+        |CASE WHEN json_node_kind(j, p) IN ('string', 'number', 'boolean')
+        |     THEN get_json_object(j, p) ELSE CAST(NULL AS STRING) END""".stripMargin,
       """CREATE OR REPLACE TEMPORARY FUNCTION json_query(j STRING, p STRING)
         |RETURNS STRING RETURN
-        |CASE WHEN get_json_object(j, p) RLIKE '^[\\[{]' THEN get_json_object(j, p)
-        |     ELSE CAST(NULL AS STRING) END""".stripMargin,
+        |CASE WHEN json_node_kind(j, p) IN ('object', 'array')
+        |     THEN get_json_object(j, p) ELSE CAST(NULL AS STRING) END""".stripMargin,
       """CREATE OR REPLACE TEMPORARY FUNCTION json_exists(j STRING, p STRING)
-        |RETURNS BOOLEAN RETURN get_json_object(j, p) IS NOT NULL""".stripMargin,
+        |RETURNS BOOLEAN RETURN json_node_kind(j, p) IS NOT NULL""".stripMargin,
       """CREATE OR REPLACE TEMPORARY FUNCTION is_json(s STRING)
-        |RETURNS BOOLEAN RETURN
-        |s IS NOT NULL AND (get_json_object(s, '$') IS NOT NULL
-        |                   OR s RLIKE '^\\s*null\\s*$')""".stripMargin,
+        |RETURNS BOOLEAN RETURN json_node_kind(s, '$') IS NOT NULL""".stripMargin,
       """CREATE OR REPLACE TEMPORARY FUNCTION sha224(s STRING)
         |RETURNS STRING RETURN sha2(s, 224)""".stripMargin,
       """CREATE OR REPLACE TEMPORARY FUNCTION sha384(s STRING)

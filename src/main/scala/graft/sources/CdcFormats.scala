@@ -55,6 +55,15 @@ object CdcFormats {
   private def kindRow(kind: String, row: Column): Column =
     struct(lit(kind).as("kind"), row.as("row"))
 
+  /** Name for the staged-parse helper column that is guaranteed not to
+    * collide with an input column (withColumn would silently replace
+    * one, and the parse would then read the wrong input).
+    */
+  private def stagingName(df: DataFrame): String =
+    Iterator.from(0)
+      .map(i => if (i == 0) "__cdc_parsed" else s"__cdc_parsed_$i")
+      .find(n => !df.columns.contains(n)).get
+
   /** debezium-json: `{before, after, op}` → changelog rows. */
   def fromDebeziumJson(df: DataFrame, jsonCol: Column, schema: StructType): DataFrame =
     fromBeforeAfter(df, jsonCol, schema, opField = "op",
@@ -76,11 +85,12 @@ object CdcFormats {
     // reference re-parses the JSON per reference (measured ~2× on
     // q82); CollapseProject keeps a multi-referenced non-trivial
     // alias staged, so the parse runs once per row
-    val parsed = col("__cdc_parsed")
+    val stage = stagingName(df)
+    val parsed = col(stage)
     val op = parsed.getField(opField)
     val before = rowStruct(parsed.getField("before"), schema)
     val after = rowStruct(parsed.getField("after"), schema)
-    df.withColumn("__cdc_parsed", from_json(jsonCol, env))
+    df.withColumn(stage, from_json(jsonCol, env))
       .select(explode(
         when(op.isin(insertOps: _*), array(kindRow(Changelog.Insert, after)))
         .when(op === updateOp, array(kindRow(Changelog.UpdateBefore, before),
@@ -98,8 +108,9 @@ object CdcFormats {
     val env = StructType(Seq(
       StructField("data", ArrayType(schema)), StructField("old", ArrayType(schema)),
       StructField("type", StringType)))
-    val parsed = col("__cdc_parsed") // staged parse — see fromBeforeAfter
-    df.withColumn("__cdc_parsed", from_json(jsonCol, env))
+    val stage = stagingName(df) // staged parse — see fromBeforeAfter
+    val parsed = col(stage)
+    df.withColumn(stage, from_json(jsonCol, env))
       .select(parsed.getField("type").as("__t"), parsed.getField("old").as("__old"),
         posexplode(parsed.getField("data")).as(Seq("__i", "__d")))
       .select(explode(
@@ -120,10 +131,11 @@ object CdcFormats {
     val env = StructType(Seq(
       StructField("data", schema), StructField("old", schema),
       StructField("type", StringType)))
-    val parsed = col("__cdc_parsed") // staged parse — see fromBeforeAfter
+    val stage = stagingName(df) // staged parse — see fromBeforeAfter
+    val parsed = col(stage)
     val data = rowStruct(parsed.getField("data"), schema)
     val old = mergeOld(parsed.getField("old"), parsed.getField("data"), schema)
-    df.withColumn("__cdc_parsed", from_json(jsonCol, env))
+    df.withColumn(stage, from_json(jsonCol, env))
       .select(parsed.getField("type").as("__t"), data.as("__d"), old.as("__o"))
       .select(explode(
         when(col("__t").isin("insert", "bootstrap-insert"),

@@ -279,17 +279,12 @@ class SqlEnv private (val spark: SparkSession) {
     *    → `json_object(k, v, ...)` / `json_object_absent(...)`
     *  - `JSON_ARRAY(v, ... [ABSENT|NULL ON NULL])` → `json_array[_null]`
     *  - `JSON_OBJECTAGG/JSON_ARRAYAGG(...)` likewise
-    *  - `<col|(expr)> IS [NOT] JSON` → `[NOT] is_json(x)`
+    *  - `<col|'str'|(expr)|fn(...)> IS [NOT] JSON` → `[NOT] is_json(x)`
     */
   private[sql] def rewriteJsonSyntax(sql: String): String = {
     if (!"""(?is).*(JSON_(OBJECT|ARRAY)|IS\s+(NOT\s+)?JSON\b).*""".r
           .matches(sql)) return sql
-    var s = sql
-    val isJsonRe =
-      """(?is)((?:'[^']*')|(?:[\w.`]+)|(?:\([^()]*\)))\s+IS\s+(NOT\s+)?JSON\b""".r
-    s = isJsonRe.replaceAllIn(s, m =>
-      java.util.regex.Matcher.quoteReplacement(
-        (if (m.group(2) != null) "NOT " else "") + s"is_json(${m.group(1)})"))
+    var s = rewriteIsJson(sql)
     val callRe = """(?i)\bJSON_(OBJECTAGG|OBJECT|ARRAYAGG|ARRAY)\s*\(""".r
     // right-to-left so earlier offsets stay valid; inner calls first
     for (m <- callRe.findAllMatchIn(s).toList.reverse) {
@@ -315,6 +310,71 @@ class SqlEnv private (val spark: SparkSession) {
       }
     }
     s
+  }
+
+  /** `<operand> IS [NOT] JSON` → `[NOT] is_json(<operand>)`.
+    *
+    * The operand is captured by scanning backwards from the predicate:
+    * a 'string', a dotted identifier, a parenthesized expression, or a
+    * call `ident( ... )` with arbitrarily nested parens (the shape the
+    * old single-level regex mangled into `upper is_json((doc))`).
+    * Matches inside string literals are left alone; an operand shape
+    * the scanner cannot capture raises a clear error instead of
+    * leaking `IS JSON` to Spark's parser.
+    */
+  private[sql] def rewriteIsJson(s0: String): String = {
+    val re = """(?is)\bIS\s+(NOT\s+)?JSON\b""".r
+    val ms = re.findAllMatchIn(s0).toList
+    if (ms.isEmpty) return s0
+    def inLiteral(pos: Int): Boolean = {
+      var inStr = false
+      for (k <- 0 until pos) if (s0.charAt(k) == '\'') inStr = !inStr
+      inStr
+    }
+    def identChar(c: Char): Boolean =
+      c.isLetterOrDigit || c == '_' || c == '.' || c == '`'
+    val sb = new StringBuilder
+    var last = 0
+    for (m <- ms; if m.start >= last) {
+      if (inLiteral(m.start)) {
+        sb.append(s0, last, m.end); last = m.end
+      } else {
+        var e = m.start
+        while (e > last && s0.charAt(e - 1).isWhitespace) e -= 1
+        var b = e
+        if (b > last) s0.charAt(b - 1) match {
+          case ')' =>
+            var depth = 0; var k = b - 1; var found = -1
+            while (k >= last && found < 0) {
+              val c = s0.charAt(k)
+              if (c == ')') depth += 1
+              else if (c == '(') { depth -= 1; if (depth == 0) found = k }
+              k -= 1
+            }
+            if (found >= 0) {
+              b = found
+              while (b > last && identChar(s0.charAt(b - 1))) b -= 1
+            }
+          case '\'' =>
+            var k = b - 2
+            while (k >= last && s0.charAt(k) != '\'') k -= 1
+            if (k >= last) b = k
+          case c if identChar(c) =>
+            while (b > last && identChar(s0.charAt(b - 1))) b -= 1
+          case _ =>
+        }
+        if (b == e)
+          throw new IllegalArgumentException(
+            "unsupported IS JSON operand near: '" +
+              s0.substring(math.max(last, m.start - 40), m.end) + "'")
+        val not = if (m.group(1) != null) "NOT " else ""
+        sb.append(s0, last, b).append(not)
+          .append("is_json(").append(s0, b, e).append(")")
+        last = m.end
+      }
+    }
+    sb.append(s0, last, s0.length)
+    sb.toString
   }
 
   /** Index of the `)` matching the `(` at `open` (skips '...' strings). */

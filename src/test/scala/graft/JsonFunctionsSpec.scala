@@ -23,24 +23,47 @@ class JsonFunctionsSpec extends AnyFunSuite {
     // empty (absent path) → NULL; invalid JSON → NULL
     assert(one("""json_value('{"a": 1}', '$.b') AS v""").isNullAt(0))
     assert(one("""json_value('nope', '$.a') AS v""").isNullAt(0))
+    // a scalar STRING whose text looks like a container is still a
+    // scalar (classified by node type, not by the re-serialized text —
+    // SqlJsonUtils checks the parsed node)
+    assert(one("""json_value('{"a": "[x]"}', '$.a') AS v""").getString(0) == "[x]")
+    assert(one("""json_value('{"a": "{oops"}', '$.a') AS v""").getString(0) == "{oops")
+    // explicit JSON null is a scalar null → SQL NULL
+    assert(one("""json_value('{"a": null}', '$.a') AS v""").isNullAt(0))
   }
 
   test("JSON_QUERY: object/array results only, minified") {
     assert(one("""json_query('{"a": {"k": 87}}', '$.a') AS v""").getString(0) == """{"k":87}""")
     assert(one("""json_query('{"a": [1, 2]}', '$.a') AS v""").getString(0) == "[1,2]")
-    // scalar result → error → NULL (WITHOUT ARRAY WRAPPER default)
+    // scalar result → error → NULL (WITHOUT ARRAY WRAPPER default),
+    // even when the scalar's text starts with a bracket
     assert(one("""json_query('{"a": 1}', '$.a') AS v""").isNullAt(0))
+    assert(one("""json_query('{"a": "[x]"}', '$.a') AS v""").isNullAt(0))
   }
 
   test("JSON_EXISTS and IS JSON (incl. the predicate rewrite)") {
     assert(one("""json_exists('{"a": 1}', '$.a') AS v""").getBoolean(0))
     assert(!one("""json_exists('{"a": 1}', '$.b') AS v""").getBoolean(0))
+    // an explicit JSON null EXISTS (SqlJsonUtils.jsonExists: the node
+    // is there) — distinguished from the absent path above
+    assert(one("""json_exists('{"a": null}', '$.a') AS v""").getBoolean(0))
+    assert(one("""json_exists('{"a": [1, 2]}', '$.a[1]') AS v""").getBoolean(0))
     // the IS JSON predicate text is rewritten onto is_json()
     assert(one("""('{"a":1}' IS JSON) AS v""").getBoolean(0))
     assert(one("""('123' IS JSON) AS v""").getBoolean(0))
     assert(one("""('null' IS JSON) AS v""").getBoolean(0))
     assert(!one("""('nope' IS JSON) AS v""").getBoolean(0))
     assert(one("""('nope' IS NOT JSON) AS v""").getBoolean(0))
+    // call operands (incl. nested parens) and parenthesized exprs
+    assert(one("""(upper('{"a":1}') IS JSON) AS v""").getBoolean(0))
+    assert(one("""(concat(upper('{'), '}') IS JSON) AS v""").getBoolean(0))
+    assert(one("""(('{' || '}') IS JSON) AS v""").getBoolean(0))
+    // a literal containing the words IS JSON is left alone
+    assert(one("""('this IS JSON text' IS NOT JSON) AS v""").getBoolean(0))
+    // an operand the scanner cannot capture fails loudly, not confusingly
+    intercept[IllegalArgumentException] {
+      env.executeSql("SELECT 1 + IS JSON")
+    }
   }
 
   test("JSON_OBJECT / JSON_ARRAY constructors with KEY..VALUE syntax") {
@@ -68,6 +91,12 @@ class JsonFunctionsSpec extends AnyFunSuite {
     val r = df.collect().head
     assert(r.getString(0) == """{"a":1,"b":2,"c":null}""")
     assert(r.getString(1) == "[1,2]") // collect_list drops null = ABSENT ON NULL
+    // duplicate keys upsert (JsonObjectAggFunction last-wins; under the
+    // sorted deterministic order that is the greatest value per key)
+    val dup = env.executeSql(
+      """SELECT JSON_OBJECTAGG(KEY k VALUE v) AS o
+        |FROM VALUES ('a', 1), ('a', 2), ('b', 3) AS t(k, v)""".stripMargin)
+    assert(dup.collect().head.getString(0) == """{"a":2,"b":3}""")
   }
 
   test("JSON_STRING serializes scalars with JSON escaping") {
