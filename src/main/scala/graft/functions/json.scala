@@ -1,7 +1,7 @@
 package graft.functions
 
 import org.apache.spark.sql.SparkSession
-import org.apache.spark.sql.catalyst.analysis.{UnresolvedExtractValue, UnresolvedFunction}
+import org.apache.spark.sql.catalyst.analysis.UnresolvedFunction
 import org.apache.spark.sql.catalyst.expressions._
 import org.apache.spark.sql.types._
 
@@ -81,23 +81,18 @@ object jsonfns {
       es => StructsToJson(Map.empty, CreateArray(es.toSeq)), "built-in")
 
     // ---- aggregates (deterministic order: sorted entries) ----------
+    // mapKeyDedupPolicy=LAST_WIN: map_from_entries over the
+    // ascending-sorted entries then keeps the greatest value per key —
+    // exactly the documented duplicate-key upsert contract
+    // (JsonObjectAggFunction last-wins under the deterministic sorted
+    // order). The r7 per-element filter lambda embedded the whole
+    // sort_array(collect_list(...)) subtree twice, re-materializing the
+    // sorted array per element — O(g²·log g) per group (87× on q86).
+    spark.conf.set("spark.sql.mapKeyDedupPolicy", "LAST_WIN")
     reg.createOrReplaceTempFunction("json_objectagg", es => {
       val entries = fn("sort_array", fn("collect_list",
         CreateNamedStruct(Seq(Literal("k"), es(0), Literal("v"), es(1)))))
-      // duplicate keys upsert (JsonObjectAggFunction last-wins); the
-      // entries are sorted ascending, so keep an entry only when the
-      // NEXT entry has a different key — map_from_entries under the
-      // default EXCEPTION dedup policy would otherwise throw
-      val x = UnresolvedNamedLambdaVariable(Seq("x"))
-      val i = UnresolvedNamedLambdaVariable(Seq("i"))
-      val keepLastPerKey = LambdaFunction(
-        Or(EqualTo(Add(i, Literal(1)), fn("size", entries)),
-          Not(EqualTo(
-            UnresolvedExtractValue(
-              fn("element_at", entries, Add(i, Literal(2))), Literal("k")),
-            UnresolvedExtractValue(x, Literal("k"))))),
-        Seq(x, i))
-      fn("to_json", fn("map_from_entries", fn("filter", entries, keepLastPerKey)))
+      fn("to_json", fn("map_from_entries", entries))
     }, "built-in")
     reg.createOrReplaceTempFunction("json_arrayagg",
       es => fn("to_json", fn("sort_array", fn("collect_list", es.head))),

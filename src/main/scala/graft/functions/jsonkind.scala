@@ -1,6 +1,6 @@
 package graft.functions
 
-import com.fasterxml.jackson.databind.{JsonNode, ObjectMapper}
+import com.fasterxml.jackson.databind.{DeserializationFeature, JsonNode, ObjectMapper}
 import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
 import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression}
 import org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback
@@ -37,6 +37,10 @@ case class JsonNodeKind(left: Expression, right: Expression)
     else TypeCheckResult.TypeCheckFailure(
       s"$prettyName expects (STRING, STRING) arguments")
   override def dataType: DataType = StringType
+  // nullSafeEval returns null for invalid docs / absent paths even when
+  // both inputs are non-nullable; without this the optimizer folds
+  // `json_node_kind(j,p) IS NOT NULL` to true (r7 advisor finding).
+  override def nullable: Boolean = true
   override def prettyName: String = "json_node_kind"
 
   override protected def nullSafeEval(json: Any, path: Any): Any = {
@@ -50,8 +54,11 @@ case class JsonNodeKind(left: Expression, right: Expression)
 }
 
 object JsonNodeKind {
-  // ObjectMapper is thread-safe for reads; share one instance per JVM
+  // ObjectMapper is thread-safe for reads; share one instance per JVM.
+  // FAIL_ON_TRAILING_TOKENS: '{} junk' must be invalid (the reference
+  // validates the whole document, not a prefix).
   private val mapper = new ObjectMapper()
+    .configure(DeserializationFeature.FAIL_ON_TRAILING_TOKENS, true)
 
   private[functions] def kindOf(n: JsonNode): String =
     if (n.isObject) "object"
@@ -90,7 +97,9 @@ object JsonNodeKind {
           node =
             if (raw.length > 1 && raw.head == '\'' && raw.last == '\'')
               node.get(raw.substring(1, raw.length - 1))
-            else if (raw.forall(_.isDigit)) node.get(raw.toInt)
+            else if (raw.forall(_.isDigit))
+              // > 9 digits overflows Int; such an index is absent anyway
+              if (raw.length > 9) return null else node.get(raw.toInt)
             else return null
           if (node == null) return null
           i = end + 1

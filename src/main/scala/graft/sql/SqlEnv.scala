@@ -326,52 +326,62 @@ class SqlEnv private (val spark: SparkSession) {
     val re = """(?is)\bIS\s+(NOT\s+)?JSON\b""".r
     val ms = re.findAllMatchIn(s0).toList
     if (ms.isEmpty) return s0
-    def inLiteral(pos: Int): Boolean = {
+    // lit(k): char k belongs to a '...' literal, delimiting quotes
+    // included; adjacent-quote escapes ('don''t') coalesce into one
+    // run. Drives (a) skipping matches inside literals, (b) ignoring
+    // parens inside literals during the backward operand scan, and
+    // (c) finding a literal operand's opening quote.
+    val lit = new Array[Boolean](s0.length)
+    locally {
       var inStr = false
-      for (k <- 0 until pos) if (s0.charAt(k) == '\'') inStr = !inStr
-      inStr
+      var k = 0
+      while (k < s0.length) {
+        if (s0.charAt(k) == '\'') { lit(k) = true; inStr = !inStr }
+        else lit(k) = inStr
+        k += 1
+      }
     }
     def identChar(c: Char): Boolean =
       c.isLetterOrDigit || c == '_' || c == '.' || c == '`'
-    val sb = new StringBuilder
+    // java.lang.StringBuilder: scala's lacks append(CharSequence,Int,Int)
+    // and silently auto-tuples the three arguments (r7 regression).
+    val sb = new java.lang.StringBuilder
     var last = 0
-    for (m <- ms; if m.start >= last) {
-      if (inLiteral(m.start)) {
-        sb.append(s0, last, m.end); last = m.end
-      } else {
-        var e = m.start
-        while (e > last && s0.charAt(e - 1).isWhitespace) e -= 1
-        var b = e
-        if (b > last) s0.charAt(b - 1) match {
-          case ')' =>
-            var depth = 0; var k = b - 1; var found = -1
-            while (k >= last && found < 0) {
+    for (m <- ms; if m.start >= last && !lit(m.start)) {
+      var e = m.start
+      while (e > last && s0.charAt(e - 1).isWhitespace) e -= 1
+      var b = e
+      if (b > last) s0.charAt(b - 1) match {
+        case ')' =>
+          var depth = 0; var k = b - 1; var found = -1
+          while (k >= last && found < 0) {
+            if (!lit(k)) {
               val c = s0.charAt(k)
               if (c == ')') depth += 1
               else if (c == '(') { depth -= 1; if (depth == 0) found = k }
-              k -= 1
             }
-            if (found >= 0) {
-              b = found
-              while (b > last && identChar(s0.charAt(b - 1))) b -= 1
-            }
-          case '\'' =>
-            var k = b - 2
-            while (k >= last && s0.charAt(k) != '\'') k -= 1
-            if (k >= last) b = k
-          case c if identChar(c) =>
+            k -= 1
+          }
+          if (found >= 0) {
+            b = found
             while (b > last && identChar(s0.charAt(b - 1))) b -= 1
-          case _ =>
-        }
-        if (b == e)
-          throw new IllegalArgumentException(
-            "unsupported IS JSON operand near: '" +
-              s0.substring(math.max(last, m.start - 40), m.end) + "'")
-        val not = if (m.group(1) != null) "NOT " else ""
-        sb.append(s0, last, b).append(not)
-          .append("is_json(").append(s0, b, e).append(")")
-        last = m.end
+          }
+        case '\'' =>
+          var k = b - 1
+          while (k > last && lit(k - 1)) k -= 1
+          b = k
+        case c if identChar(c) =>
+          while (b > last && identChar(s0.charAt(b - 1))) b -= 1
+        case _ =>
       }
+      if (b == e)
+        throw new IllegalArgumentException(
+          "unsupported IS JSON operand near: '" +
+            s0.substring(math.max(last, m.start - 40), m.end) + "'")
+      val not = if (m.group(1) != null) "NOT " else ""
+      sb.append(s0, last, b).append(not)
+        .append("is_json(").append(s0, b, e).append(")")
+      last = m.end
     }
     sb.append(s0, last, s0.length)
     sb.toString
