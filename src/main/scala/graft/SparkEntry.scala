@@ -19,9 +19,9 @@ object SparkEntry {
 
   def queries: Map[String, (SparkSession, String) => DataFrame] =
     Relational.queries ++ Events.queries ++ TextOps.queries ++
-      VectorOps.queries ++ NearDup.queries ++ MultiModal.queries ++ Functions2.queries ++ Relational2.queries ++ Collections.queries ++ Conversions.queries ++ Functions3.queries ++ TpcH.queries ++ ScaleOps.queries ++ TextOps2.queries ++ TextOps3.queries ++ SqlSurface.queries
+      VectorOps.queries ++ NearDup.queries ++ MultiModal.queries ++ Functions2.queries ++ Relational2.queries ++ Collections.queries ++ Conversions.queries ++ Functions3.queries ++ TpcH.queries ++ ScaleOps.queries ++ TextOps2.queries ++ TextOps3.queries ++ SqlSurface.queries ++ TpcDs.queries ++ TpcDs2.queries
 
   def oracleSql: Map[String, String] =
     Relational.oracles ++ Events.oracles ++ TextOps.oracles ++
-      VectorOps.oracles ++ NearDup.oracles ++ MultiModal.oracles ++ Functions2.oracles ++ Relational2.oracles ++ Collections.oracles ++ Conversions.oracles ++ Functions3.oracles ++ TpcH.oracles ++ ScaleOps.oracles ++ TextOps2.oracles ++ TextOps3.oracles ++ SqlSurface.oracles
+      VectorOps.oracles ++ NearDup.oracles ++ MultiModal.oracles ++ Functions2.oracles ++ Relational2.oracles ++ Collections.oracles ++ Conversions.oracles ++ Functions3.oracles ++ TpcH.oracles ++ ScaleOps.oracles ++ TextOps2.oracles ++ TextOps3.oracles ++ SqlSurface.oracles ++ TpcDs.oracles ++ TpcDs2.oracles
 }

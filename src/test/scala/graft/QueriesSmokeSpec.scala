@@ -23,6 +23,15 @@ class QueriesSmokeSpec extends AnyFunSuite {
     assert(SparkEntry.entry(spark).count() > 0)
   }
 
+  test("no silent battery shrink: query count can only grow") {
+    // Round-7 lesson: a ParseException made q85 VANISH from the
+    // driver's correctness battery instead of going red (155 → 154
+    // with zero err rows). This floor is the pre-commit gate — bump it
+    // whenever queries are added, never down.
+    assert(SparkEntry.queries.size >= 180,
+      s"battery shrank: ${SparkEntry.queries.size} < 180 declared queries")
+  }
+
   test("oracle coverage: EVERY query has oracle SQL (zero rows-only since round 6)") {
     val missing = SparkEntry.queries.keySet -- SparkEntry.oracleSql.keySet
     assert(missing.isEmpty, s"queries without oracle: $missing")
