@@ -98,15 +98,46 @@ def main():
               "lineitem","events","documents","embeddings"]:
         con.execute(f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{sf_dir}/{t}.parquet')")
     oracle = json.load(open(os.path.join(out_dir, 'oracle_sql.json')))
+    # Absence itself must be RED (rounds 7 and 9 both shipped silently-
+    # vanished rows): iterate the DECLARED battery (written by Verify as
+    # _declared.json), not just the oracle keys, and surface Verify-side
+    # exceptions from _errors.json with their message.
+    errors = {}
+    err_path = os.path.join(out_dir, '_errors.json')
+    if os.path.exists(err_path):
+        errors = json.load(open(err_path))
+    declared = sorted(oracle)
+    decl_path = os.path.join(out_dir, '_declared.json')
+    if os.path.exists(decl_path):
+        declared = sorted(set(json.load(open(decl_path))) | set(oracle))
     n_pass = n_fail = 0
     only = sys.argv[3:] or None
-    for name in sorted(oracle):
+    for name in declared:
         if only and name not in only:
             continue
         qdir = os.path.join(out_dir, name)
-        if not os.path.isdir(qdir):
-            print(f"MISSING  {name} (no engine output)")
+        if name in errors:
+            print(f"ENGERR   {name}: {errors[name][:300]}")
             n_fail += 1
+            continue
+        if not os.path.isdir(qdir):
+            print(f"MISSING  {name} (no engine output, no error entry)")
+            n_fail += 1
+            continue
+        if name not in oracle:
+            # non-SQL-expressible op: rows-only check, mirror the driver
+            try:
+                cnt = con.execute(f"SELECT count(*) FROM read_parquet('{qdir}/*.parquet')").fetchone()[0]
+            except Exception as e:
+                print(f"ERROR    {name}: {e}")
+                n_fail += 1
+                continue
+            if cnt > 0:
+                print(f"ROWSONLY {name} ({cnt} rows, no oracle)")
+                n_pass += 1
+            else:
+                print(f"EMPTY    {name} (rows-only check, 0 rows)")
+                n_fail += 1
             continue
         try:
             eng = con.execute(f"SELECT * FROM read_parquet('{qdir}/*.parquet')")

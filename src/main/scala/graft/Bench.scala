@@ -65,13 +65,18 @@ object Bench {
     val sorted = SparkEntry.queries.toSeq.sortBy(_._1)
       .filter { case (n, _) => only.isEmpty || only(n) }
       .filterNot { case (n, _) => excluded.contains(n) }
-    def runOnce(name: String, fn: (SparkSession, String) => org.apache.spark.sql.DataFrame): Double = {
+    // A failed run must NEVER be recorded as a timing (round 9's 25
+    // events failures read as "2-5x faster" rows): None marks failure,
+    // the query lands in "failed" and is excluded from the headline.
+    def runOnce(name: String, fn: (SparkSession, String) => org.apache.spark.sql.DataFrame): Option[Double] = {
       val t0 = System.nanoTime()
-      try fn(spark, sfDir).write.format("noop").mode("overwrite").save()
-      catch { case e: Throwable =>
-        System.err.println(s"[bench] $name failed: $e")
+      try {
+        fn(spark, sfDir).write.format("noop").mode("overwrite").save()
+        Some((System.nanoTime() - t0) / 1e9)
+      } catch { case e: Throwable =>
+        System.err.println(s"[bench] $name FAILED: $e")
+        None
       }
-      (System.nanoTime() - t0) / 1e9
     }
     // Environment calibration: two fixed jobs whose cost is independent
     // of any query code — a reader comparing rounds divides medians by
@@ -103,7 +108,7 @@ object Bench {
       kv.map { case (k, v) => "\"" + k + "\":" + f"$v%.4f" }.mkString("{", ",", "}")
     def arr(xs: Seq[String]): String = xs.map("\"" + _ + "\"").mkString("[", ",", "]")
     def renderJson(results: Seq[(String, Double, Double)], notRun: Seq[String],
-                   partial: Boolean): String = {
+                   failed: Seq[String], partial: Boolean): String = {
       val total = results.filterNot(r => skipped.contains(r._1)).map(_._2).sum
       val onlyField =
         if (only.nonEmpty) s""""only":${arr(only.toSeq.sorted)},""" else ""
@@ -112,7 +117,7 @@ object Bench {
         s""""queries":${m(results.map(r => r._1 -> r._2))},""" +
         s""""stddev":${m(results.map(r => r._1 -> r._3))},""" +
         s""""runs":$runs,"skipped":${arr(skipped)},"excluded":${arr(excluded)},""" +
-        s""""not_run":${arr(notRun)},$onlyField$partialField""" +
+        s""""not_run":${arr(notRun)},"failed":${arr(failed)},$onlyField$partialField""" +
         f""""calib_spark32_sec":$calibSpark%.4f,"calib_jvm1_sec":$calibJvm%.4f,""" +
         s""""budget_sec":$budget,"sf":"$sfDir"}"""
     }
@@ -121,6 +126,7 @@ object Bench {
       catch { case e: Throwable => System.err.println(s"[bench] could not write $outFile: $e") }
 
     val results = scala.collection.mutable.ArrayBuffer.empty[(String, Double, Double)]
+    val failed = scala.collection.mutable.ArrayBuffer.empty[String]
     var stoppedAt = -1
     var i = 0
     while (i < sorted.length && stoppedAt < 0) {
@@ -134,23 +140,28 @@ object Bench {
         val degraded = elapsed > budget * 0.75
         if (warmupOn && !degraded) runOnce(name, fn)
         val nRuns = if (degraded) 1 else runs
-        val ts = (1 to nRuns).map(_ => runOnce(name, fn)).sorted
-        val median = ts(ts.length / 2)
-        val mean = ts.sum / ts.length
-        val sd = math.sqrt(ts.map(t => (t - mean) * (t - mean)).sum / ts.length)
-        results += ((name, median, sd))
+        val ts = (1 to nRuns).flatMap(_ => runOnce(name, fn)).sorted
+        if (ts.isEmpty) failed += name
+        else {
+          val median = ts(ts.length / 2)
+          val mean = ts.sum / ts.length
+          val sd = math.sqrt(ts.map(t => (t - mean) * (t - mean)).sum / ts.length)
+          results += ((name, median, sd))
+        }
         // Durability: rewrite the cumulative artifact after EVERY query
         // so a driver-side kill (round-5's rc=124) still leaves every
         // completed row on disk, parseable.
         val notRunYet = sorted.drop(i + 1).map(_._1)
-        writeFile(renderJson(results.toSeq, notRunYet, partial = notRunYet.nonEmpty))
+        writeFile(renderJson(results.toSeq, notRunYet, failed.toSeq, partial = notRunYet.nonEmpty))
         i += 1
       }
     }
     val notRun = if (stoppedAt >= 0) sorted.drop(stoppedAt).map(_._1) else Seq.empty
-    val json = renderJson(results.toSeq, notRun, partial = false)
+    val json = renderJson(results.toSeq, notRun, failed.toSeq, partial = false)
     println(json)
     writeFile(json)
     spark.stop()
+    if (failed.nonEmpty)
+      System.err.println(s"[bench] RED: ${failed.size} queries failed: ${failed.mkString(", ")}")
   }
 }

@@ -18,12 +18,26 @@ object Tables {
 
   def load(spark: SparkSession, dir: String, name: String): DataFrame =
     if (name == "events") {
-      // events.ts is parquet TIMESTAMP(NANOS) which Spark 4 refuses to
-      // read as a timestamp; read the raw int64 nanos and truncate to
-      // micros (the data is µs-granular, so this is lossless).
+      // The driver has shipped events.ts under three parquet physical
+      // types across fixture generations: TIMESTAMP(NANOS) (readable only
+      // as int64 behind nanosAsLong), TIMESTAMP(MICROS, adjustedToUTC=0)
+      // (reads as TIMESTAMP_NTZ), and plain TIMESTAMP. Dispatch on the
+      // loaded schema so a fixture regeneration can't break every events
+      // query at analysis time again.
+      import org.apache.spark.sql.functions.{col, expr}
+      import org.apache.spark.sql.types.{LongType, TimestampNTZType, TimestampType}
       spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-      spark.read.parquet(s"$dir/$name.parquet")
-        .withColumn("ts", org.apache.spark.sql.functions.expr("timestamp_micros(ts div 1000)"))
+      val raw = spark.read.parquet(s"$dir/$name.parquet")
+      raw.schema("ts").dataType match {
+        case LongType => // int64 nanos; µs-granular data, truncation lossless
+          raw.withColumn("ts", expr("timestamp_micros(ts div 1000)"))
+        case TimestampNTZType => // session TZ is UTC, so values match the oracle
+          raw.withColumn("ts", col("ts").cast(TimestampType))
+        case TimestampType => raw
+        case other =>
+          throw new IllegalStateException(
+            s"events.ts has unexpected type $other — adapt Tables.load")
+      }
     } else spark.read.parquet(s"$dir/$name.parquet")
 
   /** Register all tables as temp views so `spark.sql` works too. */

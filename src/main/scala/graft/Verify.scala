@@ -16,6 +16,12 @@ object Verify {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     new java.io.File(outDir).mkdirs()
+    // Failures must be LOUD: a query that throws gets an entry in
+    // <outDir>/_errors.json (query -> exception), and check.py reds every
+    // declared query that has neither a parquet dir nor an error entry.
+    // (Rounds 7 and 9 both shipped silently-vanished correctness rows
+    // because the old catch printed to stderr and moved on.)
+    val errors = scala.collection.mutable.LinkedHashMap.empty[String, String]
     SparkEntry.queries
       .filter { case (name, _) => only.isEmpty || only(name) }
       .foreach { case (name, fn) =>
@@ -24,6 +30,7 @@ object Verify {
       catch { case e: Throwable =>
         System.err.println(s"[verify] $name failed: $e")
         e.getStackTrace.take(5).foreach(f => System.err.println(s"[verify]   at $f"))
+        errors(name) = e.toString.take(500)
       }
     }
     // JSON string escape: backslash, quote, and ALL control chars (<0x20)
@@ -41,6 +48,17 @@ object Verify {
     val json = SparkEntry.oracleSql
       .map { case (k, v) => s"${q(k)}: ${q(v)}" }.mkString("{", ",", "}")
     Files.writeString(Paths.get(s"$outDir/oracle_sql.json"), json)
+    val errJson = errors.map { case (k, v) => s"${q(k)}: ${q(v)}" }.mkString("{", ",", "}")
+    Files.writeString(Paths.get(s"$outDir/_errors.json"), errJson)
+    // Declared battery membership, so the gate can red on ABSENCE itself
+    // (a query list that shrinks between rounds must never look green).
+    val declared = SparkEntry.queries.keys.toSeq.sorted
+    Files.writeString(Paths.get(s"$outDir/_declared.json"),
+      declared.map(q).mkString("[", ",", "]"))
     spark.stop()
+    // NOT a nonzero exit: the driver must still compare the queries that
+    // DID run; _errors.json + check.py turn the failures red downstream.
+    if (errors.nonEmpty)
+      System.err.println(s"[verify] ${errors.size} queries FAILED: ${errors.keys.mkString(", ")}")
   }
 }
