@@ -75,6 +75,12 @@ object TpcDs2 {
     // channel. The window partitions by channel over part-level
     // aggregates (rows ≈ |part|×3) — fine at scale because the frame
     // is already one row per (channel, part), not per lineitem.
+    // Scale note: partitionBy(channel) is cardinality-3, but rank()<=10
+    // triggers Spark's WindowGroupLimit — each map task keeps its local
+    // top-10 per channel BEFORE the exchange, so the 3 final window
+    // tasks see ~10 x nPartitions rows, not |part| x 3. Verified in the
+    // physical plan (WindowGroupLimit spans) and by the sf1 probe
+    // (2.8x runtime at 10x data, BASELINE.md).
     "d16_return_ratio_rank" -> ((s, dir) => {
       val agg = t(s, dir, "lineitem")
         .withColumn("channel", TpcDs.channel)
