@@ -102,10 +102,14 @@ object TpcDs {
             when(col("l_returnflag") === "R", dec6(net))
               .otherwise(lit(0).cast(DecimalType(22, 6))).as("returns_dec"))
       chan(1, "store").unionAll(chan(2, "catalog")).unionAll(chan(0, "web"))
+        // two-phase rollup (see d05): grain-aggregate the fact once,
+        // Expand multiplies only the |channel x brand| frame
+        .groupBy(col("channel"), col("p_brand"))
+        .agg(sum(col("sales_dec")).as("g_sales"), sum(col("returns_dec")).as("g_returns"))
         .rollup(col("channel"), col("p_brand"))
-        .agg(sum(col("sales_dec")).cast("double").as("sales"),
-             sum(col("returns_dec")).cast("double").as("returns"),
-             (sum(col("sales_dec")) - sum(col("returns_dec"))).cast("double").as("profit"))
+        .agg(sum(col("g_sales")).cast("double").as("sales"),
+             sum(col("g_returns")).cast("double").as("returns"),
+             (sum(col("g_sales")) - sum(col("g_returns"))).cast("double").as("profit"))
     }),
 
     // ---- d03: star with multi-dim filters + avgs (TPC-DS q7 shape) ---
@@ -148,9 +152,17 @@ object TpcDs {
         .join(t(s, dir, "supplier"), col("l_suppkey") === col("s_suppkey"))
         .join(broadcast(t(s, dir, "nation")), col("s_nationkey") === col("n_nationkey"))
         .join(broadcast(t(s, dir, "region")), col("n_regionkey") === col("r_regionkey"))
-      val agg = base.rollup(col("r_name"), col("n_name"))
-        .agg(sum(dec6(col("l_extendedprice") * col("l_discount"))).as("disc_dec"),
-             sum(dec(col("l_extendedprice"))).as("price_dec"),
+      // Two-phase rollup: Spark's Expand would stream the FACT table 3x
+      // (one copy per grouping set) through the aggregate. Aggregate at
+      // the finest grain first — decimal sums re-aggregate exactly — and
+      // rollup only the ≤|region|x|nation| frame: the Expand blowup then
+      // applies to ~26 rows instead of the 100 TB fact.
+      val grain = base.groupBy(col("r_name"), col("n_name"))
+        .agg(sum(dec6(col("l_extendedprice") * col("l_discount"))).as("g_disc"),
+             sum(dec(col("l_extendedprice"))).as("g_price"))
+      val agg = grain.rollup(col("r_name"), col("n_name"))
+        .agg(sum(col("g_disc")).as("disc_dec"),
+             sum(col("g_price")).as("price_dec"),
              (grouping(col("r_name")) + grouping(col("n_name"))).cast("int").as("lochierarchy"))
         .withColumn("gross_margin", col("disc_dec").cast("double") / col("price_dec").cast("double"))
       val w = Window
@@ -164,10 +176,14 @@ object TpcDs {
 
     // ---- d06: ROLLUP + per-category top-N (TPC-DS q67 shape) ---------
     "d06_rollup_topn" -> ((s, dir) => {
+      // Same two-phase rollup as d05: finest-grain aggregate first, so
+      // Expand's 3x multiplication hits |brand x type| rows, not the fact.
       val agg = t(s, dir, "lineitem")
         .join(t(s, dir, "part"), col("l_partkey") === col("p_partkey"))
+        .groupBy(col("p_brand"), col("p_type"))
+        .agg(sum(dec(col("l_quantity"))).as("g_qty"))
         .rollup(col("p_brand"), col("p_type"))
-        .agg(sum(dec(col("l_quantity"))).cast("double").as("sum_qty"))
+        .agg(sum(col("g_qty")).cast("double").as("sum_qty"))
       val w = Window.partitionBy(col("p_brand"))
         .orderBy(col("sum_qty").desc, coalesce(col("p_type"), lit("~")).asc)
       agg.withColumn("rk", rank().over(w)).filter(col("rk") <= 3)
