@@ -105,10 +105,12 @@ object TextOps2 {
     // aligned chunks (the synthetic corpus has no sentence
     // punctuation); each distinct line survives only at its globally
     // first occurrence (min (doc_id, pos)), then documents are
-    // reassembled from their surviving lines in order. Scale: shuffle 1
-    // keys on the line text for the keep-first rank, shuffle 2 on
-    // doc_id for reassembly — linear, no pair joins; at 100 TB the
-    // rank shuffle keys on a line HASH with uniform cardinality.
+    // reassembled from their surviving lines in order. Scale: the
+    // keep-first winner is an AGGREGATE — min(struct(doc_id,pos)) per
+    // line — so map-side combine pre-reduces duplicates before the
+    // line-keyed shuffle (the earlier row_number window shuffled every
+    // corpus line full-width with no partial aggregation); shuffle 2
+    // keys on doc_id for reassembly — linear, no pair joins.
     "t48_line_dedup" -> ((s, dir) => {
       val d = Tables.load(s, dir, "documents")
       val lines = d.select(col("doc_id"),
@@ -116,9 +118,10 @@ object TextOps2 {
           "transform(sequence(0, CAST((size(split(text, ' ')) + 3) DIV 4 AS INT) - 1), " +
             "i -> concat_ws(' ', slice(split(text, ' '), i * 4 + 1, 4)))"))
           .as(Seq("pos", "line")))
-      val ranked = lines.withColumn("rn", row_number().over(
-        Window.partitionBy(col("line")).orderBy(col("doc_id"), col("pos"))))
-      val agg = ranked.filter(col("rn") === 1).groupBy("doc_id").agg(
+      val kept = lines.groupBy(col("line"))
+        .agg(min(struct(col("doc_id"), col("pos"))).as("w"))
+        .select(col("w.doc_id").as("doc_id"), col("w.pos").as("pos"), col("line"))
+      val agg = kept.groupBy("doc_id").agg(
         count(lit(1)).as("n_kept"),
         array_join(transform(
           array_sort(collect_list(struct(col("pos"), col("line")))),

@@ -205,15 +205,18 @@ object TextOps3 {
       val dRows = 4
       val d = Tables.load(s, dir, "documents")
       val toks = d.select(explode(tokens).as("token"))
-      val hashed = toks.select(col("token"),
+      def probes(df: org.apache.spark.sql.DataFrame) = df.select(col("token"),
           explode(expr(s"transform(sequence(0, ${dRows - 1}), " +
             "r -> struct(r AS hrow, substring(md5(concat(r, ':', token)), 1, 3) AS bucket))")).as("rb"))
         .select(col("token"), col("rb.hrow"), col("rb.bucket"))
-      val sketch = hashed.groupBy(col("hrow"), col("bucket"))
+      // sketch update over the RAW token stream — the true streaming-CMS
+      // cost; map-side combine bounds the shuffle at 4 x 4096 partials
+      val sketch = probes(toks).groupBy(col("hrow"), col("bucket"))
         .agg(count(lit(1)).as("cnt"))
-      // candidates = distinct tokens with their (row, bucket) probes;
-      // the min over rows is the CMS point estimate
-      val est = hashed.distinct()
+      // candidates: distinct TOKENS first (corpus-row shuffle), THEN
+      // expand their 4 probes map-side — the old probes(toks).distinct()
+      // shuffled corpus x 4 full-width rows and md5'd the corpus twice
+      val est = probes(toks.distinct())
         .join(broadcast(sketch), Seq("hrow", "bucket"))
         .groupBy(col("token"))
         .agg(min(col("cnt")).as("est"))

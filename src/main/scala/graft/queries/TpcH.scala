@@ -65,6 +65,7 @@ object TpcH {
     * shape: derive the small aggregate once, reuse everywhere.
     */
   private val psStaged = scala.collection.concurrent.TrieMap[String, String]()
+  private val lateStaged = scala.collection.concurrent.TrieMap[String, String]()
   private def ps(s: SparkSession, dir: String): DataFrame = {
     val path = psStaged.getOrElseUpdate(dir, {
       val p = s"/tmp/graft_oracle/${new java.io.File(dir).getName}/tpch_ps"
@@ -396,16 +397,27 @@ object TpcH {
     // Q21: suppliers who kept orders waiting — EXISTS + NOT EXISTS over
     // the same relation → semi join + anti join with <> conjuncts.
     "h21_suppliers_waiting" -> ((s, dir) => {
-      def lo = t(s, dir, "lineitem")
-        .join(t(s, dir, "orders"), col("l_orderkey") === col("o_orderkey"))
-        .select(col("l_orderkey"), col("l_suppkey"), col("o_orderstatus"),
-          (col("l_shipdate") > col("o_orderdate") + expr("INTERVAL 60 DAYS")).as("late"))
-      val l1 = lo.filter(col("o_orderstatus") === "F" && col("late"))
+      // The late-lineitem projection feeds BOTH the candidate rows (l1)
+      // and the NOT-EXISTS side (l3); the two branches differ by a
+      // filter, so exchange reuse never collapses them — without
+      // staging, the 100 TB lineitem⋈orders runs twice in one plan.
+      // Stage it once per (JVM, sf dir), the ps discipline above.
+      val latePath = lateStaged.getOrElseUpdate(dir, {
+        val p = s"/tmp/graft_oracle/${new java.io.File(dir).getName}/tpch_late"
+        t(s, dir, "lineitem")
+          .join(t(s, dir, "orders"), col("l_orderkey") === col("o_orderkey"))
+          .filter(col("l_shipdate") > col("o_orderdate") + expr("INTERVAL 60 DAYS"))
+          .select(col("l_orderkey"), col("l_suppkey"), col("o_orderstatus"))
+          .write.mode("overwrite").parquet(p)
+        p
+      })
+      val late = s.read.parquet(latePath)
+      val l1 = late.filter(col("o_orderstatus") === "F")
       // the EXISTS side needs only (orderkey, suppkey) existence, which
       // lineitem alone provides — skips a whole lineitem⋈orders join
       val l2 = t(s, dir, "lineitem")
         .select(col("l_orderkey").as("k2"), col("l_suppkey").as("sk2"))
-      val l3 = lo.filter(col("late"))
+      val l3 = late
         .select(col("l_orderkey").as("k3"), col("l_suppkey").as("sk3"))
       l1.join(l2, col("l_orderkey") === col("k2") && col("l_suppkey") =!= col("sk2"), "left_semi")
         .join(l3, col("l_orderkey") === col("k3") && col("l_suppkey") =!= col("sk3"), "left_anti")
