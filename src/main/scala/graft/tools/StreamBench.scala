@@ -1,0 +1,117 @@
+package graft.tools
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.OutputMode
+import graft.streaming.{NearDupStreaming, StatefulOps}
+
+/** Streaming THROUGHPUT bench for the core stateful operators — the
+  * batch battery (graft.Bench) never exercises the Structured
+  * Streaming path, yet the reference is a streaming engine first
+  * (flink-streaming-java). Each op pumps N synthetic rows through a
+  * MemoryStream in fixed-size batches to a noop sink and reports
+  * end-to-end rows/sec (micro-batch scheduling overhead included —
+  * that IS the deployment cost model).
+  *
+  * Methodology: one warmup batch per query (codegen + state store
+  * init), then timed `processAllAvailable` over all batches. Rates are
+  * single-JVM local[8]; they scale with executors since every op here
+  * is keyed-state (partitioned by key hash).
+  *
+  * Prints one JSON line: {"metric":"stream_rows_per_sec","ops":{...}}
+  */
+object StreamBench {
+  case class Ev(ts: java.sql.Timestamp, user: String, tpe: String, value: Double)
+  case class Doc(doc_id: Long, text: String)
+
+  def main(args: Array[String]): Unit = {
+    val rows = sys.env.getOrElse("SPARK_GRAFT_STREAM_ROWS", "400000").toInt
+    val batches = sys.env.getOrElse("SPARK_GRAFT_STREAM_BATCHES", "8").toInt
+    val spark = SparkSession.builder()
+      .master("local[8]")
+      .config("spark.sql.shuffle.partitions", "8")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+
+    val perBatch = rows / batches
+    def mkEv(i: Int): Ev = Ev(
+      new java.sql.Timestamp(1700000000000L + i.toLong * 7),
+      s"u${i % 50000}", s"t${i % 7}", (i % 1000).toDouble)
+
+    // one batch of events, reused (the generator must not dominate)
+    val evBatches: IndexedSeq[IndexedSeq[Ev]] =
+      (0 until batches).map(b => (0 until perBatch).map(i => mkEv(b * perBatch + i)))
+
+    def run(name: String, mode: OutputMode, mk: DataFrame => DataFrame,
+            data: IndexedSeq[IndexedSeq[Ev]]): (String, Double) = {
+      val in = MemoryStream[Ev]
+      val out = mk(in.toDF())
+      val q = out.writeStream.format("noop").outputMode(mode)
+        .option("checkpointLocation",
+          java.nio.file.Files.createTempDirectory(s"sb_$name").toString)
+        .start()
+      try {
+        in.addData(data.head); q.processAllAvailable() // warmup batch
+        val t0 = System.nanoTime()
+        data.tail.foreach { b => in.addData(b) }
+        q.processAllAvailable()
+        val sec = (System.nanoTime() - t0) / 1e9
+        val n = data.tail.map(_.size).sum
+        println(f"[stream-bench] $name%-28s ${n / sec}%,.0f rows/s ($n rows in $sec%.2f s)")
+        name -> n / sec
+      } finally q.stop()
+    }
+
+    val results = scala.collection.mutable.LinkedHashMap.empty[String, Double]
+    results += run("tumble_window_agg", OutputMode.Update,
+      df => df.withWatermark("ts", "10 seconds")
+        .groupBy(window(col("ts"), "1 minute"), col("tpe"))
+        .agg(count(lit(1)).as("n"), sum(col("value")).as("s")), evBatches)
+    results += run("dedup_keep_first", OutputMode.Append,
+      df => StatefulOps.keepFirstStreaming(df, Seq("user")), evBatches)
+    results += run("topn_per_key", OutputMode.Update,
+      df => StatefulOps.topNStreaming(df, Seq("tpe"), "value", descending = true, n = 5),
+      evBatches)
+    results += run("running_over_agg", OutputMode.Append,
+      df => StatefulOps.runningAggStreaming(df, Seq("user"), "ts", "value"), evBatches)
+
+    // near-dup tagging works on documents; smaller corpus, text-heavy
+    val docRows = rows / 8
+    val docPerBatch = docRows / batches
+    def mkDoc(i: Int): Doc = {
+      val base = (0 until 30).map(w => s"w${(i * 31 + w * 7) % 5000}").mkString(" ")
+      Doc(i.toLong, if (i % 10 == 0) base else s"$base uniq$i")
+    }
+    val docBatches = (0 until batches).map(b =>
+      (0 until docPerBatch).map(i => mkDoc(b * docPerBatch + i)))
+    locally {
+      val in = MemoryStream[Doc]
+      // the op starts its own foreachBatch query; the sink just forces
+      // materialization of the per-doc tags
+      val q = NearDupStreaming.nearDupTagStreaming(in.toDF(), "doc_id", "text")(
+        perDoc => perDoc.write.format("noop").mode("overwrite").save())
+      try {
+        in.addData(docBatches.head); q.processAllAvailable()
+        val t0 = System.nanoTime()
+        docBatches.tail.foreach(b => in.addData(b))
+        q.processAllAvailable()
+        val sec = (System.nanoTime() - t0) / 1e9
+        val n = docBatches.tail.map(_.size).sum
+        println(f"[stream-bench] neardup_lsh_tag              ${n / sec}%,.0f docs/s ($n docs in $sec%.2f s)")
+        results += ("neardup_lsh_tag" -> n / sec)
+      } finally q.stop()
+    }
+
+    val json = results.map { case (k, v) => f""""$k":${v}%.0f""" }
+      .mkString(s"""{"metric":"stream_rows_per_sec","rows":$rows,"batches":$batches,"ops":{""", ",", "}}")
+    println(json)
+    java.nio.file.Files.writeString(java.nio.file.Paths.get(
+      sys.env.getOrElse("SPARK_GRAFT_STREAM_FILE", "STREAMBENCH.json")), json + "\n")
+    spark.stop()
+  }
+}
