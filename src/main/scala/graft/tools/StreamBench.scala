@@ -4,7 +4,7 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.streaming.OutputMode
-import graft.streaming.{NearDupStreaming, StatefulOps}
+import graft.streaming.{Cep, Changelog, NearDupStreaming, StatefulOps}
 
 /** Streaming THROUGHPUT bench for the core stateful operators — the
   * batch battery (graft.Bench) never exercises the Structured
@@ -24,6 +24,7 @@ import graft.streaming.{NearDupStreaming, StatefulOps}
 object StreamBench {
   case class Ev(ts: java.sql.Timestamp, user: String, tpe: String, value: Double)
   case class Doc(doc_id: Long, text: String)
+  case class Chg(row_kind: String, k: String, price: Double)
 
   def main(args: Array[String]): Unit = {
     val rows = sys.env.getOrElse("SPARK_GRAFT_STREAM_ROWS", "400000").toInt
@@ -79,6 +80,41 @@ object StreamBench {
       evBatches)
     results += run("running_over_agg", OutputMode.Append,
       df => StatefulOps.runningAggStreaming(df, Seq("user"), "ts", "value"), evBatches)
+    results += run("cep_match_pattern", OutputMode.Append,
+      df => Cep.matchPatternStreaming(
+        df.withWatermark("ts", "10 seconds")
+          .withColumn("eid", concat_ws("-", col("user"), col("ts").cast("long"))),
+        "user", "ts", "eid",
+        Seq(Cep.Step.once("a", (r: org.apache.spark.sql.Row) =>
+              r.getString(r.fieldIndex("tpe")) == "t0"),
+            Cep.Step.oneOrMore("b", (r: org.apache.spark.sql.Row) =>
+              r.getString(r.fieldIndex("tpe")) == "t1")),
+        withinSec = 60L), evBatches)
+
+    // retract-aware group agg over a +I/-D changelog (10% deletes)
+    val chgBatches: IndexedSeq[IndexedSeq[Chg]] =
+      (0 until batches).map(b => (0 until perBatch).map { i =>
+        val n = b * perBatch + i
+        Chg(if (n % 10 == 9) "-D" else "+I", s"k${n % 50000}", (n % 1000).toDouble)
+      })
+    locally {
+      val in = MemoryStream[Chg]
+      val out = Changelog.retractGroupAgg(in.toDF(), Seq("k"), "price")
+      val q = out.writeStream.format("noop").outputMode(OutputMode.Update)
+        .option("checkpointLocation",
+          java.nio.file.Files.createTempDirectory("sb_retract").toString)
+        .start()
+      try {
+        in.addData(chgBatches.head); q.processAllAvailable()
+        val t0 = System.nanoTime()
+        chgBatches.tail.foreach(b => in.addData(b))
+        q.processAllAvailable()
+        val sec = (System.nanoTime() - t0) / 1e9
+        val n = chgBatches.tail.map(_.size).sum
+        println(f"[stream-bench] retract_group_agg            ${n / sec}%,.0f rows/s ($n rows in $sec%.2f s)")
+        results += ("retract_group_agg" -> n / sec)
+      } finally q.stop()
+    }
 
     // near-dup tagging works on documents; smaller corpus, text-heavy
     val docRows = rows / 8
