@@ -22,7 +22,11 @@ object ExplainAudit {
         "q11_topn_per_group", "q33_lookup_join", "v42_ann_topk",
         "v43_ivf_ann", "v44_embedding_lsh_pairs", "v45_pq_ann",
         "h09_product_profit", "h21_suppliers_waiting", "h11_important_stock",
-        "q69_bucketed_join", "q70_salted_join", "t37_winnow_fingerprints")
+        "q69_bucketed_join", "q70_salted_join", "t37_winnow_fingerprints",
+        // round-10 re-planned rows — keep them in the default audit
+        "d24_two_supplier_orders", "d25_cross_channel_intersect",
+        "d05_margin_rollup_rank", "d06_rollup_topn",
+        "t48_line_dedup", "t54_heavy_hitters")
     names.foreach { n =>
       println(s"\n========== $n ==========")
       graft.SparkEntry.queries(n)(spark, dir).explain("formatted")
