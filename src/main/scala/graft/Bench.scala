@@ -106,16 +106,25 @@ object Bench {
 
     def m(kv: Seq[(String, Double)]): String =
       kv.map { case (k, v) => "\"" + k + "\":" + f"$v%.4f" }.mkString("{", ",", "}")
+    def mi(kv: Seq[(String, Int)]): String =
+      kv.map { case (k, v) => "\"" + k + "\":" + v }.mkString("{", ",", "}")
     def arr(xs: Seq[String]): String = xs.map("\"" + _ + "\"").mkString("[", ",", "]")
-    def renderJson(results: Seq[(String, Double, Double)], notRun: Seq[String],
+    // (name, median, sd, okRuns, attemptedRuns). A query with SOME failed
+    // runs used to render as a normal timing row (median over survivors
+    // only) — r10 advice: that hides flakiness. It now also lands in
+    // "flaky", and "n_ok" records survivors per query.
+    def renderJson(results: Seq[(String, Double, Double, Int, Int)], notRun: Seq[String],
                    failed: Seq[String], partial: Boolean): String = {
       val total = results.filterNot(r => skipped.contains(r._1)).map(_._2).sum
       val onlyField =
         if (only.nonEmpty) s""""only":${arr(only.toSeq.sorted)},""" else ""
       val partialField = if (partial) """"partial":true,""" else ""
+      val flaky = results.collect { case (n, _, _, ok, att) if ok < att => n }
       s"""{"metric":"total","value":$total,"unit":"sec",""" +
         s""""queries":${m(results.map(r => r._1 -> r._2))},""" +
         s""""stddev":${m(results.map(r => r._1 -> r._3))},""" +
+        s""""n_ok":${mi(results.map(r => r._1 -> r._4))},""" +
+        s""""flaky":${arr(flaky)},""" +
         s""""runs":$runs,"skipped":${arr(skipped)},"excluded":${arr(excluded)},""" +
         s""""not_run":${arr(notRun)},"failed":${arr(failed)},$onlyField$partialField""" +
         f""""calib_spark32_sec":$calibSpark%.4f,"calib_jvm1_sec":$calibJvm%.4f,""" +
@@ -125,7 +134,7 @@ object Bench {
       try java.nio.file.Files.writeString(java.nio.file.Paths.get(outFile), json + "\n")
       catch { case e: Throwable => System.err.println(s"[bench] could not write $outFile: $e") }
 
-    val results = scala.collection.mutable.ArrayBuffer.empty[(String, Double, Double)]
+    val results = scala.collection.mutable.ArrayBuffer.empty[(String, Double, Double, Int, Int)]
     val failed = scala.collection.mutable.ArrayBuffer.empty[String]
     var stoppedAt = -1
     var i = 0
@@ -146,7 +155,7 @@ object Bench {
           val median = ts(ts.length / 2)
           val mean = ts.sum / ts.length
           val sd = math.sqrt(ts.map(t => (t - mean) * (t - mean)).sum / ts.length)
-          results += ((name, median, sd))
+          results += ((name, median, sd, ts.length, nRuns))
         }
         // Durability: rewrite the cumulative artifact after EVERY query
         // so a driver-side kill (round-5's rc=124) still leaves every
@@ -161,7 +170,11 @@ object Bench {
     println(json)
     writeFile(json)
     spark.stop()
-    if (failed.nonEmpty)
+    if (failed.nonEmpty) {
       System.err.println(s"[bench] RED: ${failed.size} queries failed: ${failed.mkString(", ")}")
+      // Loud for CI wrappers keying on exit code, too (r10 advice). The
+      // JSON is already on disk and stdout, so nothing downstream loses data.
+      sys.exit(1)
+    }
   }
 }

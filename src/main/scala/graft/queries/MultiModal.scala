@@ -124,7 +124,7 @@ object MultiModal {
         |  CAST(sum(n_bytes) AS BIGINT) AS total_bytes,
         |  max(brightness) AS max_brightness,
         |  min(brightness) AS min_brightness
-        |FROM read_parquet('/tmp/graft_oracle/sf0.01/media_features/*.parquet')
+        |FROM read_parquet('/tmp/graft_oracle/__SF__/media_features/*.parquet')
         |GROUP BY media_type""".stripMargin,
 
     // frames = range(0, max(len-64, 0), 32): count is the ceiling
@@ -134,7 +134,7 @@ object MultiModal {
       """SELECT media_id,
         |  (greatest(octet_length(payload) - 64, 0) + 31) // 32 AS n_frames,
         |  ((greatest(octet_length(payload) - 64, 0) + 31) // 32 - 1) * 32 AS last_offset
-        |FROM read_parquet('/tmp/graft_oracle/sf0.01/media_ingest/*.parquet')
+        |FROM read_parquet('/tmp/graft_oracle/__SF__/media_ingest/*.parquet')
         |WHERE meta.media_type = 'video' AND octet_length(payload) > 64""".stripMargin,
 
     // n_frames must equal the arithmetic count of a stride-32 window of
@@ -145,7 +145,7 @@ object MultiModal {
         |  CASE WHEN meta.media_type = 'video'
         |       THEN (greatest(octet_length(payload) - 64, 0) + 31) // 32
         |       ELSE 0 END AS n_frames
-        |FROM read_parquet('/tmp/graft_oracle/sf0.01/media_ingest/*.parquet')""".stripMargin,
+        |FROM read_parquet('/tmp/graft_oracle/__SF__/media_ingest/*.parquet')""".stripMargin,
 
     // PNG layout: 8-byte signature, 4-byte IHDR length, 4-byte "IHDR",
     // then width and height as big-endian u32 — hex chars 33-40 and
@@ -155,7 +155,7 @@ object MultiModal {
       """SELECT media_id,
         |  CAST(('0x' || substr(hex(payload), 33, 8)) AS BIGINT) AS width,
         |  CAST(('0x' || substr(hex(payload), 41, 8)) AS BIGINT) AS height
-        |FROM read_parquet('/tmp/graft_oracle/sf0.01/media_ingest/*.parquet')
+        |FROM read_parquet('/tmp/graft_oracle/__SF__/media_ingest/*.parquet')
         |WHERE meta.media_type = 'image'""".stripMargin,
 
     // Canonical PCM WAV: 44-byte header, 16-bit mono data; sample rate
@@ -167,7 +167,7 @@ object MultiModal {
         |  CAST(('0x' || substr(hex(payload), 55, 2) || substr(hex(payload), 53, 2)
         |        || substr(hex(payload), 51, 2) || substr(hex(payload), 49, 2))
         |       AS BIGINT) AS sample_rate
-        |FROM read_parquet('/tmp/graft_oracle/sf0.01/media_ingest/*.parquet')
+        |FROM read_parquet('/tmp/graft_oracle/__SF__/media_ingest/*.parquet')
         |WHERE meta.media_type = 'audio'""".stripMargin
   )
 }

@@ -254,9 +254,9 @@ object NearDup {
     * mapped back to the signed bigint Spark emits.
     */
   def oracles: Map[String, String] = {
-    val banded = "read_parquet('/tmp/graft_oracle/sf0.01/minhash_banded/*.parquet')"
-    val sigs = "read_parquet('/tmp/graft_oracle/sf0.01/minhash_sigs/*.parquet')"
-    val simsigs = "read_parquet('/tmp/graft_oracle/sf0.01/simhash_sigs/*.parquet')"
+    val banded = "read_parquet('/tmp/graft_oracle/__SF__/minhash_banded/*.parquet')"
+    val sigs = "read_parquet('/tmp/graft_oracle/__SF__/minhash_sigs/*.parquet')"
+    val simsigs = "read_parquet('/tmp/graft_oracle/__SF__/simhash_sigs/*.parquet')"
     val (cas, cbs) = graft.functions.MinHashSignature.coefficients(K)
     val coefRows = (0 until K).map { j =>
       s"(${j}, ${cas(j) >>> 32}, ${cas(j) & 0xFFFFFFFFL}, " +
@@ -264,7 +264,7 @@ object NearDup {
     }.mkString(",\n          ")
     Map(
       "n50_minhash_signatures" -> s"""
-        WITH th AS (SELECT * FROM read_parquet('/tmp/graft_oracle/sf0.01/token_hashes/*.parquet')),
+        WITH th AS (SELECT * FROM read_parquet('/tmp/graft_oracle/__SF__/token_hashes/*.parquet')),
         coef(j, a_hi, a_lo, b_hi, b_lo) AS (VALUES
           $coefRows),
         hu AS (SELECT doc_id,

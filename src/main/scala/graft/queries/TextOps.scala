@@ -492,7 +492,7 @@ object TextOps {
         |    / (len(a.bag) + len(b.bag) - len(list_intersect(a.bag, b.bag))) >= 0.8""".stripMargin,
 
     "t37_winnow_fingerprints" ->
-      s"""WITH kg AS (SELECT * FROM read_parquet('/tmp/graft_oracle/sf0.01/kgram_hashes/*.parquet')),
+      s"""WITH kg AS (SELECT * FROM read_parquet('/tmp/graft_oracle/__SF__/kgram_hashes/*.parquet')),
         |win AS (
         |  SELECT doc_id, pos AS p,
         |    min(h) OVER (PARTITION BY doc_id ORDER BY pos
@@ -569,7 +569,7 @@ object TextOps {
         |        PARTITION BY md5(lower(trim(regexp_replace(text, '\s+', ' ', 'g'))))
         |        ORDER BY doc_id) AS rn
         |    FROM quality) WHERE rn = 1),
-        |banded AS (SELECT * FROM read_parquet('/tmp/graft_oracle/sf0.01/pipeline_banded/*.parquet')),
+        |banded AS (SELECT * FROM read_parquet('/tmp/graft_oracle/__SF__/pipeline_banded/*.parquet')),
         |rep AS (SELECT band, bucket, min(doc_id) AS bucket_rep
         |        FROM banded GROUP BY band, bucket),
         |cluster AS (SELECT doc_id, min(bucket_rep) AS cluster_rep

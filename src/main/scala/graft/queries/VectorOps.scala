@@ -325,7 +325,7 @@ object VectorOps {
         |WHERE ${dotSql.format("a.embedding", "b.embedding")} / (a.nrm * b.nrm) >= 0.35""".stripMargin,
 
     "v44_embedding_lsh_pairs" ->
-      s"""WITH s AS (SELECT * FROM read_parquet('/tmp/graft_oracle/sf0.01/hyperplane_bits/*.parquet')),
+      s"""WITH s AS (SELECT * FROM read_parquet('/tmp/graft_oracle/__SF__/hyperplane_bits/*.parquet')),
         |chunks AS (SELECT vec_id, c AS chunk, (bits >> (CAST(c AS INT) * 16)) & 65535 AS ck
         |           FROM s, range(0, 4) t(c)),
         |sized AS (SELECT *, count(*) OVER (PARTITION BY chunk, ck) AS bucket_size FROM chunks),
@@ -345,7 +345,7 @@ object VectorOps {
         |WHERE bit_count(xor(sa.bits, sb.bits)) <= 24""".stripMargin,
 
     "v43_ivf_ann" ->
-      s"""WITH a AS (SELECT * FROM read_parquet('/tmp/graft_oracle/sf0.01/ivf_assign/*.parquet')),
+      s"""WITH a AS (SELECT * FROM read_parquet('/tmp/graft_oracle/__SF__/ivf_assign/*.parquet')),
         |n AS (SELECT vec_id, embedding,
         |        sqrt(${dotSql.format("embedding", "embedding")}) AS nrm
         |      FROM a WHERE cell_rank = 1),
@@ -364,8 +364,8 @@ object VectorOps {
         |  FROM scored) WHERE rk <= 3""".stripMargin,
 
     "v45_pq_ann" ->
-      """WITH codes AS (SELECT * FROM read_parquet('/tmp/graft_oracle/sf0.01/pq_codes/*.parquet')),
-        |cb AS (SELECT * FROM read_parquet('/tmp/graft_oracle/sf0.01/pq_codebooks/*.parquet')),
+      """WITH codes AS (SELECT * FROM read_parquet('/tmp/graft_oracle/__SF__/pq_codes/*.parquet')),
+        |cb AS (SELECT * FROM read_parquet('/tmp/graft_oracle/__SF__/pq_codebooks/*.parquet')),
         |cbl AS (SELECT sub, list(centroid ORDER BY code) AS cws FROM cb GROUP BY sub),
         |allcb AS (SELECT list(cws ORDER BY sub) AS a FROM cbl),
         |q AS (SELECT vec_id AS query_id, embedding FROM embeddings WHERE vec_id % 50 = 0),
@@ -388,10 +388,10 @@ object VectorOps {
         |  FROM scored) WHERE rk <= 3""".stripMargin,
 
     "v46_ivfpq_ann" ->
-      """WITH cents AS (SELECT * FROM read_parquet('/tmp/graft_oracle/sf0.01/ivfpq_cents/*.parquet')),
-        |codes AS (SELECT * FROM read_parquet('/tmp/graft_oracle/sf0.01/ivfpq_codes/*.parquet')),
-        |probes AS (SELECT * FROM read_parquet('/tmp/graft_oracle/sf0.01/ivfpq_probes/*.parquet')),
-        |cb AS (SELECT * FROM read_parquet('/tmp/graft_oracle/sf0.01/ivfpq_codebooks/*.parquet')),
+      """WITH cents AS (SELECT * FROM read_parquet('/tmp/graft_oracle/__SF__/ivfpq_cents/*.parquet')),
+        |codes AS (SELECT * FROM read_parquet('/tmp/graft_oracle/__SF__/ivfpq_codes/*.parquet')),
+        |probes AS (SELECT * FROM read_parquet('/tmp/graft_oracle/__SF__/ivfpq_probes/*.parquet')),
+        |cb AS (SELECT * FROM read_parquet('/tmp/graft_oracle/__SF__/ivfpq_codebooks/*.parquet')),
         |cbl AS (SELECT sub, list(centroid ORDER BY code) AS cws FROM cb GROUP BY sub),
         |allcb AS (SELECT list(cws ORDER BY sub) AS a FROM cbl),
         |q AS (SELECT vec_id AS query_id, embedding FROM embeddings WHERE vec_id % 50 = 0),
@@ -422,7 +422,7 @@ object VectorOps {
       s"""WITH cents AS (
         |  SELECT cell, centroid,
         |    sqrt(${dotSql.format("centroid", "centroid")}) AS cnrm
-        |  FROM read_parquet('/tmp/graft_oracle/sf0.01/kmeans_cents/*.parquet')),
+        |  FROM read_parquet('/tmp/graft_oracle/__SF__/kmeans_cents/*.parquet')),
         |n AS (SELECT vec_id, embedding,
         |        sqrt(${dotSql.format("embedding", "embedding")}) AS nrm
         |      FROM embeddings),
@@ -445,7 +445,7 @@ object VectorOps {
       s"""WITH cents AS (
         |  SELECT cell, centroid,
         |    sqrt(${dotSql.format("centroid", "centroid")}) AS cnrm
-        |  FROM read_parquet('/tmp/graft_oracle/sf0.01/semdedup_cents/*.parquet')),
+        |  FROM read_parquet('/tmp/graft_oracle/__SF__/semdedup_cents/*.parquet')),
         |n AS (SELECT vec_id, embedding,
         |        sqrt(${dotSql.format("embedding", "embedding")}) AS nrm
         |      FROM embeddings),

@@ -54,7 +54,9 @@ object MakeScale {
     Seq("region", "nation", "customer", "supplier", "part")
       .foreach(n => write(read(n), n))
 
-    val maxOk = read("orders").agg(max("o_orderkey")).head.getLong(0) + 1
+    // cast to long BEFORE extraction: the fixture contract permits
+    // int32/int16 key columns, which would ClassCastException here (r10 advice)
+    val maxOk = read("orders").agg(max(col("o_orderkey").cast("long"))).head.getLong(0) + 1
     write(reps(read("orders"))
       .withColumn("o_orderkey", col("o_orderkey") + col("rep") * maxOk)
       .drop("rep"), "orders")
@@ -64,14 +66,15 @@ object MakeScale {
 
     val ev = read("events")
     val Array(maxEv, maxUser) =
-      ev.agg(max("event_id"), max("user_id")).head.toSeq.map(_.asInstanceOf[Long] + 1).toArray
+      ev.agg(max(col("event_id").cast("long")), max(col("user_id").cast("long")))
+        .head.toSeq.map(_.asInstanceOf[Long] + 1).toArray
     write(reps(ev)
       .withColumn("event_id", col("event_id") + col("rep") * maxEv)
       .withColumn("user_id", col("user_id") + col("rep") * maxUser)
       .drop("rep"), "events")
 
     val docs = read("documents")
-    val maxDoc = docs.agg(max("doc_id")).head.getLong(0) + 1
+    val maxDoc = docs.agg(max(col("doc_id").cast("long"))).head.getLong(0) + 1
     write(reps(docs)
       .withColumn("doc_id", col("doc_id") + col("rep") * maxDoc)
       .withColumn("text", when(col("rep") === 0, col("text")).otherwise(
@@ -81,7 +84,7 @@ object MakeScale {
       .drop("rep"), "documents")
 
     val emb = read("embeddings")
-    val maxVec = emb.agg(max("vec_id")).head.getLong(0) + 1
+    val maxVec = emb.agg(max(col("vec_id").cast("long"))).head.getLong(0) + 1
     write(reps(emb)
       .withColumn("embedding", when(col("rep") === 0, col("embedding")).otherwise(
         transform(col("embedding"), (x, i) =>
