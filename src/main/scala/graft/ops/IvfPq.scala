@@ -57,12 +57,49 @@ object IvfPq {
     */
   def searchTopK(vectors: DataFrame, idCol: String, embCol: String,
                  index: Index, queryPred: Column, topK: Int,
-                 nprobe: Int = 2): DataFrame = {
+                 nprobe: Int = 0): DataFrame = {
+    val np = resolveNprobe(index, nprobe)
     val probes = Ivf.assign(vectors.filter(queryPred), idCol, embCol,
-        index.cents, nprobe)
+        index.cents, np)
       .select(col(idCol).as("query_id"), col("cell"),
         col(embCol).cast("array<float>").as("q_emb"))
     scoreProbes(probes, index, topK)
+  }
+
+  /** nprobe <= 0 → auto-scale with the index's cell count
+    * ([[Ivf.defaultNprobe]]). The cents count() is centroid-table
+    * scale (≈√n rows), not data scale.
+    */
+  def resolveNprobe(index: Index, nprobe: Int): Int =
+    if (nprobe > 0) nprobe else Ivf.defaultNprobe(index.cents.count().toInt)
+
+  /** IVF-PQ with the [[Pq.searchTopKRefined]] exact re-rank: probe
+    * auto-scaled cells, shortlist topK·refine by residual ADC, then
+    * exact-L2 rerank the shortlist against the raw vectors. The two
+    * recall levers compose: nprobe governs whether the true
+    * neighbor's CELL is scanned at all, refine recovers the ordering
+    * quantization noise scrambled within the scanned cells. Scale
+    * shape unchanged from searchTopK plus a query-scale rerank join.
+    * @return (query_id, rk, cand_id, l2_dist)
+    */
+  def searchTopKRefined(vectors: DataFrame, idCol: String, embCol: String,
+                        index: Index, queryPred: Column, topK: Int,
+                        nprobe: Int = 0, refine: Int = 10): DataFrame = {
+    require(refine >= 1)
+    val shortlist = searchTopK(vectors, idCol, embCol, index, queryPred,
+        topK * refine, nprobe)
+      .select(col("query_id"), col("cand_id"))
+    val q = vectors.filter(queryPred).select(col(idCol).as("query_id"),
+      col(embCol).cast("array<float>").as("q_emb"))
+    val c = vectors.select(col(idCol).as("cand_id"),
+      col(embCol).cast("array<float>").as("c_emb"))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("l2_dist"), col("cand_id"))
+    shortlist.join(c, "cand_id").join(broadcast(q), "query_id")
+      .withColumn("l2_dist", Pq.l2sq(col("q_emb"), col("c_emb")))
+      .withColumn("rk", row_number().over(w))
+      .filter(col("rk") <= topK)
+      .select(col("query_id"), col("rk"), col("cand_id"), col("l2_dist"))
   }
 
   /** Scoring phase over an explicit probe table (query_id, cell,

@@ -152,16 +152,22 @@ object VectorOps {
     "v46_ivfpq_ann" -> ((s, dir) => {
       val e = Tables.load(s, dir, "embeddings")
       val n = e.count().toDouble
+      val cellCount = math.max(4, math.ceil(math.sqrt(n)).toInt)
       val idx = graft.ops.IvfPq.build(e, "vec_id", "embedding",
-        cells = math.max(4, math.ceil(math.sqrt(n)).toInt), m = 16, k = 64, iters = 2)
+        cells = cellCount, m = 16, k = 64, iters = 2)
       val base = s"/tmp/graft_oracle/${new java.io.File(dir).getName}"
       idx.cents.write.mode("overwrite").parquet(s"$base/ivfpq_cents")
       idx.codes.write.mode("overwrite").parquet(s"$base/ivfpq_codes")
       graft.ops.Pq.codebooksDF(s, idx.codebooks)
         .write.mode("overwrite").parquet(s"$base/ivfpq_codebooks")
       val cents = s.read.parquet(s"$base/ivfpq_cents")
+      // nprobe auto-scales with the cell count (r10 verdict: fixed
+      // nprobe=2 probed a shrinking fraction of cells as n grew; the
+      // oracle replays the MATERIALIZED probes, so recall tuning
+      // never risks the correctness gate).
       graft.ops.Ivf.assign(e.filter(col("vec_id") % 50 === 0),
-          "vec_id", "embedding", cents, nprobe = 2)
+          "vec_id", "embedding", cents,
+          nprobe = graft.ops.Ivf.defaultNprobe(cellCount))
         .select(col("vec_id").as("query_id"), col("cell"))
         .write.mode("overwrite").parquet(s"$base/ivfpq_probes")
       val probes = s.read.parquet(s"$base/ivfpq_probes")
@@ -170,6 +176,75 @@ object VectorOps {
       graft.ops.IvfPq.scoreProbes(probes,
         graft.ops.IvfPq.Index(cents, s.read.parquet(s"$base/ivfpq_codes"),
           idx.codebooks), topK = 3)
+    }),
+
+    // ---- PQ + exact re-rank ("re-ranking with source coding") ---------
+    // graft.ops.Pq.searchTopKRefined: ADC retrieves a topK·refine=30
+    // shortlist from the compressed codes, then exact L2 over the raw
+    // embeddings re-ranks ONLY the shortlist (query-scale rows). This
+    // is the recall lever for isotropic data — refined recall@k equals
+    // ADC recall@(k·refine) (RecallProbe sf1: 0.453 plain → 1.000
+    // refined) — while the corpus-scale scan still touches codes only.
+    // Codes + codebooks are staged independently of v45 (Verify's
+    // query order is not a contract), and the oracle replays shortlist
+    // AND rerank with the same left-to-right double folds.
+    "v50_pq_refine" -> ((s, dir) => {
+      val e = Tables.load(s, dir, "embeddings")
+      val cbs = graft.ops.Pq.train(e, "vec_id", "embedding", m = 16, k = 64, iters = 2)
+      val base = s"/tmp/graft_oracle/${new java.io.File(dir).getName}"
+      graft.ops.Pq.codebooksDF(s, cbs)
+        .write.mode("overwrite").parquet(s"$base/pq50_codebooks")
+      graft.ops.Pq.encode(e, "vec_id", "embedding", cbs)
+        .write.mode("overwrite").parquet(s"$base/pq50_codes")
+      graft.ops.Pq.searchTopKRefined(
+        e.filter(col("vec_id") % 50 === 0), "vec_id", "embedding",
+        s.read.parquet(s"$base/pq50_codes"), e, "vec_id", "embedding",
+        cbs, topK = 3, refine = 10)
+    }),
+
+    // ---- IVF-PQ + auto-nprobe + exact re-rank (full FAISS shape) ------
+    // The three recall/scale mechanisms composed: auto-scaled nprobe
+    // (whether the true neighbor's CELL is scanned at all), residual
+    // PQ codes (32× smaller scanned index), and the exact rerank of
+    // the ADC shortlist (recovers the ordering quantization noise
+    // scrambled within scanned cells). All artifacts staged; the
+    // oracle replays probe join + residual ADC + shortlist + rerank.
+    "v51_ivfpq_refine" -> ((s, dir) => {
+      val e = Tables.load(s, dir, "embeddings")
+      val n = e.count().toDouble
+      val cellCount = math.max(4, math.ceil(math.sqrt(n)).toInt)
+      val idx = graft.ops.IvfPq.build(e, "vec_id", "embedding",
+        cells = cellCount, m = 16, k = 64, iters = 2)
+      val base = s"/tmp/graft_oracle/${new java.io.File(dir).getName}"
+      idx.cents.write.mode("overwrite").parquet(s"$base/ivfpq51_cents")
+      idx.codes.write.mode("overwrite").parquet(s"$base/ivfpq51_codes")
+      graft.ops.Pq.codebooksDF(s, idx.codebooks)
+        .write.mode("overwrite").parquet(s"$base/ivfpq51_codebooks")
+      val cents = s.read.parquet(s"$base/ivfpq51_cents")
+      graft.ops.Ivf.assign(e.filter(col("vec_id") % 50 === 0),
+          "vec_id", "embedding", cents,
+          nprobe = graft.ops.Ivf.defaultNprobe(cellCount))
+        .select(col("vec_id").as("query_id"), col("cell"))
+        .write.mode("overwrite").parquet(s"$base/ivfpq51_probes")
+      val probes = s.read.parquet(s"$base/ivfpq51_probes")
+        .join(e.select(col("vec_id").as("query_id"),
+          col("embedding").cast("array<float>").as("q_emb")), "query_id")
+      val shortlist = graft.ops.IvfPq.scoreProbes(probes,
+        graft.ops.IvfPq.Index(cents, s.read.parquet(s"$base/ivfpq51_codes"),
+          idx.codebooks), topK = 30)
+        .select(col("query_id"), col("cand_id"))
+      val q = e.filter(col("vec_id") % 50 === 0)
+        .select(col("vec_id").as("query_id"),
+          col("embedding").cast("array<float>").as("q_emb"))
+      val c = e.select(col("vec_id").as("cand_id"),
+        col("embedding").cast("array<float>").as("c_emb"))
+      val w = Window.partitionBy(col("query_id"))
+        .orderBy(col("l2_dist"), col("cand_id"))
+      shortlist.join(c, "cand_id").join(broadcast(q), "query_id")
+        .withColumn("l2_dist", graft.ops.Pq.l2sq(col("q_emb"), col("c_emb")))
+        .withColumn("rk", row_number().over(w))
+        .filter(col("rk") <= 3)
+        .select(col("query_id"), col("rk"), col("cand_id"), col("l2_dist"))
     }),
 
     // ---- K-means clustering (semantic grouping) -----------------------
@@ -417,6 +492,87 @@ object VectorOps {
         |    ROW_NUMBER() OVER (PARTITION BY query_id
         |                       ORDER BY adc_dist, cand_id) AS rk
         |  FROM scored) WHERE rk <= 3""".stripMargin,
+
+    "v50_pq_refine" ->
+      """WITH codes AS (SELECT * FROM read_parquet('/tmp/graft_oracle/__SF__/pq50_codes/*.parquet')),
+        |cb AS (SELECT * FROM read_parquet('/tmp/graft_oracle/__SF__/pq50_codebooks/*.parquet')),
+        |cbl AS (SELECT sub, list(centroid ORDER BY code) AS cws FROM cb GROUP BY sub),
+        |allcb AS (SELECT list(cws ORDER BY sub) AS a FROM cbl),
+        |q AS (SELECT vec_id AS query_id, embedding FROM embeddings WHERE vec_id % 50 = 0),
+        |scored AS (
+        |  SELECT q.query_id, c.cand_id,
+        |    list_aggregate(list_transform(range(0, 16), mm ->
+        |      list_aggregate(list_transform(range(1, 5), i ->
+        |        (CAST(q.embedding[mm * 4 + i] AS DOUBLE)
+        |          - CAST(allcb.a[mm + 1][c.codes[mm + 1] + 1][i] AS DOUBLE))
+        |        * (CAST(q.embedding[mm * 4 + i] AS DOUBLE)
+        |          - CAST(allcb.a[mm + 1][c.codes[mm + 1] + 1][i] AS DOUBLE))
+        |      ), 'sum')
+        |    ), 'sum') AS adc_dist
+        |  FROM q, codes c, allcb
+        |  WHERE q.query_id <> c.cand_id),
+        |short AS (SELECT query_id, cand_id FROM (
+        |  SELECT query_id, cand_id,
+        |    ROW_NUMBER() OVER (PARTITION BY query_id
+        |                       ORDER BY adc_dist, cand_id) AS rka
+        |  FROM scored) WHERE rka <= 30),
+        |rr AS (
+        |  SELECT s.query_id, s.cand_id,
+        |    list_aggregate(list_transform(generate_series(1, 64),
+        |      i -> (CAST(q.embedding[i] AS DOUBLE) - CAST(ce.embedding[i] AS DOUBLE))
+        |         * (CAST(q.embedding[i] AS DOUBLE) - CAST(ce.embedding[i] AS DOUBLE))), 'sum') AS l2_dist
+        |  FROM short s
+        |  JOIN q ON q.query_id = s.query_id
+        |  JOIN embeddings ce ON ce.vec_id = s.cand_id)
+        |SELECT query_id, rk, cand_id, l2_dist FROM (
+        |  SELECT query_id, cand_id, l2_dist,
+        |    ROW_NUMBER() OVER (PARTITION BY query_id
+        |                       ORDER BY l2_dist, cand_id) AS rk
+        |  FROM rr) WHERE rk <= 3""".stripMargin,
+
+    "v51_ivfpq_refine" ->
+      """WITH cents AS (SELECT * FROM read_parquet('/tmp/graft_oracle/__SF__/ivfpq51_cents/*.parquet')),
+        |codes AS (SELECT * FROM read_parquet('/tmp/graft_oracle/__SF__/ivfpq51_codes/*.parquet')),
+        |probes AS (SELECT * FROM read_parquet('/tmp/graft_oracle/__SF__/ivfpq51_probes/*.parquet')),
+        |cb AS (SELECT * FROM read_parquet('/tmp/graft_oracle/__SF__/ivfpq51_codebooks/*.parquet')),
+        |cbl AS (SELECT sub, list(centroid ORDER BY code) AS cws FROM cb GROUP BY sub),
+        |allcb AS (SELECT list(cws ORDER BY sub) AS a FROM cbl),
+        |q AS (SELECT vec_id AS query_id, embedding FROM embeddings WHERE vec_id % 50 = 0),
+        |scored AS (
+        |  SELECT p.query_id, c.cand_id,
+        |    list_aggregate(list_transform(range(0, 16), mm ->
+        |      list_aggregate(list_transform(range(1, 5), i ->
+        |        (CAST(q.embedding[mm * 4 + i] AS DOUBLE)
+        |          - CAST(ct.centroid[mm * 4 + i] AS DOUBLE)
+        |          - CAST(allcb.a[mm + 1][c.codes[mm + 1] + 1][i] AS DOUBLE))
+        |        * (CAST(q.embedding[mm * 4 + i] AS DOUBLE)
+        |          - CAST(ct.centroid[mm * 4 + i] AS DOUBLE)
+        |          - CAST(allcb.a[mm + 1][c.codes[mm + 1] + 1][i] AS DOUBLE))
+        |      ), 'sum')
+        |    ), 'sum') AS adc_dist
+        |  FROM probes p
+        |  JOIN codes c USING (cell)
+        |  JOIN cents ct USING (cell)
+        |  JOIN q ON q.query_id = p.query_id, allcb
+        |  WHERE p.query_id <> c.cand_id),
+        |short AS (SELECT query_id, cand_id FROM (
+        |  SELECT query_id, cand_id,
+        |    ROW_NUMBER() OVER (PARTITION BY query_id
+        |                       ORDER BY adc_dist, cand_id) AS rka
+        |  FROM scored) WHERE rka <= 30),
+        |rr AS (
+        |  SELECT s.query_id, s.cand_id,
+        |    list_aggregate(list_transform(generate_series(1, 64),
+        |      i -> (CAST(q.embedding[i] AS DOUBLE) - CAST(ce.embedding[i] AS DOUBLE))
+        |         * (CAST(q.embedding[i] AS DOUBLE) - CAST(ce.embedding[i] AS DOUBLE))), 'sum') AS l2_dist
+        |  FROM short s
+        |  JOIN q ON q.query_id = s.query_id
+        |  JOIN embeddings ce ON ce.vec_id = s.cand_id)
+        |SELECT query_id, rk, cand_id, l2_dist FROM (
+        |  SELECT query_id, cand_id, l2_dist,
+        |    ROW_NUMBER() OVER (PARTITION BY query_id
+        |                       ORDER BY l2_dist, cand_id) AS rk
+        |  FROM rr) WHERE rk <= 3""".stripMargin,
 
     "v47_kmeans_clusters" ->
       s"""WITH cents AS (

@@ -1,0 +1,117 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+
+/** Recall gate for the refined ANN search (r10 verdict #4): on the
+  * isotropic sf0.01 fixture — PQ's worst case — the ADC-shortlist +
+  * exact-re-rank search must hold recall@3 ≥ 0.6 with the battery's
+  * m=16/k=64 config, for both the flat-PQ and the IVF-PQ
+  * (auto-nprobe) paths, and refinement must never lower recall vs
+  * the plain ADC search. RecallProbe reports the same metrics at
+  * larger SFs for the scale artifact; this spec is the regression
+  * net that keeps the recall claim from silently rotting.
+  */
+class RecallSpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+
+  private lazy val e =
+    Tables.load(spark, "/root/testdata/sf0.01", "embeddings").cache()
+  private val pred = col("vec_id") % 50 === 0
+
+  private lazy val exact = {
+    val q = e.filter(pred).select(col("vec_id").as("query_id"),
+      col("embedding").cast("array<float>").as("q"))
+    val c = e.select(col("vec_id").as("cand_id"),
+      col("embedding").cast("array<float>").as("c"))
+    val w = Window.partitionBy(col("query_id")).orderBy(col("d"), col("cand_id"))
+    q.join(c, col("query_id") =!= col("cand_id"))
+      .withColumn("d", aggregate(zip_with(col("q"), col("c"),
+        (x, y) => (x.cast("double") - y.cast("double")) * (x.cast("double") - y.cast("double"))),
+        lit(0.0), (a, x) => a + x))
+      .withColumn("rk", row_number().over(w)).filter(col("rk") <= 3)
+      .select(col("query_id"), col("cand_id")).cache()
+  }
+
+  private def recall(approx: org.apache.spark.sql.DataFrame): Double =
+    exact.join(approx.select(col("query_id"), col("cand_id")),
+      Seq("query_id", "cand_id")).count().toDouble / exact.count()
+
+  private lazy val cbs = ops.Pq.train(e, "vec_id", "embedding", 16, 64, 2)
+  private lazy val codes = ops.Pq.encode(e, "vec_id", "embedding", cbs).cache()
+
+  test("refined PQ search holds recall@3 >= 0.6 and dominates plain ADC") {
+    val plain = recall(ops.Pq.searchTopK(
+      e.filter(pred), "vec_id", "embedding", codes, cbs, 3))
+    val refined = recall(ops.Pq.searchTopKRefined(
+      e.filter(pred), "vec_id", "embedding", codes,
+      e, "vec_id", "embedding", cbs, 3, refine = 10))
+    info(f"pq plain=$plain%.3f refined=$refined%.3f")
+    assert(refined >= 0.6, s"refined PQ recall@3 $refined below 0.6 gate")
+    assert(refined >= plain, "refinement must never lower recall")
+  }
+
+  test("refined IVF-PQ holds recall@3 >= 0.6 in the sparse isotropic regime") {
+    // 500 isotropic vectors: true neighbors are genuinely non-local
+    // (refined recall == probe coverage — NprobeSweep: 0.47@2,
+    // 0.57@4, 0.77@8), so the sparse regime passes nprobe explicitly.
+    val cells = math.max(4, math.ceil(math.sqrt(e.count().toDouble)).toInt)
+    val idx = ops.IvfPq.build(e, "vec_id", "embedding",
+      cells = cells, m = 16, k = 64, iters = 2)
+    val refined = recall(ops.IvfPq.searchTopKRefined(
+      e, "vec_id", "embedding", idx, pred, 3, nprobe = 8, refine = 10))
+    info(f"ivfpq cells=$cells nprobe=8 refined=$refined%.3f")
+    assert(refined >= 0.6, s"refined IVF-PQ recall@3 $refined below 0.6 gate")
+  }
+
+  test("refined IVF-PQ with auto-nprobe holds recall@3 >= 0.9 in the dense regime") {
+    // Dense regime = the sf1 MakeScale shape (10 jittered replicas
+    // per base vector), built in-memory so the spec is self-contained:
+    // true neighbors are near-clones that share the query's cell, so
+    // auto-nprobe coverage is total and the exact rerank recovers the
+    // ordering ADC quantization noise scrambles (NprobeSweep at the
+    // real sf1: coverage = refined recall = 1.000 from nprobe=2 up).
+    val maxVec = e.agg(max(col("vec_id").cast("long"))).head.getLong(0) + 1
+    val dense = e.withColumn("rep", explode(sequence(lit(0L), lit(9L))))
+      .withColumn("embedding", when(col("rep") === 0, col("embedding")).otherwise(
+        transform(col("embedding"), (x, i) =>
+          (x + (pmod(hash(col("vec_id"), i, col("rep")), lit(2001)) - 1000)
+            .cast("float") * lit(1e-5f)).cast("float"))))
+      .withColumn("vec_id", col("vec_id") + col("rep") * maxVec)
+      .drop("rep").cache()
+    val q = dense.filter(pred).select(col("vec_id").as("query_id"),
+      col("embedding").cast("array<float>").as("q"))
+    val c = dense.select(col("vec_id").as("cand_id"),
+      col("embedding").cast("array<float>").as("c"))
+    val w = Window.partitionBy(col("query_id")).orderBy(col("d"), col("cand_id"))
+    val denseExact = q.join(c, col("query_id") =!= col("cand_id"))
+      .withColumn("d", aggregate(zip_with(col("q"), col("c"),
+        (x, y) => (x.cast("double") - y.cast("double")) * (x.cast("double") - y.cast("double"))),
+        lit(0.0), (a, x) => a + x))
+      .withColumn("rk", row_number().over(w)).filter(col("rk") <= 3)
+      .select(col("query_id"), col("cand_id")).cache()
+    val cells = math.max(4, math.ceil(math.sqrt(dense.count().toDouble)).toInt)
+    val np = ops.Ivf.defaultNprobe(cells)
+    val idx = ops.IvfPq.build(dense, "vec_id", "embedding",
+      cells = cells, m = 16, k = 64, iters = 2)
+    val approx = ops.IvfPq.searchTopKRefined(
+      dense, "vec_id", "embedding", idx, pred, 3, np, 10)
+    val refined = denseExact.join(
+      approx.select(col("query_id"), col("cand_id")),
+      Seq("query_id", "cand_id")).count().toDouble / denseExact.count()
+    info(f"dense ivfpq cells=$cells auto-nprobe=$np refined=$refined%.3f")
+    assert(refined >= 0.9, s"dense-regime refined recall@3 $refined below 0.9")
+  }
+
+  test("auto-nprobe grows with cell count but stays sub-linear") {
+    assert(ops.Ivf.defaultNprobe(4) == 2)
+    assert(ops.Ivf.defaultNprobe(64) == 2)
+    assert(ops.Ivf.defaultNprobe(142) == 3)   // sf1 shape (n=20k)
+    assert(ops.Ivf.defaultNprobe(256) == 4)
+    assert(ops.Ivf.defaultNprobe(2500) == 13)
+    // probed fraction √cells/4 / cells shrinks as cells grow
+    assert(ops.Ivf.defaultNprobe(2500).toDouble / 2500 <
+           ops.Ivf.defaultNprobe(256).toDouble / 256)
+  }
+}
