@@ -15,11 +15,31 @@ import graft.streaming.{Cep, Changelog, NearDupStreaming, StatefulOps}
   * that IS the deployment cost model).
   *
   * Methodology: one warmup batch per query (codegen + state store
-  * init), then timed `processAllAvailable` over all batches. Rates are
-  * single-JVM local[8]; they scale with executors since every op here
-  * is keyed-state (partitioned by key hash).
+  * init), then timed `processAllAvailable` over all batches. The
+  * battery runs at EACH (row-size × parallelism) combination in
+  * SPARK_GRAFT_STREAM_ROWS × SPARK_GRAFT_STREAM_PARALLELISM
+  * (defaults "400000,1600000" × "8,32") in one process — a fresh
+  * SparkSession per level — so the partition-scaling claim carries
+  * its own measurement: per-run the JSON records per-level rates,
+  * the 32/8 speedup per op, and a `flat_ops` list (speedup < 1.1)
+  * flagging ops whose throughput did NOT grow with partitions.
   *
-  * Prints one JSON line: {"metric":"stream_rows_per_sec","ops":{...}}
+  * What the two row sizes expose (measured round 11): per-batch cost
+  * decomposes into a touched-KEYS component (state scan / timeout
+  * handling ∝ keys per batch — amortized by bigger batches,
+  * parallelized by partitions) and a per-PARTITION store-commit
+  * fixed cost (grows with partition count). At 50k rows/batch the
+  * key component dominates and the state-heavy ops speed up 1.6–2.7×
+  * from 8→32 partitions; at 200k rows/batch eight partitions already
+  * saturate the single JVM's cores and extra partitions only add
+  * commit overhead (speedups ≤ 1). In production the 32-partition
+  * row corresponds to 4× EXECUTORS (more physical cores and
+  * independent state stores, not shared ones), so the small-batch
+  * row is the scale-out signal and the large-batch row is the
+  * single-node saturation ceiling. `ops` stays the first run's
+  * first-level map for round-over-round comparability.
+  *
+  * Prints one JSON line: {"metric":"stream_rows_per_sec",...}
   */
 object StreamBench {
   case class Ev(ts: java.sql.Timestamp, user: String, tpe: String, value: Double)
@@ -27,15 +47,52 @@ object StreamBench {
   case class Chg(row_kind: String, k: String, price: Double)
 
   def main(args: Array[String]): Unit = {
-    val rows = sys.env.getOrElse("SPARK_GRAFT_STREAM_ROWS", "400000").toInt
+    val rowSizes = sys.env.getOrElse("SPARK_GRAFT_STREAM_ROWS", "400000,1600000")
+      .split(",").map(_.trim.toInt).toSeq
     val batches = sys.env.getOrElse("SPARK_GRAFT_STREAM_BATCHES", "8").toInt
-    val spark = SparkSession.builder()
-      .master("local[8]")
-      .config("spark.sql.shuffle.partitions", "8")
-      .config("spark.sql.session.timeZone", "UTC")
-      .config("spark.ui.enabled", "false")
-      .getOrCreate()
-    spark.sparkContext.setLogLevel("ERROR")
+    val levels = sys.env.getOrElse("SPARK_GRAFT_STREAM_PARALLELISM", "8,32")
+      .split(",").map(_.trim.toInt).toSeq
+    def m(kv: Iterable[(String, Double)]): String =
+      kv.map { case (k, v) => f""""$k":${v}%.2f""" }.mkString("{", ",", "}")
+    val runJsons = rowSizes.map { rows =>
+      val byLevel = scala.collection.mutable.LinkedHashMap.empty[Int, collection.Map[String, Double]]
+      levels.foreach { cpus =>
+        val spark = SparkSession.builder()
+          .master(s"local[$cpus]")
+          .config("spark.sql.shuffle.partitions", cpus)
+          .config("spark.sql.session.timeZone", "UTC")
+          .config("spark.ui.enabled", "false")
+          .getOrCreate()
+        spark.sparkContext.setLogLevel("ERROR")
+        println(s"[stream-bench] --- rows=$rows parallelism=$cpus ---")
+        byLevel(cpus) = benchAll(spark, rows, batches)
+        spark.stop()
+        // a fresh session (not getOrCreate reuse) per level
+        SparkSession.clearActiveSession(); SparkSession.clearDefaultSession()
+      }
+      val first = byLevel(levels.head)
+      val last = byLevel(levels.last)
+      val speedup = first.keys.map(k => k -> last(k) / first(k)).toSeq
+      val flat = speedup.filter(_._2 < 1.1).map(_._1)
+      (first,
+        s"""{"rows":$rows,"batches":$batches,""" +
+        s""""levels":{${byLevel.map { case (c, r) => s""""$c":${m(r)}""" }.mkString(",")}},""" +
+        s""""speedup_${levels.last}_over_${levels.head}":${m(speedup)},""" +
+        s""""flat_ops":[${flat.map(f => s""""$f"""").mkString(",")}]}""")
+    }
+    // "ops" = first row-size, first level — round-over-round compatible
+    val json =
+      s"""{"metric":"stream_rows_per_sec",""" +
+      s""""ops":${m(runJsons.head._1.map { case (k, v) => k -> v })},""" +
+      s""""runs":[${runJsons.map(_._2).mkString(",")}]}"""
+    println(json)
+    java.nio.file.Files.writeString(java.nio.file.Paths.get(
+      sys.env.getOrElse("SPARK_GRAFT_STREAM_FILE", "STREAMBENCH.json")), json + "\n")
+  }
+
+  /** The op battery at one parallelism level. */
+  def benchAll(spark: SparkSession, rows: Int,
+               batches: Int): collection.Map[String, Double] = {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
 
@@ -142,12 +199,6 @@ object StreamBench {
         results += ("neardup_lsh_tag" -> n / sec)
       } finally q.stop()
     }
-
-    val json = results.map { case (k, v) => f""""$k":${v}%.0f""" }
-      .mkString(s"""{"metric":"stream_rows_per_sec","rows":$rows,"batches":$batches,"ops":{""", ",", "}}")
-    println(json)
-    java.nio.file.Files.writeString(java.nio.file.Paths.get(
-      sys.env.getOrElse("SPARK_GRAFT_STREAM_FILE", "STREAMBENCH.json")), json + "\n")
-    spark.stop()
+    results
   }
 }
