@@ -45,6 +45,12 @@ object NearDup {
   val BANDS = 16    // LSH bands → 8 rows per band
   val ROWS = K / BANDS
   val MaxBucketSize = 64
+  // unrolled label-propagation rounds in the n54 oracle (round
+  // OracleLpRounds is the convergence-guard round, so the oracle
+  // tolerates components up to OracleLpRounds-1 bucket-hops deep —
+  // comfortably above any LSH near-dup cluster's diameter, and a
+  // divergence surfaces as poison rows, never as a silent pass)
+  val OracleLpRounds = 12
 
   /** Deterministic side-path for oracle-shared signature tables,
     * keyed by SF directory name so scales don't clobber each other.
@@ -320,24 +326,40 @@ object NearDup {
         FROM f l JOIN f r USING (chunk, ck)
         WHERE l.doc_id < r.doc_id AND bit_count(xor(l.sig, r.sig)) <= 16""",
 
-      // Transitive closure by recursive CTE: the oracle CAN afford the
-      // doc×doc edge expansion the Spark path avoids, because at the
-      // gate SF near-dup clusters are small. min over the closure per
-      // doc = the component representative.
-      "n54_connected_components" -> s"""
-        WITH RECURSIVE
+      // Unrolled bucket-min label propagation (NOT a recursive-CTE
+      // transitive closure: that materializes reachability PAIRS, which
+      // goes quadratic the moment the fixture has a dense near-dup
+      // cluster — at sf0.1 one hub bucket holds 1771 docs and the
+      // closure runs for hours). Each round is two corpus-linear
+      // aggregations — the same algorithm the engine runs, re-derived
+      // independently in SQL. A final extra round guards convergence:
+      // if any label still moves after $OracleLpRounds rounds, poison
+      // rows (doc_id = -1) make the hash mismatch loud instead of
+      // silently comparing non-converged labels.
+      "n54_connected_components" -> {
+        val rounds = (0 until OracleLpRounds).map { i =>
+          s"""bm$i AS (SELECT band, bucket, min(l.label) AS bmin
+               FROM b JOIN l$i l USING (doc_id) GROUP BY band, bucket),
+           dm$i AS (SELECT b.doc_id, min(bm.bmin) AS mn
+               FROM b JOIN bm$i bm USING (band, bucket) GROUP BY b.doc_id),
+           l${i + 1} AS (SELECT l.doc_id, least(l.label, coalesce(m.mn, l.label)) AS label
+               FROM l$i l LEFT JOIN dm$i m USING (doc_id))"""
+        }.mkString(",\n        ")
+        val n = OracleLpRounds
+        s"""
+        WITH
         b AS (SELECT * FROM $banded),
-        e AS (SELECT DISTINCT l.doc_id AS a, r.doc_id AS nb
-              FROM b l JOIN b r USING (band, bucket)),
-        r(a, nb) AS (
-          SELECT a, nb FROM e
-          UNION
-          SELECT r.a, e.nb FROM r JOIN e ON r.nb = e.a
-        ),
-        comp AS (SELECT a AS doc_id, min(nb) AS component FROM r GROUP BY a)
+        l0 AS (SELECT DISTINCT doc_id, doc_id AS label FROM b),
+        $rounds,
+        moved AS (SELECT count(*) AS n FROM l${n - 1} p JOIN l$n q USING (doc_id)
+                  WHERE p.label <> q.label),
+        comp AS (SELECT doc_id, label AS component FROM l$n)
         SELECT doc_id, component,
           count(*) OVER (PARTITION BY component) AS component_size,
           doc_id = component AS is_canonical
-        FROM comp""")
+        FROM comp
+        UNION ALL
+        SELECT -1, -1, n, false FROM moved WHERE n > 0"""
+      })
   }
 }

@@ -137,6 +137,13 @@ object StreamBench {
       evBatches)
     results += run("running_over_agg", OutputMode.Append,
       df => StatefulOps.runningAggStreaming(df, Seq("user"), "ts", "value"), evBatches)
+    // per-partition watermark combine (idleness + alignment advice):
+    // data-scale heartbeat fold on the partition key, then the
+    // metadata-scale coordinator group — throughput is the fold's
+    results += run("watermark_align", OutputMode.Append,
+      df => graft.streaming.WatermarkAlignment.idleAwareWatermark(
+        df, "tpe", "ts", outOfOrderMs = 1000L, idleTimeoutMs = 60000L,
+        maxDriftMs = 3600000L), evBatches)
     results += run("cep_match_pattern", OutputMode.Append,
       df => Cep.matchPatternStreaming(
         df.withWatermark("ts", "10 seconds")
