@@ -49,8 +49,42 @@ object Verify {
     // the SQL text carries a __SF__ token so the SAME oracle map is correct
     // at every SF the driver runs (r10 hardcoded sf0.01 → 162/180 at sf0.1).
     val sfName = new java.io.File(sfDir).getName
-    val json = SparkEntry.oracleSql
-      .map { case (k, v) => s"${q(k)}: ${q(v.replace("__SF__", sfName))}" }.mkString("{", ",", "}")
+    val interpolated = SparkEntry.oracleSql
+      .map { case (k, v) => k -> v.replace("__SF__", sfName) }
+    // Self-healing sweep (r11's one red row): the DuckDB oracle phase runs
+    // AFTER this JVM exits, so every side table an oracle references must
+    // still be on disk NOW — not merely "was staged earlier this JVM". If
+    // a /tmp cleaner (or an overwrite race) removed one mid-battery, re-run
+    // the owning queries: the Staging helpers see the missing files and
+    // re-stage, and the engine output is rewritten from the same rows so
+    // engine and oracle stay consistent.
+    val sideGlob = """'(/tmp/graft_oracle/[^']+)/\*\.parquet'""".r
+    def missingSide(): Seq[(String, String)] = interpolated.toSeq
+      .filter { case (name, _) => only.isEmpty || only(name) }
+      .flatMap { case (name, sql) =>
+        sideGlob.findAllMatchIn(sql).map(_.group(1)).toSeq.distinct
+          .filterNot(graft.queries.Staging.hasParquet).map(name -> _)
+      }
+    var healAttempt = 0
+    var gone = missingSide()
+    while (gone.nonEmpty && healAttempt < 2) {
+      healAttempt += 1
+      System.err.println(s"[verify] heal pass $healAttempt: missing oracle side tables ${gone.map(_._2).distinct.mkString(", ")}")
+      gone.map(_._1).distinct.filterNot(errors.contains).foreach { name =>
+        SparkEntry.queries.get(name).foreach { fn =>
+          try fn(spark, sfDir).coalesce(1).write.mode("overwrite").parquet(s"$outDir/$name")
+          catch { case e: Throwable =>
+            System.err.println(s"[verify] heal re-run of $name failed: $e")
+            errors(name) = e.toString.take(500)
+          }
+        }
+      }
+      gone = missingSide()
+    }
+    if (gone.nonEmpty)
+      System.err.println(s"[verify] UNHEALED oracle side tables: ${gone.map(_._2).distinct.mkString(", ")}")
+    val json = interpolated
+      .map { case (k, v) => s"${q(k)}: ${q(v)}" }.mkString("{", ",", "}")
     Files.writeString(Paths.get(s"$outDir/oracle_sql.json"), json)
     val errJson = errors.map { case (k, v) => s"${q(k)}: ${q(v)}" }.mkString("{", ",", "}")
     Files.writeString(Paths.get(s"$outDir/_errors.json"), errJson)

@@ -66,19 +66,18 @@ object NearDup {
     * the TpcH ps / ScaleOps bucketed-layout amortization shape. Five
     * queries (n50–n54) each need them; compute-once/reuse is also what
     * a production 100 TB dedup does (signatures written once, read by
-    * every downstream cluster/pair/component stage).
+    * every downstream cluster/pair/component stage). Staged via
+    * [[Staging.parquetOnce]] so a vanished /tmp dir re-stages instead
+    * of poisoning every later reader (r11's one red row).
     */
-  private val staged = scala.collection.concurrent.TrieMap[String, String]()
 
   /** Write-then-read-back of the minhash signature table. */
   private def sigsTable(s: SparkSession, dir: String): DataFrame = {
-    val p = staged.getOrElseUpdate(s"$dir#sigs", {
-      val p0 = s"${sideDir(dir)}/minhash_sigs"
+    val p = Staging.parquetOnce(s"$dir#sigs", s"${sideDir(dir)}/minhash_sigs") { p0 =>
       Tables.load(s, dir, "documents")
         .select(col("doc_id"), minhash(tokens, K).as("sig"))
         .write.mode("overwrite").parquet(p0)
-      p0
-    })
+    }
     s.read.parquet(p)
   }
 
@@ -87,28 +86,24 @@ object NearDup {
     * so the oracle bands the exact same rows.
     */
   private def bandedTable(s: SparkSession, dir: String): DataFrame = {
-    val p = staged.getOrElseUpdate(s"$dir#banded", {
-      val p0 = s"${sideDir(dir)}/minhash_banded"
+    val p = Staging.parquetOnce(s"$dir#banded", s"${sideDir(dir)}/minhash_banded") { p0 =>
       sigsTable(s, dir)
         .select(col("doc_id"),
           explode(expr(s"transform(sequence(0, ${BANDS - 1}), " +
             s"b -> struct(b AS band, hash(slice(sig, b * $ROWS + 1, $ROWS)) AS bucket))")).as("bb"))
         .select(col("doc_id"), col("bb.band"), col("bb.bucket"))
         .write.mode("overwrite").parquet(p0)
-      p0
-    })
+    }
     s.read.parquet(p)
   }
 
   /** Write-then-read-back of the simhash signature table. */
   private def simhashTable(s: SparkSession, dir: String): DataFrame = {
-    val p = staged.getOrElseUpdate(s"$dir#simhash", {
-      val p0 = s"${sideDir(dir)}/simhash_sigs"
+    val p = Staging.parquetOnce(s"$dir#simhash", s"${sideDir(dir)}/simhash_sigs") { p0 =>
       Tables.load(s, dir, "documents")
         .select(col("doc_id"), simhash(split(col("text"), " ")).as("sig"))
         .write.mode("overwrite").parquet(p0)
-      p0
-    })
+    }
     s.read.parquet(p)
   }
 
@@ -119,13 +114,11 @@ object NearDup {
     // The side table holds the per-token base hashes the oracle folds
     // the permutations over.
     "n50_minhash_signatures" -> ((s, dir) => {
-      staged.getOrElseUpdate(s"$dir#tokhash", {
-        val p = s"${sideDir(dir)}/token_hashes"
+      Staging.parquetOnce(s"$dir#tokhash", s"${sideDir(dir)}/token_hashes") { p =>
         Tables.load(s, dir, "documents")
           .select(col("doc_id"), explode(token_hashes(tokens)).as("h"))
           .write.mode("overwrite").parquet(p)
-        p
-      })
+      }
       Tables.load(s, dir, "documents")
         .select(col("doc_id"), posexplode(minhash(tokens, K)))
         .withColumnRenamed("pos", "sig_idx")
@@ -161,7 +154,9 @@ object NearDup {
         .filter(col("doc_a") < col("doc_b"))
         .select("doc_a", "doc_b").distinct()
       // est jaccard: rejoin constant-size signatures per UNIQUE pair
-      val sigs = s.read.parquet(s"${sideDir(dir)}/minhash_sigs")
+      // (through sigsTable, not a raw path read — self-heals if staged
+      // files vanished)
+      val sigs = sigsTable(s, dir)
       pairs
         .join(sigs.withColumnRenamed("doc_id", "doc_a").withColumnRenamed("sig", "sig_a"), "doc_a")
         .join(sigs.withColumnRenamed("doc_id", "doc_b").withColumnRenamed("sig", "sig_b"), "doc_b")
@@ -336,20 +331,30 @@ object NearDup {
       // if any label still moves after $OracleLpRounds rounds, poison
       // rows (doc_id = -1) make the hash mismatch loud instead of
       // silently comparing non-converged labels.
+      //
+      // Every CTE is MATERIALIZED: DuckDB (1.0) inlines CTEs by
+      // default, and each l_i is referenced twice per round, so the
+      // inlined plan doubles every round — 2^12 scan expansions. That
+      // blowup is what actually redded r11's n54 row: the binder died
+      // with a *spurious* "No files found … minhash_banded/*.parquet"
+      // while the staged files were on disk the whole time (bisect:
+      // 6 rounds 0.4 s, 8 rounds 6.7 s, 10 rounds 137 s, 12 rounds =
+      // the IO error). Materialized, the whole closure binds and runs
+      // in ~0.1 s at sf0.01.
       "n54_connected_components" -> {
         val rounds = (0 until OracleLpRounds).map { i =>
-          s"""bm$i AS (SELECT band, bucket, min(l.label) AS bmin
+          s"""bm$i AS MATERIALIZED (SELECT band, bucket, min(l.label) AS bmin
                FROM b JOIN l$i l USING (doc_id) GROUP BY band, bucket),
-           dm$i AS (SELECT b.doc_id, min(bm.bmin) AS mn
+           dm$i AS MATERIALIZED (SELECT b.doc_id, min(bm.bmin) AS mn
                FROM b JOIN bm$i bm USING (band, bucket) GROUP BY b.doc_id),
-           l${i + 1} AS (SELECT l.doc_id, least(l.label, coalesce(m.mn, l.label)) AS label
+           l${i + 1} AS MATERIALIZED (SELECT l.doc_id, least(l.label, coalesce(m.mn, l.label)) AS label
                FROM l$i l LEFT JOIN dm$i m USING (doc_id))"""
         }.mkString(",\n        ")
         val n = OracleLpRounds
         s"""
         WITH
-        b AS (SELECT * FROM $banded),
-        l0 AS (SELECT DISTINCT doc_id, doc_id AS label FROM b),
+        b AS MATERIALIZED (SELECT * FROM $banded),
+        l0 AS MATERIALIZED (SELECT DISTINCT doc_id, doc_id AS label FROM b),
         $rounds,
         moved AS (SELECT count(*) AS n FROM l${n - 1} p JOIN l$n q USING (doc_id)
                   WHERE p.label <> q.label),

@@ -53,19 +53,30 @@ object ScaleOps {
   private def bucketedTables(s: SparkSession, dir: String): String = {
     val sf = new java.io.File(dir).getName.replace('.', '_')
     val base = s"${sideDir(dir)}/bucketed"
-    bucketedStaged.getOrElseUpdate(dir + "@" + s.sparkContext.applicationId, {
-      Tables.load(s, dir, "orders")
-        .select("o_orderkey", "o_orderdate", "o_totalprice")
-        .write.mode("overwrite").format("parquet")
-        .bucketBy(8, "o_orderkey").sortBy("o_orderkey")
-        .option("path", s"$base/orders").saveAsTable(s"bkt_orders_$sf")
-      Tables.load(s, dir, "lineitem")
-        .select("l_orderkey", "l_quantity", "l_extendedprice")
-        .write.mode("overwrite").format("parquet")
-        .bucketBy(8, "l_orderkey").sortBy("l_orderkey")
-        .option("path", s"$base/lineitem").saveAsTable(s"bkt_lineitem_$sf")
-      true
-    })
+    // A cache hit is only a hit if the catalog entries AND the external
+    // parquet files are both still present (Staging discipline): a /tmp
+    // cleaner between runs would otherwise fail every later bucketed read.
+    val key = dir + "@" + s.sparkContext.applicationId
+    bucketedStaged.synchronized {
+      val healthy = bucketedStaged.contains(key) &&
+        s.catalog.tableExists(s"bkt_orders_$sf") &&
+        s.catalog.tableExists(s"bkt_lineitem_$sf") &&
+        Staging.hasParquet(s"$base/orders") &&
+        Staging.hasParquet(s"$base/lineitem")
+      if (!healthy) {
+        Tables.load(s, dir, "orders")
+          .select("o_orderkey", "o_orderdate", "o_totalprice")
+          .write.mode("overwrite").format("parquet")
+          .bucketBy(8, "o_orderkey").sortBy("o_orderkey")
+          .option("path", s"$base/orders").saveAsTable(s"bkt_orders_$sf")
+        Tables.load(s, dir, "lineitem")
+          .select("l_orderkey", "l_quantity", "l_extendedprice")
+          .write.mode("overwrite").format("parquet")
+          .bucketBy(8, "l_orderkey").sortBy("l_orderkey")
+          .option("path", s"$base/lineitem").saveAsTable(s"bkt_lineitem_$sf")
+        bucketedStaged.put(key, true)
+      }
+    }
     sf
   }
 

@@ -64,8 +64,6 @@ object TpcH {
     * scanned+aggregated twice per query. Staging is the production
     * shape: derive the small aggregate once, reuse everywhere.
     */
-  private val psStaged = scala.collection.concurrent.TrieMap[String, String]()
-  private val lateStaged = scala.collection.concurrent.TrieMap[String, String]()
   // Staged paths key on basename PLUS a full-path hash: two fixture dirs
   // with equal basenames in one JVM must never share staged data (r10
   // advice). The oracle never reads these paths (unlike the side-table
@@ -83,11 +81,9 @@ object TpcH {
     System.err.println(f"[stage] $label staged in ${(System.nanoTime() - t0) / 1e9}%.2f s (one-time per JVM+dir; excluded from timed medians by design)")
   }
   private def ps(s: SparkSession, dir: String): DataFrame = {
-    val path = psStaged.getOrElseUpdate(dir, {
-      val p = stagePath(dir, "tpch_ps")
+    val path = Staging.parquetOnce(s"$dir#tpch_ps", stagePath(dir, "tpch_ps")) { p =>
       timedStage("tpch_ps")(psDerive(s, dir).write.mode("overwrite").parquet(p))
-      p
-    })
+    }
     s.read.parquet(path)
   }
 
@@ -418,8 +414,7 @@ object TpcH {
       // filter, so exchange reuse never collapses them — without
       // staging, the 100 TB lineitem⋈orders runs twice in one plan.
       // Stage it once per (JVM, sf dir), the ps discipline above.
-      val latePath = lateStaged.getOrElseUpdate(dir, {
-        val p = stagePath(dir, "tpch_late")
+      val latePath = Staging.parquetOnce(s"$dir#tpch_late", stagePath(dir, "tpch_late")) { p =>
         timedStage("tpch_late (h21 lineitem-orders late join)") {
           t(s, dir, "lineitem")
             .join(t(s, dir, "orders"), col("l_orderkey") === col("o_orderkey"))
@@ -427,8 +422,7 @@ object TpcH {
             .select(col("l_orderkey"), col("l_suppkey"), col("o_orderstatus"))
             .write.mode("overwrite").parquet(p)
         }
-        p
-      })
+      }
       val late = s.read.parquet(latePath)
       val l1 = late.filter(col("o_orderstatus") === "F")
       // the EXISTS side needs only (orderkey, suppkey) existence, which

@@ -32,6 +32,15 @@ object VectorOps {
 
   private def norm(a: Column): Column = sqrt(dot(a, a))
 
+  /** In-memory trained codebooks for the staged v50/v51 indexes, kept
+    * in lockstep with the staged parquet (populated ONLY inside the
+    * parquetGroupOnce closures, so a cache hit implies both disk and
+    * memory carry the same training run). */
+  private val pq50Cbs =
+    scala.collection.concurrent.TrieMap[String, Array[Array[Array[Float]]]]()
+  private val ivfpq51Cbs =
+    scala.collection.concurrent.TrieMap[String, Array[Array[Array[Float]]]]()
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // ---- Per-vector stats ---------------------------------------------
     "v40_vector_stats" -> ((s, dir) => {
@@ -188,18 +197,29 @@ object VectorOps {
     // Codes + codebooks are staged independently of v45 (Verify's
     // query order is not a contract), and the oracle replays shortlist
     // AND rerank with the same left-to-right double folds.
+    // Index (codebooks + codes) is trained/staged ONCE per (JVM, SF
+    // dir) — the v43/h21 index-once/search-many discipline, so bench
+    // medians measure the SEARCH path and the one-time training cost
+    // is a separate [stage] stderr print. The in-memory codebooks are
+    // cached in lockstep with the staged files (repopulated inside the
+    // group-stage closure), so a vanished /tmp dir retrains+restages
+    // instead of serving stale or mismatched artifacts.
     "v50_pq_refine" -> ((s, dir) => {
       val e = Tables.load(s, dir, "embeddings")
-      val cbs = graft.ops.Pq.train(e, "vec_id", "embedding", m = 16, k = 64, iters = 2)
       val base = s"/tmp/graft_oracle/${new java.io.File(dir).getName}"
-      graft.ops.Pq.codebooksDF(s, cbs)
-        .write.mode("overwrite").parquet(s"$base/pq50_codebooks")
-      graft.ops.Pq.encode(e, "vec_id", "embedding", cbs)
-        .write.mode("overwrite").parquet(s"$base/pq50_codes")
+      Staging.parquetGroupOnce(s"$dir#pq50",
+        Seq(s"$base/pq50_codebooks", s"$base/pq50_codes")) { () =>
+        val cbs = graft.ops.Pq.train(e, "vec_id", "embedding", m = 16, k = 64, iters = 2)
+        graft.ops.Pq.codebooksDF(s, cbs)
+          .write.mode("overwrite").parquet(s"$base/pq50_codebooks")
+        graft.ops.Pq.encode(e, "vec_id", "embedding", cbs)
+          .write.mode("overwrite").parquet(s"$base/pq50_codes")
+        pq50Cbs.put(dir, cbs)
+      }
       graft.ops.Pq.searchTopKRefined(
         e.filter(col("vec_id") % 50 === 0), "vec_id", "embedding",
         s.read.parquet(s"$base/pq50_codes"), e, "vec_id", "embedding",
-        cbs, topK = 3, refine = 10)
+        pq50Cbs(dir), topK = 3, refine = 10)
     }),
 
     // ---- IVF-PQ + auto-nprobe + exact re-rank (full FAISS shape) ------
@@ -209,29 +229,38 @@ object VectorOps {
     // the ADC shortlist (recovers the ordering quantization noise
     // scrambled within scanned cells). All artifacts staged; the
     // oracle replays probe join + residual ADC + shortlist + rerank.
+    // Same index-once/search-many staging as v50: the full IVF-PQ build
+    // (coarse centroids, residual codebooks, codes, probe assignments)
+    // is one consistent artifact GROUP staged per (JVM, SF dir); timed
+    // runs after the first measure pure search.
     "v51_ivfpq_refine" -> ((s, dir) => {
       val e = Tables.load(s, dir, "embeddings")
-      val n = e.count().toDouble
-      val cellCount = math.max(4, math.ceil(math.sqrt(n)).toInt)
-      val idx = graft.ops.IvfPq.build(e, "vec_id", "embedding",
-        cells = cellCount, m = 16, k = 64, iters = 2)
       val base = s"/tmp/graft_oracle/${new java.io.File(dir).getName}"
-      idx.cents.write.mode("overwrite").parquet(s"$base/ivfpq51_cents")
-      idx.codes.write.mode("overwrite").parquet(s"$base/ivfpq51_codes")
-      graft.ops.Pq.codebooksDF(s, idx.codebooks)
-        .write.mode("overwrite").parquet(s"$base/ivfpq51_codebooks")
+      Staging.parquetGroupOnce(s"$dir#ivfpq51",
+        Seq(s"$base/ivfpq51_cents", s"$base/ivfpq51_codes",
+          s"$base/ivfpq51_codebooks", s"$base/ivfpq51_probes")) { () =>
+        val n = e.count().toDouble
+        val cellCount = math.max(4, math.ceil(math.sqrt(n)).toInt)
+        val idx = graft.ops.IvfPq.build(e, "vec_id", "embedding",
+          cells = cellCount, m = 16, k = 64, iters = 2)
+        idx.cents.write.mode("overwrite").parquet(s"$base/ivfpq51_cents")
+        idx.codes.write.mode("overwrite").parquet(s"$base/ivfpq51_codes")
+        graft.ops.Pq.codebooksDF(s, idx.codebooks)
+          .write.mode("overwrite").parquet(s"$base/ivfpq51_codebooks")
+        graft.ops.Ivf.assign(e.filter(col("vec_id") % 50 === 0),
+            "vec_id", "embedding", s.read.parquet(s"$base/ivfpq51_cents"),
+            nprobe = graft.ops.Ivf.defaultNprobe(cellCount))
+          .select(col("vec_id").as("query_id"), col("cell"))
+          .write.mode("overwrite").parquet(s"$base/ivfpq51_probes")
+        ivfpq51Cbs.put(dir, idx.codebooks)
+      }
       val cents = s.read.parquet(s"$base/ivfpq51_cents")
-      graft.ops.Ivf.assign(e.filter(col("vec_id") % 50 === 0),
-          "vec_id", "embedding", cents,
-          nprobe = graft.ops.Ivf.defaultNprobe(cellCount))
-        .select(col("vec_id").as("query_id"), col("cell"))
-        .write.mode("overwrite").parquet(s"$base/ivfpq51_probes")
       val probes = s.read.parquet(s"$base/ivfpq51_probes")
         .join(e.select(col("vec_id").as("query_id"),
           col("embedding").cast("array<float>").as("q_emb")), "query_id")
       val shortlist = graft.ops.IvfPq.scoreProbes(probes,
         graft.ops.IvfPq.Index(cents, s.read.parquet(s"$base/ivfpq51_codes"),
-          idx.codebooks), topK = 30)
+          ivfpq51Cbs(dir)), topK = 30)
         .select(col("query_id"), col("cand_id"))
       val q = e.filter(col("vec_id") % 50 === 0)
         .select(col("vec_id").as("query_id"),

@@ -75,7 +75,10 @@ object WatermarkAlignment {
       case t: java.time.Instant => t.toEpochMilli
       case l: Long => l
       case i: Int => i.toLong
-      case o => o.hashCode().toLong
+      case o => throw new IllegalArgumentException(
+        s"watermark column '$tsCol' must be timestamp/long/int epoch millis, " +
+          s"got ${if (o == null) "null" else o.getClass.getName} — a silent " +
+          "fallback here would produce garbage watermarks")
     }
     implicit val outEnc: ExpressionEncoder[Row] = StatefulOps.rowEnc(heartbeatSchema)
     implicit val keyEnc = Encoders.STRING
@@ -106,6 +109,14 @@ object WatermarkAlignment {
     * - idle             = no heartbeat for `idleTimeoutMs` of
     *   processing time (withIdleness); idle partitions are EXCLUDED
     *   from the min-combine and rejoin on their next heartbeat.
+    * - eviction         = a partition idle for more than
+    *   `EvictMultiple x idleTimeoutMs` is REMOVED from coordinator
+    *   state and stops being emitted — the reference likewise removes
+    *   finished splits from the combined watermark
+    *   (IndexedCombinedWatermarkStatus.remove). Without this, state
+    *   and output cardinality grow without bound when partition ids
+    *   are ephemeral (e.g. file-per-partition sources). A re-appearing
+    *   partition re-registers exactly like a new one.
     * - combined         = min over active partitions' local
     *   watermarks, monotone (never regresses — the reference's
     *   IndexedCombinedWatermarkStatus keeps the same invariant).
@@ -117,6 +128,10 @@ object WatermarkAlignment {
     * folded to one row per partition per trigger by
     * [[partitionHeartbeats]].
     */
+  /** A partition idle this many idle-timeouts is treated as departed
+    * and evicted from coordinator state (see combinedWatermark doc). */
+  val EvictMultiple = 4L
+
   def combinedWatermark(heartbeats: DataFrame, outOfOrderMs: Long,
                         idleTimeoutMs: Long, maxDriftMs: Long): DataFrame = {
     require(outOfOrderMs >= 0 && idleTimeoutMs > 0 && maxDriftMs > 0)
@@ -139,6 +154,10 @@ object WatermarkAlignment {
             val old = parts.get(p)
             parts = parts.updated(p, PartProgress(p,
               math.max(mx, old.map(_.maxTsMs).getOrElse(Long.MinValue)), now))
+          }
+          // departed-split eviction: bound state and output cardinality
+          parts = parts.filter { case (_, p) =>
+            now - p.lastSeenProcMs <= EvictMultiple * idleTimeoutMs
           }
           val statuses = parts.values.toSeq.sortBy(_.partition).map { p =>
             val localWm = p.maxTsMs - outOfOrderMs

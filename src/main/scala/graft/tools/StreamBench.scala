@@ -139,7 +139,9 @@ object StreamBench {
       df => StatefulOps.runningAggStreaming(df, Seq("user"), "ts", "value"), evBatches)
     // per-partition watermark combine (idleness + alignment advice):
     // data-scale heartbeat fold on the partition key, then the
-    // metadata-scale coordinator group — throughput is the fold's
+    // metadata-scale coordinator group — throughput is the fold's:
+    // the coordinator sees one row per (partition, trigger), so its
+    // cost is invariant in the row count
     results += run("watermark_align", OutputMode.Append,
       df => graft.streaming.WatermarkAlignment.idleAwareWatermark(
         df, "tpe", "ts", outOfOrderMs = 1000L, idleTimeoutMs = 60000L,
