@@ -80,11 +80,42 @@ object StreamBench {
         s""""speedup_${levels.last}_over_${levels.head}":${m(speedup)},""" +
         s""""flat_ops":[${flat.map(f => s""""$f"""").mkString(",")}]}""")
     }
+    // Partitions axis (round 12): the r11 per-parallelism rows showed
+    // 7/8 ops SLOWER at local[32] than local[8] on one box — but on a
+    // single JVM, threads share the physical cores, so `local[n]` is
+    // NOT the scale-out axis a cluster has. The axis that survives the
+    // move to a real cluster is spark.sql.shuffle.partitions (= the
+    // number of independent state stores). Here: fixed local[8]
+    // compute, state partitions swept over SPARK_GRAFT_STREAM_PARTS
+    // (default 8,32,128) at the first row size — separating "more
+    // state stores" (per-trigger commit cost, parallel state scan)
+    // from "more threads" (CPU contention).
+    val partsAxis = sys.env.getOrElse("SPARK_GRAFT_STREAM_PARTS", "8,32,128")
+      .split(",").map(_.trim.toInt).toSeq
+    val partsCpus = sys.env.getOrElse("SPARK_GRAFT_STREAM_PARTS_CPUS", "8").toInt
+    val partsJson = if (sys.env.getOrElse("SPARK_GRAFT_STREAM_PARTS_AXIS", "1") == "1") {
+      val byParts = scala.collection.mutable.LinkedHashMap.empty[Int, collection.Map[String, Double]]
+      partsAxis.foreach { p =>
+        val spark = SparkSession.builder()
+          .master(s"local[$partsCpus]")
+          .config("spark.sql.shuffle.partitions", p)
+          .config("spark.sql.session.timeZone", "UTC")
+          .config("spark.ui.enabled", "false")
+          .getOrCreate()
+        spark.sparkContext.setLogLevel("ERROR")
+        println(s"[stream-bench] --- partitions-axis rows=${rowSizes.head} cpus=$partsCpus partitions=$p ---")
+        byParts(p) = benchAll(spark, rowSizes.head, batches)
+        spark.stop()
+        SparkSession.clearActiveSession(); SparkSession.clearDefaultSession()
+      }
+      s""","partitions_axis":{"cpus":$partsCpus,"rows":${rowSizes.head},""" +
+        s""""levels":{${byParts.map { case (p, r) => s""""$p":${m(r)}""" }.mkString(",")}}}"""
+    } else ""
     // "ops" = first row-size, first level — round-over-round compatible
     val json =
       s"""{"metric":"stream_rows_per_sec",""" +
       s""""ops":${m(runJsons.head._1.map { case (k, v) => k -> v })},""" +
-      s""""runs":[${runJsons.map(_._2).mkString(",")}]}"""
+      s""""runs":[${runJsons.map(_._2).mkString(",")}]$partsJson}"""
     println(json)
     java.nio.file.Files.writeString(java.nio.file.Paths.get(
       sys.env.getOrElse("SPARK_GRAFT_STREAM_FILE", "STREAMBENCH.json")), json + "\n")

@@ -125,4 +125,64 @@ class WatermarkAlignmentSpec extends AnyFunSuite {
         "combined watermark is monotone (never regresses on rejoin)")
     } finally q.stop()
   }
+
+  test("should_pause wired end-to-end: a feeder honoring the advice keeps the fast partition's lead bounded") {
+    // The reference wires alignment INTO the source (FLIP-182: the
+    // coordinator pauses a split whose watermark runs ahead of the
+    // combined min by more than maxDrift). Spark has no per-partition
+    // pause hook, so our should_pause is advice — this scenario proves
+    // the advice COMPOSES into the same behavior: a foreachBatch
+    // consumer feeds the latest advice back to a rate-limited feeder
+    // (the KafkaConsumer.pause role), which BUFFERS the fast
+    // partition's next chunk instead of emitting it while paused.
+    //
+    // Bound under test: with fast advancing 2000 ms/chunk and slow
+    // 500 ms/chunk, an unaligned feeder's lead grows ~1500 ms/round
+    // (~60 s over the run); an aligned feeder can overshoot by at most
+    // ONE chunk past maxDrift (advice arrives after the emit), so the
+    // lead must stay <= maxDrift + chunkAdvance for the whole run.
+    val maxDrift = 5000L
+    val fastStep = 2000L
+    val slowStep = 500L
+    implicit val sc = spark.sqlContext
+    val in = MemoryStream[PEv]
+    val status = WatermarkAlignment.idleAwareWatermark(
+      in.toDF(), "p", "ts", outOfOrderMs = 0L,
+      idleTimeoutMs = 10 * 60 * 1000L, maxDriftMs = maxDrift)
+    // (local_wm_ms, combined_wm_ms, should_pause) per partition,
+    // maintained by the stream itself — the advice feedback channel
+    val advice = new java.util.concurrent.ConcurrentHashMap[String, (Long, Long, Boolean)]()
+    val q = status.writeStream.outputMode(OutputMode.Append)
+      .foreachBatch { (b: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], _: Long) =>
+        b.collect().foreach { r =>
+          advice.put(r.getString(0), (r.getLong(1), r.getLong(3), r.getBoolean(5)))
+        }
+      }.start()
+    try {
+      val base = ts("2024-01-01 10:00:00").getTime
+      var fastTs = base; var slowTs = base
+      var paused = 0; var emittedFast = 0; var maxLead = Long.MinValue
+      var sawResumeAfterPause = false; var wasPaused = false
+      for (_ <- 1 to 40) {
+        val pauseFast = Option(advice.get("fast")).exists(_._3)
+        if (pauseFast) { paused += 1; wasPaused = true }
+        else {
+          if (wasPaused) sawResumeAfterPause = true
+          fastTs += fastStep; emittedFast += 1
+          in.addData(PEv("fast", new Timestamp(fastTs), 1.0))
+        }
+        slowTs += slowStep
+        in.addData(PEv("slow", new Timestamp(slowTs), 1.0))
+        q.processAllAvailable()
+        val f = advice.get("fast")
+        if (f != null) maxLead = math.max(maxLead, f._1 - f._2)
+      }
+      assert(paused >= 3, s"alignment advice must actually fire (paused $paused rounds)")
+      assert(sawResumeAfterPause, "feeder must resume once drift shrinks back inside maxDrift")
+      assert(emittedFast >= 10, s"fast partition must keep making progress (emitted $emittedFast chunks)")
+      assert(maxLead <= maxDrift + fastStep,
+        s"aligned lead must stay <= maxDrift + one chunk ($maxLead vs ${maxDrift + fastStep}); " +
+          "an unaligned feeder would have reached ~60000 ms here")
+    } finally q.stop()
+  }
 }
