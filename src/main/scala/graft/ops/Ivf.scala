@@ -201,20 +201,34 @@ object Ivf {
     * table — split out so callers can persist the assignment (the
     * production shape: index once, search many; also what lets the
     * DuckDB oracle replay the search over the identical rows).
+    *
+    * Filtered search (the FAISS `IDSelector` / vector-store
+    * "namespace" analog): `candPred` is a metadata predicate applied
+    * to candidates BEFORE the probe join — pre-filtering, never
+    * post-filter-and-hope, so a selective filter SHRINKS the join
+    * instead of starving top-k; `matchCols` are extra equality columns
+    * added to the probe join key (tenant/partition isolation: a query
+    * only ever meets candidates in its own namespace — at scale this
+    * tightens the shuffle key from `cell` to `(cell, tenant)`, strictly
+    * reducing per-task candidate volume).
     */
   def searchFromAssigned(assigned: DataFrame, idCol: String, embCol: String,
-                         queryPred: Column, topK: Int): DataFrame = {
-    val cands = assigned.filter(col("cell_rank") === 1)
-      .select(col("cell"), col(idCol).as("cand_id"), col(embCol).as("c_emb"))
+                         queryPred: Column, topK: Int,
+                         candPred: Column = lit(true),
+                         matchCols: Seq[String] = Nil): DataFrame = {
+    val joinKey = "cell" +: matchCols
+    val cands = assigned.filter(col("cell_rank") === 1 && candPred)
+      .select((joinKey.map(col) :+ col(idCol).as("cand_id") :+ col(embCol).as("c_emb")): _*)
     val queries = assigned.filter(queryPred)
-      .select(col("cell"), col(idCol).as("query_id"), col(embCol).as("q_emb"))
+      .select((joinKey.map(col) :+ col(idCol).as("query_id") :+ col(embCol).as("q_emb")): _*)
     val wTop = Window.partitionBy(col("query_id"))
       .orderBy(col("cos_sim").desc, col("cand_id"))
-    queries.join(cands, Seq("cell"))
+    queries.join(cands, joinKey)
       .filter(col("query_id") =!= col("cand_id"))
       .withColumn("cos_sim", cosine_sim(col("q_emb"), col("c_emb")))
       .withColumn("rk", row_number().over(wTop))
       .filter(col("rk") <= topK)
-      .select(col("query_id"), col("cell"), col("rk"), col("cand_id"), col("cos_sim"))
+      .select((Seq(col("query_id")) ++ matchCols.map(col) ++
+        Seq(col("cell"), col("rk"), col("cand_id"), col("cos_sim"))): _*)
   }
 }

@@ -276,6 +276,38 @@ object VectorOps {
         .select(col("query_id"), col("rk"), col("cand_id"), col("l2_dist"))
     }),
 
+    // ---- Filtered ANN: metadata predicate + tenant isolation ----------
+    // The FAISS IDSelector / vector-store "namespace" analog — every
+    // production retrieval system needs "top-k among vectors matching
+    // a filter". Two mechanisms composed, both PRE-join (never
+    // post-filter-and-hope):
+    //  - candPred: a metadata predicate (here vec_id % 2 = 0, the
+    //    "active subset" shape) filters candidates before the probe
+    //    join, so selectivity SHRINKS the join volume;
+    //  - matchCols: the query's own label joins as part of the probe
+    //    key (cell, label) — tenant isolation, which at 100 TB
+    //    tightens the shuffle key and strictly reduces per-task
+    //    candidate volume.
+    // The labeled assignment is staged (index once / search many) and
+    // the oracle replays the filtered probe join + top-k over the
+    // identical rows.
+    "v52_filtered_ann" -> ((s, dir) => {
+      val base = s"/tmp/graft_oracle/${new java.io.File(dir).getName}"
+      val p = Staging.parquetOnce(s"$dir#ivf52", s"$base/ivf_assign52") { p0 =>
+        val e = Tables.load(s, dir, "embeddings")
+        val n = e.count().toDouble
+        val cents = graft.ops.Ivf.centroids(e, "vec_id", "embedding",
+          k = math.max(4, math.ceil(math.sqrt(n)).toInt), iters = 1)
+        graft.ops.Ivf.assign(e, "vec_id", "embedding", cents, nprobe = 2)
+          .select(col("vec_id"), col("label"), col("embedding"),
+            col("cell"), col("cell_rank"))
+          .write.mode("overwrite").parquet(p0)
+      }
+      graft.ops.Ivf.searchFromAssigned(s.read.parquet(p), "vec_id", "embedding",
+        queryPred = col("vec_id") % 50 === 0, topK = 3,
+        candPred = col("vec_id") % 2 === 0, matchCols = Seq("label"))
+    }),
+
     // ---- K-means clustering (semantic grouping) -----------------------
     // The clustering use of the IVF machinery: spherical k-means (k=8,
     // 2 Lloyd passes — graft.ops.Ivf.centroids, fit on a bounded
@@ -463,6 +495,27 @@ object VectorOps {
         |  JOIN n c ON c.vec_id = cand_id)
         |SELECT query_id, cell, rk, cand_id, cos_sim FROM (
         |  SELECT query_id, cell, cand_id, cos_sim,
+        |    ROW_NUMBER() OVER (PARTITION BY query_id
+        |                       ORDER BY cos_sim DESC, cand_id) AS rk
+        |  FROM scored) WHERE rk <= 3""".stripMargin,
+
+    "v52_filtered_ann" ->
+      s"""WITH a AS (SELECT * FROM read_parquet('/tmp/graft_oracle/__SF__/ivf_assign52/*.parquet')),
+        |n AS (SELECT vec_id, embedding,
+        |        sqrt(${dotSql.format("embedding", "embedding")}) AS nrm
+        |      FROM a WHERE cell_rank = 1),
+        |cands AS (SELECT cell, label, vec_id AS cand_id FROM a
+        |          WHERE cell_rank = 1 AND vec_id % 2 = 0),
+        |qs AS (SELECT cell, label, vec_id AS query_id FROM a WHERE vec_id % 50 = 0),
+        |scored AS (
+        |  SELECT query_id, qs.label AS label, qs.cell AS cell, cand_id,
+        |    ${dotSql.format("q.embedding", "c.embedding")} / (q.nrm * c.nrm) AS cos_sim
+        |  FROM qs JOIN cands ON qs.cell = cands.cell AND qs.label = cands.label
+        |                    AND query_id <> cand_id
+        |  JOIN n q ON q.vec_id = query_id
+        |  JOIN n c ON c.vec_id = cand_id)
+        |SELECT query_id, label, cell, rk, cand_id, cos_sim FROM (
+        |  SELECT query_id, label, cell, cand_id, cos_sim,
         |    ROW_NUMBER() OVER (PARTITION BY query_id
         |                       ORDER BY cos_sim DESC, cand_id) AS rk
         |  FROM scored) WHERE rk <= 3""".stripMargin,

@@ -85,4 +85,28 @@ class IvfSpec extends AnyFunSuite {
       }
     }
   }
+
+  test("filtered ANN: candPred and tenant matchCols both enforced pre-join") {
+    val dir = TestSpark.sfDir
+    val rows = SparkEntry.queries("v52_filtered_ann")(spark, dir).collect()
+    assert(rows.nonEmpty, "filtered search must return results on the fixture")
+    // schema: query_id, label, cell, rk, cand_id, cos_sim
+    rows.foreach { r =>
+      assert(r.getLong(4) % 2 == 0,
+        s"candidate ${r.getLong(4)} violates the metadata filter (vec_id % 2 = 0)")
+    }
+    // tenant isolation: every returned candidate shares the query's label
+    val e = graft.Tables.load(spark, dir, "embeddings")
+      .select(col("vec_id"), col("label")).collect()
+      .map(r => r.getLong(0) -> r.get(1)).toMap
+    rows.foreach { r =>
+      assert(e(r.getLong(4)) == r.get(1) && e(r.getLong(0)) == r.get(1),
+        s"tenant leak: query ${r.getLong(0)} (${e(r.getLong(0))}) matched " +
+          s"candidate ${r.getLong(4)} (${e(r.getLong(4))})")
+    }
+    // ranks are dense per query and capped at topK=3
+    rows.groupBy(_.getLong(0)).foreach { case (_, rs) =>
+      assert(rs.map(_.getInt(3)).sorted.sameElements(1 to rs.length) && rs.length <= 3)
+    }
+  }
 }
