@@ -808,6 +808,119 @@ object StatefulOps {
       }(stateEnc, outEnc)
   }
 
+  /** Late-fire tumbling-window aggregate with allowedLateness — the
+    * other half of the reference's emit model that r6 recorded as
+    * structurally unavailable. Flink semantics re-expressed
+    * (flink-streaming-java/.../datastream/WindowedStream.java:108
+    * `allowedLateness`, EventTimeTrigger's late firings):
+    *
+    *  - the window FIRES (emit_kind = 'final') on the first arrival
+    *    for its key after the watermark passes window end;
+    *  - a row up to `latenessMs` later than window end (vs the
+    *    watermark) still updates the window and RE-FIRES it as a
+    *    correction (emit_kind = 'late_update') — Flink's late firing;
+    *  - a row later than end+lateness is dropped and surfaced as an
+    *    accounting row (emit_kind = 'dropped_late' with the dropped
+    *    count/sum — the sideOutputLateData role);
+    *  - window state purges once the watermark passes end+lateness,
+    *    so state is bounded by lateness exactly like the reference.
+    *
+    * Mechanics: NoTimeout — EventTimeTimeout would filter the late
+    * rows away BEFORE the function runs ([[graft.LateFilterProbeSpec]]
+    * pins this empirically, and it is why r6 could not build this op
+    * on the early-fire skeleton), and ProcessingTimeTimeout makes the
+    * micro-batch engine spin no-data batches under the default
+    * trigger. State is keyed by KEY and holds the key's open windows.
+    *
+    * Documented narrowing: without an event-time timer, a final can
+    * only fire when data for its KEY arrives (the same data-arrival
+    * narrowing earlyFireWindowAgg documents for its early fires); in
+    * the streaming steady state — keys with ongoing traffic — firing
+    * matches the reference trigger exactly, and an idle key's last
+    * windows finalize on its next activity.
+    */
+  def lateFireWindowAgg(df: DataFrame, keys: Seq[String], tsCol: String,
+      valueCol: String, windowSec: Long, latenessMs: Long): DataFrame = {
+    require(hasWatermark(df), "lateFireWindowAgg requires withWatermark upstream")
+    require(latenessMs >= 0)
+    val wMs = windowSec * 1000L
+    val pre = df.withColumn("__wstart",
+      (floor(unix_millis(col(tsCol)) / wMs) * wMs).cast("long"))
+    val schema = pre.schema
+    val keyIdx = keys.map(schema.fieldIndex)
+    val wIdx = schema.fieldIndex("__wstart")
+    val valIdx = schema.fieldIndex(valueCol)
+    val outSchema = StructType(keys.map(k => schema(k)) ++ Seq(
+      StructField("window_start", org.apache.spark.sql.types.LongType),
+      StructField("cnt", org.apache.spark.sql.types.LongType),
+      StructField("sum_val", org.apache.spark.sql.types.DoubleType),
+      StructField("emit_kind", org.apache.spark.sql.types.StringType)))
+    implicit val outEnc: ExpressionEncoder[Row] = rowEnc(outSchema)
+    // state: the key's open windows — (wstart, cnt, sum, final_emitted)
+    val winStruct = StructType(Seq(
+      StructField("ws", org.apache.spark.sql.types.LongType),
+      StructField("cnt", org.apache.spark.sql.types.LongType),
+      StructField("sum", org.apache.spark.sql.types.DoubleType),
+      StructField("fin", org.apache.spark.sql.types.BooleanType)))
+    val stateSchema = StructType(Seq(StructField("wins",
+      org.apache.spark.sql.types.ArrayType(winStruct))))
+    val stateEnc: ExpressionEncoder[Row] = rowEnc(stateSchema)
+    implicit val keyEnc = Encoders.STRING
+    def num(r: Row): Double = r.get(valIdx) match {
+      case n: java.lang.Number => n.doubleValue
+      case _ => 0.0
+    }
+    pre.groupByKey(r => encodeKey(r, keyIdx))
+      .flatMapGroupsWithState[Row, Row](
+        OutputMode.Update, GroupStateTimeout.NoTimeout) {
+        (_: String, rows: Iterator[Row], state: GroupState[Row]) =>
+          val it = rows.buffered
+          val keyVals = keyIdx.map(it.head.get)
+          val wm = state.getCurrentWatermarkMs()
+          var wins: Map[Long, (Long, Double, Boolean)] =
+            state.getOption.map(_.getSeq[Row](0)
+              .map(w => w.getLong(0) -> ((w.getLong(1), w.getDouble(2), w.getBoolean(3))))
+              .toMap).getOrElse(Map.empty)
+          val touched = scala.collection.mutable.Set.empty[Long]
+          var dropped = Map.empty[Long, (Long, Double)]
+          it.foreach { r =>
+            val ws = r.getLong(wIdx)
+            if (ws + wMs + latenessMs <= wm) {
+              // beyond allowedLateness: never admitted, only accounted
+              val (dc, dsum) = dropped.getOrElse(ws, (0L, 0.0))
+              dropped = dropped.updated(ws, (dc + 1, dsum + num(r)))
+            } else {
+              val (c, s, fin) = wins.getOrElse(ws, (0L, 0.0, false))
+              wins = wins.updated(ws, (c + 1, s + num(r), fin))
+              touched += ws
+            }
+          }
+          val out = scala.collection.mutable.ArrayBuffer.empty[Row]
+          // fire pass: finals for closed windows, corrections for
+          // late-touched already-final windows
+          wins = wins.map { case (ws, (c, s, fin)) =>
+            val closed = ws + wMs <= wm
+            if (closed && !fin) {
+              out += Row.fromSeq(keyVals ++ Seq[Any](ws, c, s, "final"))
+              ws -> ((c, s, true))
+            } else {
+              if (closed && touched(ws))
+                out += Row.fromSeq(keyVals ++ Seq[Any](ws, c, s, "late_update"))
+              ws -> ((c, s, fin))
+            }
+          }
+          dropped.foreach { case (ws, (dc, dsum)) =>
+            out += Row.fromSeq(keyVals ++ Seq[Any](ws, dc, dsum, "dropped_late"))
+          }
+          // purge pass: state bounded by lateness
+          wins = wins.filter { case (ws, _) => ws + wMs + latenessMs > wm }
+          if (wins.isEmpty) state.remove()
+          else state.update(Row(wins.toSeq.sortBy(_._1)
+            .map { case (ws, (c, s, fin)) => Row(ws, c, s, fin) }))
+          out.iterator
+      }(stateEnc, outEnc)
+  }
+
   /** Route a [[tagLateStreaming]]-tagged stream to two sinks per
     * micro-batch — the two-collector shape of Flink's
     * `DataStream.getSideOutput`. Returns the started query handle.

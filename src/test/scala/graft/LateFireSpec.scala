@@ -1,0 +1,79 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.streaming.OutputMode
+import org.apache.spark.sql.Encoders
+import java.sql.Timestamp
+import graft.streaming.StatefulOps
+
+case class LfEv(k: String, ts: Timestamp, v: Double)
+
+/** allowedLateness + late-fire corrections (WindowedStream.allowedLateness,
+  * EventTimeTrigger late firings): the window fires a final once the
+  * watermark passes its end, rows within the lateness re-fire it as a
+  * correction with the updated aggregate, rows beyond end+lateness are
+  * dropped-and-accounted, and state purges at end+lateness.
+  */
+class LateFireSpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+
+  private def ts(s: String): Timestamp = Timestamp.valueOf(s)
+
+  test("late-fire lifecycle: final -> late correction -> dropped beyond lateness, state purged") {
+    implicit val sc = spark.sqlContext
+    implicit val enc = Encoders.product[LfEv]
+    val in = MemoryStream[LfEv]
+    // 60 s windows, 180 s allowedLateness, zero out-of-orderness
+    val out = StatefulOps.lateFireWindowAgg(
+      in.toDF().withWatermark("ts", "0 seconds"),
+      keys = Seq("k"), tsCol = "ts", valueCol = "v",
+      windowSec = 60L, latenessMs = 180000L)
+    val q = out.writeStream.format("memory").queryName("latefire")
+      .outputMode(OutputMode.Update)
+      .option("checkpointLocation",
+        java.nio.file.Files.createTempDirectory("latefire").toString)
+      .start()
+    def rows() = spark.sql(
+      "SELECT window_start, cnt, sum_val, emit_kind FROM latefire").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getString(3)))
+    val w1000 = ts("2024-01-01 10:00:00").getTime
+    try {
+      in.addData(LfEv("a", ts("2024-01-01 10:00:10"), 1.0))
+      q.processAllAvailable()
+      assert(rows().isEmpty, "window still open — nothing fires before the watermark passes its end")
+
+      in.addData(LfEv("a", ts("2024-01-01 10:02:30"), 10.0))
+      q.processAllAvailable() // wm = 10:00:10, win 10:00 still open
+      assert(rows().isEmpty)
+
+      in.addData(LfEv("a", ts("2024-01-01 10:02:40"), 10.0))
+      q.processAllAvailable() // wm = 10:02:30 ≥ 10:01 → final for win 10:00
+      assert(rows().toSet == Set((w1000, 1L, 1.0, "final")),
+        s"expected exactly the 10:00 final, got ${rows().mkString(", ")}")
+
+      // 2 min late but within the 3 min allowedLateness → correction
+      in.addData(LfEv("a", ts("2024-01-01 10:00:40"), 5.0))
+      q.processAllAvailable()
+      assert(rows().contains((w1000, 2L, 6.0, "late_update")),
+        s"late row within lateness must re-fire with the corrected aggregate: ${rows().mkString(", ")}")
+
+      // advance the watermark far past 10:00's end+lateness (10:04)
+      in.addData(LfEv("a", ts("2024-01-01 10:06:00"), 1.0))
+      q.processAllAvailable()
+      in.addData(LfEv("a", ts("2024-01-01 10:07:00"), 1.0))
+      q.processAllAvailable() // wm = 10:06 → win 10:00 purged; win 10:02 finals
+      val kinds = rows().groupBy(_._4)
+      assert(kinds("final").map(_._1).toSet.contains(ts("2024-01-01 10:02:00").getTime),
+        "the 10:02 window must have fired its final as the watermark advanced")
+
+      // beyond end+lateness now → dropped-and-accounted, never resurrected
+      in.addData(LfEv("a", ts("2024-01-01 10:00:50"), 99.0))
+      q.processAllAvailable()
+      assert(rows().contains((w1000, 1L, 99.0, "dropped_late")),
+        s"row beyond allowedLateness must be accounted as dropped: ${rows().mkString(", ")}")
+      assert(!rows().contains((w1000, 3L, 105.0, "late_update")),
+        "a dropped row must never correct a purged window")
+    } finally q.stop()
+  }
+}
