@@ -50,6 +50,28 @@ object Events {
                 col("w.end").as("session_end"), col("n_events"), col("total_value"))
     }),
 
+    // ---- SESSION window with DYNAMIC per-row gap ----------------------
+    // The reference's SessionWindowTimeGapExtractor (DataStream
+    // EventTimeSessionWindows.withDynamicGap): each event contributes
+    // its own inactivity gap — here purchases hold a session open 45
+    // minutes, everything else 15. Spark's session_window accepts a
+    // gap EXPRESSION, so the merge (overlap-chain of [ts, ts+gap)
+    // intervals, session end = running max of ts+gap) runs in the same
+    // native session aggregation as q22's fixed gap; the oracle
+    // re-derives the overlap-chain with a prefix-max break test, which
+    // is exact because the global prefix max of window ends equals the
+    // within-session max at every break candidate (ts is sorted).
+    "q87_dynamic_session_gap" -> ((s, dir) => {
+      val e = Tables.load(s, dir, "events")
+      val gap = when(col("event_type") === "purchase", lit("45 minutes"))
+        .otherwise(lit("15 minutes"))
+      e.groupBy(session_window(col("ts"), gap).as("w"), col("user_id"))
+        .agg(count(lit(1)).as("n_events"),
+          sum(dec(col("value"))).cast("double").as("total_value"))
+        .select(col("user_id"), col("w.start").as("session_start"),
+          col("w.end").as("session_end"), col("n_events"), col("total_value"))
+    }),
+
     // ---- Deduplicate keep-first — StreamExecDeduplicate ---------------
     // ROW_NUMBER()=1 pattern, Flink's dedup specialization (SURVEY §2.5).
     "q23_dedup_first" -> ((s, dir) => {
@@ -359,6 +381,32 @@ object Events {
         |SELECT user_id,
         |  CAST(MIN(ts) AS TIMESTAMP) AS session_start,
         |  CAST(MAX(ts) + INTERVAL '30 minutes' AS TIMESTAMP) AS session_end,
+        |  COUNT(*) AS n_events,
+        |  CAST(SUM(CAST(value AS DECIMAL(18,4))) AS DOUBLE) AS total_value
+        |FROM sessioned GROUP BY user_id, sid""".stripMargin,
+
+    "q87_dynamic_session_gap" ->
+      """WITH g AS (
+        |  SELECT user_id, ts, value,
+        |    ts + CASE WHEN event_type = 'purchase' THEN INTERVAL '45 minutes'
+        |              ELSE INTERVAL '15 minutes' END AS wend
+        |  FROM events
+        |), flagged AS (
+        |  SELECT user_id, ts, value, wend,
+        |    CASE WHEN MAX(wend) OVER pre IS NULL
+        |           OR ts >= MAX(wend) OVER pre
+        |         THEN 1 ELSE 0 END AS brk
+        |  FROM g
+        |  WINDOW pre AS (PARTITION BY user_id ORDER BY ts
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+        |), sessioned AS (
+        |  SELECT *, SUM(brk) OVER (PARTITION BY user_id ORDER BY ts
+        |    ROWS UNBOUNDED PRECEDING) AS sid
+        |  FROM flagged
+        |)
+        |SELECT user_id,
+        |  CAST(MIN(ts) AS TIMESTAMP) AS session_start,
+        |  CAST(MAX(wend) AS TIMESTAMP) AS session_end,
         |  COUNT(*) AS n_events,
         |  CAST(SUM(CAST(value AS DECIMAL(18,4))) AS DOUBLE) AS total_value
         |FROM sessioned GROUP BY user_id, sid""".stripMargin,

@@ -177,6 +177,13 @@ object StreamBench {
       df => graft.streaming.WatermarkAlignment.idleAwareWatermark(
         df, "tpe", "ts", outOfOrderMs = 1000L, idleTimeoutMs = 60000L,
         maxDriftMs = 3600000L), evBatches)
+    // late-fire windowed agg (allowedLateness corrections): per-key
+    // open-window state, NoTimeout — cost model is the same keyed fold
+    // as the tumble agg plus the per-key window map scan
+    results += run("latefire_window_agg", OutputMode.Update,
+      df => StatefulOps.lateFireWindowAgg(
+        df.withWatermark("ts", "10 seconds"), Seq("tpe"), "ts", "value",
+        windowSec = 60L, latenessMs = 60000L), evBatches)
     results += run("cep_match_pattern", OutputMode.Append,
       df => Cep.matchPatternStreaming(
         df.withWatermark("ts", "10 seconds")
