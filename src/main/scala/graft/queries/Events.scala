@@ -60,7 +60,11 @@ object Events {
     // native session aggregation as q22's fixed gap; the oracle
     // re-derives the overlap-chain with a prefix-max break test, which
     // is exact because the global prefix max of window ends equals the
-    // within-session max at every break candidate (ts is sorted).
+    // within-session max at every break candidate (ts is sorted). The
+    // break is STRICT (ts > prefix-max end): an event landing exactly
+    // on the running session end merges in both Spark and the
+    // reference (Flink TimeWindow.intersects is boundary-inclusive) —
+    // StreamingSpec pins this with an exact-boundary event.
     "q87_dynamic_session_gap" -> ((s, dir) => {
       val e = Tables.load(s, dir, "events")
       val gap = when(col("event_type") === "purchase", lit("45 minutes"))
@@ -369,7 +373,7 @@ object Events {
       """WITH flagged AS (
         |  SELECT user_id, ts, value,
         |    CASE WHEN LAG(ts) OVER w IS NULL
-        |           OR ts - LAG(ts) OVER w >= INTERVAL '30 minutes'
+        |           OR ts - LAG(ts) OVER w > INTERVAL '30 minutes'
         |         THEN 1 ELSE 0 END AS brk
         |  FROM events
         |  WINDOW w AS (PARTITION BY user_id ORDER BY ts)
@@ -394,7 +398,7 @@ object Events {
         |), flagged AS (
         |  SELECT user_id, ts, value, wend,
         |    CASE WHEN MAX(wend) OVER pre IS NULL
-        |           OR ts >= MAX(wend) OVER pre
+        |           OR ts > MAX(wend) OVER pre
         |         THEN 1 ELSE 0 END AS brk
         |  FROM g
         |  WINDOW pre AS (PARTITION BY user_id ORDER BY ts

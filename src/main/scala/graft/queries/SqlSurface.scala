@@ -211,7 +211,7 @@ object SqlSurface {
       """WITH flagged AS (
         |  SELECT user_id, ts, value,
         |    CASE WHEN LAG(ts) OVER w IS NULL
-        |           OR ts - LAG(ts) OVER w >= INTERVAL '30 minutes'
+        |           OR ts - LAG(ts) OVER w > INTERVAL '30 minutes'
         |         THEN 1 ELSE 0 END AS brk
         |  FROM events
         |  WINDOW w AS (PARTITION BY user_id ORDER BY ts)

@@ -319,6 +319,46 @@ class StreamingSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("streaming SESSION window with DYNAMIC per-row gap (withDynamicGap analog)") {
+    // the q87 semantics on the streaming path: each event's type sets
+    // its own inactivity gap — 'purchase' holds the session open 30
+    // minutes, anything else 5 — through the same native session
+    // aggregation (Spark accepts a gap EXPRESSION)
+    implicit val sc = spark.sqlContext
+    val in = MemoryStream[Ev]
+    val gap = when($"tpe" === "purchase", lit("30 minutes")).otherwise(lit("5 minutes"))
+    val agg = in.toDF()
+      .withWatermark("ts", "5 minutes")
+      .groupBy(session_window($"ts", gap), $"user")
+      .agg(count(lit(1)).as("n"))
+      .select($"session_window.start".as("ss"), $"session_window.end".as("se"), $"user", $"n")
+    val q = agg.writeStream.format("memory").queryName("dynsess")
+      .outputMode(OutputMode.Append).start()
+    try {
+      in.addData(
+        Ev(ts("2024-01-01 00:00:00"), "u1", "purchase", 1.0),
+        // 20 min later: within the purchase's 30-min window → merged,
+        // even though this browse event's own gap is only 5 min
+        Ev(ts("2024-01-01 00:20:00"), "u1", "browse", 1.0),
+        // EXACTLY at the running session end (00:30): both Spark and
+        // the reference merge on the closed boundary (Flink
+        // TimeWindow.intersects is inclusive), so this still joins and
+        // extends the end to 00:35 — the oracle's break test is
+        // therefore strict `>`
+        Ev(ts("2024-01-01 00:30:00"), "u1", "browse", 1.0),
+        // 6 min past the (extended) end → genuinely new session
+        Ev(ts("2024-01-01 00:41:00"), "u1", "browse", 1.0))
+      q.processAllAvailable()
+      in.addData(Ev(ts("2024-01-01 02:00:00"), "u1", "browse", 1.0)) // close all
+      q.processAllAvailable()
+      val sessions = spark.sql("SELECT ss, se, n FROM dynsess ORDER BY ss").collect()
+        .map(r => (r.getTimestamp(0).toString, r.getTimestamp(1).toString, r.getLong(2))).toList
+      assert(sessions == List(
+        ("2024-01-01 00:00:00.0", "2024-01-01 00:35:00.0", 3L),
+        ("2024-01-01 00:41:00.0", "2024-01-01 00:46:00.0", 1L)))
+    } finally q.stop()
+  }
+
   test("streaming CUMULATE agg via expanding-window assignment (update mode)") {
     implicit val sc = spark.sqlContext
     val in = MemoryStream[Ev]
