@@ -26,7 +26,10 @@ object ExplainAudit {
         // round-10 re-planned rows — keep them in the default audit
         "d24_two_supplier_orders", "d25_cross_channel_intersect",
         "d05_margin_rollup_rank", "d06_rollup_topn",
-        "t48_line_dedup", "t54_heavy_hitters")
+        "t48_line_dedup", "t54_heavy_hitters",
+        // round-12 additions: refined/filtered ANN + dynamic session gap
+        "v50_pq_refine", "v51_ivfpq_refine", "v52_filtered_ann",
+        "q87_dynamic_session_gap")
     names.foreach { n =>
       println(s"\n========== $n ==========")
       graft.SparkEntry.queries(n)(spark, dir).explain("formatted")
