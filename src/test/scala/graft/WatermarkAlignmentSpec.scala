@@ -126,6 +126,35 @@ class WatermarkAlignmentSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("departed partition is evicted from coordinator state after EvictMultiple idle timeouts") {
+    val (in, q) = statusQuery("wm_evict", outOfOrderMs = 0L,
+      idleTimeoutMs = 300L, maxDriftMs = 24 * HOUR)
+    try {
+      in.addData(
+        PEv("keep", ts("2024-01-01 10:00:00"), 1.0),
+        PEv("ephemeral", ts("2024-01-01 10:00:00"), 1.0))
+      q.processAllAvailable()
+      assert(latestTrigger("wm_evict").keySet == Set("keep", "ephemeral"))
+      // ephemeral goes silent past EvictMultiple × idleTimeout; keep flows
+      Thread.sleep(WatermarkAlignment.EvictMultiple * 300L + 600L)
+      in.addData(PEv("keep", ts("2024-01-01 10:01:00"), 1.0))
+      q.processAllAvailable()
+      val before = spark.sql("SELECT partition FROM wm_evict").count()
+      val last = latestTrigger("wm_evict")
+      // the evicted partition is no longer emitted on new triggers
+      in.addData(PEv("keep", ts("2024-01-01 10:02:00"), 1.0))
+      q.processAllAvailable()
+      val newRows = spark.sql("SELECT partition FROM wm_evict").collect()
+        .drop(before.toInt).map(_.getString(0)).toSet
+      assert(newRows == Set("keep"),
+        s"evicted partition must stop appearing in status output, got $newRows")
+      // and a re-appearing partition re-registers like a new one
+      in.addData(PEv("ephemeral", ts("2024-01-01 10:03:00"), 1.0))
+      q.processAllAvailable()
+      assert(latestTrigger("wm_evict").contains("ephemeral"))
+    } finally q.stop()
+  }
+
   test("should_pause wired end-to-end: a feeder honoring the advice keeps the fast partition's lead bounded") {
     // The reference wires alignment INTO the source (FLIP-182: the
     // coordinator pauses a split whose watermark runs ahead of the
