@@ -52,4 +52,45 @@ class StateRecoverySpec extends AnyFunSuite {
     assert(all == List(("u1", "a"), ("u2", "c")),
       "u1's second row must be deduplicated by state restored from the checkpoint")
   }
+
+  test("late-fire window state (open windows + final flags) survives a restart") {
+    implicit val sc = spark.sqlContext
+    val ckpt = Files.createTempDirectory("graft_latefire_ckpt").toString
+    val in = MemoryStream[Ev]
+    val seen = new java.util.concurrent.ConcurrentLinkedQueue[(Long, Long, String)]()
+
+    def start() = StatefulOps.lateFireWindowAgg(
+        in.toDF().withWatermark("ts", "0 seconds"),
+        Seq("user"), "ts", "value", windowSec = 60L, latenessMs = 180000L)
+      .writeStream
+      .option("checkpointLocation", ckpt)
+      .outputMode("update")
+      .foreachBatch { (b: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], _: Long) =>
+        b.collect().foreach(r => seen.add((r.getLong(r.fieldIndex("window_start")),
+          r.getLong(r.fieldIndex("cnt")), r.getString(r.fieldIndex("emit_kind")))))
+      }
+      .start()
+
+    val w1000 = Timestamp.valueOf("2024-01-01 10:00:00").getTime
+    // before the restart: one open window with one row, nothing fired
+    val q1 = start()
+    in.addData(Ev(Timestamp.valueOf("2024-01-01 10:00:10"), "u1", "a", 1.0))
+    q1.processAllAvailable()
+    q1.stop()
+    assert(seen.isEmpty, "window still open — nothing fires before restart")
+
+    // after the restart: the RESTORED open window must absorb a second
+    // row and fire its final with BOTH rows once the watermark passes
+    val q2 = start()
+    in.addData(Ev(Timestamp.valueOf("2024-01-01 10:00:20"), "u1", "a", 2.0))
+    q2.processAllAvailable()
+    in.addData(Ev(Timestamp.valueOf("2024-01-01 10:02:00"), "u1", "a", 3.0))
+    q2.processAllAvailable()
+    in.addData(Ev(Timestamp.valueOf("2024-01-01 10:03:00"), "u1", "a", 4.0))
+    q2.processAllAvailable()
+    q2.stop()
+    assert(seen.toArray.map(_.asInstanceOf[(Long, Long, String)]).toList
+        .contains((w1000, 2L, "final")),
+      s"final must carry the pre-restart row + the post-restart row: ${seen.toArray.toList}")
+  }
 }
