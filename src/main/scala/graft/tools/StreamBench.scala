@@ -54,15 +54,24 @@ object StreamBench {
       .split(",").map(_.trim.toInt).toSeq
     def m(kv: Iterable[(String, Double)]): String =
       kv.map { case (k, v) => f""""$k":${v}%.2f""" }.mkString("{", ",", "}")
+    // SPARK_GRAFT_STREAM_STORE=rocksdb swaps the state store provider —
+    // the reference's RocksDBStateBackend analog; with the partitions
+    // axis showing every op state-store-commit-bound on one box, the
+    // provider is the other lever worth measuring.
+    val storeProvider = sys.env.get("SPARK_GRAFT_STREAM_STORE").collect {
+      case "rocksdb" =>
+        "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider"
+    }
     val runJsons = rowSizes.map { rows =>
       val byLevel = scala.collection.mutable.LinkedHashMap.empty[Int, collection.Map[String, Double]]
       levels.foreach { cpus =>
-        val spark = SparkSession.builder()
+        val b0 = SparkSession.builder()
           .master(s"local[$cpus]")
           .config("spark.sql.shuffle.partitions", cpus)
           .config("spark.sql.session.timeZone", "UTC")
           .config("spark.ui.enabled", "false")
-          .getOrCreate()
+        val spark = storeProvider.fold(b0)(p =>
+          b0.config("spark.sql.streaming.stateStore.providerClass", p)).getOrCreate()
         spark.sparkContext.setLogLevel("ERROR")
         println(s"[stream-bench] --- rows=$rows parallelism=$cpus ---")
         byLevel(cpus) = benchAll(spark, rows, batches)
