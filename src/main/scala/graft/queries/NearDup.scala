@@ -236,6 +236,7 @@ object NearDup {
       // the full closure — make any divergence attributable.
       require(changed == 0,
         s"n54 label propagation did not converge in $iter rounds ($changed moved)")
+      System.err.println(s"[n54] label propagation converged in $iter rounds")
       val sizes = labels.groupBy(col("label"))
         .agg(count(lit(1)).as("component_size"))
       labels.join(sizes, "label")
