@@ -308,6 +308,72 @@ object VectorOps {
         candPred = col("vec_id") % 2 === 0, matchCols = Seq("label"))
     }),
 
+    // ---- Scalar-quantizer ANN: int8 codes + asymmetric search ---------
+    // The FAISS IndexScalarQuantizer family (QT_8bit): per-DIMENSION
+    // affine int8 quantization (v49's codec) stored as a 64-byte code
+    // array (4× memory cut vs float32), searched ASYMMETRICALLY — the
+    // float query scores against map-side-dequantized candidates — and
+    // sharpened by the v50 exact re-rank over the query-scale
+    // shortlist. Codes + per-dim ranges are one consistent staged
+    // artifact group; the oracle replays dequantize + the same
+    // left-to-right double cosine fold + both rank passes.
+    "v53_sq_ann" -> ((s, dir) => {
+      val e = Tables.load(s, dir, "embeddings")
+      val base = s"/tmp/graft_oracle/${new java.io.File(dir).getName}"
+      Staging.parquetGroupOnce(s"$dir#sq53",
+        Seq(s"$base/sq53_ranges", s"$base/sq53_codes")) { () =>
+        val elems = e.select(col("vec_id"),
+            posexplode(col("embedding")).as(Seq("dim", "v")))
+          .select(col("vec_id"), col("dim"), col("v").cast("double").as("v"))
+        val ranges = elems.groupBy(col("dim"))
+          .agg(min(col("v")).as("lo"), max(col("v")).as("hi"))
+          .withColumn("scale", (col("hi") - col("lo")) / lit(255.0))
+        ranges.write.mode("overwrite").parquet(s"$base/sq53_ranges")
+        elems.join(broadcast(s.read.parquet(s"$base/sq53_ranges")), "dim")
+          .withColumn("code",
+            when(col("scale") === 0, lit(0)).otherwise(
+              round((col("v") - col("lo")) / col("scale"), 0).cast("int") - 128))
+          .groupBy(col("vec_id"))
+          .agg(transform(array_sort(collect_list(struct(col("dim"), col("code")))),
+            x => x.getField("code")).as("codes"))
+          .write.mode("overwrite").parquet(s"$base/sq53_codes")
+      }
+      // per-dim lo/scale as broadcast-literal arrays (128 doubles of
+      // metadata — the SQ codebook IS this affine table)
+      val rg = s.read.parquet(s"$base/sq53_ranges")
+        .select(col("dim"), col("lo"), col("scale")).collect().sortBy(_.getInt(0))
+      val loArr = array(rg.map(r => lit(r.getDouble(1))): _*)
+      val scArr = array(rg.map(r => lit(r.getDouble(2))): _*)
+      // asymmetric distance: dequantize the candidate code map-side
+      // (float-rounded like a real SQ store), cosine vs the float query
+      val cands = s.read.parquet(s"$base/sq53_codes")
+        .select(col("vec_id").as("cand_id"),
+          zip_with(col("codes"),
+            sequence(lit(0), lit(rg.length - 1)),
+            (c, i) => (((c + lit(128)).cast("double") * element_at(scArr, i + 1))
+              + element_at(loArr, i + 1)).cast("float")).as("c_deq"))
+      val q = e.filter(col("vec_id") % 50 === 0)
+        .select(col("vec_id").as("query_id"),
+          col("embedding").cast("array<float>").as("q_emb"))
+      val wShort = Window.partitionBy(col("query_id"))
+        .orderBy(col("sq_sim").desc, col("cand_id"))
+      val shortlist = cands.join(broadcast(q), col("query_id") =!= col("cand_id"))
+        .withColumn("sq_sim", cosine_sim(col("q_emb"), col("c_deq")))
+        .withColumn("srk", row_number().over(wShort))
+        .filter(col("srk") <= 30)
+        .select(col("query_id"), col("cand_id"))
+      // exact re-rank of the query-scale shortlist (v50 discipline)
+      val c = e.select(col("vec_id").as("cand_id"),
+        col("embedding").cast("array<float>").as("c_emb"))
+      val wTop = Window.partitionBy(col("query_id"))
+        .orderBy(col("cos_sim").desc, col("cand_id"))
+      shortlist.join(c, "cand_id").join(broadcast(q), "query_id")
+        .withColumn("cos_sim", cosine_sim(col("q_emb"), col("c_emb")))
+        .withColumn("rk", row_number().over(wTop))
+        .filter(col("rk") <= 3)
+        .select(col("query_id"), col("rk"), col("cand_id"), col("cos_sim"))
+    }),
+
     // ---- K-means clustering (semantic grouping) -----------------------
     // The clustering use of the IVF machinery: spherical k-means (k=8,
     // 2 Lloyd passes — graft.ops.Ivf.centroids, fit on a bounded
@@ -722,6 +788,43 @@ object VectorOps {
         |    ROW_NUMBER() OVER (PARTITION BY query_id
         |                       ORDER BY cos_sim DESC, cand_id) AS rk
         |  FROM scored) WHERE rk <= 3""".stripMargin,
+
+    "v53_sq_ann" ->
+      s"""WITH codes AS (SELECT * FROM read_parquet('/tmp/graft_oracle/__SF__/sq53_codes/*.parquet')),
+        |rg AS (SELECT list(lo ORDER BY dim) AS los, list(scale ORDER BY dim) AS scs
+        |       FROM read_parquet('/tmp/graft_oracle/__SF__/sq53_ranges/*.parquet')),
+        |deq AS (SELECT vec_id AS cand_id,
+        |          list_transform(generate_series(1, 64), i ->
+        |            CAST(CAST((codes[i] + 128) * scs[i] + los[i] AS REAL) AS DOUBLE)) AS d
+        |        FROM codes, rg),
+        |dn AS (SELECT cand_id, d,
+        |         sqrt(list_aggregate(list_transform(generate_series(1, 64),
+        |           i -> d[i] * d[i]), 'sum')) AS dnrm FROM deq),
+        |qn AS (SELECT vec_id AS query_id, embedding,
+        |         sqrt(${dotSql.format("embedding", "embedding")}) AS qnrm
+        |       FROM embeddings WHERE vec_id % 50 = 0),
+        |scored AS (
+        |  SELECT query_id, cand_id,
+        |    list_aggregate(list_transform(generate_series(1, 64),
+        |      i -> CAST(qn.embedding[i] AS DOUBLE) * dn.d[i]), 'sum')
+        |      / (qn.qnrm * dn.dnrm) AS sq_sim
+        |  FROM qn, dn WHERE query_id <> cand_id),
+        |short AS (SELECT query_id, cand_id FROM (
+        |    SELECT query_id, cand_id,
+        |      ROW_NUMBER() OVER (PARTITION BY query_id
+        |                         ORDER BY sq_sim DESC, cand_id) AS srk
+        |    FROM scored) WHERE srk <= 30),
+        |n AS (SELECT vec_id, embedding,
+        |        sqrt(${dotSql.format("embedding", "embedding")}) AS nrm
+        |      FROM embeddings)
+        |SELECT query_id, rk, cand_id, cos_sim FROM (
+        |  SELECT query_id, cand_id,
+        |    ${dotSql.format("q.embedding", "c.embedding")} / (q.nrm * c.nrm) AS cos_sim,
+        |    ROW_NUMBER() OVER (PARTITION BY query_id
+        |                       ORDER BY ${dotSql.format("q.embedding", "c.embedding")} / (q.nrm * c.nrm) DESC, cand_id) AS rk
+        |  FROM short
+        |  JOIN n q ON q.vec_id = query_id
+        |  JOIN n c ON c.vec_id = cand_id) WHERE rk <= 3""".stripMargin,
 
     "v49_int8_quantization" ->
       """WITH el AS (

@@ -41,6 +41,7 @@ class PlanInvariantsSpec extends AnyFunSuite {
     "v42_ann_topk" -> (1, "documented brute-force ANN baseline (scale path: v43/v46)"),
     "v45_pq_ann" -> (2, "documented flat-PQ scan-all baseline (scale path: v46 IVF-PQ)"),
     "v50_pq_refine" -> (1, "flat-PQ ADC shortlist is the documented scan-all baseline (scale path: v51 IVF-PQ refined, whose probe+rerank joins are all equi)"),
+    "v53_sq_ann" -> (1, "flat scalar-quantizer asymmetric scan is the documented scan-all baseline of the SQ family (4x-compressed codes; at scale one composes SQ codes under an IVF probe exactly like v51)"),
     "t36_jaccard_pairs" -> (1, "documented exact-Jaccard quadratic baseline (scale path: n53)"),
     "t51_bm25" -> (1, "1-row corpus stats (N, avgdl) broadcast crossJoin (bounded)"),
     "t52_dsir_weights" -> (1, "1-row weight-normalizer broadcast crossJoin (bounded)"),
