@@ -71,7 +71,11 @@ def main():
     baseline_md = os.path.join(ROOT, "BASELINE.md")
     frozen = r2_frozen_table(baseline_md)
     anchor = r10_frozen_table(baseline_md)
-    r02 = r02_artifact_queries(os.path.join(ROOT, "BENCH_r02.json"))
+    # r13 hygiene: historical round artifacts live in bench-archive/
+    r02_path = os.path.join(ROOT, "bench-archive", "BENCH_r02.json")
+    if not os.path.exists(r02_path):
+        r02_path = os.path.join(ROOT, "BENCH_r02.json")
+    r02 = r02_artifact_queries(r02_path)
     bench = json.load(open(bench_path))
     cur = bench["queries"]
     calib = bench.get("calib_spark32_sec")

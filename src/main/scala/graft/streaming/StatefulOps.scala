@@ -883,9 +883,14 @@ object StatefulOps {
               .toMap).getOrElse(Map.empty)
           val touched = scala.collection.mutable.Set.empty[Long]
           var dropped = Map.empty[Long, (Long, Double)]
+          // Boundary semantics (r12 advice): Flink's isWindowLate/cleanup
+          // compares window.maxTimestamp() = end - 1 (inclusive last ms of
+          // the window), not end — so a row at wm == end + lateness - 1 is
+          // already LATE in the reference. Same -1 on fire: EventTimeTrigger
+          // fires when maxTimestamp <= watermark.
           it.foreach { r =>
             val ws = r.getLong(wIdx)
-            if (ws + wMs + latenessMs <= wm) {
+            if (ws + wMs - 1 + latenessMs <= wm) {
               // beyond allowedLateness: never admitted, only accounted
               val (dc, dsum) = dropped.getOrElse(ws, (0L, 0.0))
               dropped = dropped.updated(ws, (dc + 1, dsum + num(r)))
@@ -899,7 +904,7 @@ object StatefulOps {
           // fire pass: finals for closed windows, corrections for
           // late-touched already-final windows
           wins = wins.map { case (ws, (c, s, fin)) =>
-            val closed = ws + wMs <= wm
+            val closed = ws + wMs - 1 <= wm
             if (closed && !fin) {
               out += Row.fromSeq(keyVals ++ Seq[Any](ws, c, s, "final"))
               ws -> ((c, s, true))
@@ -912,8 +917,9 @@ object StatefulOps {
           dropped.foreach { case (ws, (dc, dsum)) =>
             out += Row.fromSeq(keyVals ++ Seq[Any](ws, dc, dsum, "dropped_late"))
           }
-          // purge pass: state bounded by lateness
-          wins = wins.filter { case (ws, _) => ws + wMs + latenessMs > wm }
+          // purge pass: state bounded by lateness (maxTimestamp + lateness,
+          // the reference's cleanup time)
+          wins = wins.filter { case (ws, _) => ws + wMs - 1 + latenessMs > wm }
           if (wins.isEmpty) state.remove()
           else state.update(Row(wins.toSeq.sortBy(_._1)
             .map { case (ws, (c, s, fin)) => Row(ws, c, s, fin) }))

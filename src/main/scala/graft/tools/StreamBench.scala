@@ -105,12 +105,16 @@ object StreamBench {
     val partsJson = if (sys.env.getOrElse("SPARK_GRAFT_STREAM_PARTS_AXIS", "1") == "1") {
       val byParts = scala.collection.mutable.LinkedHashMap.empty[Int, collection.Map[String, Double]]
       partsAxis.foreach { p =>
-        val spark = SparkSession.builder()
+        // Same state-store provider as the levels axis: without this, a
+        // SPARK_GRAFT_STREAM_STORE=rocksdb run would write DEFAULT-provider
+        // partitions-axis rows into the rocksdb-labeled artifact (r12 advice).
+        val b0 = SparkSession.builder()
           .master(s"local[$partsCpus]")
           .config("spark.sql.shuffle.partitions", p)
           .config("spark.sql.session.timeZone", "UTC")
           .config("spark.ui.enabled", "false")
-          .getOrCreate()
+        val spark = storeProvider.fold(b0)(pr =>
+          b0.config("spark.sql.streaming.stateStore.providerClass", pr)).getOrCreate()
         spark.sparkContext.setLogLevel("ERROR")
         println(s"[stream-bench] --- partitions-axis rows=${rowSizes.head} cpus=$partsCpus partitions=$p ---")
         byParts(p) = benchAll(spark, rowSizes.head, batches)
@@ -123,6 +127,7 @@ object StreamBench {
     // "ops" = first row-size, first level — round-over-round compatible
     val json =
       s"""{"metric":"stream_rows_per_sec",""" +
+      s""""store_provider":"${storeProvider.getOrElse("default")}",""" +
       s""""ops":${m(runJsons.head._1.map { case (k, v) => k -> v })},""" +
       s""""runs":[${runJsons.map(_._2).mkString(",")}]$partsJson}"""
     println(json)

@@ -76,4 +76,49 @@ class LateFireSpec extends AnyFunSuite {
         "a dropped row must never correct a purged window")
     } finally q.stop()
   }
+
+  /** Pins the r12-advice boundary fix: Flink's isWindowLate compares
+    * window.maxTimestamp() = end - 1 (the last INCLUSIVE millisecond),
+    * so at wm == end + lateness - 1 a row for that window is already
+    * dropped — one millisecond before the naive end + lateness check
+    * would admit it.
+    */
+  test("maxTimestamp boundary: a row at wm == end + lateness - 1 is dropped, not admitted") {
+    implicit val sc = spark.sqlContext
+    implicit val enc = Encoders.product[LfEv]
+    val in = MemoryStream[LfEv]
+    // 1 s windows, 500 ms allowedLateness
+    val out = StatefulOps.lateFireWindowAgg(
+      in.toDF().withWatermark("ts", "0 seconds"),
+      keys = Seq("k"), tsCol = "ts", valueCol = "v",
+      windowSec = 1L, latenessMs = 500L)
+    val q = out.writeStream.format("memory").queryName("latefire_boundary")
+      .outputMode(OutputMode.Update)
+      .option("checkpointLocation",
+        java.nio.file.Files.createTempDirectory("latefire_b").toString)
+      .start()
+    def rows() = spark.sql(
+      "SELECT window_start, cnt, sum_val, emit_kind FROM latefire_boundary").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getString(3)))
+    val base = ts("2024-01-01 10:00:00").getTime // window [base, base+1000)
+    try {
+      in.addData(LfEv("a", new Timestamp(base + 10), 1.0))
+      q.processAllAvailable()
+      // Drive wm to EXACTLY end + lateness - 1 = base + 1499 (watermark
+      // delay 0 → wm = max event time seen in the previous batch).
+      in.addData(LfEv("a", new Timestamp(base + 1499), 0.0))
+      q.processAllAvailable() // wm = base+10: nothing closed yet
+      in.addData(LfEv("a", new Timestamp(base + 1499), 0.0))
+      q.processAllAvailable() // wm = base+1499 → final fires for [base, base+1000)
+      assert(rows().count(_._4 == "final") >= 1, s"final must have fired: ${rows().mkString(", ")}")
+      // At wm = end + lateness - 1 the reference already counts the window
+      // late (maxTimestamp 999 + lateness 500 = 1499 <= wm) → dropped.
+      in.addData(LfEv("a", new Timestamp(base + 500), 42.0))
+      q.processAllAvailable()
+      assert(rows().contains((base, 1L, 42.0, "dropped_late")),
+        s"row at wm == end+lateness-1 must be dropped (maxTimestamp semantics): ${rows().mkString(", ")}")
+      assert(!rows().exists(r => r._1 == base && r._4 == "late_update"),
+        "the boundary row must not be admitted as a correction")
+    } finally q.stop()
+  }
 }
