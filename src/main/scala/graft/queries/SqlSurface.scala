@@ -115,6 +115,33 @@ object SqlSurface {
       """)
     }),
 
+    // ---- Legacy session SQL with a DYNAMIC per-row gap -----------------
+    // q87's SessionWindowTimeGapExtractor analog through the SQL-TEXT
+    // surface (r12 directive #4): the legacy GROUP BY SESSION rewrite
+    // accepts a CASE gap expression (paren-balanced scan) and passes it
+    // to Spark's session_window, which merges with the per-row gap in
+    // the same native MergingSessions operator as the DataFrame path.
+    // Oracle: identical to q87's prefix-max overlap-chain replay.
+    "q88_dynamic_session_sql" -> ((s, dir) => {
+      val env = graft.sql.SqlEnv(s)
+      Tables.load(s, dir, "events").createOrReplaceTempView("events_q88")
+      env.executeSql("""
+        SELECT user_id,
+          SESSION_START(ts, CASE WHEN event_type = 'purchase'
+                                 THEN INTERVAL '45' MINUTE
+                                 ELSE INTERVAL '15' MINUTE END) AS session_start,
+          SESSION_END(ts, CASE WHEN event_type = 'purchase'
+                               THEN INTERVAL '45' MINUTE
+                               ELSE INTERVAL '15' MINUTE END) AS session_end,
+          COUNT(1) AS n_events,
+          CAST(SUM(CAST(value AS DECIMAL(18,4))) AS DOUBLE) AS total_value
+        FROM events_q88
+        GROUP BY SESSION(ts, CASE WHEN event_type = 'purchase'
+                                  THEN INTERVAL '45' MINUTE
+                                  ELSE INTERVAL '15' MINUTE END), user_id
+      """)
+    }),
+
     // ---- SQL/JSON standard family (SqlJsonUtils.java; functions/ ----
     // json.scala): JSON_VALUE/JSON_QUERY/JSON_EXISTS scalar access,
     // the IS JSON predicate and JSON_OBJECT(KEY..VALUE) call syntax
@@ -226,6 +253,34 @@ object SqlSurface {
         |  COUNT(*) AS n_events,
         |  CAST(SUM(CAST(value AS DECIMAL(18,4))) AS DOUBLE) AS total_value
         |FROM sessioned
-        |GROUP BY user_id, sid""".stripMargin
+        |GROUP BY user_id, sid""".stripMargin,
+
+    // same prefix-max overlap-chain replay as q87's oracle — the SQL-text
+    // path and the DataFrame path must agree row-for-row
+    "q88_dynamic_session_sql" ->
+      """WITH g AS (
+        |  SELECT user_id, ts, value,
+        |    ts + CASE WHEN event_type = 'purchase' THEN INTERVAL '45 minutes'
+        |              ELSE INTERVAL '15 minutes' END AS wend
+        |  FROM events
+        |), flagged AS (
+        |  SELECT user_id, ts, value, wend,
+        |    CASE WHEN MAX(wend) OVER pre IS NULL
+        |           OR ts > MAX(wend) OVER pre
+        |         THEN 1 ELSE 0 END AS brk
+        |  FROM g
+        |  WINDOW pre AS (PARTITION BY user_id ORDER BY ts
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+        |), sessioned AS (
+        |  SELECT *, SUM(brk) OVER (PARTITION BY user_id ORDER BY ts
+        |    ROWS UNBOUNDED PRECEDING) AS sid
+        |  FROM flagged
+        |)
+        |SELECT user_id,
+        |  CAST(MIN(ts) AS TIMESTAMP) AS session_start,
+        |  CAST(MAX(wend) AS TIMESTAMP) AS session_end,
+        |  COUNT(*) AS n_events,
+        |  CAST(SUM(CAST(value AS DECIMAL(18,4))) AS DOUBLE) AS total_value
+        |FROM sessioned GROUP BY user_id, sid""".stripMargin
   )
 }

@@ -556,38 +556,130 @@ class SqlEnv private (val spark: SparkSession) {
   // grouped column `window` for window() and `session_window` for
   // session_window(). _ROWTIME is the window's event-time attribute
   // (end − 1ms), like the TVF rewrite's window_time.
-  private val legacyAuxRe =
-    """(?i)\b(TUMBLE|HOP|SESSION)_(START|END|ROWTIME)\s*\([^()]*\)""".r
-  // First argument must be a bare column (the TVF form's `TABLE t,` and
-  // Spark's own window()/session_window() never match this shape).
-  private val legacyGroupRe =
-    """(?i)\b(TUMBLE|HOP|SESSION)\s*\(\s*(\w+)\s*,([^()]+)\)""".r
+  // The rewrite scans for the legacy calls with PAREN-BALANCED argument
+  // capture (round 13): a regex `[^()]+` argument body cannot see a
+  // dynamic gap like `CASE WHEN ... THEN INTERVAL '45' MINUTE ... END`
+  // whose branches carry their own function calls, and the reference's
+  // SessionWindowTimeGapExtractor analog (q87) needs exactly that shape
+  // through the SQL-text surface.
 
-  private[sql] def rewriteLegacyGroupWindows(sql: String): String = {
-    val aux = legacyAuxRe.replaceAllIn(sql, m => {
+  /** Split a call's argument text at TOP-LEVEL commas only (commas inside
+    * nested parens or single-quoted literals belong to the argument). */
+  private def splitTopLevelArgs(s: String): Seq[String] = {
+    val out = scala.collection.mutable.ArrayBuffer.empty[String]
+    val cur = new StringBuilder
+    var depth = 0; var inStr = false
+    s.foreach { c =>
+      if (inStr) { cur += c; if (c == '\'') inStr = false }
+      else c match {
+        case '\'' => inStr = true; cur += c
+        case '(' => depth += 1; cur += c
+        case ')' => depth -= 1; cur += c
+        case ',' if depth == 0 => out += cur.toString; cur.clear()
+        case _ => cur += c
+      }
+    }
+    out += cur.toString
+    out.map(_.trim).toSeq
+  }
+
+  /** Rewrite every `NAME(args...)` call whose upper-cased NAME is in
+    * `names`, balancing parentheses and skipping quoted literals. `f`
+    * receives (NAME, topLevelArgs, originalCallText) and returns the
+    * replacement — returning the original text leaves the call alone. */
+  private def rewriteCalls(sql: String, names: Set[String])(
+      f: (String, Seq[String], String) => String): String = {
+    val sb = new StringBuilder
+    var i = 0
+    while (i < sql.length) {
+      val c = sql.charAt(i)
+      if (c == '\'') { // copy string literals verbatim
+        val j = sql.indexOf('\'', i + 1)
+        val end = if (j < 0) sql.length - 1 else j
+        sb.append(sql.substring(i, end + 1)); i = end + 1
+      } else if (Character.isLetter(c) || c == '_') {
+        var j = i
+        while (j < sql.length &&
+          (Character.isLetterOrDigit(sql.charAt(j)) || sql.charAt(j) == '_')) j += 1
+        val word = sql.substring(i, j)
+        var k = j
+        while (k < sql.length && Character.isWhitespace(sql.charAt(k))) k += 1
+        if (names.contains(word.toUpperCase) && k < sql.length && sql.charAt(k) == '(') {
+          var depth = 0; var m = k; var inStr = false; var endIdx = -1
+          while (m < sql.length && endIdx < 0) {
+            val ch = sql.charAt(m)
+            if (inStr) { if (ch == '\'') inStr = false }
+            else ch match {
+              case '\'' => inStr = true
+              case '(' => depth += 1
+              case ')' => depth -= 1; if (depth == 0) endIdx = m
+              case _ =>
+            }
+            m += 1
+          }
+          require(endIdx > 0, s"unbalanced parentheses after $word in: $sql")
+          val argsStr = sql.substring(k + 1, endIdx)
+          val orig = sql.substring(i, endIdx + 1)
+          sb.append(f(word.toUpperCase, splitTopLevelArgs(argsStr), orig))
+          i = endIdx + 1
+        } else { sb.append(word); i = j }
+      } else { sb.append(c); i += 1 }
+    }
+    sb.toString
+  }
+
+  private val legacyAuxNames = Set(
+    "TUMBLE_START", "TUMBLE_END", "TUMBLE_ROWTIME",
+    "HOP_START", "HOP_END", "HOP_ROWTIME",
+    "SESSION_START", "SESSION_END", "SESSION_ROWTIME")
+  private val legacyGroupNames = Set("TUMBLE", "HOP", "SESSION")
+
+  private[graft] def rewriteLegacyGroupWindows(sql: String): String = {
+    val aux = rewriteCalls(sql, legacyAuxNames) { (name, _, _) =>
       val structCol =
-        if (m.group(1).equalsIgnoreCase("SESSION")) "session_window" else "window"
-      m.group(2).toUpperCase match {
+        if (name.startsWith("SESSION")) "session_window" else "window"
+      name.substring(name.indexOf('_') + 1) match {
         case "START" => s"$structCol.start"
         case "END" => s"$structCol.end"
         case "ROWTIME" => s"($structCol.end - INTERVAL 1 MILLISECOND)"
       }
-    })
-    legacyGroupRe.replaceAllIn(aux, m => {
-      val ts = m.group(2)
-      val ivals = m.group(3).split(",").map(intervalSec)
-      scala.util.matching.Regex.quoteReplacement(m.group(1).toUpperCase match {
-        case "TUMBLE" =>
-          require(ivals.length == 1, "TUMBLE(ts, size)")
-          s"window($ts, '${ivals(0)} seconds')"
-        case "HOP" => // Flink legacy arg order: slide, then size
-          require(ivals.length == 2, "HOP(ts, slide, size)")
-          s"window($ts, '${ivals(1)} seconds', '${ivals(0)} seconds')"
-        case "SESSION" =>
-          require(ivals.length == 1, "SESSION(ts, gap)")
-          s"session_window($ts, '${ivals(0)} seconds')"
-      })
-    })
+    }
+    rewriteCalls(aux, legacyGroupNames) { (name, args, orig) =>
+      // First argument must be a bare column (the TVF form's `TABLE t,`
+      // and Spark's own window()/session_window() never match) — leave
+      // anything else untouched.
+      if (args.isEmpty || !args.head.matches("\\w+")) orig
+      else {
+        val ts = args.head
+        name match {
+          case "TUMBLE" =>
+            require(args.length == 2, "TUMBLE(ts, size)")
+            s"window($ts, '${intervalSec(args(1))} seconds')"
+          case "HOP" => // Flink legacy arg order: slide, then size
+            require(args.length == 3, "HOP(ts, slide, size)")
+            s"window($ts, '${intervalSec(args(2))} seconds', '${intervalSec(args(1))} seconds')"
+          case "SESSION" =>
+            require(args.length == 2, "SESSION(ts, gap)")
+            // Fixed INTERVAL literal → canonical '<n> seconds' string;
+            // anything else is a per-row gap EXPRESSION (the reference's
+            // withDynamicGap analog) passed straight to Spark's
+            // session_window, which accepts gap expressions natively —
+            // same physical MergingSessions plan as the q87 DataFrame path.
+            scala.util.Try(intervalSec(args(1))).toOption match {
+              case Some(secs) => s"session_window($ts, '$secs seconds')"
+              case None =>
+                // Each INTERVAL literal inside the expression becomes the
+                // canonical '<n> seconds' STRING literal: Spark's ANSI
+                // INTERVAL '45' MINUTE is DayTimeIntervalType, which the
+                // SessionWindowing analyzer rejects — the string form is
+                // what the DataFrame path (q87) passes too.
+                val gapExpr = intervalRe.replaceAllIn(args(1),
+                  mm => s"'${intervalSec(mm.matched)} seconds'")
+                s"session_window($ts, $gapExpr)"
+            }
+        }
+      }
+    }
   }
 
   /** Register a parquet-backed table under `name`. */

@@ -639,6 +639,45 @@ class SqlEnvSpec extends AnyFunSuite {
       dfSession.exceptAll(legacySession).isEmpty)
   }
 
+  test("legacy SESSION with a dynamic CASE gap expression matches the DataFrame form") {
+    import org.apache.spark.sql.functions._
+    val env = SqlEnv(spark).registerTestdata(TestSpark.sfDir)
+    val events = spark.table("events")
+    // The reference's SessionWindowTimeGapExtractor analog through SQL
+    // text (r12 directive #4): the gap is a per-row CASE expression —
+    // nested parens and interval literals the old regex rewrite could
+    // not see. The auxiliaries repeat the assigner args like Flink's
+    // legacy dialect requires.
+    val legacyDyn = env.executeSql(
+      """SELECT user_id,
+        |  SESSION_START(ts, CASE WHEN event_type = 'purchase'
+        |                         THEN INTERVAL '45' MINUTE
+        |                         ELSE INTERVAL '15' MINUTE END) AS s_start,
+        |  SESSION_END(ts, CASE WHEN event_type = 'purchase'
+        |                       THEN INTERVAL '45' MINUTE
+        |                       ELSE INTERVAL '15' MINUTE END) AS s_end,
+        |  COUNT(1) AS n
+        |FROM events
+        |GROUP BY SESSION(ts, CASE WHEN event_type = 'purchase'
+        |                          THEN INTERVAL '45' MINUTE
+        |                          ELSE INTERVAL '15' MINUTE END), user_id""".stripMargin)
+    val gap = when(col("event_type") === "purchase", lit("45 minutes"))
+      .otherwise(lit("15 minutes"))
+    val dfDyn = events
+      .groupBy(session_window(col("ts"), gap).as("session_window"), col("user_id"))
+      .agg(count(lit(1)).as("n"))
+      .select(col("user_id"), col("session_window.start").as("s_start"),
+        col("session_window.end").as("s_end"), col("n"))
+    assert(legacyDyn.exceptAll(dfDyn).isEmpty && dfDyn.exceptAll(legacyDyn).isEmpty)
+    // fixed-gap text still rewrites to the canonical '<n> seconds' form
+    assert(env.rewriteLegacyGroupWindows(
+      "GROUP BY SESSION(ts, INTERVAL '30' MINUTE), k")
+      .contains("session_window(ts, '1800 seconds')"))
+    // a string literal containing SESSION( must never be rewritten
+    assert(env.rewriteLegacyGroupWindows("SELECT 'SESSION(x, y)' AS s")
+      == "SELECT 'SESSION(x, y)' AS s")
+  }
+
   test("computed and metadata columns in filesystem DDL") {
     val env = SqlEnv(spark)
     env.executeSql(
