@@ -34,6 +34,24 @@ import org.apache.spark.sql.SparkSession
   * subset run records "only":[...] in the JSON and defaults its
   * output file to BENCH_SUBSET.json so it can never silently
   * overwrite the committed full-battery artifact.
+  *
+  * Self-adjudication (round 14): three consecutive rounds the full
+  * battery shipped 5-15x contamination on untouched code paths that a
+  * quiet exclusive re-run cleared (r11 q78-q81, r12 q73-q77/t58, r13
+  * q80-q82/t33-t35 — all judge-adjudicated environmental; this
+  * sandbox's vCPUs are time-shared and a noisy-neighbor window can
+  * straddle several alphabetically-adjacent queries). The bench now
+  * runs the adjudication protocol itself: after the battery, any
+  * query whose median exceeds 2x its own min-across-runs OR 2x its
+  * calib-scaled BASELINE.md FROZEN-r10 value (and is >= 0.25 s — sub-
+  * quarter-second rows trip 2x from pure timer noise) is re-measured
+  * in a quiet tail pass (SPARK_GRAFT_REMEASURE_RUNS, default 5, fresh
+  * warmup). The contended battery median is preserved in "contended",
+  * the quiet median lands in "remeasured" AND replaces the query's
+  * row in "queries" — so gate.py consumes the adjudicated value with
+  * no doc-side bookkeeping. A fresh calibration is taken for the tail
+  * pass ("remeasure_calib_spark32_sec") so a reader can verify the
+  * tail window really was quieter. SPARK_GRAFT_REMEASURE=0 disables.
   */
 object Bench {
   def main(args: Array[String]): Unit = {
@@ -52,6 +70,9 @@ object Bench {
       else Seq("t36_jaccard_pairs")
     val only = sys.env.get("SPARK_GRAFT_ONLY")
       .map(_.split("\\s+").toSet).getOrElse(Set.empty[String])
+    val remeasureOn = sys.env.getOrElse("SPARK_GRAFT_REMEASURE", "1") == "1"
+    val remeasureRuns = sys.env.getOrElse("SPARK_GRAFT_REMEASURE_RUNS", "5").toInt
+    val remeasureCap = sys.env.getOrElse("SPARK_GRAFT_REMEASURE_MAX", "15").toInt
     val outFile = sys.env.getOrElse("SPARK_GRAFT_BENCH_FILE",
       if (only.nonEmpty) "BENCH_SUBSET.json" else "BENCH_LOCAL.json")
     val spark = SparkSession.builder()
@@ -104,29 +125,48 @@ object Bench {
       (System.nanoTime() - t0) / 1e9
     })
 
+    // FROZEN-r10 anchor medians (builder environment, calib 0.2610) from
+    // BASELINE.md — the same table scripts/gate.py reads. Missing file or
+    // header degrades to min-across-runs-only adjudication, never a crash.
+    val anchorCalib = 0.2610
+    val frozen: Map[String, Double] = try {
+      val path = sys.env.getOrElse("SPARK_GRAFT_BASELINE_MD", "BASELINE.md")
+      val text = java.nio.file.Files.readString(java.nio.file.Paths.get(path))
+      val sec = ("""(?s)Frozen per-query 3-run medians \(seconds, builder\s+""" +
+        """environment at\s+calib 0\.2610\):(.*?)(\n## |\z)""").r
+      sec.findFirstMatchIn(text).map { sm =>
+        """\|\s*([a-z]\w+)\s*\|\s*([0-9.]+)\s*""".r
+          .findAllMatchIn(sm.group(1)).map(m => m.group(1) -> m.group(2).toDouble).toMap
+      }.getOrElse(Map.empty)
+    } catch { case e: Throwable =>
+      System.err.println(s"[bench] no frozen table ($e) — min-based adjudication only")
+      Map.empty
+    }
+
     def m(kv: Seq[(String, Double)]): String =
       kv.map { case (k, v) => "\"" + k + "\":" + f"$v%.4f" }.mkString("{", ",", "}")
     def mi(kv: Seq[(String, Int)]): String =
       kv.map { case (k, v) => "\"" + k + "\":" + v }.mkString("{", ",", "}")
     def arr(xs: Seq[String]): String = xs.map("\"" + _ + "\"").mkString("[", ",", "]")
-    // (name, median, sd, okRuns, attemptedRuns). A query with SOME failed
-    // runs used to render as a normal timing row (median over survivors
-    // only) — r10 advice: that hides flakiness. It now also lands in
-    // "flaky", and "n_ok" records survivors per query.
-    def renderJson(results: Seq[(String, Double, Double, Int, Int)], notRun: Seq[String],
-                   failed: Seq[String], partial: Boolean): String = {
+    // (name, median, sd, okRuns, attemptedRuns, minRun). A query with SOME
+    // failed runs used to render as a normal timing row (median over
+    // survivors only) — r10 advice: that hides flakiness. It now also lands
+    // in "flaky", and "n_ok" records survivors per query. `extra` carries
+    // the adjudication fields once the re-measure pass has run.
+    def renderJson(results: Seq[(String, Double, Double, Int, Int, Double)], notRun: Seq[String],
+                   failed: Seq[String], partial: Boolean, extra: String = ""): String = {
       val total = results.filterNot(r => skipped.contains(r._1)).map(_._2).sum
       val onlyField =
         if (only.nonEmpty) s""""only":${arr(only.toSeq.sorted)},""" else ""
       val partialField = if (partial) """"partial":true,""" else ""
-      val flaky = results.collect { case (n, _, _, ok, att) if ok < att => n }
+      val flaky = results.collect { case (n, _, _, ok, att, _) if ok < att => n }
       s"""{"metric":"total","value":$total,"unit":"sec",""" +
         s""""queries":${m(results.map(r => r._1 -> r._2))},""" +
         s""""stddev":${m(results.map(r => r._1 -> r._3))},""" +
         s""""n_ok":${mi(results.map(r => r._1 -> r._4))},""" +
         s""""flaky":${arr(flaky)},""" +
         s""""runs":$runs,"skipped":${arr(skipped)},"excluded":${arr(excluded)},""" +
-        s""""not_run":${arr(notRun)},"failed":${arr(failed)},$onlyField$partialField""" +
+        s""""not_run":${arr(notRun)},"failed":${arr(failed)},$onlyField$partialField$extra""" +
         f""""calib_spark32_sec":$calibSpark%.4f,"calib_jvm1_sec":$calibJvm%.4f,""" +
         s""""budget_sec":$budget,"sf":"$sfDir"}"""
     }
@@ -134,7 +174,7 @@ object Bench {
       try java.nio.file.Files.writeString(java.nio.file.Paths.get(outFile), json + "\n")
       catch { case e: Throwable => System.err.println(s"[bench] could not write $outFile: $e") }
 
-    val results = scala.collection.mutable.ArrayBuffer.empty[(String, Double, Double, Int, Int)]
+    val results = scala.collection.mutable.ArrayBuffer.empty[(String, Double, Double, Int, Int, Double)]
     val failed = scala.collection.mutable.ArrayBuffer.empty[String]
     var stoppedAt = -1
     var i = 0
@@ -155,7 +195,7 @@ object Bench {
           val median = ts(ts.length / 2)
           val mean = ts.sum / ts.length
           val sd = math.sqrt(ts.map(t => (t - mean) * (t - mean)).sum / ts.length)
-          results += ((name, median, sd, ts.length, nRuns))
+          results += ((name, median, sd, ts.length, nRuns, ts.head))
         }
         // Durability: rewrite the cumulative artifact after EVERY query
         // so a driver-side kill (round-5's rc=124) still leaves every
@@ -166,7 +206,80 @@ object Bench {
       }
     }
     val notRun = if (stoppedAt >= 0) sorted.drop(stoppedAt).map(_._1) else Seq.empty
-    val json = renderJson(results.toSeq, notRun, failed.toSeq, partial = false)
+
+    // ---- self-adjudication pass (round-14 directive #1) ----
+    // Trigger: median >= 0.25 s AND (median > 2x own min-run OR median >
+    // 2x calib-scaled frozen value). The frozen threshold scales by
+    // calibSpark/anchorCalib so a uniformly slow host doesn't flag the
+    // whole battery; the min-run threshold is calib-free (same-process
+    // comparison). Suspects re-measure worst-first under a cap, with the
+    // artifact rewritten after each so a kill still leaves adjudicated
+    // rows on disk.
+    val fnByName = sorted.toMap
+    val calibScale = if (calibSpark > 0) calibSpark / anchorCalib else 1.0
+    var extra = ""
+    // Subset runs ARE the quiet protocol already, so adjudication is off
+    // for them unless forced (the force flag exists to smoke-test this
+    // path without a full battery).
+    val forceAdj = sys.env.getOrElse("SPARK_GRAFT_REMEASURE_FORCE", "0") == "1"
+    if (remeasureOn && stoppedAt < 0 && (only.isEmpty || forceAdj)) {
+      def severity(r: (String, Double, Double, Int, Int, Double)): Double = {
+        val (name, med, _, _, _, mn) = r
+        val vsMin = if (mn > 0) med / mn else 1.0
+        val vsFrozen = frozen.get(name).map(f => med / (f * calibScale)).getOrElse(0.0)
+        math.max(vsMin, vsFrozen)
+      }
+      val suspects = results.toSeq
+        .filter { r => r._2 >= 0.25 && severity(r) > 2.0 }
+        .sortBy(r => -severity(r))
+      val (toRun, skippedByCap) = suspects.splitAt(remeasureCap)
+      if (suspects.nonEmpty) {
+        System.err.println(s"[bench] adjudicating ${toRun.size} contended rows" +
+          (if (skippedByCap.nonEmpty) s" (${skippedByCap.size} over cap)" else "") +
+          s": ${toRun.map(_._1).mkString(", ")}")
+        // Fresh calibration for the tail window — lets a reader verify the
+        // re-measure really ran quieter than the battery.
+        val calibTail = try medianOf((1 to 3).map { _ =>
+          val t0 = System.nanoTime()
+          spark.range(0L, 200000000L, 1L, cpus.toInt)
+            .selectExpr("bit_xor(xxhash64(id)) AS s").collect()
+          (System.nanoTime() - t0) / 1e9
+        }) catch { case _: Throwable => -1.0 }
+        val contended = scala.collection.mutable.ArrayBuffer.empty[(String, Double)]
+        val remeasured = scala.collection.mutable.ArrayBuffer.empty[(String, Double)]
+        val remeasuredSd = scala.collection.mutable.ArrayBuffer.empty[(String, Double)]
+        val notRemeasured = scala.collection.mutable.ArrayBuffer.empty[String]
+        notRemeasured ++= skippedByCap.map(_._1)
+        def renderExtra(): String =
+          s""""contended":${m(contended.toSeq)},"remeasured":${m(remeasured.toSeq)},""" +
+            s""""remeasure_sd":${m(remeasuredSd.toSeq)},"remeasure_runs":$remeasureRuns,""" +
+            s""""remeasure_skipped":${arr(notRemeasured.toSeq)},""" +
+            f""""remeasure_calib_spark32_sec":$calibTail%.4f,"""
+        for (r <- toRun) {
+          val name = r._1
+          if (elapsed > budget * 0.95) notRemeasured += name
+          else fnByName.get(name).foreach { fn =>
+            runOnce(name, fn) // fresh warmup for the quiet window
+            val ts = (1 to remeasureRuns).flatMap(_ => runOnce(name, fn)).sorted
+            if (ts.nonEmpty) {
+              val med = ts(ts.length / 2)
+              val mean = ts.sum / ts.length
+              val sd = math.sqrt(ts.map(t => (t - mean) * (t - mean)).sum / ts.length)
+              contended += ((name, r._2))
+              remeasured += ((name, med))
+              remeasuredSd += ((name, sd))
+              val i = results.indexWhere(_._1 == name)
+              results(i) = (name, med, sd, ts.length, remeasureRuns, ts.head)
+            } else notRemeasured += name
+            extra = renderExtra()
+            writeFile(renderJson(results.toSeq, notRun, failed.toSeq, partial = false, extra))
+          }
+        }
+        extra = renderExtra()
+      }
+    }
+
+    val json = renderJson(results.toSeq, notRun, failed.toSeq, partial = false, extra)
     println(json)
     writeFile(json)
     spark.stop()

@@ -584,7 +584,11 @@ class SqlEnv private (val spark: SparkSession) {
   }
 
   /** Rewrite every `NAME(args...)` call whose upper-cased NAME is in
-    * `names`, balancing parentheses and skipping quoted literals. `f`
+    * `names`, balancing parentheses and skipping quoted literals and SQL
+    * comments (`-- …\n` and nested `/* … */` — Spark parses bracketed
+    * comments as nesting, so the scanner tracks depth the same way). An
+    * unquoted apostrophe inside a comment must NOT flip the string state
+    * (r13 advice: `-- don't` would otherwise swallow the next call). `f`
     * receives (NAME, topLevelArgs, originalCallText) and returns the
     * replacement — returning the original text leaves the call alone. */
   private def rewriteCalls(sql: String, names: Set[String])(
@@ -597,6 +601,21 @@ class SqlEnv private (val spark: SparkSession) {
         val j = sql.indexOf('\'', i + 1)
         val end = if (j < 0) sql.length - 1 else j
         sb.append(sql.substring(i, end + 1)); i = end + 1
+      } else if (c == '-' && i + 1 < sql.length && sql.charAt(i + 1) == '-') {
+        val j = sql.indexOf('\n', i) // copy line comments verbatim
+        val end = if (j < 0) sql.length else j + 1
+        sb.append(sql.substring(i, end)); i = end
+      } else if (c == '/' && i + 1 < sql.length && sql.charAt(i + 1) == '*') {
+        var depth = 0; var m = i; var end = -1 // nested bracketed comment
+        while (m < sql.length && end < 0) {
+          if (m + 1 < sql.length && sql.charAt(m) == '/' && sql.charAt(m + 1) == '*') {
+            depth += 1; m += 2
+          } else if (m + 1 < sql.length && sql.charAt(m) == '*' && sql.charAt(m + 1) == '/') {
+            depth -= 1; m += 2; if (depth == 0) end = m
+          } else m += 1
+        }
+        val e = if (end < 0) sql.length else end
+        sb.append(sql.substring(i, e)); i = e
       } else if (Character.isLetter(c) || c == '_') {
         var j = i
         while (j < sql.length &&
@@ -608,14 +627,26 @@ class SqlEnv private (val spark: SparkSession) {
           var depth = 0; var m = k; var inStr = false; var endIdx = -1
           while (m < sql.length && endIdx < 0) {
             val ch = sql.charAt(m)
-            if (inStr) { if (ch == '\'') inStr = false }
-            else ch match {
-              case '\'' => inStr = true
-              case '(' => depth += 1
-              case ')' => depth -= 1; if (depth == 0) endIdx = m
-              case _ =>
+            if (inStr) { if (ch == '\'') inStr = false; m += 1 }
+            else if (ch == '-' && m + 1 < sql.length && sql.charAt(m + 1) == '-') {
+              val j = sql.indexOf('\n', m); m = if (j < 0) sql.length else j + 1
+            } else if (ch == '/' && m + 1 < sql.length && sql.charAt(m + 1) == '*') {
+              var d = 0; var p = m; var e = -1
+              while (p < sql.length && e < 0) {
+                if (p + 1 < sql.length && sql.charAt(p) == '/' && sql.charAt(p + 1) == '*') { d += 1; p += 2 }
+                else if (p + 1 < sql.length && sql.charAt(p) == '*' && sql.charAt(p + 1) == '/') { d -= 1; p += 2; if (d == 0) e = p }
+                else p += 1
+              }
+              m = if (e < 0) sql.length else e
+            } else {
+              ch match {
+                case '\'' => inStr = true
+                case '(' => depth += 1
+                case ')' => depth -= 1; if (depth == 0) endIdx = m
+                case _ =>
+              }
+              m += 1
             }
-            m += 1
           }
           require(endIdx > 0, s"unbalanced parentheses after $word in: $sql")
           val argsStr = sql.substring(k + 1, endIdx)
@@ -628,6 +659,40 @@ class SqlEnv private (val spark: SparkSession) {
     sb.toString
   }
 
+  /** Rewrite ANSI `INTERVAL '<n>' <unit>` literals to the canonical
+    * `'<n> seconds'` string form session_window() accepts, leaving
+    * single-quoted regions untouched. */
+  private def substIntervalsOutsideQuotes(s: String): String = {
+    val sb = new StringBuilder
+    var i = 0
+    while (i < s.length) {
+      if (s.charAt(i) == '\'') { // copy quoted region verbatim
+        val j = s.indexOf('\'', i + 1)
+        val end = if (j < 0) s.length - 1 else j
+        sb.append(s.substring(i, end + 1)); i = end + 1
+      } else {
+        var j = s.indexOf('\'', i)
+        if (j < 0) j = s.length
+        // INTERVAL literals carry their own quotes ('45'), so substitute
+        // on a window widened to swallow that inner quote pair: match
+        // from here up to the next quote, and if the regex match ENDS at
+        // the boundary quote, extend. Simpler and correct: run the regex
+        // over the whole remaining string but only accept matches
+        // starting before j, then jump past the replacement.
+        val seg = s.substring(i)
+        intervalRe.findFirstMatchIn(seg) match {
+          case Some(mm) if i + mm.start < j =>
+            sb.append(seg.substring(0, mm.start))
+            sb.append(s"'${intervalSec(mm.matched)} seconds'")
+            i = i + mm.end
+          case _ =>
+            sb.append(s.substring(i, j)); i = j
+        }
+      }
+    }
+    sb.toString
+  }
+
   private val legacyAuxNames = Set(
     "TUMBLE_START", "TUMBLE_END", "TUMBLE_ROWTIME",
     "HOP_START", "HOP_END", "HOP_ROWTIME",
@@ -635,7 +700,33 @@ class SqlEnv private (val spark: SparkSession) {
   private val legacyGroupNames = Set("TUMBLE", "HOP", "SESSION")
 
   private[graft] def rewriteLegacyGroupWindows(sql: String): String = {
-    val aux = rewriteCalls(sql, legacyAuxNames) { (name, _, _) =>
+    // Collect the legacy group assigners present, so each auxiliary call
+    // can be validated against them: Flink resolves SESSION_START(a, b)
+    // only when (a, b) textually repeats a SESSION(a, b) group clause —
+    // a mismatched aux silently mapping to the grouped struct would
+    // return the wrong window (r13 advice). Validation is existential
+    // (some assigner of the same family matches) so multi-subquery SQL
+    // with different windows per subquery still passes.
+    def norm(s: String) = s.replaceAll("\\s+", " ").trim.toUpperCase
+    val assigners = scala.collection.mutable.ArrayBuffer.empty[(String, Seq[String])]
+    rewriteCalls(sql, legacyGroupNames) { (name, args, orig) =>
+      if (args.nonEmpty && args.head.matches("\\w+")) assigners += ((name, args.map(norm)))
+      orig
+    }
+    val aux = rewriteCalls(sql, legacyAuxNames) { (name, args, orig) =>
+      val family = name.substring(0, name.indexOf('_'))
+      val familyAssigners = assigners.filter(_._1 == family)
+      // The TVF rewrite runs before this pass, so by now a legacy aux
+      // call without a same-family, same-arguments GROUP BY assigner is
+      // always invalid — Flink's dialect resolves SESSION_START only
+      // against a matching SESSION group clause.
+      val normArgs = args.map(norm)
+      require(familyAssigners.exists(_._2 == normArgs),
+        s"$name(${args.mkString(", ")}) does not match any $family group " +
+          s"clause in this query (found: ${
+            if (familyAssigners.isEmpty) "none"
+            else familyAssigners.map(a => s"$family(${a._2.mkString(", ")})").mkString("; ")}) " +
+          "— legacy window auxiliaries must repeat the assigner's arguments")
       val structCol =
         if (name.startsWith("SESSION")) "session_window" else "window"
       name.substring(name.indexOf('_') + 1) match {
@@ -673,9 +764,10 @@ class SqlEnv private (val spark: SparkSession) {
                 // INTERVAL '45' MINUTE is DayTimeIntervalType, which the
                 // SessionWindowing analyzer rejects — the string form is
                 // what the DataFrame path (q87) passes too.
-                val gapExpr = intervalRe.replaceAllIn(args(1),
-                  mm => s"'${intervalSec(mm.matched)} seconds'")
-                s"session_window($ts, $gapExpr)"
+                // Substitute only OUTSIDE single-quoted regions: an
+                // INTERVAL-shaped substring inside a string literal in the
+                // gap expression must survive verbatim (r13 advice).
+                s"session_window($ts, ${substIntervalsOutsideQuotes(args(1))})"
             }
         }
       }

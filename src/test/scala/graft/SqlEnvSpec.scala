@@ -678,6 +678,51 @@ class SqlEnvSpec extends AnyFunSuite {
       == "SELECT 'SESSION(x, y)' AS s")
   }
 
+  test("legacy rewrite scanner: comments, quoted intervals, aux validation (r13 advice)") {
+    val env = SqlEnv(spark)
+    // 1. An apostrophe inside a `--` comment must not flip the string
+    //    state and swallow the next legacy call.
+    val withLineComment = env.rewriteLegacyGroupWindows(
+      "SELECT k -- don't touch\nFROM t GROUP BY SESSION(ts, INTERVAL '30' MINUTE), k")
+    assert(withLineComment.contains("session_window(ts, '1800 seconds')"),
+      s"line comment broke the rewrite: $withLineComment")
+    // 2. Same for nested /* */ block comments.
+    val withBlockComment = env.rewriteLegacyGroupWindows(
+      "SELECT k /* outer 'quote /* nested */ still comment */ " +
+        "FROM t GROUP BY SESSION(ts, INTERVAL '30' MINUTE), k")
+    assert(withBlockComment.contains("session_window(ts, '1800 seconds')"),
+      s"block comment broke the rewrite: $withBlockComment")
+    // 3. An INTERVAL-shaped substring inside a string literal within a
+    //    dynamic gap expression must survive verbatim.
+    val gapWithLiteral = env.rewriteLegacyGroupWindows(
+      "GROUP BY SESSION(ts, CASE WHEN note = 'use INTERVAL ''45'' MINUTE here' " +
+        "THEN INTERVAL '45' MINUTE ELSE INTERVAL '15' MINUTE END), k")
+    assert(gapWithLiteral.contains("INTERVAL ''45'' MINUTE here"),
+      s"string-literal interval was rewritten: $gapWithLiteral")
+    assert(gapWithLiteral.contains("THEN '2700 seconds' ELSE '900 seconds' END"),
+      s"real intervals not canonicalized: $gapWithLiteral")
+    // 4. An auxiliary whose arguments disagree with the group clause must
+    //    raise a clear error instead of silently mapping to the struct.
+    val err = intercept[IllegalArgumentException] {
+      env.rewriteLegacyGroupWindows(
+        "SELECT SESSION_START(ts, INTERVAL '10' MINUTE) " +
+          "FROM t GROUP BY SESSION(ts, INTERVAL '30' MINUTE), k")
+    }
+    assert(err.getMessage.contains("does not match any SESSION group"))
+    // ...and a TUMBLE_START paired with a HOP group clause likewise.
+    val err2 = intercept[IllegalArgumentException] {
+      env.rewriteLegacyGroupWindows(
+        "SELECT TUMBLE_START(ts, INTERVAL '5' MINUTE) FROM t " +
+          "GROUP BY HOP(ts, INTERVAL '5' MINUTE, INTERVAL '10' MINUTE), k")
+    }
+    assert(err2.getMessage.contains("does not match any TUMBLE group"))
+    // Matching aux args (modulo whitespace/case) still rewrite fine.
+    val ok = env.rewriteLegacyGroupWindows(
+      "SELECT SESSION_START(ts,  interval '30' minute) AS s " +
+        "FROM t GROUP BY SESSION(ts, INTERVAL '30' MINUTE), k")
+    assert(ok.contains("session_window.start"))
+  }
+
   test("computed and metadata columns in filesystem DDL") {
     val env = SqlEnv(spark)
     env.executeSql(
