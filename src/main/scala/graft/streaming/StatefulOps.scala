@@ -927,6 +927,101 @@ object StatefulOps {
       }(stateEnc, outEnc)
   }
 
+  /** Timer-driven late-fire tumbling-window aggregate — the
+    * `transformWithState` upgrade of [[lateFireWindowAgg]] that CLOSES
+    * its documented idle-key narrowing: an idle key's final now fires
+    * when the WATERMARK passes window end, regardless of whose data
+    * advanced it — the reference's EventTimeTrigger firing exactly
+    * (flink-streaming-java/.../windowing/triggers/EventTimeTrigger.java:58
+    * registers the window's maxTimestamp as an event-time timer; idle
+    * keys fire because Flink's watermark is broadcast to all keys).
+    *
+    * Construction ([[graft.TwsProbeSpec]] pins each leg empirically):
+    * plain event-time TWS filters rows behind the watermark before the
+    * processor — the same wall EventTimeTimeout hit in r6 — so the op
+    * builds a two-branch union:
+    *
+    *  - branch W (sentinel): each input row projected to a single
+    *    sentinel key carrying the REAL event time in the watermark
+    *    column; the only `withWatermark` node in the query, so the
+    *    global watermark is the true one;
+    *  - branch D (data): the full rows with the watermark column pinned
+    *    to a far-future constant, so the operator's late filter never
+    *    matches them and arbitrarily-late rows reach the processor —
+    *    where Flink's WINDOW-level admission rule
+    *    (maxTimestamp + lateness vs watermark) is applied exactly,
+    *    rather than Spark's row-level one.
+    *
+    * Event-time timers arm at (next boundary − 1) ms — the −1 makes
+    * firing exact under a strict `expiry < watermark` eviction rule and
+    * at-most-one-batch early under `<=`, and the handler re-arms if it
+    * ran early, so semantics never depend on the engine's boundary
+    * convention. Emission/accounting contract is identical to
+    * [[lateFireWindowAgg]] (final / late_update / dropped_late), with
+    * idle-key finals and purges now timer-driven.
+    *
+    * Cost vs the NoTimeout op: the union doubles row COUNT through the
+    * shuffle but the sentinel rows are two columns wide, and they all
+    * hash to one key whose handler just drains them — at scale this is
+    * the cost of a watermark channel, not of a second pipeline. Needs
+    * the RocksDB state store provider (Spark's transformWithState
+    * requirement).
+    *
+    * `df` must NOT already carry a watermark — the op installs the only
+    * one (`disorderDelay`, the analog of the bounded-out-of-orderness
+    * bound) on its sentinel branch.
+    */
+  def lateFireWindowAggTimers(df: DataFrame, keys: Seq[String], tsCol: String,
+      valueCol: String, windowSec: Long, latenessMs: Long,
+      disorderDelay: String = "0 seconds"): DataFrame = {
+    require(!hasWatermark(df),
+      "lateFireWindowAggTimers installs its own watermark — pass the raw stream")
+    require(latenessMs >= 0)
+    val wMs = windowSec * 1000L
+    val keyFields = keys.map(k => df.schema(k))
+    val farFuture = java.sql.Timestamp.valueOf("2999-01-01 00:00:00")
+    val branchW = df.select(
+      (keyFields.map(f => lit(null).cast(f.dataType).as(f.name)) ++ Seq(
+        col(tsCol).as("__ett"),
+        lit(0L).as("__tsms"),
+        lit(0.0).as("__val"),
+        lit(true).as("__sent"))): _*)
+      .withWatermark("__ett", disorderDelay)
+    val branchD = df.select(
+      (keys.map(col) ++ Seq(
+        lit(farFuture).as("__ett"),
+        unix_millis(col(tsCol)).as("__tsms"),
+        col(valueCol).cast("double").as("__val"),
+        lit(false).as("__sent"))): _*)
+    val unioned = branchW.unionByName(branchD)
+    val inSchema = unioned.schema
+    val keyIdx = keys.map(inSchema.fieldIndex)
+    val outSchema = StructType(keyFields ++ Seq(
+      StructField("window_start", org.apache.spark.sql.types.LongType),
+      StructField("cnt", org.apache.spark.sql.types.LongType),
+      StructField("sum_val", org.apache.spark.sql.types.DoubleType),
+      StructField("emit_kind", org.apache.spark.sql.types.StringType)))
+    implicit val outEnc: ExpressionEncoder[Row] = rowEnc(outSchema)
+    implicit val keyEnc = Encoders.STRING
+    val stateSchema = StructType(keyFields.map(f => f.copy(name = "k_" + f.name)) :+
+      StructField("wins", org.apache.spark.sql.types.ArrayType(StructType(Seq(
+        StructField("ws", org.apache.spark.sql.types.LongType),
+        StructField("cnt", org.apache.spark.sql.types.LongType),
+        StructField("sum", org.apache.spark.sql.types.DoubleType),
+        StructField("fin", org.apache.spark.sql.types.BooleanType))))))
+    val proc = new LateFireTimersProcessor(
+      inSchema, keyIdx, inSchema.fieldIndex("__tsms"), inSchema.fieldIndex("__val"),
+      inSchema.fieldIndex("__sent"), wMs, latenessMs, stateSchema, outSchema)
+    unioned
+      .groupByKey { r: Row =>
+        if (r.getBoolean(inSchema.fieldIndex("__sent"))) " wm"
+        else encodeKey(r, keyIdx)
+      }
+      .transformWithState(proc,
+        org.apache.spark.sql.streaming.TimeMode.EventTime(),
+        OutputMode.Append())(outEnc)
+  }
+
   /** Route a [[tagLateStreaming]]-tagged stream to two sinks per
     * micro-batch — the two-collector shape of Flink's
     * `DataStream.getSideOutput`. Returns the started query handle.
@@ -1035,5 +1130,129 @@ object StatefulOps {
     joined.withColumn("__vrn", row_number().over(w))
       .filter(col("__vrn") === 1)
       .drop("__vrn", "__eid", versionKey)
+  }
+}
+
+/** Keyed processor behind [[StatefulOps.lateFireWindowAggTimers]]: the
+  * reference's WindowOperator + EventTimeTrigger + allowedLateness loop
+  * (flink-streaming-java/.../windowing/WindowOperator.java:390
+  * processElement / onEventTime) on transformWithState state + timers.
+  *
+  * State per key: the original key values (needed for timer-only
+  * invocations, which carry no input rows) plus the key's open windows
+  * (ws, cnt, sum, final_emitted). One event-time timer is kept armed at
+  * (next boundary − 1) where the next boundary is the earliest pending
+  * final (window maxTimestamp) or purge (maxTimestamp + lateness); the
+  * handler is authoritative — it acts only on what the CURRENT watermark
+  * justifies and re-arms otherwise, so firing is exact under either
+  * timer-eviction boundary convention.
+  */
+private[streaming] class LateFireTimersProcessor(
+    inSchema: StructType, keyIdx: Seq[Int], tsmsIdx: Int, valIdx: Int,
+    sentIdx: Int, wMs: Long, latenessMs: Long,
+    stateSchema: StructType, outSchema: StructType)
+    extends org.apache.spark.sql.streaming.StatefulProcessor[String, Row, Row] {
+  import org.apache.spark.sql.streaming._
+
+  @transient private var st: ValueState[Row] = _
+
+  override def init(outputMode: OutputMode, timeMode: TimeMode): Unit = {
+    st = getHandle.getValueState[Row]("wins",
+      StatefulOps.rowEnc(stateSchema), TTLConfig.NONE)
+  }
+
+  private def loadWins(s: Row): Map[Long, (Long, Double, Boolean)] =
+    s.getSeq[Row](keyIdx.length)
+      .map(w => w.getLong(0) -> ((w.getLong(1), w.getDouble(2), w.getBoolean(3))))
+      .toMap
+
+  private def saveOrClear(keyVals: Seq[Any],
+      wins: Map[Long, (Long, Double, Boolean)]): Unit = {
+    if (wins.isEmpty) st.clear()
+    else st.update(Row.fromSeq(keyVals :+ wins.toSeq.sortBy(_._1)
+      .map { case (ws, (c, s, fin)) => Row(ws, c, s, fin) }))
+    // one timer: the earliest pending boundary, armed 1 ms early (see
+    // class doc); clear the rest so timers never accumulate
+    val existing = getHandle.listTimers().toSeq
+    val next = wins.map { case (ws, (_, _, fin)) =>
+      if (!fin) ws + wMs - 1 else ws + wMs - 1 + latenessMs
+    }.reduceOption(_ min _)
+    next match {
+      case Some(b) =>
+        val want = b - 1
+        existing.foreach { t =>
+          if (t.asInstanceOf[Long] != want) getHandle.deleteTimer(t.asInstanceOf[Long])
+        }
+        if (!existing.contains(want)) getHandle.registerTimer(want)
+      case None =>
+        existing.foreach(t => getHandle.deleteTimer(t.asInstanceOf[Long]))
+    }
+  }
+
+  /** Fire finals / purge per the CURRENT watermark; shared by the input
+    * and timer paths (Flink's onEventTime body). */
+  private def fireAndPurge(keyVals: Seq[Any],
+      wins: Map[Long, (Long, Double, Boolean)], wm: Long,
+      touched: Set[Long], out: scala.collection.mutable.ArrayBuffer[Row])
+      : Map[Long, (Long, Double, Boolean)] = {
+    val fired = wins.map { case (ws, (c, s, fin)) =>
+      val closed = ws + wMs - 1 <= wm
+      if (closed && !fin) {
+        out += Row.fromSeq(keyVals ++ Seq[Any](ws, c, s, "final"))
+        ws -> ((c, s, true))
+      } else {
+        if (closed && touched(ws))
+          out += Row.fromSeq(keyVals ++ Seq[Any](ws, c, s, "late_update"))
+        ws -> ((c, s, fin))
+      }
+    }
+    fired.filter { case (ws, _) => ws + wMs - 1 + latenessMs > wm }
+  }
+
+  override def handleInputRows(key: String, rows: Iterator[Row],
+      tv: TimerValues): Iterator[Row] = {
+    if (key == " wm") { rows.foreach(_ => ()); return Iterator.empty }
+    val it = rows.buffered
+    val prior = if (st.exists()) Some(st.get()) else None
+    val keyVals: Seq[Any] = prior match {
+      case Some(s) => keyIdx.indices.map(s.get)
+      case None => keyIdx.map(it.head.get)
+    }
+    val wm = tv.getCurrentWatermarkInMs()
+    var wins = prior.map(loadWins).getOrElse(Map.empty[Long, (Long, Double, Boolean)])
+    val touched = scala.collection.mutable.Set.empty[Long]
+    var dropped = Map.empty[Long, (Long, Double)]
+    it.foreach { r =>
+      val ws = math.floorDiv(r.getLong(tsmsIdx), wMs) * wMs
+      if (ws + wMs - 1 + latenessMs <= wm) {
+        val (dc, dsum) = dropped.getOrElse(ws, (0L, 0.0))
+        dropped = dropped.updated(ws, (dc + 1, dsum + r.getDouble(valIdx)))
+      } else {
+        val (c, s, fin) = wins.getOrElse(ws, (0L, 0.0, false))
+        wins = wins.updated(ws, (c + 1, s + r.getDouble(valIdx), fin))
+        touched += ws
+      }
+    }
+    val out = scala.collection.mutable.ArrayBuffer.empty[Row]
+    wins = fireAndPurge(keyVals, wins, wm, touched.toSet, out)
+    dropped.foreach { case (ws, (dc, dsum)) =>
+      out += Row.fromSeq(keyVals ++ Seq[Any](ws, dc, dsum, "dropped_late"))
+    }
+    saveOrClear(keyVals, wins)
+    out.iterator
+  }
+
+  override def handleExpiredTimer(key: String, tv: TimerValues,
+      info: ExpiredTimerInfo): Iterator[Row] = {
+    (if (st.exists()) Some(st.get()) else None) match {
+      case None => Iterator.empty
+      case Some(s) =>
+        val keyVals: Seq[Any] = keyIdx.indices.map(s.get)
+        val wm = tv.getCurrentWatermarkInMs()
+        val out = scala.collection.mutable.ArrayBuffer.empty[Row]
+        val wins = fireAndPurge(keyVals, loadWins(s), wm, Set.empty, out)
+        saveOrClear(keyVals, wins)
+        out.iterator
+    }
   }
 }

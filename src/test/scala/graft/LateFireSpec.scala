@@ -121,4 +121,77 @@ class LateFireSpec extends AnyFunSuite {
         "the boundary row must not be admitted as a correction")
     } finally q.stop()
   }
+
+  /** Closes the documented idle-key narrowing (r12 directive #3, carried
+    * to r14): under [[StatefulOps.lateFireWindowAggTimers]] an idle
+    * key's final fires when the WATERMARK passes window end — advanced
+    * by ANOTHER key's data, with zero new rows for the idle key — and
+    * its state later purges the same way. The NoTimeout op
+    * ([[StatefulOps.lateFireWindowAgg]]) could only fire on the key's
+    * own next arrival; the TWS op uses real event-time timers
+    * ([[TwsProbeSpec]] pins the mechanism).
+    */
+  test("timer op: idle key's final fires and purges on another key's watermark advance") {
+    implicit val sc = spark.sqlContext
+    implicit val enc = Encoders.product[LfEv]
+    val prev = spark.conf.getOption("spark.sql.streaming.stateStore.providerClass")
+    spark.conf.set("spark.sql.streaming.stateStore.providerClass",
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    val in = MemoryStream[LfEv]
+    // 60 s windows, 180 s allowedLateness, zero out-of-orderness — the
+    // raw stream goes in un-watermarked (the op installs its own).
+    val out = StatefulOps.lateFireWindowAggTimers(
+      in.toDF(), keys = Seq("k"), tsCol = "ts", valueCol = "v",
+      windowSec = 60L, latenessMs = 180000L)
+    val q = out.writeStream.format("memory").queryName("latefire_timers")
+      .outputMode(OutputMode.Append)
+      .option("checkpointLocation",
+        java.nio.file.Files.createTempDirectory("latefire_t").toString)
+      .start()
+    def rows() = spark.sql(
+      "SELECT k, window_start, cnt, sum_val, emit_kind FROM latefire_timers")
+      .collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getDouble(3), r.getString(4)))
+    def aRows() = rows().filter(_._1 == "a").map(r => (r._2, r._3, r._4, r._5))
+    val w1000 = ts("2024-01-01 10:00:00").getTime
+    try {
+      in.addData(LfEv("a", ts("2024-01-01 10:00:10"), 1.0))
+      q.processAllAvailable()
+      assert(aRows().isEmpty, "nothing fires before the watermark passes window end")
+
+      // key 'a' goes idle FOREVER; only 'b' advances the watermark
+      in.addData(LfEv("b", ts("2024-01-01 10:02:00"), 0.0))
+      q.processAllAvailable() // wm = 10:00:10 — a's window still open
+      in.addData(LfEv("b", ts("2024-01-01 10:03:00"), 0.0))
+      q.processAllAvailable() // wm = 10:02:00 ≥ 10:01 → a's TIMER fires its final
+      assert(aRows().toSet == Set((w1000, 1L, 1.0, "final")),
+        s"idle key 'a' must final-fire on b's watermark advance: ${rows().mkString(", ")}")
+
+      // a late row for 'a' within lateness still corrects after the
+      // timer final (cleanup 10:03:59.999 + lateness vs wm 10:02)
+      in.addData(LfEv("a", ts("2024-01-01 10:00:40"), 5.0))
+      q.processAllAvailable()
+      assert(aRows().contains((w1000, 2L, 6.0, "late_update")),
+        s"late row within lateness must correct the timer-fired final: ${rows().mkString(", ")}")
+
+      // 'a' idle again; b drives the watermark past end+lateness (10:04)
+      in.addData(LfEv("b", ts("2024-01-01 10:06:00"), 0.0))
+      q.processAllAvailable()
+      in.addData(LfEv("b", ts("2024-01-01 10:07:00"), 0.0))
+      q.processAllAvailable() // wm = 10:06 → a's window purged by TIMER
+      // beyond end+lateness now → dropped-and-accounted, never resurrected
+      in.addData(LfEv("a", ts("2024-01-01 10:00:50"), 99.0))
+      q.processAllAvailable()
+      assert(aRows().contains((w1000, 1L, 99.0, "dropped_late")),
+        s"row beyond allowedLateness must be accounted as dropped: ${rows().mkString(", ")}")
+      assert(!aRows().contains((w1000, 3L, 105.0, "late_update")),
+        "a dropped row must never correct a purged window")
+    } finally {
+      q.stop()
+      prev match {
+        case Some(p) => spark.conf.set("spark.sql.streaming.stateStore.providerClass", p)
+        case None => spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
+      }
+    }
+  }
 }
