@@ -397,6 +397,93 @@ object VectorOps {
         .select(col("query_id"), col("rk"), col("cand_id"), col("cos_sim"))
     }),
 
+    // ---- IVF-SQ: coarse cells over int8 scalar quantization -----------
+    // FAISS's IndexIVFScalarQuantizer (QT_8bit) composition, completing
+    // the quantizer × pruning matrix (IVF×PQ = v51, flat SQ = v53,
+    // IVF×SQ = here): coarse cells prune the scored volume to the
+    // probed inverted lists, the per-dimension affine int8 codec (v53's
+    // arithmetic, verbatim) cuts candidate memory 4×, the asymmetric
+    // float-query-vs-dequantized-candidate cosine orders a shortlist,
+    // and the v50 exact re-rank sharpens it. All four artifacts
+    // (centroids, ranges, cell-tagged codes, probe assignments) are one
+    // consistent staged group — timed runs measure pure search. The
+    // oracle replays dequantize + the cell-pruned probe join + both
+    // rank passes from the same staged parquet.
+    // Scale: the probe join shuffles on cell (bounded keys), candidates
+    // dequantize map-side, shortlist is query-bounded (30/query), and
+    // the re-rank joins a query-scale shortlist against the store —
+    // the same 100 TB shape as v51.
+    "v54_ivfsq_refine" -> ((s, dir) => {
+      val e = Tables.load(s, dir, "embeddings")
+      val base = s"/tmp/graft_oracle/${new java.io.File(dir).getName}"
+      Staging.parquetGroupOnce(s"$dir#ivfsq54",
+        Seq(s"$base/ivfsq54_cents", s"$base/ivfsq54_ranges",
+          s"$base/ivfsq54_codes", s"$base/ivfsq54_probes")) { () =>
+        val n = e.count().toDouble
+        val cellCount = math.max(4, math.ceil(math.sqrt(n)).toInt)
+        graft.ops.Ivf.centroids(e, "vec_id", "embedding",
+            k = cellCount, iters = 2)
+          .write.mode("overwrite").parquet(s"$base/ivfsq54_cents")
+        val centsDf = s.read.parquet(s"$base/ivfsq54_cents")
+        val elems = e.select(col("vec_id"),
+            posexplode(col("embedding")).as(Seq("dim", "v")))
+          .select(col("vec_id"), col("dim"), col("v").cast("double").as("v"))
+        elems.groupBy(col("dim"))
+          .agg(min(col("v")).as("lo"), max(col("v")).as("hi"))
+          .withColumn("scale", (col("hi") - col("lo")) / lit(255.0))
+          .write.mode("overwrite").parquet(s"$base/ivfsq54_ranges")
+        val owned = graft.ops.Ivf.assign(e, "vec_id", "embedding",
+            centsDf, nprobe = 1)
+          .select(col("vec_id"), col("cell"))
+        elems.join(broadcast(s.read.parquet(s"$base/ivfsq54_ranges")), "dim")
+          .withColumn("code",
+            when(col("scale") === 0, lit(0)).otherwise(
+              round((col("v") - col("lo")) / col("scale"), 0).cast("int") - 128))
+          .groupBy(col("vec_id"))
+          .agg(transform(array_sort(collect_list(struct(col("dim"), col("code")))),
+            x => x.getField("code")).as("codes"))
+          .join(owned, "vec_id")
+          .write.mode("overwrite").parquet(s"$base/ivfsq54_codes")
+        graft.ops.Ivf.assign(e.filter(col("vec_id") % 50 === 0),
+            "vec_id", "embedding", centsDf,
+            nprobe = graft.ops.Ivf.defaultNprobe(cellCount))
+          .select(col("vec_id").as("query_id"), col("cell"))
+          .write.mode("overwrite").parquet(s"$base/ivfsq54_probes")
+      }
+      val rg = s.read.parquet(s"$base/ivfsq54_ranges")
+        .select(col("dim"), col("lo"), col("scale")).collect().sortBy(_.getInt(0))
+      val loArr = array(rg.map(r => lit(r.getDouble(1))): _*)
+      val scArr = array(rg.map(r => lit(r.getDouble(2))): _*)
+      val cands = s.read.parquet(s"$base/ivfsq54_codes")
+        .select(col("vec_id").as("cand_id"), col("cell"),
+          zip_with(col("codes"),
+            sequence(lit(0), lit(rg.length - 1)),
+            (c, i) => (((c + lit(128)).cast("double") * element_at(scArr, i + 1))
+              + element_at(loArr, i + 1)).cast("float")).as("c_deq"))
+      val q = e.filter(col("vec_id") % 50 === 0)
+        .select(col("vec_id").as("query_id"),
+          col("embedding").cast("array<float>").as("q_emb"))
+      val probes = s.read.parquet(s"$base/ivfsq54_probes")
+        .join(broadcast(q), "query_id")
+      val wShort = Window.partitionBy(col("query_id"))
+        .orderBy(col("sq_sim").desc, col("cand_id"))
+      val shortlist = probes.join(cands, "cell")
+        .filter(col("query_id") =!= col("cand_id"))
+        .withColumn("sq_sim", cosine_sim(col("q_emb"), col("c_deq")))
+        .withColumn("srk", row_number().over(wShort))
+        .filter(col("srk") <= 30)
+        .select(col("query_id"), col("cand_id"))
+      val c = e.select(col("vec_id").as("cand_id"),
+        col("embedding").cast("array<float>").as("c_emb"))
+      val wTop = Window.partitionBy(col("query_id"))
+        .orderBy(col("cos_sim").desc, col("cand_id"))
+      shortlist.join(c, "cand_id").join(broadcast(q), "query_id")
+        .withColumn("cos_sim", cosine_sim(col("q_emb"), col("c_emb")))
+        .withColumn("rk", row_number().over(wTop))
+        .filter(col("rk") <= 3)
+        .select(col("query_id"), col("rk"), col("cand_id"), col("cos_sim"))
+    }),
+
     // ---- K-means clustering (semantic grouping) -----------------------
     // The clustering use of the IVF machinery: spherical k-means (k=8,
     // 2 Lloyd passes — graft.ops.Ivf.centroids, fit on a bounded
@@ -832,6 +919,47 @@ object VectorOps {
         |      i -> CAST(qn.embedding[i] AS DOUBLE) * dn.d[i]), 'sum')
         |      / (qn.qnrm * dn.dnrm) AS sq_sim
         |  FROM qn, dn WHERE query_id <> cand_id),
+        |short AS (SELECT query_id, cand_id FROM (
+        |    SELECT query_id, cand_id,
+        |      ROW_NUMBER() OVER (PARTITION BY query_id
+        |                         ORDER BY sq_sim DESC, cand_id) AS srk
+        |    FROM scored) WHERE srk <= 30),
+        |n AS (SELECT vec_id, embedding,
+        |        sqrt(${dotSql.format("embedding", "embedding")}) AS nrm
+        |      FROM embeddings)
+        |SELECT query_id, rk, cand_id, cos_sim FROM (
+        |  SELECT query_id, cand_id,
+        |    ${dotSql.format("q.embedding", "c.embedding")} / (q.nrm * c.nrm) AS cos_sim,
+        |    ROW_NUMBER() OVER (PARTITION BY query_id
+        |                       ORDER BY ${dotSql.format("q.embedding", "c.embedding")} / (q.nrm * c.nrm) DESC, cand_id) AS rk
+        |  FROM short
+        |  JOIN n q ON q.vec_id = query_id
+        |  JOIN n c ON c.vec_id = cand_id) WHERE rk <= 3""".stripMargin,
+
+    "v54_ivfsq_refine" ->
+      s"""WITH codes AS (SELECT * FROM read_parquet('/tmp/graft_oracle/__SF__/ivfsq54_codes/*.parquet')),
+        |rg AS (SELECT list(lo ORDER BY dim) AS los, list(scale ORDER BY dim) AS scs
+        |       FROM read_parquet('/tmp/graft_oracle/__SF__/ivfsq54_ranges/*.parquet')),
+        |probes AS (SELECT * FROM read_parquet('/tmp/graft_oracle/__SF__/ivfsq54_probes/*.parquet')),
+        |deq AS (SELECT vec_id AS cand_id, cell,
+        |          list_transform(generate_series(1, 64), i ->
+        |            CAST(CAST((codes[i] + 128) * scs[i] + los[i] AS REAL) AS DOUBLE)) AS d
+        |        FROM codes, rg),
+        |dn AS (SELECT cand_id, cell, d,
+        |         sqrt(list_aggregate(list_transform(generate_series(1, 64),
+        |           i -> d[i] * d[i]), 'sum')) AS dnrm FROM deq),
+        |qn AS (SELECT vec_id AS query_id, embedding,
+        |         sqrt(${dotSql.format("embedding", "embedding")}) AS qnrm
+        |       FROM embeddings WHERE vec_id % 50 = 0),
+        |scored AS (
+        |  SELECT p.query_id, dn.cand_id,
+        |    list_aggregate(list_transform(generate_series(1, 64),
+        |      i -> CAST(qn.embedding[i] AS DOUBLE) * dn.d[i]), 'sum')
+        |      / (qn.qnrm * dn.dnrm) AS sq_sim
+        |  FROM probes p
+        |  JOIN dn USING (cell)
+        |  JOIN qn ON qn.query_id = p.query_id
+        |  WHERE p.query_id <> dn.cand_id),
         |short AS (SELECT query_id, cand_id FROM (
         |    SELECT query_id, cand_id,
         |      ROW_NUMBER() OVER (PARTITION BY query_id
