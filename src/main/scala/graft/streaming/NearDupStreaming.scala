@@ -29,10 +29,11 @@ object NearDupStreaming {
     */
   def nearDupTagStreaming(docs: DataFrame, idCol: String, textCol: String,
                           k: Int = 128, bands: Int = 16,
-                          ttlSec: Long = StatefulOps.DefaultTtlSec)(
+                          ttlSec: Long = StatefulOps.DefaultTtlSec,
+                          checkpoint: Option[String] = None)(
       sink: DataFrame => Unit): org.apache.spark.sql.streaming.StreamingQuery = {
     val owned = bucketOwners(bandedStream(docs, idCol, textCol, k, bands), ttlSec)
-    owned.writeStream
+    val w = owned.writeStream
       .foreachBatch { (b: Dataset[Row], _: Long) =>
         val perDoc = b.groupBy(col("doc_id"))
           .agg(
@@ -42,7 +43,11 @@ object NearDupStreaming {
               .as("dup_of"))
         sink(perDoc)
       }
-      .start()
+    // An explicit checkpoint makes the bucket-owner state resumable
+    // across restarts (StateRecoverySpec); without one Spark uses a
+    // fresh temp dir per start, i.e. state dies with the query.
+    checkpoint.foreach(c => w.option("checkpointLocation", c))
+    w.start()
   }
 
   /** (doc_id, band, bucket) rows — minhash + banding, map-side. */

@@ -93,4 +93,108 @@ class StateRecoverySpec extends AnyFunSuite {
         .contains((w1000, 2L, "final")),
       s"final must carry the pre-restart row + the post-restart row: ${seen.toArray.toList}")
   }
+
+  test("retract group agg accumulator (cnt, sum) survives a restart") {
+    implicit val sc = spark.sqlContext
+    val ckpt = Files.createTempDirectory("graft_retract_ckpt").toString
+    val in = MemoryStream[Chg]
+    val seen = new java.util.concurrent.ConcurrentLinkedQueue[(String, Long, Double)]()
+
+    def start() = graft.streaming.Changelog.retractGroupAgg(in.toDF(), Seq("k"), "price")
+      .writeStream
+      .option("checkpointLocation", ckpt)
+      .outputMode("update")
+      .foreachBatch { (b: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], _: Long) =>
+        b.collect().foreach(r => seen.add((r.getString(r.fieldIndex("k")),
+          r.getLong(r.fieldIndex("cnt")), r.getDouble(r.fieldIndex("sum_val")))))
+      }
+      .start()
+
+    // before the restart: two keys accumulated
+    val q1 = start()
+    in.addData(Chg("+I", "a", 5.0), Chg("+I", "a", 2.0), Chg("+I", "b", 3.0))
+    q1.processAllAvailable()
+    q1.stop()
+    assert(seen.toArray.map(_.asInstanceOf[(String, Long, Double)]).toSet ==
+      Set(("a", 2L, 7.0), ("b", 1L, 3.0)))
+
+    // after the restart: a -U/+U pair for 'a' must net against the
+    // RESTORED (2, 7.0) accumulator — exactly what an uninterrupted
+    // run would produce — not against empty state
+    val q2 = start()
+    in.addData(Chg("-U", "a", 2.0), Chg("+U", "a", 9.0))
+    q2.processAllAvailable()
+    q2.stop()
+    val last = seen.toArray.map(_.asInstanceOf[(String, Long, Double)]).last
+    assert(last == (("a", 2L, 14.0)),
+      s"post-restart retraction must net against restored state: ${seen.toArray.toList}")
+  }
+
+  test("streaming TopN state (the per-key top rows) survives a restart") {
+    implicit val sc = spark.sqlContext
+    val ckpt = Files.createTempDirectory("graft_topn_ckpt").toString
+    val in = MemoryStream[Ev]
+    val batches = new java.util.concurrent.ConcurrentLinkedQueue[Seq[Double]]()
+
+    def start() = StatefulOps.topNStreaming(in.toDF(), Seq("tpe"), "value",
+        descending = true, n = 2)
+      .writeStream
+      .option("checkpointLocation", ckpt)
+      .outputMode("update")
+      .foreachBatch { (b: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], _: Long) =>
+        val vals = b.collect().map(r => r.getDouble(r.fieldIndex("value"))).toSeq
+        if (vals.nonEmpty) batches.add(vals)
+        ()
+      }
+      .start()
+
+    val q1 = start()
+    in.addData(Ev(Timestamp.valueOf("2024-01-01 00:00:01"), "u1", "a", 10.0),
+               Ev(Timestamp.valueOf("2024-01-01 00:00:02"), "u2", "a", 20.0),
+               Ev(Timestamp.valueOf("2024-01-01 00:00:03"), "u3", "a", 5.0))
+    q1.processAllAvailable()
+    q1.stop()
+    assert(batches.toArray.last.asInstanceOf[Seq[Double]].sorted == Seq(10.0, 20.0))
+
+    // after the restart: 15 displaces 10 only if the restored state
+    // still holds [20, 10] — an empty-state run would emit [15] alone
+    val q2 = start()
+    in.addData(Ev(Timestamp.valueOf("2024-01-01 00:00:04"), "u4", "a", 15.0))
+    q2.processAllAvailable()
+    q2.stop()
+    assert(batches.toArray.last.asInstanceOf[Seq[Double]].sorted == Seq(15.0, 20.0),
+      s"post-restart top-2 must merge against restored rows: ${batches.toArray.toList}")
+  }
+
+  test("near-dup bucket-owner state survives a restart") {
+    implicit val sc = spark.sqlContext
+    val ckpt = Files.createTempDirectory("graft_neardup_ckpt").toString
+    val in = MemoryStream[Doc]
+    val tags = new java.util.concurrent.ConcurrentHashMap[Long, (Boolean, Option[Long])]()
+
+    def start() = graft.streaming.NearDupStreaming.nearDupTagStreaming(
+        in.toDF(), "doc_id", "text", checkpoint = Some(ckpt))(
+      b => b.collect().foreach { r =>
+        tags.put(r.getLong(0), (r.getBoolean(1),
+          if (r.isNullAt(2)) None else Some(r.getLong(2))))
+      })
+
+    val base = "the quick brown fox jumps over the lazy dog near the river bank today"
+    val q1 = start()
+    in.addData(Doc(1L, base))
+    q1.processAllAvailable()
+    q1.stop()
+    assert(tags.get(1L) == ((false, None)))
+
+    // after the restart: an exact copy must be flagged against doc 1 —
+    // possible only if the (band, bucket) -> owner state was restored
+    val q2 = start()
+    in.addData(Doc(2L, base),
+      Doc(3L, "completely different words about spark and flink engines processing streams"))
+    q2.processAllAvailable()
+    q2.stop()
+    assert(tags.get(2L) == ((true, Some(1L))),
+      s"restored bucket owners must flag the post-restart copy: ${tags}")
+    assert(tags.get(3L) == ((false, None)))
+  }
 }
