@@ -29,7 +29,10 @@ object ExplainAudit {
         "t48_line_dedup", "t54_heavy_hitters",
         // round-12 additions: refined/filtered ANN + dynamic session gap
         "v50_pq_refine", "v51_ivfpq_refine", "v52_filtered_ann",
-        "q87_dynamic_session_gap")
+        "q87_dynamic_session_gap",
+        // rounds 13-14: SQL-text dynamic session, staged v45/v46, IVF-SQ
+        "q88_dynamic_session_sql", "v45_pq_ann", "v46_ivfpq_ann",
+        "v54_ivfsq_refine")
     names.foreach { n =>
       println(s"\n========== $n ==========")
       graft.SparkEntry.queries(n)(spark, dir).explain("formatted")
