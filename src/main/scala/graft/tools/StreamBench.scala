@@ -198,6 +198,25 @@ object StreamBench {
       df => StatefulOps.lateFireWindowAgg(
         df.withWatermark("ts", "10 seconds"), Seq("tpe"), "ts", "value",
         windowSec = 60L, latenessMs = 60000L), evBatches)
+    // TWS twin with event-time timers (idle-key finals): measures the
+    // sentinel-watermark-channel overhead vs the NoTimeout op above.
+    // transformWithState requires the RocksDB provider, so it is forced
+    // for this row regardless of the battery's store axis — compare to
+    // latefire_window_agg on the rocksdb axis for like-for-like.
+    locally {
+      val prev = spark.conf.getOption("spark.sql.streaming.stateStore.providerClass")
+      spark.conf.set("spark.sql.streaming.stateStore.providerClass",
+        "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+      try results += run("latefire_window_agg_timers", OutputMode.Append,
+        df => StatefulOps.lateFireWindowAggTimers(
+          df, Seq("tpe"), "ts", "value",
+          windowSec = 60L, latenessMs = 60000L, disorderDelay = "10 seconds"),
+        evBatches)
+      finally prev match {
+        case Some(p) => spark.conf.set("spark.sql.streaming.stateStore.providerClass", p)
+        case None => spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
+      }
+    }
     results += run("cep_match_pattern", OutputMode.Append,
       df => Cep.matchPatternStreaming(
         df.withWatermark("ts", "10 seconds")
