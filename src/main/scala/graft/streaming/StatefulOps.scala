@@ -1014,7 +1014,7 @@ object StatefulOps {
       inSchema.fieldIndex("__sent"), wMs, latenessMs, stateSchema, outSchema)
     unioned
       .groupByKey { r: Row =>
-        if (r.getBoolean(inSchema.fieldIndex("__sent"))) " wm"
+        if (r.getBoolean(inSchema.fieldIndex("__sent"))) "\u0000wm"
         else encodeKey(r, keyIdx)
       }
       .transformWithState(proc,

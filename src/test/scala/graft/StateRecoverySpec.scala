@@ -166,6 +166,74 @@ class StateRecoverySpec extends AnyFunSuite {
       s"post-restart top-2 must merge against restored rows: ${batches.toArray.toList}")
   }
 
+  test("CEP partial-match buffer and skip cursor survive a restart") {
+    implicit val sc = spark.sqlContext
+    val ckpt = Files.createTempDirectory("graft_cep_ckpt").toString
+    val in = MemoryStream[Ev]
+    val seen = new java.util.concurrent.ConcurrentLinkedQueue[(String, Int)]()
+    val steps = Seq(
+      graft.streaming.Cep.Step.once("a", (r: org.apache.spark.sql.Row) =>
+        r.getString(r.fieldIndex("tpe")) == "A"),
+      graft.streaming.Cep.Step.oneOrMore("b", (r: org.apache.spark.sql.Row) =>
+        r.getString(r.fieldIndex("tpe")) == "B"))
+
+    def start() = graft.streaming.Cep.matchPatternStreaming(
+        in.toDF().withWatermark("ts", "1 minute")
+          .withColumn("eid", org.apache.spark.sql.functions.concat_ws(
+            "-", org.apache.spark.sql.functions.col("user"),
+            org.apache.spark.sql.functions.col("ts").cast("long"))),
+        "user", "ts", "eid", steps, withinSec = 600L)
+      .writeStream
+      .option("checkpointLocation", ckpt)
+      .outputMode("append")
+      .foreachBatch { (b: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], _: Long) =>
+        b.collect().foreach(r => seen.add((r.getString(r.fieldIndex("a_first_id")),
+          r.getInt(r.fieldIndex("b_count")))))
+      }
+      .start()
+
+    // before the restart: A + one B buffered, anchor not yet
+    // watermark-decidable — the partial match lives only in state
+    val q1 = start()
+    in.addData(Ev(Timestamp.valueOf("2024-01-01 00:00:00"), "u1", "A", 1.0),
+               Ev(Timestamp.valueOf("2024-01-01 00:01:00"), "u1", "B", 1.0))
+    q1.processAllAvailable()
+    q1.stop()
+    assert(seen.isEmpty, "anchor undecided — nothing fires before restart")
+
+    // after the restart: a second B extends the RESTORED buffer; pushing
+    // the watermark past the anchor's deadline must fire ONE match with
+    // b_count = 2 — an empty-state run would see only the post-restart B
+    val q2 = start()
+    in.addData(Ev(Timestamp.valueOf("2024-01-01 00:02:00"), "u1", "B", 1.0))
+    q2.processAllAvailable()
+    in.addData(Ev(Timestamp.valueOf("2024-01-01 00:30:00"), "u1", "X", 0.0))
+    q2.processAllAvailable()
+    in.addData(Ev(Timestamp.valueOf("2024-01-01 00:31:00"), "u1", "X", 0.0))
+    q2.processAllAvailable()
+    q2.stop()
+    val id1 = s"u1-${Timestamp.valueOf("2024-01-01 00:00:00").getTime / 1000}"
+    val matches = seen.toArray.map(_.asInstanceOf[(String, Int)]).toList
+    assert(matches == List((id1, 2)),
+      s"restored buffer must contribute the pre-restart A and B: $matches")
+
+    // and the restored-then-consumed skip cursor stays coherent: a fresh
+    // A+B after the match must produce a second, independent match
+    val q3 = start()
+    in.addData(Ev(Timestamp.valueOf("2024-01-01 00:40:00"), "u1", "A", 1.0),
+               Ev(Timestamp.valueOf("2024-01-01 00:41:00"), "u1", "B", 1.0))
+    q3.processAllAvailable()
+    in.addData(Ev(Timestamp.valueOf("2024-01-01 01:10:00"), "u1", "X", 0.0))
+    q3.processAllAvailable()
+    in.addData(Ev(Timestamp.valueOf("2024-01-01 01:11:00"), "u1", "X", 0.0))
+    q3.processAllAvailable()
+    q3.stop()
+    val id2 = s"u1-${Timestamp.valueOf("2024-01-01 00:40:00").getTime / 1000}"
+    val all = seen.toArray.map(_.asInstanceOf[(String, Int)]).toList
+    assert(all == List((id1, 2), (id2, 1)),
+      s"cursor restored from the second checkpoint must allow the new anchor: $all")
+  }
+
   test("near-dup bucket-owner state survives a restart") {
     implicit val sc = spark.sqlContext
     val ckpt = Files.createTempDirectory("graft_neardup_ckpt").toString
