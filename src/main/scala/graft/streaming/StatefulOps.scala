@@ -106,6 +106,14 @@ object StatefulOps {
     * binary rows (BinaryRowData), which are unambiguous by
     * construction; a flat string concat is not.
     */
+  /** Grouping key of the sentinel-watermark branch in the timer-driven
+    * late-fire op. A NUL prefix cannot collide with [[encodeKey]] output
+    * (segments start with "n" or digits). The processor MUST compare
+    * against this same constant — an r14 rename updated only the
+    * groupByKey side and sentinel rows silently became a data key.
+    */
+  private[streaming] val SentinelWmKey = "\u0000wm"
+
   private[streaming] def encodeKey(r: Row, idx: Seq[Int]): String =
     idx.iterator.map { i =>
       val v = r.get(i)
@@ -1014,7 +1022,7 @@ object StatefulOps {
       inSchema.fieldIndex("__sent"), wMs, latenessMs, stateSchema, outSchema)
     unioned
       .groupByKey { r: Row =>
-        if (r.getBoolean(inSchema.fieldIndex("__sent"))) "\u0000wm"
+        if (r.getBoolean(inSchema.fieldIndex("__sent"))) SentinelWmKey
         else encodeKey(r, keyIdx)
       }
       .transformWithState(proc,
@@ -1211,7 +1219,7 @@ private[streaming] class LateFireTimersProcessor(
 
   override def handleInputRows(key: String, rows: Iterator[Row],
       tv: TimerValues): Iterator[Row] = {
-    if (key == " wm") { rows.foreach(_ => ()); return Iterator.empty }
+    if (key == StatefulOps.SentinelWmKey) { rows.foreach(_ => ()); return Iterator.empty }
     val it = rows.buffered
     val prior = if (st.exists()) Some(st.get()) else None
     val keyVals: Seq[Any] = prior match {

@@ -186,6 +186,12 @@ class LateFireSpec extends AnyFunSuite {
         s"row beyond allowedLateness must be accounted as dropped: ${rows().mkString(", ")}")
       assert(!aRows().contains((w1000, 3L, 105.0, "late_update")),
         "a dropped row must never correct a purged window")
+      // The sentinel branch must never surface as output: a null-key row
+      // means the processor's sentinel check and the groupByKey sentinel
+      // key diverged (the r14 rename bug) and watermark carriers were
+      // aggregated as data.
+      assert(rows().forall(_._1 != null),
+        s"sentinel watermark rows leaked into the output: ${rows().mkString(", ")}")
     } finally {
       q.stop()
       prev match {
