@@ -265,4 +265,110 @@ class StateRecoverySpec extends AnyFunSuite {
       s"restored bucket owners must flag the post-restart copy: ${tags}")
     assert(tags.get(3L) == ((false, None)))
   }
+
+  test("timer-driven late-fire: window state AND armed timers survive a restart") {
+    // Distinct from the NoTimeout late-fire scenario above: the
+    // transformWithState op keeps an EVENT-TIME TIMER armed per key, and
+    // recovery must restore both the window accumulators and the timer
+    // registry — the restored timer of an idle key must fire its final
+    // post-restart from another key's watermark advance alone (the
+    // reference restores WindowOperator state and its EventTimeTrigger
+    // timers together from a checkpoint).
+    implicit val sc = spark.sqlContext
+    val prev = spark.conf.getOption("spark.sql.streaming.stateStore.providerClass")
+    spark.conf.set("spark.sql.streaming.stateStore.providerClass",
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    val ckpt = Files.createTempDirectory("graft_lftimer_ckpt").toString
+    val in = MemoryStream[Ev]
+    val seen = new java.util.concurrent.ConcurrentLinkedQueue[(String, Long, Long, Double, String)]()
+
+    def start() = StatefulOps.lateFireWindowAggTimers(
+        in.toDF(), keys = Seq("user"), tsCol = "ts", valueCol = "value",
+        windowSec = 60L, latenessMs = 180000L)
+      .writeStream
+      .option("checkpointLocation", ckpt)
+      .outputMode("append")
+      .foreachBatch { (b: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], _: Long) =>
+        b.collect().foreach(r => seen.add((r.getString(r.fieldIndex("user")),
+          r.getLong(r.fieldIndex("window_start")), r.getLong(r.fieldIndex("cnt")),
+          r.getDouble(r.fieldIndex("sum_val")), r.getString(r.fieldIndex("emit_kind")))))
+      }
+      .start()
+
+    val w1000 = Timestamp.valueOf("2024-01-01 10:00:00").getTime
+    try {
+      // before the restart: 'a' has one open window + one armed timer
+      val q1 = start()
+      in.addData(Ev(Timestamp.valueOf("2024-01-01 10:00:10"), "a", "x", 1.0))
+      q1.processAllAvailable()
+      q1.stop()
+      assert(seen.isEmpty, "window open, timer armed — nothing fires before restart")
+
+      // after the restart: ONLY 'b' produces data; 'a' stays idle, so its
+      // final can come only from the restored timer firing on the restored
+      // window state once b's rows push the watermark past 10:01.
+      val q2 = start()
+      in.addData(Ev(Timestamp.valueOf("2024-01-01 10:02:00"), "b", "x", 0.0))
+      q2.processAllAvailable() // wm -> 10:00:10 (restored) … then 10:02
+      in.addData(Ev(Timestamp.valueOf("2024-01-01 10:03:00"), "b", "x", 0.0))
+      q2.processAllAvailable()
+      q2.stop()
+      val aRows = seen.toArray.map(_.asInstanceOf[(String, Long, Long, Double, String)])
+        .filter(_._1 == "a").map(r => (r._2, r._3, r._4, r._5)).toList
+      assert(aRows == List((w1000, 1L, 1.0, "final")),
+        s"idle key 'a' must final-fire from its RESTORED timer + state: ${seen.toArray.toList}")
+      assert(seen.toArray.map(_.asInstanceOf[(String, Long, Long, Double, String)])
+          .forall(_._1 != null),
+        s"sentinel rows must never surface post-restart: ${seen.toArray.toList}")
+    } finally {
+      prev match {
+        case Some(p) => spark.conf.set("spark.sql.streaming.stateStore.providerClass", p)
+        case None => spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
+      }
+    }
+  }
+
+  test("temporal sort pending buffer survives a restart") {
+    // StreamExecTemporalSort's not-yet-releasable rows live in state; a
+    // restart must restore the buffer so rows held back pre-restart are
+    // re-emitted in event-time order (not lost) once the watermark
+    // passes them.
+    implicit val sc = spark.sqlContext
+    val ckpt = Files.createTempDirectory("graft_tsort_ckpt").toString
+    val in = MemoryStream[Ev]
+    val seen = new java.util.concurrent.ConcurrentLinkedQueue[String]()
+
+    def start() = StatefulOps.temporalSortStreaming(
+        in.toDF().withWatermark("ts", "0 seconds"), "ts", tieBreak = Seq("tpe"))
+      .writeStream
+      .option("checkpointLocation", ckpt)
+      .outputMode("append")
+      .foreachBatch { (b: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], _: Long) =>
+        b.collect().foreach(r => seen.add(r.getString(r.fieldIndex("tpe"))))
+      }
+      .start()
+
+    // before the restart: three rows arrive OUT of event-time order; the
+    // watermark (max ts so far = c's 00:03) releases nothing yet in this
+    // batch (wm advances AFTER the batch), so all three are buffered.
+    val q1 = start()
+    in.addData(Ev(Timestamp.valueOf("2024-01-01 00:03:00"), "u", "c", 1.0),
+               Ev(Timestamp.valueOf("2024-01-01 00:01:00"), "u", "a", 1.0),
+               Ev(Timestamp.valueOf("2024-01-01 00:02:00"), "u", "b", 1.0))
+    q1.processAllAvailable()
+    q1.stop()
+
+    // after the restart: a later row pushes the watermark past the
+    // restored buffer; the three pre-restart rows must emerge first,
+    // sorted a < b < c — impossible if the buffer died with q1.
+    val q2 = start()
+    in.addData(Ev(Timestamp.valueOf("2024-01-01 00:04:00"), "u", "d", 1.0))
+    q2.processAllAvailable()
+    in.addData(Ev(Timestamp.valueOf("2024-01-01 00:05:00"), "u", "e", 1.0))
+    q2.processAllAvailable()
+    q2.stop()
+    val got = seen.toArray.map(_.asInstanceOf[String]).toList
+    assert(got.take(3) == List("a", "b", "c"),
+      s"restored buffer must re-emit pre-restart rows in event-time order: $got")
+  }
 }
