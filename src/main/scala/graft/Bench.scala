@@ -81,6 +81,8 @@ object Bench {
       .config("spark.sql.adaptive.enabled", "true")
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
+      // native TIME type (Flink TIME(p) analog) — see sql/Ddl.scala
+      .config("spark.sql.timeType.enabled", "true")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     val sorted = SparkEntry.queries.toSeq.sortBy(_._1)

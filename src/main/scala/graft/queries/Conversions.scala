@@ -83,6 +83,31 @@ object Conversions {
         second(col("ts")).as("sec"))
     }),
 
+    // ---- TIME type (Flink TIME(p) WITHOUT TIME ZONE) -------------------
+    // The reference's TIME columns (LogicalTypeRoot.TIME_WITHOUT_TIME_ZONE,
+    // flink-table-common LocalTimeType family) on Spark 4.1's native
+    // TimeType (spark.sql.timeType.enabled — all graft sessions set it):
+    // construct time-of-day from a timestamp, compare against TIME
+    // literals, aggregate min/max, and shift by a day-time interval.
+    // This replaces the int-millis-of-day narrowing documented through
+    // r13 (README). TIMESTAMP→TIME casts are not yet wired in Spark,
+    // so the tod derives via make_time(hour, minute, second) — the
+    // seconds-truncated value DuckDB's date_trunc('second', ts)::TIME
+    // also produces.
+    "q89_time_type" -> ((s, dir) => {
+      val e = Tables.load(s, dir, "events")
+      e.withColumn("tod",
+          expr("make_time(hour(ts), minute(ts), second(ts))"))
+        .filter(col("tod") >= expr("TIME'06:00:00'") &&
+          col("tod") < expr("TIME'18:00:00'"))
+        .groupBy(col("event_type"))
+        .agg(
+          count(lit(1)).as("n"),
+          min(col("tod")).as("first_tod"),
+          max(col("tod")).as("last_tod"),
+          min(expr("tod + INTERVAL 1 HOUR")).as("first_shift"))
+    }),
+
     "q49_json2" -> ((s, dir) => {
       val e = Tables.load(s, dir, "events")
       val built = to_json(struct(
@@ -145,6 +170,17 @@ object Conversions {
         |WHERE EXISTS (SELECT 1 FROM orders
         |              WHERE o_custkey = c_custkey AND o_totalprice > 200000)
         |  AND c_acctbal > 0""".stripMargin,
+
+    "q89_time_type" ->
+      """WITH t AS (
+        |  SELECT event_type, CAST(date_trunc('second', ts) AS TIME) AS tod
+        |  FROM events
+        |  WHERE CAST(date_trunc('second', ts) AS TIME) >= TIME '06:00:00'
+        |    AND CAST(date_trunc('second', ts) AS TIME) < TIME '18:00:00')
+        |SELECT event_type, count(1) AS n,
+        |  min(tod) AS first_tod, max(tod) AS last_tod,
+        |  min(tod) + INTERVAL 1 HOUR AS first_shift
+        |FROM t GROUP BY event_type""".stripMargin,
 
     "q50_timestamp_arith" ->
       """SELECT event_id,

@@ -12,9 +12,11 @@ import org.apache.spark.sql.types._
   *
   * Supported surface:
   *  - physical columns with Flink types (CHAR/VARCHAR/STRING, BOOLEAN,
-  *    TINYINT..BIGINT, FLOAT, DOUBLE, DECIMAL(p,s), DATE,
+  *    TINYINT..BIGINT, FLOAT, DOUBLE, DECIMAL(p,s), DATE, TIME[(p)],
   *    TIMESTAMP[(p)][_LTZ], BYTES/[VAR]BINARY, ARRAY<T>, MAP<K,V>,
-  *    ROW<name T, ...>);
+  *    ROW<name T, ...>); TIME maps to Spark 4.1's native TimeType
+  *    (`spark.sql.timeType.enabled` — graft sessions enable it;
+  *    Flink's p ≤ 9 clamps to Spark's max precision 6);
   *  - `WATERMARK FOR ts AS ts - INTERVAL 'n' <unit>` (applied as
   *    `withWatermark` when the source is streaming; recorded otherwise);
   *  - `PRIMARY KEY (...) NOT ENFORCED` (recorded — drives upsert sinks);
@@ -104,6 +106,7 @@ object Ddl {
     case BooleanType => "BOOLEAN"
     case BinaryType => "BYTES"
     case DateType => "DATE"
+    case t: TimeType => s"TIME(${t.precision})"
     case TimestampType | TimestampNTZType => "TIMESTAMP(3)"
     case d: DecimalType => s"DECIMAL(${d.precision}, ${d.scale})"
     case a: ArrayType => s"ARRAY<${flinkTypeName(a.elementType)}>"
@@ -175,6 +178,9 @@ object Ddl {
     } else if (up.startsWith("VARCHAR") || up.startsWith("CHAR") || up == "STRING")
       StringType
     else if (up.startsWith("TIMESTAMP")) TimestampType // (p) and _LTZ collapse
+    else if (up.startsWith("TIME")) // Flink p <= 9 clamps to Spark max 6
+      TimeType(paren.map(m => math.min(m.group(1).toInt, TimeType.MAX_PRECISION))
+        .getOrElse(TimeType.MIN_PRECISION)) // Flink's bare TIME = TIME(0)
     else if (up.startsWith("VARBINARY") || up.startsWith("BINARY") || up == "BYTES")
       BinaryType
     else up match {

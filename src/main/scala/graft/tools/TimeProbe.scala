@@ -1,0 +1,49 @@
+package graft.tools
+
+import org.apache.spark.sql.SparkSession
+
+/** One-shot probe of Spark 4.1's TIME type surface (SPARK-51162 family)
+  * — run before deciding whether the reference's `TIME(p)` columns
+  * (FlinkSQL TIME WITHOUT TIME ZONE) can ride a native Spark type
+  * instead of the int-millis-of-day narrowing documented in README.
+  */
+object TimeProbe {
+  def main(args: Array[String]): Unit = {
+    val spark = SparkSession.builder().master("local[2]")
+      .config("spark.ui.enabled", "false")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.sql.timeType.enabled",
+        sys.env.getOrElse("GRAFT_TIME_FLAG", "true"))
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+    def tryQ(label: String, sql: String): Unit =
+      try {
+        val df = spark.sql(sql)
+        println(s"[timeprobe] $label OK schema=${df.schema.simpleString} " +
+          s"rows=${df.collect().mkString("; ")}")
+      } catch { case e: Throwable =>
+        println(s"[timeprobe] $label FAIL ${e.getClass.getSimpleName}: " +
+          e.getMessage.linesIterator.take(2).mkString(" | "))
+      }
+    tryQ("literal", "SELECT TIME'10:30:05' AS t")
+    tryQ("make_time", "SELECT make_time(1, 2, 3.5) AS m")
+    tryQ("cast_str", "SELECT cast('10:30:05' AS TIME) AS c")
+    tryQ("extract", "SELECT hour(TIME'10:30:05') AS h, minute(TIME'10:30:05') AS mi")
+    tryQ("arith", "SELECT TIME'10:30:05' + INTERVAL '1' HOUR AS p")
+    tryQ("compare", "SELECT TIME'10:30:05' < TIME'11:00:00' AS lt")
+    tryQ("cast_ts", "SELECT cast(TIMESTAMP'2024-01-01 10:30:05' AS TIME) AS ct")
+    tryQ("groupby", "SELECT t, count(1) AS n FROM (VALUES (TIME'01:02:03'), (TIME'01:02:03')) v(t) GROUP BY t")
+    // parquet roundtrip
+    try {
+      spark.sql("SELECT TIME'10:30:05' AS t").write.mode("overwrite")
+        .parquet("/tmp/graft_timeprobe")
+      val back = spark.read.parquet("/tmp/graft_timeprobe")
+      println(s"[timeprobe] parquet OK schema=${back.schema.simpleString} " +
+        s"rows=${back.collect().mkString("; ")}")
+    } catch { case e: Throwable =>
+      println(s"[timeprobe] parquet FAIL ${e.getClass.getSimpleName}: " +
+        e.getMessage.linesIterator.take(2).mkString(" | "))
+    }
+    spark.stop()
+  }
+}

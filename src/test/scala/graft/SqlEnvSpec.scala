@@ -1109,4 +1109,49 @@ class SqlEnvSpec extends AnyFunSuite {
       env.executeSql("EXPLAIN SHOW TABLES")
     }
   }
+
+  test("TIME(p) columns: DDL mapping, literals, ordering, SHOW CREATE roundtrip") {
+    import org.apache.spark.sql.types.TimeType
+    // Flink TIME(p) → Spark 4.1 native TimeType (r14: closes the
+    // int-millis-of-day narrowing). Seed a parquet with TIME values
+    // through SQL, declare it with Flink DDL, and exercise the surface.
+    spark.sql(
+      """SELECT * FROM VALUES
+        |  (1L, TIME'06:30:00'), (2L, TIME'12:00:01.250'), (3L, TIME'23:59:59')
+        |  AS v(id, t)""".stripMargin)
+      .write.mode("overwrite").parquet("/tmp/graft_sql_time_t")
+    val env = SqlEnv(spark)
+    env.executeSql(
+      """CREATE TABLE time_t (id BIGINT, t TIME(6))
+        |WITH ('connector' = 'filesystem',
+        |      'path' = '/tmp/graft_sql_time_t', 'format' = 'parquet')""".stripMargin)
+    val tbl = spark.table("time_t")
+    assert(tbl.schema("t").dataType == TimeType(6), tbl.schema.simpleString)
+    // literal comparison + interval shift + min/max ordering
+    val shifted = env.executeSql(
+      """SELECT id, t + INTERVAL '30' MINUTE AS t2 FROM time_t
+        |WHERE t >= TIME'12:00:00' AND t < TIME'23:00:00'""".stripMargin).collect()
+    assert(shifted.map(_.getLong(0)).toSet == Set(2L))
+    // Spark TIME + interval REFUSES to cross midnight (DATETIME_OVERFLOW)
+    // where DuckDB/Flink wrap modulo 24 h — pin the divergence so any
+    // TIME-arith oracle stays inside one day (q89 caps its range at
+    // 18:00 for exactly this reason).
+    val overflow = intercept[Exception] {
+      env.executeSql(
+        "SELECT t + INTERVAL '30' MINUTE AS t2 FROM time_t WHERE id = 3").collect()
+    }
+    assert(overflow.getMessage.contains("DATETIME_OVERFLOW"), overflow.getMessage)
+    val agg = env.executeSql(
+      "SELECT min(t) AS lo, max(t) AS hi, count(1) AS n FROM time_t").collect()(0)
+    assert(agg.get(0).toString == "06:30" && agg.getLong(2) == 3L, agg.toString)
+    // Flink's bare TIME is TIME(0); precision above Spark's max clamps
+    assert(graft.sql.Ddl.flinkType("TIME") == TimeType(0))
+    assert(graft.sql.Ddl.flinkType("TIME(9)") == TimeType(6))
+    assert(graft.sql.Ddl.flinkTypeName(TimeType(3)) == "TIME(3)")
+    // SHOW CREATE TABLE emits the TIME column and parses back
+    val ddl = env.executeSql("SHOW CREATE TABLE time_t").collect()(0).getString(0)
+    assert(ddl.contains("`t` TIME(6)"), ddl)
+    SqlEnv(spark).executeSql(ddl.replace("`time_t`", "time_t_rt"))
+    assert(spark.table("time_t_rt").schema("t").dataType == TimeType(6))
+  }
 }

@@ -13,6 +13,8 @@ object TestSpark {
       .config("spark.sql.warehouse.dir",
         java.nio.file.Files.createTempDirectory("graft_wh").toString)
       .config("spark.ui.enabled", "false")
+      // native TIME type (Flink TIME(p) analog) — see sql/Ddl.scala
+      .config("spark.sql.timeType.enabled", "true")
       .getOrCreate()
     s.sparkContext.setLogLevel("WARN")
     s
