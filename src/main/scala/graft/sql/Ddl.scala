@@ -169,7 +169,10 @@ object Ddl {
       val inner = t.substring(4, t.length - 1)
       StructType(splitTopLevel(inner).map { f =>
         val sp = f.trim.indexOf(' ')
-        StructField(f.trim.substring(0, sp).trim, flinkType(f.trim.substring(sp + 1)))
+        // names may arrive backtick-quoted (SHOW CREATE emits them so);
+        // the quotes are syntax, not part of the field name
+        val name = f.trim.substring(0, sp).trim.stripPrefix("`").stripSuffix("`")
+        StructField(name, flinkType(f.trim.substring(sp + 1)))
       })
     } else if (up.startsWith("DECIMAL") || up.startsWith("NUMERIC")) {
       val (p, s) = paren.map(m => (m.group(1).toInt,
