@@ -33,6 +33,10 @@ object TimeProbe {
     tryQ("compare", "SELECT TIME'10:30:05' < TIME'11:00:00' AS lt")
     tryQ("cast_ts", "SELECT cast(TIMESTAMP'2024-01-01 10:30:05' AS TIME) AS ct")
     tryQ("groupby", "SELECT t, count(1) AS n FROM (VALUES (TIME'01:02:03'), (TIME'01:02:03')) v(t) GROUP BY t")
+    tryQ("current_time", "SELECT current_time() IS NOT NULL AS ok")
+    tryQ("to_time", "SELECT to_time('10:30:05') AS t")
+    tryQ("time_trunc", "SELECT time_trunc('MINUTE', TIME'10:30:05.5') AS t")
+    tryQ("time_diff", "SELECT TIME'11:00:00' - TIME'10:30:00' AS d")
     // parquet roundtrip
     try {
       spark.sql("SELECT TIME'10:30:05' AS t").write.mode("overwrite")
