@@ -475,6 +475,7 @@ object functions {
   /** Register SQL names (idempotent) so `spark.sql` can use them. */
   def register(spark: SparkSession): Unit = {
     jsonfns.register(spark)
+    times.register(spark)
     val reg = spark.sessionState.functionRegistry
     reg.createOrReplaceTempFunction("minhash",
       es => MinHashSignature(es(0), Cast(es(1), IntegerType)), "built-in")

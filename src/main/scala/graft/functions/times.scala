@@ -1,0 +1,99 @@
+package graft.functions
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.catalyst.expressions._
+import org.apache.spark.sql.catalyst.trees.{TreePattern, UnaryLike}
+import org.apache.spark.sql.types._
+
+/** TIME-of-day cast the reference supports but Spark 4.1's `Cast` does
+  * not yet: `CAST(<timestamp> AS TIME(p))` (FlinkSQL
+  * LogicalTypeCasts TIMESTAMP→TIME, reference
+  * `flink-table/flink-table-common/.../LogicalTypeCasts.java` cast
+  * matrix). Spark's native TIME surface (SPARK-51162 family, behind
+  * `spark.sql.timeType.enabled`) covers string→TIME and TIME(p)→TIME(q)
+  * casts but rejects TIMESTAMP operands (`CAST_WITHOUT_SUGGESTION` —
+  * probed in `tools/TimeProbe`). This expression is a
+  * `RuntimeReplaceable` that dispatches once the child resolves:
+  *
+  *  - TIMESTAMP / TIMESTAMP_NTZ → format the session-local (resp.
+  *    wall-clock) time of day at full microsecond precision and parse
+  *    it back with the native `ToTime`, then cast to the target
+  *    precision (native TIME(6)→TIME(p) truncates, matching Flink's
+  *    seconds-truncating TIME(0) default);
+  *  - anything else → the native `Cast`, so string/TIME operands keep
+  *    Spark's own semantics (and its error messages).
+  *
+  * The replacement tree is all codegen'd builtins, so the cast stays
+  * inside whole-stage codegen. `tryMode` maps TRY_CAST: failures (e.g.
+  * malformed strings) yield NULL instead of raising.
+  */
+case class CastTime(
+    child: Expression,
+    precision: Int,
+    tryMode: Boolean = false,
+    timeZoneId: Option[String] = None)
+  extends RuntimeReplaceable with UnaryLike[Expression]
+  with TimeZoneAwareExpression {
+
+  override def withTimeZone(timeZoneId: String): TimeZoneAwareExpression =
+    copy(timeZoneId = Some(timeZoneId))
+
+  // TimeZoneAwareExpression's final nodePatterns would otherwise drop
+  // RUNTIME_REPLACEABLE, and the optimizer's ReplaceExpressions prunes
+  // on it — without it the node reaches codegen unreplaced.
+  override def nodePatternsInternal(): Seq[TreePattern.TreePattern] =
+    Seq(TreePattern.RUNTIME_REPLACEABLE)
+
+  private def cast(e: Expression, dt: DataType): Expression =
+    if (tryMode) Cast(e, dt, timeZoneId, EvalMode.TRY)
+    else Cast(e, dt, timeZoneId)
+
+  override lazy val replacement: Expression = child.dataType match {
+    case TimestampType | TimestampNTZType =>
+      cast(
+        ToTime(DateFormatClass(child,
+          Literal("HH:mm:ss.SSSSSS"), timeZoneId), None),
+        TimeType(precision))
+    case _ =>
+      cast(child, TimeType(precision))
+  }
+
+  override def prettyName: String = if (tryMode) "try_cast_time" else "cast_time"
+  override protected def withNewChildInternal(newChild: Expression): CastTime =
+    copy(child = newChild)
+}
+
+object times {
+  /** Register the TIME helpers (idempotent). */
+  def register(spark: SparkSession): Unit = {
+    val reg = spark.sessionState.functionRegistry
+    def prec(es: Seq[Expression]): Int =
+      es.lift(1).collect { case Literal(p: Int, IntegerType) => p }
+        .getOrElse(6).min(6).max(0)
+    reg.createOrReplaceTempFunction("cast_time",
+      es => CastTime(es.head, prec(es)), "built-in")
+    reg.createOrReplaceTempFunction("try_cast_time",
+      es => CastTime(es.head, prec(es), tryMode = true), "built-in")
+    // TIME ± interval with the reference's wrap-around-midnight
+    // semantics (FlinkSQL/DuckDB wrap modulo 24 h where Spark's native
+    // TIME arithmetic raises DATETIME_OVERFLOW — the delta pinned in
+    // SqlEnvSpec). Anchor the TIME on the NTZ epoch (timezone-free),
+    // add the interval as timestamp arithmetic (which crosses midnight
+    // freely, forward or backward), and take the resulting wall-clock
+    // time of day. Pure-builtin SQL function body → inlined at plan
+    // time, stays in whole-stage codegen.
+    // Graft sessions all enable spark.sql.timeType.enabled (README §TIME);
+    // a session without it cannot parse the TIME-typed signature — skip
+    // rather than fail the whole function registry for such a session
+    // (cast_time above stays registered either way: CastTime only touches
+    // TimeType lazily, at first use).
+    if (spark.conf.getOption("spark.sql.timeType.enabled").contains("true"))
+      spark.sql(
+        """CREATE OR REPLACE TEMPORARY FUNCTION time_add_wrap(
+          |  t TIME(6), d INTERVAL DAY TO SECOND)
+          |RETURNS TIME(6) RETURN
+          |to_time(date_format(
+          |  TIMESTAMP_NTZ'1970-01-01 00:00:00' + (t - TIME'00:00:00') + d,
+          |  'HH:mm:ss.SSSSSS'))""".stripMargin)
+  }
+}

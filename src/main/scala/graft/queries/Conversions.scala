@@ -108,6 +108,28 @@ object Conversions {
           min(expr("tod + INTERVAL 1 HOUR")).as("first_shift"))
     }),
 
+    // ---- TIMESTAMP→TIME cast through the SQL-text dialect --------------
+    // (r14 tail: closes the README "casts are not wired yet" delta.)
+    // Flink's LogicalTypeCasts allows TIMESTAMP→TIME; Spark's native Cast
+    // rejects it, so SqlEnv rewrites every TIME-targeted CAST/TRY_CAST
+    // onto the CastTime RuntimeReplaceable (functions/times.scala) which
+    // dispatches on the resolved operand type. The bare-TIME leg pins
+    // Flink's TIME(0) seconds truncation; time_add_wrap pins the
+    // wrap-modulo-24h arithmetic (DuckDB + INTERVAL wraps natively, so
+    // it oracles directly).
+    "q90_time_cast" -> ((s, dir) => {
+      val env = graft.sql.SqlEnv(s)
+      Tables.load(s, dir, "events").createOrReplaceTempView("events_q90")
+      env.executeSql("""
+        SELECT event_id,
+          CAST(ts AS TIME(6)) AS tod,
+          TRY_CAST(ts AS TIME(6)) AS tod_try,
+          CAST(CAST(ts AS TIME) AS TIME(6)) AS tod_sec,
+          time_add_wrap(CAST(ts AS TIME(6)), INTERVAL '20' HOUR) AS wrapped
+        FROM events_q90
+      """)
+    }),
+
     "q49_json2" -> ((s, dir) => {
       val e = Tables.load(s, dir, "events")
       val built = to_json(struct(
@@ -181,6 +203,14 @@ object Conversions {
         |  min(tod) AS first_tod, max(tod) AS last_tod,
         |  min(tod) + INTERVAL 1 HOUR AS first_shift
         |FROM t GROUP BY event_type""".stripMargin,
+
+    "q90_time_cast" ->
+      """SELECT event_id,
+        |  CAST(ts AS TIME) AS tod,
+        |  CAST(ts AS TIME) AS tod_try,
+        |  CAST(date_trunc('second', ts) AS TIME) AS tod_sec,
+        |  CAST(ts AS TIME) + INTERVAL 20 HOUR AS wrapped
+        |FROM events""".stripMargin,
 
     "q50_timestamp_arith" ->
       """SELECT event_id,

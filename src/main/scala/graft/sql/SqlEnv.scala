@@ -268,8 +268,37 @@ class SqlEnv private (val spark: SparkSession) {
     val afterMr = MatchRecognizeSql.rewrite(spark, afterTj,
       () => s"__graft_mr_${viewCounter.incrementAndGet()}")
     spark.sql(rewriteLegacyGroupWindows(rewriteWindowTvfs(
-      rewriteJsonSyntax(afterMr))))
+      rewriteJsonSyntax(rewriteTimeCasts(afterMr)))))
   }
+
+  private val timeCastTargetRe =
+    """(?is)^(.+)\s+AS\s+TIME\s*(?:\(\s*(\d+)\s*\))?\s*$""".r
+
+  /** FlinkSQL `CAST(x AS TIME[(p)])` / `TRY_CAST(x AS TIME[(p)])` →
+    * `cast_time(x, p)` / `try_cast_time(x, p)` (graft.functions.times).
+    * Spark 4.1's native Cast rejects TIMESTAMP→TIME (`TimeProbe`), and
+    * at string-rewrite time the operand type is unknown, so every
+    * TIME-targeted cast routes through the RuntimeReplaceable
+    * `CastTime`, which dispatches on the RESOLVED operand type: the
+    * timestamp derivation for TIMESTAMP[_NTZ], Spark's own Cast for
+    * everything else. Flink's bare `TIME` is TIME(0) (seconds
+    * precision, truncating — `LogicalTypeParser` default), `TIME(p)`
+    * clamps to Spark's max 6 like the DDL mapping. Non-TIME casts are
+    * left byte-identical; their argument text is re-scanned so a TIME
+    * cast nested inside another cast is still found. */
+  private[sql] def rewriteTimeCasts(sql: String): String =
+    rewriteCalls(sql, Set("CAST", "TRY_CAST")) { (name, args, orig) =>
+      val open = orig.indexOf('(')
+      val argsText = orig.substring(open + 1, orig.length - 1)
+      argsText match {
+        case timeCastTargetRe(expr, p) if args.length == 1 =>
+          val prec = Option(p).map(_.toInt.min(6)).getOrElse(0)
+          val fn = if (name == "TRY_CAST") "try_cast_time" else "cast_time"
+          s"$fn(${rewriteTimeCasts(expr)}, $prec)"
+        case _ =>
+          s"${orig.substring(0, open)}(${rewriteTimeCasts(argsText)})"
+      }
+    }
 
   /** SQL/JSON call syntax Spark's parser rejects, rewritten onto the
     * registered function names (reference: SqlJsonObjectFunction /

@@ -13,6 +13,7 @@ object ExplainAudit {
       .config("spark.sql.shuffle.partitions", "8")
       .config("spark.sql.adaptive.enabled", "true")
       .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.sql.timeType.enabled", "true")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
@@ -32,7 +33,9 @@ object ExplainAudit {
         "q87_dynamic_session_gap",
         // rounds 13-14: SQL-text dynamic session, staged v45/v46, IVF-SQ
         "q88_dynamic_session_sql", "v45_pq_ann", "v46_ivfpq_ann",
-        "v54_ivfsq_refine")
+        "v54_ivfsq_refine",
+        // late r14: TIMESTAMP→TIME cast through the Flink dialect
+        "q90_time_cast")
     names.foreach { n =>
       println(s"\n========== $n ==========")
       graft.SparkEntry.queries(n)(spark, dir).explain("formatted")

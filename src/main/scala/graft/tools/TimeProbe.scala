@@ -37,6 +37,33 @@ object TimeProbe {
     tryQ("to_time", "SELECT to_time('10:30:05') AS t")
     tryQ("time_trunc", "SELECT time_trunc('MINUTE', TIME'10:30:05.5') AS t")
     tryQ("time_diff", "SELECT TIME'11:00:00' - TIME'10:30:00' AS d")
+    // r14 tail: candidate rewrites for the two remaining spec-pinned
+    // deltas (README §TIME): TIMESTAMP→TIME cast, midnight-wrap arith.
+    tryQ("ts_derive_fmt",
+      "SELECT to_time(date_format(TIMESTAMP'2024-01-01 10:30:05.123456', 'HH:mm:ss.SSSSSS')) AS t")
+    tryQ("wrap_fwd",
+      "SELECT to_time(date_format(TIMESTAMP'1970-01-01 00:00:00' + (TIME'23:59:59' - TIME'00:00:00') + INTERVAL '30' MINUTE, 'HH:mm:ss.SSSSSS')) AS t")
+    tryQ("wrap_back",
+      "SELECT to_time(date_format(TIMESTAMP'1970-01-01 00:00:00' + (TIME'00:10:00' - TIME'00:00:00') - INTERVAL '30' MINUTE, 'HH:mm:ss.SSSSSS')) AS t")
+    tryQ("ts_minus_time",
+      "SELECT TIMESTAMP'2024-01-01 10:30:05' - TIME'10:30:05' AS d")
+    tryQ("ntz_fmt",
+      "SELECT to_time(date_format(TIMESTAMP_NTZ'1970-01-01 00:00:00' + (TIME'23:59:59' - TIME'00:00:00') + INTERVAL '30' MINUTE, 'HH:mm:ss.SSSSSS')) AS t")
+    tryQ("prec_cast",
+      "SELECT cast(TIME'10:30:05.987654' AS TIME(0)) AS t0, cast(TIME'10:30:05.987654' AS TIME(3)) AS t3")
+    tryQ("ts_ntz_fmt",
+      "SELECT to_time(date_format(TIMESTAMP_NTZ'2024-01-01 10:30:05.123', 'HH:mm:ss.SSSSSS')) AS t")
+    try {
+      spark.sql(
+        """CREATE OR REPLACE TEMPORARY FUNCTION probe_time_add_wrap(t TIME(6), d INTERVAL DAY TO SECOND)
+          |RETURNS TIME(6) RETURN
+          |to_time(date_format(TIMESTAMP_NTZ'1970-01-01 00:00:00' + (t - TIME'00:00:00') + d, 'HH:mm:ss.SSSSSS'))""".stripMargin)
+      tryQ("sqlfn_wrap",
+        "SELECT probe_time_add_wrap(TIME'23:59:59.5', INTERVAL '30' MINUTE) AS f, probe_time_add_wrap(TIME'00:10:00', INTERVAL '-30' MINUTE) AS b")
+    } catch { case e: Throwable =>
+      println(s"[timeprobe] sqlfn_wrap DDL FAIL ${e.getClass.getSimpleName}: " +
+        e.getMessage.linesIterator.take(2).mkString(" | "))
+    }
     // parquet roundtrip
     try {
       spark.sql("SELECT TIME'10:30:05' AS t").write.mode("overwrite")

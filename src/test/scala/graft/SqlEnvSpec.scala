@@ -1141,6 +1141,39 @@ class SqlEnvSpec extends AnyFunSuite {
         "SELECT t + INTERVAL '30' MINUTE AS t2 FROM time_t WHERE id = 3").collect()
     }
     assert(overflow.getMessage.contains("DATETIME_OVERFLOW"), overflow.getMessage)
+    // ...but the reference's wrap-modulo-24h arithmetic is available as
+    // time_add_wrap (graft.functions.times — NTZ-epoch-anchored, so it
+    // is timezone-free and crosses midnight in both directions):
+    val wrapped = env.executeSql(
+      """SELECT time_add_wrap(TIME'23:59:59.5', INTERVAL '30' MINUTE) AS f,
+        |       time_add_wrap(TIME'00:10:00', INTERVAL '-30' MINUTE) AS b""".stripMargin)
+      .collect()(0)
+    assert(wrapped.get(0).toString == "00:29:59.500", wrapped.toString)
+    assert(wrapped.get(1).toString == "23:40", wrapped.toString)
+    // TIMESTAMP→TIME cast (r14 tail: closes the README delta): Spark's
+    // native Cast rejects it, so the Flink dialect routes every
+    // TIME-targeted cast through CastTime, which dispatches on the
+    // resolved operand type. Full micros preserved; bare TIME is
+    // Flink's TIME(0) (seconds truncation); TRY_CAST maps to try mode.
+    import org.apache.spark.sql.types.{StringType, TimeType => TT}
+    val casted = env.executeSql(
+      """SELECT CAST(TIMESTAMP'2024-01-01 10:30:05.123456' AS TIME(6)) AS t6,
+        |       CAST(TIMESTAMP'2024-01-01 10:30:05.987654' AS TIME) AS t0,
+        |       CAST('10:30:05' AS TIME(6)) AS ts6,
+        |       TRY_CAST('not a time' AS TIME(6)) AS bad,
+        |       TRY_CAST(TIMESTAMP'2024-01-01 06:07:08' AS TIME(6)) AS tt,
+        |       CAST(CAST(TIMESTAMP'2024-01-01 10:30:05' AS TIME(6)) AS STRING) AS nested""".stripMargin)
+    assert(casted.schema("t6").dataType == TT(6) &&
+      casted.schema("t0").dataType == TT(0) &&
+      casted.schema("nested").dataType == StringType, casted.schema.simpleString)
+    val cr = casted.collect()(0)
+    assert(cr.get(0).toString == "10:30:05.123456", cr.toString)
+    assert(cr.get(1).toString == "10:30:05", cr.toString) // truncated, not rounded
+    assert(cr.get(2).toString == "10:30:05" && cr.isNullAt(3), cr.toString)
+    assert(cr.get(4).toString == "06:07:08" && cr.getString(5) == "10:30:05", cr.toString)
+    // the rewrite is literal-safe: CAST text inside a string stays verbatim
+    assert(env.executeSql("SELECT 'CAST(x AS TIME)' AS s").collect()(0)
+      .getString(0) == "CAST(x AS TIME)")
     val agg = env.executeSql(
       "SELECT min(t) AS lo, max(t) AS hi, count(1) AS n FROM time_t").collect()(0)
     assert(agg.get(0).toString == "06:30" && agg.getLong(2) == 3L, agg.toString)
