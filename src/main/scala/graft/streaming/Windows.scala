@@ -102,4 +102,80 @@ object Windows {
     val ord = (if (keepFirst) ts.asc else ts.desc) +: tieBreak
     windowRank(df, ts, size, keys, ord, 1).drop("rank_no")
   }
+
+  /** PROCESSING-TIME windowed aggregation (streaming) — the
+    * reference's proctime group windows (`GROUP BY TUMBLE(proctime(),
+    * …)`; planner StreamExecGroupWindowAggregate over a PROCTIME
+    * attribute, runtime ProcessingTimeTriggers in
+    * flink-streaming-java/.../windowing/triggers/
+    * ProcessingTimeTrigger.java — fire purely on wall-clock, no
+    * watermark involved). This closes the README "window operators
+    * here are event-time" narrowing for the windowed-agg surface.
+    *
+    * Spark's stateful aggregation only understands event-time
+    * watermarks, so proctime windows ride them: each data row is
+    * stamped with the per-record `proctime()` expression at ingestion
+    * (the reference's per-record proctime, ProcTimeSpec pins the
+    * distinction from per-batch current_timestamp), and the stamp
+    * column carries a 0-delay watermark. Wall-clock keeps moving when
+    * the data stream idles because a metadata-scale `rate`-source
+    * heartbeat (a few slim rows/second, one source, never shuffled
+    * wide) is unioned in ABOVE the watermark node and filtered out
+    * immediately BELOW it: the heartbeat rows feed the watermark's
+    * max-event-time stats but never reach the aggregation, so a
+    * window's final fires within ~one trigger + one heartbeat tick of
+    * its wall-clock end even with zero new data — exactly
+    * ProcessingTimeTrigger.onProcessingTime. Append-mode finals, like
+    * the reference's proctime windows (no retractions to emit).
+    *
+    * Same replay caveat as the reference: proctime is wall-clock, so
+    * a recovered/re-executed micro-batch re-stamps rows at recovery
+    * time — Flink's proctime windows make exactly the same
+    * non-determinism trade (their docs call proctime results
+    * non-reproducible by design).
+    *
+    * `assign` maps the proctime column to a window struct — pass
+    * `Windows.tumble(_, "10 seconds")`, `Windows.hop(_, size, slide)`
+    * or `Windows.session(_, gap)`; all three of the reference's
+    * proctime window shapes ride the same mechanism.
+    */
+  def procTimeWindowAgg(
+      df: DataFrame,
+      assign: Column => Column,
+      keys: Seq[String],
+      aggs: Seq[Column],
+      heartbeatRowsPerSecond: Int = 4): DataFrame = {
+    require(!df.columns.contains("__proctime") && !df.columns.contains("__hb"),
+      "procTimeWindowAgg: input must not already carry __proctime/__hb")
+    val spark = df.sparkSession
+    val stamped = df
+      .withColumn("__proctime", graft.functions.proctime.proctime())
+      .withColumn("__hb", lit(false))
+    val hb0 = spark.readStream.format("rate")
+      .option("rowsPerSecond", heartbeatRowsPerSecond).load()
+      .select(col("timestamp").as("__proctime"), lit(true).as("__hb"))
+    val hb = df.schema.fields.foldLeft(hb0) { (acc, f) =>
+      acc.withColumn(f.name, lit(null).cast(f.dataType))
+    }
+    stamped.unionByName(hb)
+      .withWatermark("__proctime", "0 seconds")
+      // Heartbeat rows advance the watermark (stats are collected at
+      // the EventTimeWatermark node, which must sit BELOW this filter)
+      // but contribute nothing to the aggregate. A plain `!__hb`
+      // predicate does NOT survive here: PushPredicateThroughNonJoin
+      // pushes any conjunct that doesn't reference the watermark
+      // column through EventTimeWatermark and the Union, where the
+      // heartbeat branch constant-folds it to `Filter false` — killing
+      // the heartbeats before the stats node and freezing the
+      // watermark at the last data row (probed; ProcTimeWindowSpec's
+      // no-further-data test pins the fix). The rule keeps predicates
+      // that reference the watermark attribute, so the heartbeat test
+      // rides a single disjunction with an unsatisfiable-but-runtime
+      // __proctime comparison: semantically identical to `!__hb`,
+      // structurally unpushable.
+      .filter(!col("__hb") ||
+        col("__proctime") > lit("9999-12-31 00:00:00").cast("timestamp"))
+      .groupBy(assign(col("__proctime")) +: keys.map(col): _*)
+      .agg(aggs.head, aggs.tail: _*)
+  }
 }
