@@ -286,7 +286,7 @@ class SqlEnv private (val spark: SparkSession) {
     * clamps to Spark's max 6 like the DDL mapping. Non-TIME casts are
     * left byte-identical; their argument text is re-scanned so a TIME
     * cast nested inside another cast is still found. */
-  private[sql] def rewriteTimeCasts(sql: String): String =
+  private[graft] def rewriteTimeCasts(sql: String): String =
     rewriteCalls(sql, Set("CAST", "TRY_CAST")) { (name, args, orig) =>
       val open = orig.indexOf('(')
       val argsText = orig.substring(open + 1, orig.length - 1)

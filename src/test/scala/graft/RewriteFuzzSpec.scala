@@ -114,4 +114,69 @@ class RewriteFuzzSpec extends AnyFunSuite {
       assert(twice == once, s"sample #$i not idempotent:\n1: $once\n2: $twice")
     }
   }
+
+  // ---- rewriteTimeCasts (late r14: CAST(x AS TIME[(p)]) → cast_time) --
+
+  // Neutral w.r.t. the TIME-cast scanner: non-TIME casts (including the
+  // adversarial shapes — a DECIMAL(p,s) target ending in parens, an
+  // ' AS TIME ' string inside the operand, TIME-cast text inside quotes
+  // and comments) must all round-trip byte-identical.
+  private val castNeutralFragment: Gen[String] = Gen.oneOf(
+    Gen.const("CAST(x AS STRING)"),
+    Gen.const("TRY_CAST(v AS INT)"),
+    Gen.const("cast(a AS DOUBLE)"),
+    Gen.const("CAST(p AS DECIMAL(18,4))"),
+    Gen.const("CAST(concat(c, ' AS TIME ') AS STRING)"),
+    Gen.const("'CAST(x AS TIME)'"),
+    Gen.const("-- CAST(ts AS TIME)\n"),
+    Gen.const("/* TRY_CAST(ts AS TIME(3)) */"),
+    Gen.const("CAST(ts AS TIMESTAMP)"),
+    neutralFragment)
+  private val castNoise: Gen[String] =
+    Gen.choose(0, 8).flatMap(n => Gen.listOfN(n, castNeutralFragment))
+      .map(_.mkString(" "))
+
+  // A TIME-targeted cast paired with its expected rewrite: bare TIME is
+  // Flink's TIME(0); precision clamps to Spark's max 6; TRY_CAST maps
+  // to try mode; operand string literals containing ' AS TIME' and
+  // nested non-TIME casts must not confuse the greedy target match.
+  private val timeCast: Gen[(String, String)] = Gen.oneOf[(String, String)](
+    ("CAST(ts AS TIME)", "cast_time(ts, 0)"),
+    ("CAST(ts AS TIME(3))", "cast_time(ts, 3)"),
+    ("CAST(ts AS TIME(9))", "cast_time(ts, 6)"),
+    ("TRY_CAST(s AS TIME(6))", "try_cast_time(s, 6)"),
+    ("CAST(concat(a, ' x AS TIME') AS TIME)",
+      "cast_time(concat(a, ' x AS TIME'), 0)"),
+    ("CAST(CAST(ts AS TIME) AS STRING)",
+      "CAST(cast_time(ts, 0) AS STRING)"),
+    ("CAST(TRY_CAST(s AS TIME(2)) AS TIME(4))",
+      "cast_time(try_cast_time(s, 2), 4)"))
+
+  test("time-cast preservation: neutral input round-trips byte-identical (400 samples)") {
+    samples(castNoise, 400).zipWithIndex.foreach { case (s, i) =>
+      val out = env.rewriteTimeCasts(s)
+      assert(out == s, s"sample #$i mutated:\nIN : $s\nOUT: $out")
+    }
+  }
+
+  test("time-cast transparency: noise-wrapped TIME cast rewrites like the bare cast (300 samples)") {
+    val gen = for { pre <- castNoise; tc <- timeCast; post <- castNoise } yield (pre, tc, post)
+    samples(gen, 300).zipWithIndex.foreach { case ((pre, (call, expect), post), i) =>
+      val preSafe = if (pre.contains("--") && !pre.endsWith("\n")) pre + "\n" else pre
+      val in = s"$preSafe $call $post"
+      val out = env.rewriteTimeCasts(in)
+      assert(out == s"$preSafe $expect $post",
+        s"sample #$i:\nIN : $in\nOUT: $out\nEXP: $preSafe $expect $post")
+    }
+  }
+
+  test("time-cast idempotence: rewriting the rewritten output is identity (300 samples)") {
+    val gen = for { pre <- castNoise; tc <- timeCast; post <- castNoise } yield (pre, tc, post)
+    samples(gen, 300).zipWithIndex.foreach { case ((pre, (call, _), post), i) =>
+      val preSafe = if (pre.contains("--") && !pre.endsWith("\n")) pre + "\n" else pre
+      val once = env.rewriteTimeCasts(s"$preSafe $call $post")
+      val twice = env.rewriteTimeCasts(once)
+      assert(twice == once, s"sample #$i not idempotent:\n1: $once\n2: $twice")
+    }
+  }
 }
