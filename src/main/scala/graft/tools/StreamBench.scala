@@ -175,6 +175,47 @@ object StreamBench {
       df => df.withWatermark("ts", "10 seconds")
         .groupBy(window(col("ts"), "1 minute"), col("tpe"))
         .agg(count(lit(1)).as("n"), sum(col("value")).as("s")), evBatches)
+    // proctime twin of the row above (late r14): per-record proctime()
+    // stamp + 0-delay watermark + rate-source heartbeat union — the
+    // delta vs tumble_window_agg is the stamping + heartbeat overhead.
+    // processAllAvailable can NOT bound this measurement: the heartbeat
+    // source has fresh offsets whenever a stateful batch outlasts one
+    // heartbeat tick, so "all available" never settles at bench scale
+    // (a test-utility artifact only — production continuous queries
+    // never call it). Completion is detected from the MemoryStream's
+    // committed offset instead: when the query's batchId-committed
+    // source progress reaches the last added offset, every data row has
+    // been ingested through the stateful agg.
+    locally {
+      val in = MemoryStream[Ev]
+      val out = graft.streaming.Windows.procTimeWindowAgg(
+        in.toDF(), graft.streaming.Windows.tumble(_, "2 seconds"), Seq("tpe"),
+        Seq(count(lit(1)).as("n"), sum(col("value")).as("s")))
+      val q = out.writeStream.format("noop").outputMode(OutputMode.Append)
+        .option("checkpointLocation",
+          java.nio.file.Files.createTempDirectory("sb_proctime").toString)
+        .start()
+      try {
+        def memCommitted(): Long = {
+          val p = q.lastProgress
+          if (p == null) -1L
+          else p.sources.filter(_.description.startsWith("MemoryStream"))
+            .map(s => Option(s.endOffset).map(_.trim.toLong).getOrElse(-1L))
+            .headOption.getOrElse(-1L)
+        }
+        def off(o: org.apache.spark.sql.connector.read.streaming.Offset): Long =
+          o.json.trim.toLong
+        val warmTarget = off(in.addData(evBatches.head)) // warmup batch
+        while (memCommitted() < warmTarget) Thread.sleep(50)
+        val t0 = System.nanoTime()
+        val target = off(evBatches.tail.map(b => in.addData(b)).last)
+        while (memCommitted() < target) Thread.sleep(50)
+        val sec = (System.nanoTime() - t0) / 1e9
+        val n = evBatches.tail.map(_.size).sum
+        println(f"[stream-bench] proctime_window_agg        ${n / sec}%,.0f rows/s ($n rows in $sec%.2f s)")
+        results += ("proctime_window_agg" -> n / sec)
+      } finally q.stop()
+    }
     results += run("dedup_keep_first", OutputMode.Append,
       df => StatefulOps.keepFirstStreaming(df, Seq("user")), evBatches)
     results += run("topn_per_key", OutputMode.Update,
