@@ -63,6 +63,45 @@ case class CastTime(
     copy(child = newChild)
 }
 
+/** The reverse leg of the reference's cast matrix: `CAST(<time> AS
+  * TIMESTAMP[_NTZ|_LTZ])` (LogicalTypeCasts castTo(TIMESTAMP…)
+  * explicitFromFamily(DATETIME); runtime
+  * `TimeToTimestampCastRule.java` — the time of day anchored on the
+  * EPOCH DATE, `TIMESTAMP_FROM_EPOCH_MILLIS(millisOfDay)`). Spark
+  * rejects the cast (`TimeProbe`), so this dispatcher anchors a TIME
+  * operand via the native `MakeTimestampNTZ(DATE'1970-01-01', t)` and
+  * falls back to Spark's own `Cast` for every other operand type —
+  * byte-identical behavior for all previously-working casts. */
+case class CastTimestamp(
+    child: Expression,
+    ntz: Boolean,
+    tryMode: Boolean = false,
+    timeZoneId: Option[String] = None)
+  extends RuntimeReplaceable with UnaryLike[Expression]
+  with TimeZoneAwareExpression {
+
+  override def withTimeZone(timeZoneId: String): TimeZoneAwareExpression =
+    copy(timeZoneId = Some(timeZoneId))
+  override def nodePatternsInternal(): Seq[TreePattern.TreePattern] =
+    Seq(TreePattern.RUNTIME_REPLACEABLE)
+
+  private def target: DataType = if (ntz) TimestampNTZType else TimestampType
+  private def cast(e: Expression, dt: DataType): Expression =
+    if (tryMode) Cast(e, dt, timeZoneId, EvalMode.TRY)
+    else Cast(e, dt, timeZoneId)
+
+  override lazy val replacement: Expression = child.dataType match {
+    case _: TimeType =>
+      cast(MakeTimestampNTZ(Literal(0, DateType), child), target)
+    case _ => cast(child, target)
+  }
+
+  override def prettyName: String =
+    (if (tryMode) "try_" else "") + (if (ntz) "cast_timestamp_ntz" else "cast_timestamp")
+  override protected def withNewChildInternal(newChild: Expression): CastTimestamp =
+    copy(child = newChild)
+}
+
 object times {
   /** Register the TIME helpers (idempotent). */
   def register(spark: SparkSession): Unit = {
@@ -74,6 +113,14 @@ object times {
       es => CastTime(es.head, prec(es)), "built-in")
     reg.createOrReplaceTempFunction("try_cast_time",
       es => CastTime(es.head, prec(es), tryMode = true), "built-in")
+    reg.createOrReplaceTempFunction("cast_timestamp",
+      es => CastTimestamp(es.head, ntz = false), "built-in")
+    reg.createOrReplaceTempFunction("cast_timestamp_ntz",
+      es => CastTimestamp(es.head, ntz = true), "built-in")
+    reg.createOrReplaceTempFunction("try_cast_timestamp",
+      es => CastTimestamp(es.head, ntz = false, tryMode = true), "built-in")
+    reg.createOrReplaceTempFunction("try_cast_timestamp_ntz",
+      es => CastTimestamp(es.head, ntz = true, tryMode = true), "built-in")
     // TIME ± interval with the reference's wrap-around-midnight
     // semantics (FlinkSQL/DuckDB wrap modulo 24 h where Spark's native
     // TIME arithmetic raises DATETIME_OVERFLOW — the delta pinned in

@@ -273,6 +273,18 @@ class SqlEnv private (val spark: SparkSession) {
 
   private val timeCastTargetRe =
     """(?is)^(.+)\s+AS\s+TIME\s*(?:\(\s*(\d+)\s*\))?\s*$""".r
+  // TIMESTAMP-family targets (late r14, the reverse cast-matrix leg):
+  // Flink's precision suffix `(p)` (Spark is always micros — stripped),
+  // `_NTZ`/`_LTZ` forms, and the verbose `WITHOUT TIME ZONE` /
+  // `WITH LOCAL TIME ZONE` zone clauses. Bare TIMESTAMP keeps Spark's
+  // native TimestampType semantics (CastTimestamp falls back to the
+  // native Cast for every non-TIME operand, so pre-existing dialect
+  // queries plan byte-identically); only a TIME operand changes
+  // behavior — from analysis error to the reference's epoch-anchored
+  // time-of-day (TimeToTimestampCastRule.java).
+  private val tsCastTargetRe =
+    ("""(?is)^(.+)\s+AS\s+TIMESTAMP(_NTZ|_LTZ)?\s*(?:\(\s*\d+\s*\))?""" +
+      """\s*(WITHOUT\s+TIME\s+ZONE|WITH\s+LOCAL\s+TIME\s+ZONE)?\s*$""").r
 
   /** FlinkSQL `CAST(x AS TIME[(p)])` / `TRY_CAST(x AS TIME[(p)])` →
     * `cast_time(x, p)` / `try_cast_time(x, p)` (graft.functions.times).
@@ -283,7 +295,13 @@ class SqlEnv private (val spark: SparkSession) {
     * timestamp derivation for TIMESTAMP[_NTZ], Spark's own Cast for
     * everything else. Flink's bare `TIME` is TIME(0) (seconds
     * precision, truncating — `LogicalTypeParser` default), `TIME(p)`
-    * clamps to Spark's max 6 like the DDL mapping. Non-TIME casts are
+    * clamps to Spark's max 6 like the DDL mapping. TIMESTAMP-family
+    * targets route through `CastTimestamp` the same way (the reverse
+    * cast-matrix leg: a TIME operand anchors on the epoch date like the
+    * reference's TimeToTimestampCastRule; everything else falls back to
+    * the native Cast, so pre-existing casts plan identically — and
+    * Flink's `TIMESTAMP(p)`/zone-clause spellings Spark's parser
+    * rejects become legal). Other casts are
     * left byte-identical; their argument text is re-scanned so a TIME
     * cast nested inside another cast is still found. */
   private[graft] def rewriteTimeCasts(sql: String): String =
@@ -295,6 +313,12 @@ class SqlEnv private (val spark: SparkSession) {
           val prec = Option(p).map(_.toInt.min(6)).getOrElse(0)
           val fn = if (name == "TRY_CAST") "try_cast_time" else "cast_time"
           s"$fn(${rewriteTimeCasts(expr)}, $prec)"
+        case tsCastTargetRe(expr, suffix, zone) if args.length == 1 =>
+          val ntz = Option(suffix).exists(_.equalsIgnoreCase("_NTZ")) ||
+            Option(zone).exists(_.toUpperCase.startsWith("WITHOUT"))
+          val fn = (if (name == "TRY_CAST") "try_" else "") +
+            (if (ntz) "cast_timestamp_ntz" else "cast_timestamp")
+          s"$fn(${rewriteTimeCasts(expr)})"
         case _ =>
           s"${orig.substring(0, open)}(${rewriteTimeCasts(argsText)})"
       }

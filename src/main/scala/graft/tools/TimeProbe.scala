@@ -47,6 +47,12 @@ object TimeProbe {
       "SELECT to_time(date_format(TIMESTAMP'1970-01-01 00:00:00' + (TIME'00:10:00' - TIME'00:00:00') - INTERVAL '30' MINUTE, 'HH:mm:ss.SSSSSS')) AS t")
     tryQ("ts_minus_time",
       "SELECT TIMESTAMP'2024-01-01 10:30:05' - TIME'10:30:05' AS d")
+    tryQ("time_to_ts",
+      "SELECT cast(TIME'10:30:05.25' AS TIMESTAMP) AS t")
+    tryQ("time_to_ts_ntz",
+      "SELECT cast(TIME'10:30:05.25' AS TIMESTAMP_NTZ) AS t")
+    tryQ("time_to_ts_compose",
+      "SELECT TIMESTAMP_NTZ'1970-01-01 00:00:00' + (TIME'10:30:05.25' - TIME'00:00:00') AS t")
     tryQ("ntz_fmt",
       "SELECT to_time(date_format(TIMESTAMP_NTZ'1970-01-01 00:00:00' + (TIME'23:59:59' - TIME'00:00:00') + INTERVAL '30' MINUTE, 'HH:mm:ss.SSSSSS')) AS t")
     tryQ("prec_cast",

@@ -130,7 +130,8 @@ class RewriteFuzzSpec extends AnyFunSuite {
     Gen.const("'CAST(x AS TIME)'"),
     Gen.const("-- CAST(ts AS TIME)\n"),
     Gen.const("/* TRY_CAST(ts AS TIME(3)) */"),
-    Gen.const("CAST(ts AS TIMESTAMP)"),
+    Gen.const("'CAST(x AS TIMESTAMP)'"),
+    Gen.const("TIMESTAMPDIFF(HOUR, a, b)"),
     neutralFragment)
   private val castNoise: Gen[String] =
     Gen.choose(0, 8).flatMap(n => Gen.listOfN(n, castNeutralFragment))
@@ -150,7 +151,15 @@ class RewriteFuzzSpec extends AnyFunSuite {
     ("CAST(CAST(ts AS TIME) AS STRING)",
       "CAST(cast_time(ts, 0) AS STRING)"),
     ("CAST(TRY_CAST(s AS TIME(2)) AS TIME(4))",
-      "cast_time(try_cast_time(s, 2), 4)"))
+      "cast_time(try_cast_time(s, 2), 4)"),
+    // TIMESTAMP-family targets (the reverse cast-matrix leg)
+    ("CAST(t AS TIMESTAMP)", "cast_timestamp(t)"),
+    ("CAST(t AS TIMESTAMP(3))", "cast_timestamp(t)"),
+    ("TRY_CAST(t AS TIMESTAMP_NTZ)", "try_cast_timestamp_ntz(t)"),
+    ("CAST(t AS TIMESTAMP_LTZ(3))", "cast_timestamp(t)"),
+    ("CAST(t AS TIMESTAMP(3) WITHOUT TIME ZONE)", "cast_timestamp_ntz(t)"),
+    ("CAST(t AS TIMESTAMP WITH LOCAL TIME ZONE)", "cast_timestamp(t)"),
+    ("CAST(CAST(ts AS TIME) AS TIMESTAMP)", "cast_timestamp(cast_time(ts, 0))"))
 
   test("time-cast preservation: neutral input round-trips byte-identical (400 samples)") {
     samples(castNoise, 400).zipWithIndex.foreach { case (s, i) =>

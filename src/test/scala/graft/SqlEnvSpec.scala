@@ -1174,6 +1174,29 @@ class SqlEnvSpec extends AnyFunSuite {
     // the rewrite is literal-safe: CAST text inside a string stays verbatim
     assert(env.executeSql("SELECT 'CAST(x AS TIME)' AS s").collect()(0)
       .getString(0) == "CAST(x AS TIME)")
+    // Reverse cast-matrix leg (TimeToTimestampCastRule.java): a TIME
+    // operand cast to a TIMESTAMP family anchors the time of day on the
+    // EPOCH DATE; non-TIME operands keep Spark's native Cast untouched;
+    // Flink's precision/zone spellings Spark's parser rejects are legal.
+    import org.apache.spark.sql.types.{TimestampNTZType, TimestampType}
+    val rev = env.executeSql(
+      """SELECT CAST(TIME'10:30:05.25' AS TIMESTAMP_NTZ) AS a,
+        |       CAST(TIME'10:30:05.25' AS TIMESTAMP(3) WITHOUT TIME ZONE) AS b,
+        |       CAST(TIME'10:30:05.25' AS TIMESTAMP) AS c,
+        |       TRY_CAST(TIME'23:59:59' AS TIMESTAMP_LTZ(3)) AS d,
+        |       CAST('2024-01-02 03:04:05' AS TIMESTAMP) AS e""".stripMargin)
+    assert(rev.schema("a").dataType == TimestampNTZType &&
+      rev.schema("b").dataType == TimestampNTZType &&
+      rev.schema("c").dataType == TimestampType &&
+      rev.schema("d").dataType == TimestampType &&
+      rev.schema("e").dataType == TimestampType, rev.schema.simpleString)
+    val rr = rev.collect()(0)
+    assert(rr.get(0).toString == "1970-01-01T10:30:05.250", rr.toString)
+    assert(rr.get(1).toString == "1970-01-01T10:30:05.250", rr.toString)
+    // session tz is UTC in tests, so the LTZ legs render the same instant
+    assert(rr.get(2).toString.startsWith("1970-01-01 10:30:05"), rr.toString)
+    assert(rr.get(3).toString.startsWith("1970-01-01 23:59:59"), rr.toString)
+    assert(rr.get(4).toString.startsWith("2024-01-02 03:04:05"), rr.toString)
     val agg = env.executeSql(
       "SELECT min(t) AS lo, max(t) AS hi, count(1) AS n FROM time_t").collect()(0)
     assert(agg.get(0).toString == "06:30" && agg.getLong(2) == 3L, agg.toString)
