@@ -66,6 +66,37 @@ class ProcTimeWindowSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("proctime hop: each row lands in size/slide windows, finals on idle input") {
+    implicit val sc = spark.sqlContext
+    val in = MemoryStream[PtwEv]
+    val agg = Windows.procTimeWindowAgg(
+      in.toDF(), Windows.hop(_, "4 seconds", "2 seconds"), Seq("user"),
+      Seq(count(lit(1)).as("n")))
+      .select($"window.start".as("ws"), $"window.end".as("we"), $"user", $"n")
+    val q = agg.writeStream.format("memory").queryName("pthop")
+      .outputMode(OutputMode.Append).start()
+    try {
+      in.addData(PtwEv("a", 1.0), PtwEv("a", 2.0))
+      q.processAllAvailable()
+      // 4s/2s hop: every row belongs to exactly 2 overlapping windows,
+      // so with no further data the per-user count across all fired
+      // windows must reach 2 rows x 2 windows = 4.
+      val fired = pollUntil(60000) {
+        q.processAllAvailable()
+        val total = spark.sql("SELECT coalesce(sum(n), 0) FROM pthop").collect()(0).getLong(0)
+        total >= 4L
+      }
+      assert(fired, "proctime hop finals did not fire within 60s of idle input")
+      val rows = spark.sql("SELECT ws, we, user, n FROM pthop").collect()
+      assert(rows.forall(_.getString(2) == "a"), rows.toList.toString)
+      assert(rows.map(_.getLong(3)).sum == 4L, rows.toList.toString)
+      // bounds: 4 s span, 2 s aligned starts
+      val bounds = rows.map(r => (r.getTimestamp(0).getTime, r.getTimestamp(1).getTime))
+      assert(bounds.forall { case (s, e) => e - s == 4000 && s % 2000 == 0 },
+        bounds.toList.toString)
+    } finally q.stop()
+  }
+
   test("proctime session: idle gap closes the session without new data") {
     implicit val sc = spark.sqlContext
     val in = MemoryStream[PtwEv]
