@@ -2,7 +2,7 @@ package graft.functions
 
 import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.catalyst.expressions._
-import org.apache.spark.sql.catalyst.trees.{TreePattern, UnaryLike}
+import org.apache.spark.sql.catalyst.trees.{BinaryLike, TreePattern, UnaryLike}
 import org.apache.spark.sql.types._
 
 /** TIME-of-day cast the reference supports but Spark 4.1's `Cast` does
@@ -50,8 +50,13 @@ case class CastTime(
 
   override lazy val replacement: Expression = child.dataType match {
     case TimestampType | TimestampNTZType =>
+      // Analyzer rules do not descend into a replacement tree, so the
+      // NTZ→TIMESTAMP implicit cast date_format relies on in SQL must
+      // be spelled out (same-zone cast+format is wall-clock-identity).
+      val ts = if (child.dataType == TimestampType) child
+        else Cast(child, TimestampType, timeZoneId)
       cast(
-        ToTime(DateFormatClass(child,
+        ToTime(DateFormatClass(ts,
           Literal("HH:mm:ss.SSSSSS"), timeZoneId), None),
         TimeType(precision))
     case _ =>
@@ -100,6 +105,50 @@ case class CastTimestamp(
     (if (tryMode) "try_" else "") + (if (ntz) "cast_timestamp_ntz" else "cast_timestamp")
   override protected def withNewChildInternal(newChild: Expression): CastTimestamp =
     copy(child = newChild)
+}
+
+/** Wrap-around-midnight TIME ± interval — the expression form of
+  * `time_add_wrap`, substituted for Spark's native `TimeAddInterval`
+  * in the Flink dialect's analyzed plans (`SqlEnv.wrapTimeArithmetic`):
+  * the reference (and DuckDB) wrap modulo 24 h where Spark raises
+  * `DATETIME_OVERFLOW`. Anchor the TIME on the epoch date, add the
+  * interval as NTZ timestamp arithmetic (crosses midnight freely in
+  * both directions), take the wall-clock time of day back. All-builtin
+  * replacement, codegen-resident. */
+case class TimeAddWrap(
+    time: Expression,
+    interval: Expression,
+    timeZoneId: Option[String] = None)
+  extends RuntimeReplaceable with BinaryLike[Expression]
+  with TimeZoneAwareExpression {
+
+  override def left: Expression = time
+  override def right: Expression = interval
+  override def withTimeZone(timeZoneId: String): TimeZoneAwareExpression =
+    copy(timeZoneId = Some(timeZoneId))
+  override def nodePatternsInternal(): Seq[TreePattern.TreePattern] =
+    Seq(TreePattern.RUNTIME_REPLACEABLE)
+
+  private def precision: Int = time.dataType match {
+    case TimeType(p) => p
+    case _ => 6
+  }
+
+  override lazy val replacement: Expression =
+    Cast(
+      ToTime(DateFormatClass(
+        // NTZ→TIMESTAMP spelled out (analyzer coercion does not reach
+        // replacement trees); same-zone cast+format is wall-clock-safe.
+        Cast(TimestampAddInterval(
+          MakeTimestampNTZ(Literal(0, DateType), time), interval, timeZoneId),
+          TimestampType, timeZoneId),
+        Literal("HH:mm:ss.SSSSSS"), timeZoneId), None),
+      TimeType(precision), timeZoneId)
+
+  override def prettyName: String = "time_add_wrap"
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): TimeAddWrap =
+    copy(time = newLeft, interval = newRight)
 }
 
 object times {

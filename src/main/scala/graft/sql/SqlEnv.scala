@@ -267,8 +267,27 @@ class SqlEnv private (val spark: SparkSession) {
       () => s"__graft_tj_${viewCounter.incrementAndGet()}")
     val afterMr = MatchRecognizeSql.rewrite(spark, afterTj,
       () => s"__graft_mr_${viewCounter.incrementAndGet()}")
-    spark.sql(rewriteLegacyGroupWindows(rewriteWindowTvfs(
-      rewriteJsonSyntax(rewriteTimeCasts(afterMr)))))
+    wrapTimeArithmetic(spark.sql(rewriteLegacyGroupWindows(rewriteWindowTvfs(
+      rewriteJsonSyntax(rewriteTimeCasts(afterMr))))))
+  }
+
+  /** The reference (and DuckDB) wrap TIME ± interval modulo 24 h; Spark's
+    * native `TimeAddInterval` raises `DATETIME_OVERFLOW` at midnight. The
+    * operand types aren't visible at SQL-text time, so this pass runs on
+    * the ANALYZED plan instead: every `TimeAddInterval` node is replaced
+    * with the all-builtin `TimeAddWrap` RuntimeReplaceable (identical
+    * in-range, wraps out-of-range — strictly widening). Subtraction
+    * arrives here too (Spark resolves `t - i` to TimeAddInterval with a
+    * negated interval). The DataFrame path is untouched — only the Flink
+    * dialect gets Flink's arithmetic. */
+  private def wrapTimeArithmetic(df: DataFrame): DataFrame = {
+    import org.apache.spark.sql.catalyst.expressions.TimeAddInterval
+    val analyzed = df.queryExecution.analyzed
+    val rewritten = analyzed.transformAllExpressions {
+      case TimeAddInterval(t, i) => graft.functions.TimeAddWrap(t, i)
+    }
+    if (rewritten fastEquals analyzed) df
+    else org.apache.spark.sql.GraftBridge.ofRows(spark, rewritten)
   }
 
   private val timeCastTargetRe =

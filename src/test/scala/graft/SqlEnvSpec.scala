@@ -1132,15 +1132,27 @@ class SqlEnvSpec extends AnyFunSuite {
       """SELECT id, t + INTERVAL '30' MINUTE AS t2 FROM time_t
         |WHERE t >= TIME'12:00:00' AND t < TIME'23:00:00'""".stripMargin).collect()
     assert(shifted.map(_.getLong(0)).toSet == Set(2L))
-    // Spark TIME + interval REFUSES to cross midnight (DATETIME_OVERFLOW)
-    // where DuckDB/Flink wrap modulo 24 h — pin the divergence so any
-    // TIME-arith oracle stays inside one day (q89 caps its range at
-    // 18:00 for exactly this reason).
+    // Spark's NATIVE TIME + interval REFUSES to cross midnight
+    // (DATETIME_OVERFLOW) where DuckDB/Flink wrap modulo 24 h. The
+    // DataFrame path keeps Spark's semantics (pinned below, so any
+    // TIME-arith oracle on that path stays inside one day — q89 caps at
+    // 18:00 for exactly this reason), but the FLINK DIALECT wraps: the
+    // wrapTimeArithmetic pass swaps TimeAddInterval for TimeAddWrap on
+    // the analyzed plan (late r14).
     val overflow = intercept[Exception] {
-      env.executeSql(
+      spark.sql(
         "SELECT t + INTERVAL '30' MINUTE AS t2 FROM time_t WHERE id = 3").collect()
     }
     assert(overflow.getMessage.contains("DATETIME_OVERFLOW"), overflow.getMessage)
+    val dialectWrap = env.executeSql(
+      "SELECT t + INTERVAL '30' MINUTE AS t2, t - INTERVAL '7' HOUR AS t3 " +
+        "FROM time_t WHERE id = 3").collect()(0)
+    assert(dialectWrap.get(0).toString == "00:29:59", dialectWrap.toString)
+    assert(dialectWrap.get(1).toString == "16:59:59", dialectWrap.toString)
+    // in-range arithmetic is unchanged by the wrap pass
+    val inRange = env.executeSql(
+      "SELECT t + INTERVAL '30' MINUTE AS t2 FROM time_t WHERE id = 1").collect()(0)
+    assert(inRange.get(0).toString == "07:00", inRange.toString)
     // ...but the reference's wrap-modulo-24h arithmetic is available as
     // time_add_wrap (graft.functions.times — NTZ-epoch-anchored, so it
     // is timezone-free and crosses midnight in both directions):
