@@ -130,6 +130,23 @@ object Conversions {
       """)
     }),
 
+    // ---- native TIME ± interval through the dialect: midnight wrap -----
+    // (late r14.) wrapTimeArithmetic swaps Spark's overflow-raising
+    // TimeAddInterval for TimeAddWrap on the analyzed plan, so the plain
+    // `+`/`-` operators wrap modulo 24 h exactly like DuckDB's native
+    // TIME arithmetic — which oracles them directly, crossing midnight
+    // in both directions on every row.
+    "q91_time_wrap_sql" -> ((s, dir) => {
+      val env = graft.sql.SqlEnv(s)
+      Tables.load(s, dir, "events").createOrReplaceTempView("events_q91")
+      env.executeSql("""
+        SELECT event_id,
+          CAST(ts AS TIME(6)) + INTERVAL '20' HOUR AS wrap_fwd,
+          CAST(ts AS TIME(6)) - INTERVAL '7' HOUR AS wrap_back
+        FROM events_q91
+      """)
+    }),
+
     "q49_json2" -> ((s, dir) => {
       val e = Tables.load(s, dir, "events")
       val built = to_json(struct(
@@ -203,6 +220,12 @@ object Conversions {
         |  min(tod) AS first_tod, max(tod) AS last_tod,
         |  min(tod) + INTERVAL 1 HOUR AS first_shift
         |FROM t GROUP BY event_type""".stripMargin,
+
+    "q91_time_wrap_sql" ->
+      """SELECT event_id,
+        |  CAST(ts AS TIME) + INTERVAL 20 HOUR AS wrap_fwd,
+        |  CAST(ts AS TIME) - INTERVAL 7 HOUR AS wrap_back
+        |FROM events""".stripMargin,
 
     "q90_time_cast" ->
       """SELECT event_id,
