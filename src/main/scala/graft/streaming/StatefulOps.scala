@@ -106,14 +106,6 @@ object StatefulOps {
     * binary rows (BinaryRowData), which are unambiguous by
     * construction; a flat string concat is not.
     */
-  /** Grouping key of the sentinel-watermark branch in the timer-driven
-    * late-fire op. A NUL prefix cannot collide with [[encodeKey]] output
-    * (segments start with "n" or digits). The processor MUST compare
-    * against this same constant — an r14 rename updated only the
-    * groupByKey side and sentinel rows silently became a data key.
-    */
-  private[streaming] val SentinelWmKey = "\u0000wm"
-
   private[streaming] def encodeKey(r: Row, idx: Seq[Int]): String =
     idx.iterator.map { i =>
       val v = r.get(i)
@@ -655,6 +647,159 @@ object StatefulOps {
       })(stateEnc, outEnc)
   }
 
+  /** PROCESSING-TIME RANGE-bounded preceding OVER aggregate — the
+    * reference's
+    * RT/over/ProcTimeRangeBoundedPrecedingFunction.java:55: each row is
+    * stamped with its wall-clock arrival time, a timer at stamp + 1 ms
+    * releases it with sum/count of the key's rows whose stamps lie in
+    * `[stamp − range, stamp]`, and rows of the SAME millisecond are
+    * RANGE peers — they share one frame containing all of them (the
+    * reference processes a whole proctime millisecond under one timer).
+    * State cleans itself on wall-clock: a tail row that can no longer
+    * serve any future frame is evicted when the watermark passes
+    * `stamp + range`, and the key's state is REMOVED once nothing
+    * remains — with zero new data (the reference's cleanup timer at
+    * 1.5 × boundary; ProcTimeOverSpec polls state row counts to zero
+    * on an idle stream).
+    *
+    * Mechanism: the [[Windows.procTimeChannel]] heartbeat construction
+    * (per-record proctime stamp + 0-delay watermark + rate-source
+    * heartbeat feeding the watermark stats map-side) drives the same
+    * watermark-buffered release machinery as
+    * [[boundedRangeAggEventTimeStreaming]] — pending rows release when
+    * the watermark (≈ wall-clock) passes their stamp, i.e. within ~one
+    * trigger + one heartbeat tick of arrival, the Spark-native analog
+    * of the reference's +1 ms timer. An EventTimeTimeout armed at the
+    * earliest pending stamp (or the tail-expiry boundary) keeps idle
+    * keys draining on wall-clock alone. Output = input columns +
+    * `proctime` (the stamp) + `range_sum`/`range_count`.
+    *
+    * Same replay caveat as the reference: proctime re-stamps on
+    * recovery; results are wall-clock-dependent by design.
+    */
+  def procTimeBoundedRangeAgg(df: DataFrame, keys: Seq[String],
+                              valueCol: String, rangeSec: Long,
+                              heartbeatRowsPerSecond: Int = 4): DataFrame =
+    procTimeOverCore(df, keys, valueCol, Left(rangeSec * 1000L),
+      DefaultTtlSec, heartbeatRowsPerSecond, "range_sum", "range_count")
+
+  /** PROCESSING-TIME ROWS-bounded preceding OVER aggregate — the
+    * reference's RT/over/ProcTimeRowsBoundedPrecedingFunction.java:
+    * each row releases with sum/count over itself and the key's
+    * `nRows − 1` preceding rows in proctime order (same-millisecond
+    * ties keep arrival order — ROWS frames never share). The frame
+    * itself never expires by time, but an idle key's state clears on
+    * wall-clock after `ttlSec` (the reference's idle-state retention,
+    * KeyedProcessFunctionWithCleanupState) — the next row then starts
+    * a FRESH frame, exactly Flink's cleared-state behavior.
+    * Release/timer mechanism identical to [[procTimeBoundedRangeAgg]].
+    * Output = input columns + `proctime` + `rows_sum`/`rows_count`.
+    */
+  def procTimeBoundedRowsAgg(df: DataFrame, keys: Seq[String],
+                             valueCol: String, nRows: Int,
+                             ttlSec: Long = DefaultTtlSec,
+                             heartbeatRowsPerSecond: Int = 4): DataFrame = {
+    require(nRows >= 1)
+    procTimeOverCore(df, keys, valueCol, Right(nRows),
+      ttlSec, heartbeatRowsPerSecond, "rows_sum", "rows_count")
+  }
+
+  /** Shared body of the two proctime OVER aggregates. `frame` is
+    * Left(rangeMs) for RANGE (time-evicted tail, per-millisecond peer
+    * groups) or Right(n) for ROWS (count-evicted tail, per-row frames,
+    * TTL-cleared on idle). One EventTimeTimeout per key is kept armed
+    * at the earliest actionable boundary: the earliest pending stamp
+    * (prompt release — the reference's `registerProcessingTimeTimer
+    * (currentTime + 1)`), else the tail-expiry / idle-retention
+    * boundary (the reference's cleanup timer).
+    */
+  private def procTimeOverCore(df: DataFrame, keys: Seq[String],
+      valueCol: String, frame: Either[Long, Int], ttlSec: Long,
+      heartbeatRowsPerSecond: Int, sumName: String, cntName: String): DataFrame = {
+    val channel = Windows.procTimeChannel(df, heartbeatRowsPerSecond)
+    val schema = channel.schema
+    val tsIdx = schema.fieldIndex("__proctime")
+    val keyIdx = keys.map(schema.fieldIndex)
+    val valIdx = schema.fieldIndex(valueCol)
+    val outSchema = StructType(
+      df.schema.fields ++ Seq(
+        StructField("proctime", org.apache.spark.sql.types.TimestampType),
+        StructField(sumName, org.apache.spark.sql.types.DoubleType),
+        StructField(cntName, org.apache.spark.sql.types.LongType)))
+    implicit val outEnc: ExpressionEncoder[Row] = rowEnc(outSchema)
+    val stateEnc: ExpressionEncoder[Row] = rowEnc(StructType(Seq(
+      StructField("pending", org.apache.spark.sql.types.ArrayType(schema)),
+      StructField("tail", org.apache.spark.sql.types.ArrayType(schema)))))
+    implicit val keyEnc = Encoders.STRING
+    def ms(r: Row): Long = r.getTimestamp(tsIdx).getTime
+    def num(r: Row): Double = r.get(valIdx) match {
+      case d: Double => d; case f: Float => f.toDouble
+      case l: Long => l.toDouble; case i: Int => i.toDouble
+      case b: java.math.BigDecimal => b.doubleValue(); case _ => 0.0
+    }
+    channel.groupByKey(r => StatefulOps.encodeKey(r, keyIdx))
+      .flatMapGroupsWithState[Row, Row](
+        OutputMode.Append, GroupStateTimeout.EventTimeTimeout) {
+        (_: String, rows: Iterator[Row], state: GroupState[Row]) =>
+          var (pending, tail) =
+            if (state.exists) (state.get.getSeq[Row](0), state.get.getSeq[Row](1))
+            else (Seq.empty[Row], Seq.empty[Row])
+          pending = pending ++ rows
+          val wm = state.getCurrentWatermarkMs()
+          val (ready, still) = pending.partition(ms(_) <= wm)
+          val out = scala.collection.mutable.ArrayBuffer.empty[Row]
+          val keepTail: Seq[Row] = frame match {
+            case Left(rangeMs) =>
+              val window = scala.collection.mutable.ArrayDeque.from(tail)
+              var wSum = window.iterator.map(num).sum
+              var wCnt = window.size.toLong
+              // release per proctime millisecond: RANGE peers share one
+              // frame that already contains all of them
+              ready.groupBy(ms).toSeq.sortBy(_._1).foreach { case (t, peers) =>
+                while (window.nonEmpty && ms(window.head) < t - rangeMs) {
+                  wSum -= num(window.removeHead()); wCnt -= 1
+                }
+                peers.foreach { r => window.append(r); wSum += num(r); wCnt += 1 }
+                peers.foreach { r =>
+                  out += Row.fromSeq(r.toSeq ++ Seq[Any](wSum, wCnt))
+                }
+              }
+              // a tail row at stamp s serves no frame once wm ≥ s + range
+              window.dropWhile(w => ms(w) <= wm - rangeMs).toSeq
+            case Right(n) =>
+              val window = scala.collection.mutable.ArrayDeque.from(tail)
+              var wSum = window.iterator.map(num).sum
+              // stable sort: same-stamp rows keep arrival order (ROWS
+              // ties never share a frame)
+              ready.sortBy(ms).foreach { r =>
+                window.append(r); wSum += num(r)
+                while (window.size > n) wSum -= num(window.removeHead())
+                out += Row.fromSeq(r.toSeq ++ Seq[Any](wSum, window.size.toLong))
+              }
+              window.toSeq
+          }
+          val rangeDone = frame.isLeft && still.isEmpty && keepTail.isEmpty
+          // a ROWS tail never time-expires: the idle-retention timer
+          // (armed below when nothing is pending) fires with no ready
+          // rows, and the state clears — fresh frames afterward
+          val rowsIdleExpired =
+            frame.isRight && state.hasTimedOut && ready.isEmpty && still.isEmpty
+          if (rangeDone || rowsIdleExpired) {
+            if (state.exists) state.remove()
+          } else {
+            state.update(Row(still, keepTail))
+            val arm: Long =
+              if (still.nonEmpty) still.iterator.map(ms).min
+              else frame match {
+                case Left(rangeMs) => keepTail.iterator.map(ms).max + rangeMs + 1
+                case Right(_) => math.max(wm, 0L) + ttlSec * 1000L
+              }
+            state.setTimeoutTimestamp(arm)
+          }
+          out.iterator
+      }(stateEnc, outEnc)
+  }
+
   // ---- Late-data side output ------------------------------------------
 
   /** Side-output analog for beyond-watermark late rows (reference:
@@ -949,10 +1094,20 @@ object StatefulOps {
     * processor — the same wall EventTimeTimeout hit in r6 — so the op
     * builds a two-branch union:
     *
-    *  - branch W (sentinel): each input row projected to a single
-    *    sentinel key carrying the REAL event time in the watermark
-    *    column; the only `withWatermark` node in the query, so the
-    *    global watermark is the true one;
+    *  - branch W (sentinel): each input row projected to a slim
+    *    (null keys + REAL event time) shape; the only `withWatermark`
+    *    node in the query, so the global watermark is the true one.
+    *    Immediately ABOVE the watermark node every sentinel row is
+    *    dropped by a filter that references the watermark column —
+    *    structurally unpushable (PushPredicateThroughNonJoin keeps
+    *    watermark-attribute predicates above EventTimeWatermark, the
+    *    same hazard-proven trick as
+    *    [[Windows.procTimeWindowAgg]]'s heartbeat filter) — so the
+    *    max-event-time stats are collected map-side and ZERO sentinel
+    *    rows traverse the shuffle or reach the processor (timers
+    *    consume the global watermark, not rows; [[graft.TwsProbeSpec]]
+    *    "filtered sentinel branch" pins this, and its idle-timer
+    *    assertion doubles as the pushdown canary);
     *  - branch D (data): the full rows with the watermark column pinned
     *    to a far-future constant, so the operator's late filter never
     *    matches them and arbitrarily-late rows reach the processor —
@@ -968,12 +1123,11 @@ object StatefulOps {
     * [[lateFireWindowAgg]] (final / late_update / dropped_late), with
     * idle-key finals and purges now timer-driven.
     *
-    * Cost vs the NoTimeout op: the union doubles row COUNT through the
-    * shuffle but the sentinel rows are two columns wide, and they all
-    * hash to one key whose handler just drains them — at scale this is
-    * the cost of a watermark channel, not of a second pipeline. Needs
-    * the RocksDB state store provider (Spark's transformWithState
-    * requirement).
+    * Cost vs the NoTimeout op: one extra map-side projection of the
+    * source (the sentinel branch scans, feeds watermark stats, and
+    * dies before the exchange) — the shuffle carries exactly the data
+    * rows, same as [[lateFireWindowAgg]]. Needs the RocksDB state
+    * store provider (Spark's transformWithState requirement).
     *
     * `df` must NOT already carry a watermark — the op installs the only
     * one (`disorderDelay`, the analog of the bounded-out-of-orderness
@@ -992,15 +1146,18 @@ object StatefulOps {
       (keyFields.map(f => lit(null).cast(f.dataType).as(f.name)) ++ Seq(
         col(tsCol).as("__ett"),
         lit(0L).as("__tsms"),
-        lit(0.0).as("__val"),
-        lit(true).as("__sent"))): _*)
+        lit(0.0).as("__val"))): _*)
       .withWatermark("__ett", disorderDelay)
+      // Drop every sentinel row ABOVE the watermark node: the predicate
+      // references the watermark attribute, so it cannot be pushed below
+      // EventTimeWatermark — stats first, drop second. The shuffle never
+      // sees these rows (TwsProbeSpec "filtered sentinel branch").
+      .filter(col("__ett") > lit("9999-12-31 00:00:00").cast("timestamp"))
     val branchD = df.select(
       (keys.map(col) ++ Seq(
         lit(farFuture).as("__ett"),
         unix_millis(col(tsCol)).as("__tsms"),
-        col(valueCol).cast("double").as("__val"),
-        lit(false).as("__sent"))): _*)
+        col(valueCol).cast("double").as("__val"))): _*)
     val unioned = branchW.unionByName(branchD)
     val inSchema = unioned.schema
     val keyIdx = keys.map(inSchema.fieldIndex)
@@ -1019,12 +1176,9 @@ object StatefulOps {
         StructField("fin", org.apache.spark.sql.types.BooleanType))))))
     val proc = new LateFireTimersProcessor(
       inSchema, keyIdx, inSchema.fieldIndex("__tsms"), inSchema.fieldIndex("__val"),
-      inSchema.fieldIndex("__sent"), wMs, latenessMs, stateSchema, outSchema)
+      wMs, latenessMs, stateSchema, outSchema)
     unioned
-      .groupByKey { r: Row =>
-        if (r.getBoolean(inSchema.fieldIndex("__sent"))) SentinelWmKey
-        else encodeKey(r, keyIdx)
-      }
+      .groupByKey { r: Row => encodeKey(r, keyIdx) }
       .transformWithState(proc,
         org.apache.spark.sql.streaming.TimeMode.EventTime(),
         OutputMode.Append())(outEnc)
@@ -1157,7 +1311,7 @@ object StatefulOps {
   */
 private[streaming] class LateFireTimersProcessor(
     inSchema: StructType, keyIdx: Seq[Int], tsmsIdx: Int, valIdx: Int,
-    sentIdx: Int, wMs: Long, latenessMs: Long,
+    wMs: Long, latenessMs: Long,
     stateSchema: StructType, outSchema: StructType)
     extends org.apache.spark.sql.streaming.StatefulProcessor[String, Row, Row] {
   import org.apache.spark.sql.streaming._
@@ -1219,7 +1373,6 @@ private[streaming] class LateFireTimersProcessor(
 
   override def handleInputRows(key: String, rows: Iterator[Row],
       tv: TimerValues): Iterator[Row] = {
-    if (key == StatefulOps.SentinelWmKey) { rows.foreach(_ => ()); return Iterator.empty }
     val it = rows.buffered
     val prior = if (st.exists()) Some(st.get()) else None
     val keyVals: Seq[Any] = prior match {

@@ -144,9 +144,25 @@ object Windows {
       assign: Column => Column,
       keys: Seq[String],
       aggs: Seq[Column],
-      heartbeatRowsPerSecond: Int = 4): DataFrame = {
+      heartbeatRowsPerSecond: Int = 4): DataFrame =
+    procTimeChannel(df, heartbeatRowsPerSecond)
+      .groupBy(assign(col("__proctime")) +: keys.map(col): _*)
+      .agg(aggs.head, aggs.tail: _*)
+
+  /** The proctime channel shared by [[procTimeWindowAgg]] and the
+    * proctime OVER aggregations ([[StatefulOps.procTimeBoundedRangeAgg]]
+    * / [[StatefulOps.procTimeBoundedRowsAgg]]): stamps each data row
+    * with the per-record `proctime()` expression in a `__proctime`
+    * column carrying a 0-delay watermark, and unions in a
+    * metadata-scale `rate`-source heartbeat so wall-clock keeps flowing
+    * into the watermark when the data stream idles. Returns the data
+    * rows only (original columns + `__proctime`); the heartbeat rows
+    * feed the watermark stats and die on the filter below.
+    */
+  private[graft] def procTimeChannel(
+      df: DataFrame, heartbeatRowsPerSecond: Int = 4): DataFrame = {
     require(!df.columns.contains("__proctime") && !df.columns.contains("__hb"),
-      "procTimeWindowAgg: input must not already carry __proctime/__hb")
+      "procTimeChannel: input must not already carry __proctime/__hb")
     val spark = df.sparkSession
     val stamped = df
       .withColumn("__proctime", graft.functions.proctime.proctime())
@@ -161,7 +177,7 @@ object Windows {
       .withWatermark("__proctime", "0 seconds")
       // Heartbeat rows advance the watermark (stats are collected at
       // the EventTimeWatermark node, which must sit BELOW this filter)
-      // but contribute nothing to the aggregate. A plain `!__hb`
+      // but contribute nothing downstream. A plain `!__hb`
       // predicate does NOT survive here: PushPredicateThroughNonJoin
       // pushes any conjunct that doesn't reference the watermark
       // column through EventTimeWatermark and the Union, where the
@@ -175,7 +191,6 @@ object Windows {
       // structurally unpushable.
       .filter(!col("__hb") ||
         col("__proctime") > lit("9999-12-31 00:00:00").cast("timestamp"))
-      .groupBy(assign(col("__proctime")) +: keys.map(col): _*)
-      .agg(aggs.head, aggs.tail: _*)
+      .drop("__hb")
   }
 }
