@@ -343,13 +343,25 @@ object TpcH {
     }),
 
     // Q17: small-quantity-order revenue — correlated AVG subquery,
-    // decorrelated as a per-part aggregate join.
+    // decorrelated as a per-part aggregate join. The subquery's
+    // lineitem scan is semi-joined against the (broadcast-tiny)
+    // filtered part dim BEFORE aggregating: only ~1/1250 partkeys
+    // (one brand x one size) can survive the outer probe, so
+    // aggregating the whole table and shuffling its partials — the
+    // r14 shape — does ~1250x the exchange work for identical results
+    // (the per-partkey average is unchanged for every surviving key).
+    // At 100 TB that is the difference between a full-table aggregate
+    // and a dim-pruned one.
     "h17_small_quantity" -> ((s, dir) => {
       val li = t(s, dir, "lineitem")
-      val avgQ = li.groupBy(col("l_partkey").as("aq_partkey"))
+      val partF = t(s, dir, "part")
+        .filter(col("p_brand") === "Brand#3" && col("p_size") === 10)
+      val avgQ = li
+        .join(partF.select(col("p_partkey").as("aq_pk")),
+          col("l_partkey") === col("aq_pk"), "left_semi")
+        .groupBy(col("l_partkey").as("aq_partkey"))
         .agg((sum(dec(col("l_quantity"))).cast("double") / count(lit(1))).as("avg_qty"))
-      li.join(t(s, dir, "part").filter(col("p_brand") === "Brand#3" && col("p_size") === 10),
-          col("l_partkey") === col("p_partkey"))
+      li.join(partF, col("l_partkey") === col("p_partkey"))
         .join(avgQ, col("l_partkey") === col("aq_partkey"))
         .filter(col("l_quantity") < lit(0.2) * col("avg_qty"))
         .agg((sum(dec(col("l_extendedprice"))).cast("double") / lit(7.0)).as("avg_yearly"))
