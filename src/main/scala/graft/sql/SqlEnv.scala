@@ -279,11 +279,13 @@ class SqlEnv private (val spark: SparkSession) {
     * in-range, wraps out-of-range — strictly widening). Subtraction
     * arrives here too (Spark resolves `t - i` to TimeAddInterval with a
     * negated interval). The DataFrame path is untouched — only the Flink
-    * dialect gets Flink's arithmetic. */
+    * dialect gets Flink's arithmetic. Subquery-aware: the transform
+    * descends into PlanExpression bodies (scalar/EXISTS/IN subqueries),
+    * so TIME arithmetic nested inside a subquery wraps too. */
   private def wrapTimeArithmetic(df: DataFrame): DataFrame = {
     import org.apache.spark.sql.catalyst.expressions.TimeAddInterval
     val analyzed = df.queryExecution.analyzed
-    val rewritten = analyzed.transformAllExpressions {
+    val rewritten = analyzed.transformAllExpressionsWithSubqueries {
       case TimeAddInterval(t, i) => graft.functions.TimeAddWrap(t, i)
     }
     if (rewritten fastEquals analyzed) df
@@ -780,9 +782,20 @@ class SqlEnv private (val spark: SparkSession) {
     // (some assigner of the same family matches) so multi-subquery SQL
     // with different windows per subquery still passes.
     def norm(s: String) = s.replaceAll("\\s+", " ").trim.toUpperCase
+    // Bare or dot-qualified column (t.ts) — anything window()/
+    // session_window() accept as a direct time-attribute reference. The
+    // TVF form's `TABLE t,` first argument contains a space, so it
+    // never matches.
+    val timeAttrRe = "\\w+(?:\\.\\w+)*"
+    // Supported assigners (time attribute is a column ref) are rewrite
+    // targets; expression-form assigners (e.g. TUMBLE(CAST(ts AS ..),..))
+    // are collected separately so an aux call naming one gets an error
+    // about the REAL limitation, not a phantom "no matching clause".
     val assigners = scala.collection.mutable.ArrayBuffer.empty[(String, Seq[String])]
+    val exprAssigners = scala.collection.mutable.ArrayBuffer.empty[(String, Seq[String])]
     rewriteCalls(sql, legacyGroupNames) { (name, args, orig) =>
-      if (args.nonEmpty && args.head.matches("\\w+")) assigners += ((name, args.map(norm)))
+      if (args.nonEmpty && args.head.matches(timeAttrRe)) assigners += ((name, args.map(norm)))
+      else if (args.length >= 2) exprAssigners += ((name, args.map(norm)))
       orig
     }
     val aux = rewriteCalls(sql, legacyAuxNames) { (name, args, orig) =>
@@ -793,6 +806,12 @@ class SqlEnv private (val spark: SparkSession) {
       // always invalid — Flink's dialect resolves SESSION_START only
       // against a matching SESSION group clause.
       val normArgs = args.map(norm)
+      if (exprAssigners.exists(a => a._1 == family && a._2 == normArgs))
+        throw new IllegalArgumentException(
+          s"$family(${args.mkString(", ")}) uses an expression as its time " +
+            "attribute, which the legacy group-window rewrite does not " +
+            "support — project the expression to a column in a subquery " +
+            "and window over that column")
       require(familyAssigners.exists(_._2 == normArgs),
         s"$name(${args.mkString(", ")}) does not match any $family group " +
           s"clause in this query (found: ${
