@@ -49,15 +49,25 @@ case class CastTime(
     else Cast(e, dt, timeZoneId)
 
   override lazy val replacement: Expression = child.dataType match {
-    case TimestampType | TimestampNTZType =>
-      // Analyzer rules do not descend into a replacement tree, so the
-      // NTZ→TIMESTAMP implicit cast date_format relies on in SQL must
-      // be spelled out (same-zone cast+format is wall-clock-identity).
-      val ts = if (child.dataType == TimestampType) child
-        else Cast(child, TimestampType, timeZoneId)
+    case TimestampType =>
+      // LTZ: the SESSION-LOCAL time of day is the semantics (Flink's
+      // TIMESTAMP_LTZ→TIME) — format in the session zone. An instant
+      // maps to exactly one local time, so no DST hazard here.
       cast(
-        ToTime(DateFormatClass(ts,
+        ToTime(DateFormatClass(child,
           Literal("HH:mm:ss.SSSSSS"), timeZoneId), None),
+        TimeType(precision))
+    case TimestampNTZType =>
+      // NTZ: the cast+format pair must be a wall-clock IDENTITY. In a
+      // DST-observing session zone it is not — a wall-clock time inside
+      // a spring-forward gap has no instant, so the same-zone roundtrip
+      // shifts it (r15 advice). Pin BOTH legs to UTC (no transitions
+      // ever): result independent of spark.sql.session.timeZone.
+      // Analyzer rules do not descend into a replacement tree, so the
+      // NTZ→TIMESTAMP cast date_format relies on in SQL is spelled out.
+      cast(
+        ToTime(DateFormatClass(Cast(child, TimestampType, Some("UTC")),
+          Literal("HH:mm:ss.SSSSSS"), Some("UTC")), None),
         TimeType(precision))
     case _ =>
       cast(child, TimeType(precision))
@@ -138,11 +148,16 @@ case class TimeAddWrap(
     Cast(
       ToTime(DateFormatClass(
         // NTZ→TIMESTAMP spelled out (analyzer coercion does not reach
-        // replacement trees); same-zone cast+format is wall-clock-safe.
+        // replacement trees). The cast+format pair must be a wall-clock
+        // identity, which a DST-observing session zone breaks when the
+        // interval lands the anchor inside a spring-forward gap (e.g.
+        // epoch + 120 days crosses 1970-04-26 in America/New_York) —
+        // pin BOTH legs to UTC so the result is independent of
+        // spark.sql.session.timeZone (r15 advice).
         Cast(TimestampAddInterval(
           MakeTimestampNTZ(Literal(0, DateType), time), interval, timeZoneId),
-          TimestampType, timeZoneId),
-        Literal("HH:mm:ss.SSSSSS"), timeZoneId), None),
+          TimestampType, Some("UTC")),
+        Literal("HH:mm:ss.SSSSSS"), Some("UTC")), None),
       TimeType(precision), timeZoneId)
 
   override def prettyName: String = "time_add_wrap"
@@ -173,23 +188,13 @@ object times {
     // TIME ± interval with the reference's wrap-around-midnight
     // semantics (FlinkSQL/DuckDB wrap modulo 24 h where Spark's native
     // TIME arithmetic raises DATETIME_OVERFLOW — the delta pinned in
-    // SqlEnvSpec). Anchor the TIME on the NTZ epoch (timezone-free),
-    // add the interval as timestamp arithmetic (which crosses midnight
-    // freely, forward or backward), and take the resulting wall-clock
-    // time of day. Pure-builtin SQL function body → inlined at plan
-    // time, stays in whole-stage codegen.
-    // Graft sessions all enable spark.sql.timeType.enabled (README §TIME);
-    // a session without it cannot parse the TIME-typed signature — skip
-    // rather than fail the whole function registry for such a session
-    // (cast_time above stays registered either way: CastTime only touches
-    // TimeType lazily, at first use).
-    if (spark.conf.getOption("spark.sql.timeType.enabled").contains("true"))
-      spark.sql(
-        """CREATE OR REPLACE TEMPORARY FUNCTION time_add_wrap(
-          |  t TIME(6), d INTERVAL DAY TO SECOND)
-          |RETURNS TIME(6) RETURN
-          |to_time(date_format(
-          |  TIMESTAMP_NTZ'1970-01-01 00:00:00' + (t - TIME'00:00:00') + d,
-          |  'HH:mm:ss.SSSSSS'))""".stripMargin)
+    // SqlEnvSpec). Backed by the SAME TimeAddWrap expression the
+    // dialect's wrapTimeArithmetic substitutes into analyzed plans, so
+    // the SQL surface and the rewrite share one (UTC-pinned,
+    // session-timezone-independent) implementation. Previously a SQL
+    // function body whose date_format leg implicit-cast NTZ→TIMESTAMP
+    // in the SESSION zone — the r15-advice DST hazard.
+    reg.createOrReplaceTempFunction("time_add_wrap",
+      es => TimeAddWrap(es.head, es(1)), "built-in")
   }
 }

@@ -827,10 +827,12 @@ class SqlEnv private (val spark: SparkSession) {
       }
     }
     rewriteCalls(aux, legacyGroupNames) { (name, args, orig) =>
-      // First argument must be a bare column (the TVF form's `TABLE t,`
-      // and Spark's own window()/session_window() never match) — leave
-      // anything else untouched.
-      if (args.isEmpty || !args.head.matches("\\w+")) orig
+      // First argument must be a column reference — bare or
+      // dot-qualified (t.ts), the SAME set the validation pass above
+      // registered as supported assigners; window(t.ts, ...) is valid
+      // Spark SQL. The TVF form's `TABLE t,` first argument contains a
+      // space, so it never matches — leave anything else untouched.
+      if (args.isEmpty || !args.head.matches(timeAttrRe)) orig
       else {
         val ts = args.head
         name match {

@@ -748,33 +748,47 @@ object StatefulOps {
           val wm = state.getCurrentWatermarkMs()
           val (ready, still) = pending.partition(ms(_) <= wm)
           val out = scala.collection.mutable.ArrayBuffer.empty[Row]
+          // Stamps are assigned MAP-SIDE while the watermark advances on
+          // the separate heartbeat branch, so a shuffle-delayed or
+          // clock-skewed row can become ready with a stamp BEHIND rows
+          // already in the tail — a blind append would corrupt the
+          // deque's stamp order, letting a RANGE frame include
+          // later-stamped rows and stranding the old row past the
+          // head-eviction loop (r15 advice). Merge tail + ready in
+          // stamp order instead (stable sort: tail first, then ready
+          // arrival order, for equal stamps) and re-derive the window
+          // from scratch — which also re-derives the float accumulator
+          // each trigger, bounding drift. Frames are emitted only for
+          // ready rows; tail rows were released in a prior trigger.
+          val merged: Seq[(Row, Boolean)] =
+            (tail.map((_, false)) ++ ready.map((_, true))).sortBy(p => ms(p._1))
           val keepTail: Seq[Row] = frame match {
             case Left(rangeMs) =>
-              val window = scala.collection.mutable.ArrayDeque.from(tail)
-              var wSum = window.iterator.map(num).sum
-              var wCnt = window.size.toLong
+              val window = scala.collection.mutable.ArrayDeque.empty[(Row, Boolean)]
+              var wSum = 0.0
+              var wCnt = 0L
               // release per proctime millisecond: RANGE peers share one
               // frame that already contains all of them
-              ready.groupBy(ms).toSeq.sortBy(_._1).foreach { case (t, peers) =>
-                while (window.nonEmpty && ms(window.head) < t - rangeMs) {
-                  wSum -= num(window.removeHead()); wCnt -= 1
-                }
-                peers.foreach { r => window.append(r); wSum += num(r); wCnt += 1 }
-                peers.foreach { r =>
-                  out += Row.fromSeq(r.toSeq ++ Seq[Any](wSum, wCnt))
-                }
+              merged.groupBy(p => ms(p._1)).toSeq.sortBy(_._1).foreach {
+                case (t, peers) =>
+                  while (window.nonEmpty && ms(window.head._1) < t - rangeMs) {
+                    wSum -= num(window.removeHead()._1); wCnt -= 1
+                  }
+                  peers.foreach { p => window.append(p); wSum += num(p._1); wCnt += 1 }
+                  peers.foreach { case (r, isReady) =>
+                    if (isReady) out += Row.fromSeq(r.toSeq ++ Seq[Any](wSum, wCnt))
+                  }
               }
               // a tail row at stamp s serves no frame once wm ≥ s + range
-              window.dropWhile(w => ms(w) <= wm - rangeMs).toSeq
+              window.dropWhile(w => ms(w._1) <= wm - rangeMs).map(_._1).toSeq
             case Right(n) =>
-              val window = scala.collection.mutable.ArrayDeque.from(tail)
-              var wSum = window.iterator.map(num).sum
-              // stable sort: same-stamp rows keep arrival order (ROWS
-              // ties never share a frame)
-              ready.sortBy(ms).foreach { r =>
+              val window = scala.collection.mutable.ArrayDeque.empty[Row]
+              var wSum = 0.0
+              merged.foreach { case (r, isReady) =>
                 window.append(r); wSum += num(r)
                 while (window.size > n) wSum -= num(window.removeHead())
-                out += Row.fromSeq(r.toSeq ++ Seq[Any](wSum, window.size.toLong))
+                if (isReady)
+                  out += Row.fromSeq(r.toSeq ++ Seq[Any](wSum, window.size.toLong))
               }
               window.toSeq
           }

@@ -70,17 +70,36 @@ object TimeProbe {
       println(s"[timeprobe] sqlfn_wrap DDL FAIL ${e.getClass.getSimpleName}: " +
         e.getMessage.linesIterator.take(2).mkString(" | "))
     }
-    // parquet roundtrip
-    try {
-      spark.sql("SELECT TIME'10:30:05' AS t").write.mode("overwrite")
-        .parquet("/tmp/graft_timeprobe")
-      val back = spark.read.parquet("/tmp/graft_timeprobe")
-      println(s"[timeprobe] parquet OK schema=${back.schema.simpleString} " +
-        s"rows=${back.collect().mkString("; ")}")
-    } catch { case e: Throwable =>
-      println(s"[timeprobe] parquet FAIL ${e.getClass.getSimpleName}: " +
-        e.getMessage.linesIterator.take(2).mkString(" | "))
-    }
+    // format roundtrips: which writers/readers accept TimeType (r15
+    // directive #1 — TIME through CSV/JSON/Avro)
+    def tryFmt(fmt: String)(write: org.apache.spark.sql.DataFrame => Unit,
+                            read: () => org.apache.spark.sql.DataFrame): Unit =
+      try {
+        write(spark.sql("SELECT TIME'10:30:05.123456' AS t, 1 AS id"))
+        val back = read()
+        println(s"[timeprobe] $fmt OK schema=${back.schema.simpleString} " +
+          s"rows=${back.collect().mkString("; ")}")
+      } catch { case e: Throwable =>
+        println(s"[timeprobe] $fmt FAIL ${e.getClass.getSimpleName}: " +
+          e.getMessage.linesIterator.take(3).mkString(" | "))
+      }
+    val sch = org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("t",
+        org.apache.spark.sql.types.TimeType(6)),
+      org.apache.spark.sql.types.StructField("id",
+        org.apache.spark.sql.types.IntegerType)))
+    tryFmt("parquet")(
+      _.write.mode("overwrite").parquet("/tmp/graft_timeprobe"),
+      () => spark.read.parquet("/tmp/graft_timeprobe"))
+    tryFmt("csv")(
+      _.write.mode("overwrite").option("header", "true").csv("/tmp/graft_timeprobe_csv"),
+      () => spark.read.option("header", "true").schema(sch).csv("/tmp/graft_timeprobe_csv"))
+    tryFmt("json")(
+      _.write.mode("overwrite").json("/tmp/graft_timeprobe_json"),
+      () => spark.read.schema(sch).json("/tmp/graft_timeprobe_json"))
+    tryFmt("orc")(
+      _.write.mode("overwrite").orc("/tmp/graft_timeprobe_orc"),
+      () => spark.read.schema(sch).orc("/tmp/graft_timeprobe_orc"))
     spark.stop()
   }
 }

@@ -200,4 +200,65 @@ class LateFireSpec extends AnyFunSuite {
       }
     }
   }
+
+  /** r15 advice: the "filtered sentinel branch" probe in
+    * [[graft.TwsProbeSpec]] reconstructs the branchW/filter/branchD
+    * union INLINE, so its pins would not trip if the production op's
+    * construction drifted from the probe's copy. This test asserts the
+    * structural property against [[StatefulOps.lateFireWindowAggTimers]]
+    * itself: in the EXECUTED micro-batch plan the sentinel drop-filter
+    * sits ABOVE the (single) EventTimeWatermarkExec node — stats first,
+    * drop second. If Catalyst ever pushed it below, sentinel rows would
+    * die before the stats node and the watermark would freeze; if a
+    * refactor dropped the filter, every sentinel row would traverse the
+    * shuffle (the r14 one-core funnel).
+    */
+  test("timer op (production plan): sentinel drop-filter stays above the watermark node") {
+    implicit val sc = spark.sqlContext
+    implicit val enc = Encoders.product[LfEv]
+    val prev = spark.conf.getOption("spark.sql.streaming.stateStore.providerClass")
+    spark.conf.set("spark.sql.streaming.stateStore.providerClass",
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    val in = MemoryStream[LfEv]
+    val out = StatefulOps.lateFireWindowAggTimers(
+      in.toDF(), keys = Seq("k"), tsCol = "ts", valueCol = "v",
+      windowSec = 60L, latenessMs = 0L)
+    val q = out.writeStream.format("memory").queryName("latefire_plan_pin")
+      .outputMode(OutputMode.Append)
+      .option("checkpointLocation",
+        java.nio.file.Files.createTempDirectory("latefire_pp").toString)
+      .start()
+    try {
+      in.addData(LfEv("a", ts("2024-01-01 10:00:10"), 1.0))
+      q.processAllAvailable()
+      val exec = q
+        .asInstanceOf[org.apache.spark.sql.execution.streaming.runtime.StreamingQueryWrapper]
+        .streamingQuery.lastExecution.executedPlan
+      import org.apache.spark.sql.execution.FilterExec
+      import org.apache.spark.sql.execution.streaming.operators.stateful.EventTimeWatermarkExec
+      val wmNodes = exec.collect { case w: EventTimeWatermarkExec => w }
+      assert(wmNodes.size == 1,
+        s"expected exactly one watermark node in the production plan, got ${wmNodes.size}:\n$exec")
+      def isSentinelDrop(f: FilterExec): Boolean = {
+        val c = f.condition.toString
+        c.contains("__ett") && c.contains("9999-12-31")
+      }
+      val pushedBelow = wmNodes.head.collect {
+        case f: FilterExec if isSentinelDrop(f) => f
+      }
+      assert(pushedBelow.isEmpty,
+        s"sentinel drop-filter was pushed BELOW EventTimeWatermarkExec — " +
+          s"watermark stats would never see the event times:\n$exec")
+      val present = exec.collect { case f: FilterExec if isSentinelDrop(f) => f }
+      assert(present.nonEmpty,
+        s"sentinel drop-filter missing from the production plan — every " +
+          s"sentinel row would traverse the shuffle:\n$exec")
+    } finally {
+      q.stop()
+      prev match {
+        case Some(p) => spark.conf.set("spark.sql.streaming.stateStore.providerClass", p)
+        case None => spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
+      }
+    }
+  }
 }

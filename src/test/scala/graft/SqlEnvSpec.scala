@@ -721,6 +721,24 @@ class SqlEnvSpec extends AnyFunSuite {
       "SELECT SESSION_START(ts,  interval '30' minute) AS s " +
         "FROM t GROUP BY SESSION(ts, INTERVAL '30' MINUTE), k")
     assert(ok.contains("session_window.start"))
+    // 5. Dot-qualified time attribute (r15 advice): validation accepted
+    //    TUMBLE(t.ts, ...) as a supported assigner but the final rewrite
+    //    pass only matched bare columns, leaving the GROUP clause behind
+    //    while its aux call was rewritten — an unresolved Spark error.
+    //    window(t.ts, ...) is valid Spark SQL, so BOTH must rewrite.
+    val dotted = env.rewriteLegacyGroupWindows(
+      "SELECT TUMBLE_START(t.ts, INTERVAL '5' MINUTE) AS s " +
+        "FROM events t GROUP BY TUMBLE(t.ts, INTERVAL '5' MINUTE), t.k")
+    assert(dotted.contains("window(t.ts, '300 seconds')") &&
+      dotted.contains("window.start"),
+      s"dot-qualified assigner must rewrite both clauses: $dotted")
+    // ...and it executes end-to-end against a real aliased table.
+    val envD = SqlEnv(spark).registerTestdata(TestSpark.sfDir)
+    val dottedRows = envD.executeSql(
+      """SELECT TUMBLE_START(t.ts, INTERVAL '15' MINUTE) AS w_start, COUNT(1) AS n
+        |FROM events t GROUP BY TUMBLE(t.ts, INTERVAL '15' MINUTE)""".stripMargin)
+      .collect()
+    assert(dottedRows.nonEmpty && dottedRows.forall(!_.isNullAt(0)))
   }
 
   test("computed and metadata columns in filesystem DDL") {
@@ -1221,5 +1239,33 @@ class SqlEnvSpec extends AnyFunSuite {
     assert(ddl.contains("`t` TIME(6)"), ddl)
     SqlEnv(spark).executeSql(ddl.replace("`time_t`", "time_t_rt"))
     assert(spark.table("time_t_rt").schema("t").dataType == TimeType(6))
+  }
+
+  test("TIME wrap/cast: session-timezone independent across a DST gap") {
+    // r15 advice: TimeAddWrap/CastTime's NTZ legs roundtripped through
+    // the SESSION zone — 1970-04-26 02:30 falls inside America/New_York's
+    // spring-forward gap (a wall clock with NO instant), so the same-zone
+    // cast+format pair shifted it to 03:30. Both legs are now pinned to
+    // UTC; results must be byte-identical under any session timezone.
+    val env = SqlEnv(spark)
+    val q =
+      """SELECT time_add_wrap(TIME'00:00:00',
+        |                     INTERVAL '115 02:30:00' DAY TO SECOND) AS w,
+        |       CAST(TIMESTAMP_NTZ'1970-04-26 02:30:00' AS TIME(6)) AS c""".stripMargin
+    val prev = spark.conf.get("spark.sql.session.timeZone")
+    def run(): (String, String) = {
+      val r = env.executeSql(q).collect()(0)
+      (r.get(0).toString, r.get(1).toString)
+    }
+    try {
+      spark.conf.set("spark.sql.session.timeZone", "UTC")
+      val utc = run()
+      spark.conf.set("spark.sql.session.timeZone", "America/New_York")
+      val nyc = run()
+      assert(utc == nyc,
+        s"TIME wrap/cast must not depend on session timezone: utc=$utc nyc=$nyc")
+      assert(nyc._1 == "02:30" && nyc._2 == "02:30",
+        s"DST-gap wall clock must survive verbatim: $nyc")
+    } finally spark.conf.set("spark.sql.session.timeZone", prev)
   }
 }
