@@ -90,6 +90,49 @@ object Functions3 {
           col("info.lang").as("lang"), col("info.n_chars").as("n_chars"))
     }),
 
+    // ---- TIME(p) through the formats (r15 directive #1) ----------------
+    // The reference serializes TIME as ISO text in CSV/JSON
+    // (RowDataToCsvConverters / RowDataToJsonConverters TIME branches)
+    // and as Avro time-millis/micros logical types
+    // (AvroSchemaConverter). Spark's CSV/JSON datasources reject
+    // TimeType outright (probed in tools/TimeProbe), so the text
+    // formats go through sources.TimeFormats (same text-on-the-wire
+    // contract); Avro gained the logical-type legs natively in
+    // sources.Avro. The oracle derives the same TIME values from the
+    // ORIGINAL parquet, so the hash match proves each encode→decode
+    // cycle value-exact — TIME(6) exercises micros, TIME(0)/TIME(3)
+    // the truncating precisions.
+    "q92_csv_time_roundtrip" -> ((s, dir) => {
+      graft.functions.functions.register(s)
+      val e = Tables.load(s, dir, "events")
+        .select(col("event_id"), col("event_type"),
+          expr("cast_time(ts, 6)").as("tod_us"),
+          expr("cast_time(ts, 0)").as("tod_s"))
+      val out = roundtripDir("csvtime", dir)
+      graft.sources.TimeFormats.writeCsv(e, out)
+      graft.sources.TimeFormats.readCsv(s, out, e.schema)
+    }),
+    "q93_json_time_roundtrip" -> ((s, dir) => {
+      graft.functions.functions.register(s)
+      val e = Tables.load(s, dir, "events")
+        .select(col("event_id"), col("value"),
+          expr("cast_time(ts, 6)").as("tod_us"),
+          expr("cast_time(ts, 0)").as("tod_s"))
+      val out = roundtripDir("jsontime", dir)
+      graft.sources.TimeFormats.writeJson(e, out)
+      graft.sources.TimeFormats.readJson(s, out, e.schema)
+    }),
+    "q94_avro_time_roundtrip" -> ((s, dir) => {
+      graft.functions.functions.register(s)
+      val e = Tables.load(s, dir, "events")
+        .select(col("event_id"),
+          expr("cast_time(ts, 6)").as("tod_us"),
+          expr("cast_time(ts, 3)").as("tod_ms"))
+      val out = roundtripDir("avrotime", dir)
+      graft.sources.Avro.write(e, out)
+      graft.sources.Avro.read(s, out)
+    }),
+
     // ---- Compressed CSV roundtrip — flink-formats compress factory ----
     // (reference: flink-formats/.../CompressWriterFactory + the
     // filesystem connector's gzip auto-detection on read). Spark's
@@ -385,6 +428,24 @@ object Functions3 {
     "q67_parquet_roundtrip" -> "SELECT * FROM orders",
     "q68_avro_roundtrip" -> "SELECT * FROM orders",
     "q76_csv_gzip_roundtrip" -> "SELECT * FROM customer",
+    // DuckDB's TIMESTAMP is wall-clock (NTZ), so CAST(ts AS TIME) is the
+    // same UTC time of day cast_time derives under the UTC session —
+    // the q90-proven pattern. date_trunc pins the truncating precisions.
+    "q92_csv_time_roundtrip" ->
+      """SELECT event_id, event_type,
+        |  CAST(ts AS TIME) AS tod_us,
+        |  CAST(date_trunc('second', ts) AS TIME) AS tod_s
+        |FROM events""".stripMargin,
+    "q93_json_time_roundtrip" ->
+      """SELECT event_id, value,
+        |  CAST(ts AS TIME) AS tod_us,
+        |  CAST(date_trunc('second', ts) AS TIME) AS tod_s
+        |FROM events""".stripMargin,
+    "q94_avro_time_roundtrip" ->
+      """SELECT event_id,
+        |  CAST(ts AS TIME) AS tod_us,
+        |  CAST(date_trunc('millisecond', ts) AS TIME) AS tod_ms
+        |FROM events""".stripMargin,
     "q77_raw_text_roundtrip" -> "SELECT text FROM documents",
     "q78_sequence_file_roundtrip" -> "SELECT doc_id, text FROM documents",
     "q79_ddl_workflow" ->

@@ -30,7 +30,9 @@ import scala.jdk.CollectionConverters._
   *    file.
   *
   * Types covered: int/long/float/double/boolean/string/binary/
-  * timestamp, plus the NESTED types the reference's converter
+  * timestamp, TIME(p) (time-millis for p<=3, time-micros above —
+  * the reference's AvroSchemaConverter TIME mapping; q94 gates the
+  * roundtrip against the oracle), plus the NESTED types the reference's converter
   * supports — array<T>, map<string,T>, and struct (nested Avro
   * record), each recursively nullable (AvroNestedSpec roundtrips
   * them; q73 gates an array/struct roundtrip against the oracle).
@@ -54,6 +56,13 @@ object Avro {
         LogicalTypes.timestampMicros().addToSchema(Schema.create(Schema.Type.LONG))
       case TimestampNTZType =>
         LogicalTypes.localTimestampMicros().addToSchema(Schema.create(Schema.Type.LONG))
+      // TIME(p) rides Avro's time logical types, exactly the reference's
+      // AvroSchemaConverter TIME_WITHOUT_TIME_ZONE mapping: millisecond
+      // precisions as time-millis (INT), finer as time-micros (LONG).
+      case t: TimeType if t.precision <= 3 =>
+        LogicalTypes.timeMillis().addToSchema(Schema.create(Schema.Type.INT))
+      case _: TimeType =>
+        LogicalTypes.timeMicros().addToSchema(Schema.create(Schema.Type.LONG))
       case ArrayType(et, containsNull) =>
         Schema.createArray(nullableWrap(conv(et, s"${path}_item"), containsNull))
       case MapType(StringType, vt, valueContainsNull) =>
@@ -89,6 +98,9 @@ object Avro {
         t.getEpochSecond * 1000000L + t.getNano / 1000
       case (t: java.time.LocalDateTime, TimestampNTZType) =>
         t.toEpochSecond(java.time.ZoneOffset.UTC) * 1000000L + t.getNano / 1000
+      case (t: java.time.LocalTime, tt: TimeType) =>
+        if (tt.precision <= 3) (t.toNanoOfDay / 1000000L).toInt
+        else t.toNanoOfDay / 1000L
       case (b: Array[Byte], BinaryType) => java.nio.ByteBuffer.wrap(b)
       case (seq: scala.collection.Seq[_], ArrayType(et, _)) =>
         val out = new java.util.ArrayList[Any](seq.length)
@@ -122,6 +134,10 @@ object Avro {
       java.time.LocalDateTime.ofEpochSecond(
         Math.floorDiv(l, 1000000L),
         (Math.floorMod(l, 1000000L) * 1000L).toInt, java.time.ZoneOffset.UTC)
+    case (i: java.lang.Integer, _: TimeType) => // time-millis
+      java.time.LocalTime.ofNanoOfDay(i.toLong * 1000000L)
+    case (l: java.lang.Long, _: TimeType) => // time-micros
+      java.time.LocalTime.ofNanoOfDay(l * 1000L)
     case (u: org.apache.avro.util.Utf8, StringType) => u.toString
     case (b: java.nio.ByteBuffer, BinaryType) =>
       val arr = new Array[Byte](b.remaining()); b.duplicate().get(arr); arr
@@ -175,11 +191,15 @@ object Avro {
         val nonNull = s.getTypes.asScala.filter(_.getType != Schema.Type.NULL)
         val (dt, _) = field(nonNull.head)
         (dt, s.getTypes.asScala.exists(_.getType == Schema.Type.NULL))
-      case Schema.Type.INT => (IntegerType, false)
+      case Schema.Type.INT =>
+        if (s.getLogicalType != null && s.getLogicalType.getName == "time-millis")
+          (TimeType(3), false)
+        else (IntegerType, false)
       case Schema.Type.LONG =>
         if (s.getLogicalType == null) (LongType, false)
         else if (s.getLogicalType.getName.startsWith("local-timestamp")) (TimestampNTZType, false)
         else if (s.getLogicalType.getName.startsWith("timestamp")) (TimestampType, false)
+        else if (s.getLogicalType.getName == "time-micros") (TimeType(6), false)
         else (LongType, false)
       case Schema.Type.FLOAT => (FloatType, false)
       case Schema.Type.DOUBLE => (DoubleType, false)

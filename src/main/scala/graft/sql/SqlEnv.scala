@@ -190,6 +190,41 @@ class SqlEnv private (val spark: SparkSession) {
           "ALTER TABLE RESET: 'connector' cannot be reset (reference restriction)")
         tableDefs.put(name, d.copy(options = d.options.filterNot(kv => drop(kv._1))))
         return spark.emptyDataFrame
+      // ANALYZE TABLE t [PARTITION(...)] COMPUTE STATISTICS
+      // [FOR COLUMNS c1, c2 | FOR ALL COLUMNS] — FLIP-240's
+      // SqlAnalyzeTable (reference: flink-table/flink-sql-parser
+      // SqlAnalyzeTable + operations/SqlNodeToOperationConversion's
+      // AnalyzeTableOperation). The spelling is IDENTICAL to Spark's
+      // native command, so catalog tables pass through verbatim and
+      // their stats land in the session catalog (DESC EXTENDED
+      // Statistics / per-column stats). Graft DDL tables are TEMP
+      // VIEWS, which Spark's analyzer only accepts CACHED and only
+      // through the FOR COLUMNS form (probed in tools/AnalyzeProbe) —
+      // so the dialect caches the view and upgrades a bare COMPUTE
+      // STATISTICS to FOR ALL COLUMNS; the stats then live on the
+      // cached relation (optimizedPlan.stats rowCount/attributeStats),
+      // Spark's temp-view analog of the reference's catalog stats, and
+      // feed the SAME join-planning decisions. Note the reference's
+      // ANALYZE is a full scan job too; the cache materialization is
+      // the Spark-shaped cost of statistics on a view-backed table
+      // (persist a catalog table for the 100 TB path — README §ANALYZE).
+      case analyzeRe(name, tail) =>
+        val t = tail.trim.replaceAll("\\s+", " ")
+        require(t.toUpperCase.startsWith("COMPUTE STATISTICS") ||
+          t.toUpperCase.startsWith("PARTITION"),
+          s"ANALYZE TABLE expects COMPUTE STATISTICS..., got: '$tail'")
+        val isTempView =
+          try spark.catalog.getTable(name).tableType == "TEMPORARY"
+          catch { case _: Throwable => false }
+        if (isTempView) {
+          spark.catalog.cacheTable(name)
+          val upgraded =
+            if (t.equalsIgnoreCase("COMPUTE STATISTICS"))
+              "COMPUTE STATISTICS FOR ALL COLUMNS"
+            else t
+          spark.sql(s"ANALYZE TABLE $name $upgraded")
+        } else spark.sql(s"ANALYZE TABLE $name $t")
+        return spark.emptyDataFrame
       case explainRe(body) =>
         import spark.implicits._
         val trimmed = body.trim
@@ -198,7 +233,8 @@ class SqlEnv private (val spark: SparkSession) {
                | dropRe(_) | stmtSetRe(_) | showRe(_) | descRe(_)
                | showCreateRe(_) | showColumnsRe(_) | useCatalogRe(_)
                | useDbRe(_) | showCatalogsRe() | showDatabasesRe()
-               | alterRenameRe(_, _) | alterSetRe(_, _) | alterResetRe(_, _) => true
+               | alterRenameRe(_, _) | alterSetRe(_, _) | alterResetRe(_, _)
+               | analyzeRe(_, _) => true
           case _ => Ddl.isCreateTable(trimmed)
         }
         require(!isCommand,
@@ -524,6 +560,8 @@ class SqlEnv private (val spark: SparkSession) {
     """(?is)^\s*DESC(?:RIBE)?\s+([\w.]+)\s*;?\s*$""".r
   private val explainRe =
     """(?is)^\s*EXPLAIN\s+(?:PLAN\s+FOR\s+)?(.+)$""".r
+  private val analyzeRe =
+    """(?is)^\s*ANALYZE\s+TABLE\s+([\w.]+)\s+(.+?)\s*;?\s*$""".r
 
   /** Reference config keys → their analog here. Durations accept
     * Flink's notation ('1 h', '30 s', '100 ms', bare millis).

@@ -1241,6 +1241,58 @@ class SqlEnvSpec extends AnyFunSuite {
     assert(spark.table("time_t_rt").schema("t").dataType == TimeType(6))
   }
 
+  test("ANALYZE TABLE: stats land in the catalog / on the cached relation") {
+    // FLIP-240 SqlAnalyzeTable → Spark's native ANALYZE TABLE (same
+    // spelling). Two legs: a catalog table passes through verbatim and
+    // its stats surface in DESC EXTENDED; a graft-DDL table (temp
+    // view) is cached and analyzed FOR COLUMNS, stats surfacing on the
+    // cached relation's optimizedPlan.stats.
+    val env = SqlEnv(spark)
+    // leg 1: catalog table
+    spark.sql("DROP TABLE IF EXISTS an_spec_cat")
+    spark.sql(
+      s"""CREATE TABLE an_spec_cat USING parquet AS
+         |SELECT r_regionkey, r_name FROM parquet.`${TestSpark.sfDir}/region.parquet`""".stripMargin)
+    env.executeSql("ANALYZE TABLE an_spec_cat COMPUTE STATISTICS FOR COLUMNS r_regionkey")
+    val statsRow = spark.sql("DESC EXTENDED an_spec_cat").collect()
+      .find(_.getString(0) == "Statistics").map(_.getString(1))
+    assert(statsRow.exists(_.contains("5 rows")),
+      s"row count must land in DESC EXTENDED: $statsRow")
+    val colStats = spark.sql("DESC EXTENDED an_spec_cat r_regionkey").collect()
+      .map(r => r.getString(0) -> r.getString(1)).toMap
+    assert(colStats.get("distinct_count").exists(v => v != null && v != "NULL"),
+      s"column stats must be non-null after ANALYZE: $colStats")
+    assert(colStats.get("min").contains("0") && colStats.get("max").contains("4"),
+      s"min/max must be computed: $colStats")
+    // leg 2: graft DDL table (temp view) — bare COMPUTE STATISTICS is
+    // upgraded to FOR ALL COLUMNS on the auto-cached view
+    env.executeSql(
+      s"""CREATE TABLE an_spec_ddl (n_nationkey BIGINT, n_name STRING,
+         |  n_regionkey BIGINT, n_comment STRING)
+         |WITH ('connector' = 'filesystem',
+         |      'path' = '${TestSpark.sfDir}/nation.parquet',
+         |      'format' = 'parquet')""".stripMargin)
+    env.executeSql("ANALYZE TABLE an_spec_ddl COMPUTE STATISTICS")
+    val st = spark.table("an_spec_ddl").queryExecution.optimizedPlan.stats
+    assert(st.rowCount.contains(BigInt(25)),
+      s"cached-view row count must be analyzed: ${st.rowCount}")
+    assert(st.attributeStats.nonEmpty &&
+      st.attributeStats.exists { case (a, s) =>
+        a.name == "n_regionkey" && s.distinctCount.exists(_ > 0) },
+      s"column stats must be analyzed: ${st.attributeStats}")
+    // EXPLAIN ANALYZE TABLE is a command — rejected, never executed
+    intercept[IllegalArgumentException] {
+      env.executeSql("EXPLAIN ANALYZE TABLE an_spec_cat COMPUTE STATISTICS")
+    }
+    // junk after the table name is rejected with the graft-level error
+    val bad = intercept[IllegalArgumentException] {
+      env.executeSql("ANALYZE TABLE an_spec_cat DELETE STATISTICS")
+    }
+    assert(bad.getMessage.contains("COMPUTE STATISTICS"), bad.getMessage)
+    spark.catalog.uncacheTable("an_spec_ddl")
+    spark.sql("DROP TABLE IF EXISTS an_spec_cat")
+  }
+
   test("TIME wrap/cast: session-timezone independent across a DST gap") {
     // r15 advice: TimeAddWrap/CastTime's NTZ legs roundtripped through
     // the SESSION zone — 1970-04-26 02:30 falls inside America/New_York's
