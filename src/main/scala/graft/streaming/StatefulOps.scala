@@ -100,6 +100,69 @@ object StatefulOps {
         out
       }
 
+  /** One trigger's frame computation for the proctime OVER core
+    * ([[StatefulOps.procTimeBoundedRangeAgg]]/[[procTimeBoundedRowsAgg]]),
+    * factored pure so [[graft.ProcTimeOverSpec]] can pin the
+    * out-of-order merge directly (r15 advice): stamps are assigned
+    * MAP-SIDE while the watermark advances on the separate heartbeat
+    * branch, so a shuffle-delayed or clock-skewed row can become ready
+    * with a stamp BEHIND rows already in the tail — a blind append
+    * would corrupt the deque's stamp order, letting a RANGE frame
+    * include later-stamped rows (violating [t − range, t]) and
+    * stranding the old row past the head-eviction loop. Tail + ready
+    * therefore merge in stamp order (stable sort: tail first, then
+    * ready arrival order, for equal stamps) and the window re-derives
+    * from scratch — which also re-derives the float accumulator each
+    * trigger, bounding drift. Frames are emitted only for ready rows;
+    * tail rows were released in a prior trigger.
+    *
+    * @param frame Left(rangeMs): RANGE frames, same-millisecond peers
+    *              share one frame, tail rows expire once
+    *              `wm >= stamp + range`; Right(n): ROWS frames over the
+    *              n most recent rows in stamp order, tail capped at n.
+    * @return (output rows — input columns + sum + count appended,
+    *         tail to carry into the next trigger, stamp-ordered)
+    */
+  private[graft] def procTimeFrameStep(
+      tail: Seq[Row], ready: Seq[Row], wm: Long,
+      frame: Either[Long, Int],
+      ms: Row => Long, num: Row => Double): (Seq[Row], Seq[Row]) = {
+    val out = scala.collection.mutable.ArrayBuffer.empty[Row]
+    val merged: Seq[(Row, Boolean)] =
+      (tail.map((_, false)) ++ ready.map((_, true))).sortBy(p => ms(p._1))
+    val keepTail: Seq[Row] = frame match {
+      case Left(rangeMs) =>
+        val window = scala.collection.mutable.ArrayDeque.empty[(Row, Boolean)]
+        var wSum = 0.0
+        var wCnt = 0L
+        // release per proctime millisecond: RANGE peers share one
+        // frame that already contains all of them
+        merged.groupBy(p => ms(p._1)).toSeq.sortBy(_._1).foreach {
+          case (t, peers) =>
+            while (window.nonEmpty && ms(window.head._1) < t - rangeMs) {
+              wSum -= num(window.removeHead()._1); wCnt -= 1
+            }
+            peers.foreach { p => window.append(p); wSum += num(p._1); wCnt += 1 }
+            peers.foreach { case (r, isReady) =>
+              if (isReady) out += Row.fromSeq(r.toSeq ++ Seq[Any](wSum, wCnt))
+            }
+        }
+        // a tail row at stamp s serves no frame once wm ≥ s + range
+        window.dropWhile(w => ms(w._1) <= wm - rangeMs).map(_._1).toSeq
+      case Right(n) =>
+        val window = scala.collection.mutable.ArrayDeque.empty[Row]
+        var wSum = 0.0
+        merged.foreach { case (r, isReady) =>
+          window.append(r); wSum += num(r)
+          while (window.size > n) wSum -= num(window.removeHead())
+          if (isReady)
+            out += Row.fromSeq(r.toSeq ++ Seq[Any](wSum, window.size.toLong))
+        }
+        window.toSeq
+    }
+    (out.toSeq, keepTail)
+  }
+
   /** Collision-free composite grouping key: length-prefixed segments,
     * so ("ab","c") and ("a","bc") stay distinct for ANY content
     * (including separators inside values). The reference keys state by
@@ -747,51 +810,9 @@ object StatefulOps {
           pending = pending ++ rows
           val wm = state.getCurrentWatermarkMs()
           val (ready, still) = pending.partition(ms(_) <= wm)
-          val out = scala.collection.mutable.ArrayBuffer.empty[Row]
-          // Stamps are assigned MAP-SIDE while the watermark advances on
-          // the separate heartbeat branch, so a shuffle-delayed or
-          // clock-skewed row can become ready with a stamp BEHIND rows
-          // already in the tail — a blind append would corrupt the
-          // deque's stamp order, letting a RANGE frame include
-          // later-stamped rows and stranding the old row past the
-          // head-eviction loop (r15 advice). Merge tail + ready in
-          // stamp order instead (stable sort: tail first, then ready
-          // arrival order, for equal stamps) and re-derive the window
-          // from scratch — which also re-derives the float accumulator
-          // each trigger, bounding drift. Frames are emitted only for
-          // ready rows; tail rows were released in a prior trigger.
-          val merged: Seq[(Row, Boolean)] =
-            (tail.map((_, false)) ++ ready.map((_, true))).sortBy(p => ms(p._1))
-          val keepTail: Seq[Row] = frame match {
-            case Left(rangeMs) =>
-              val window = scala.collection.mutable.ArrayDeque.empty[(Row, Boolean)]
-              var wSum = 0.0
-              var wCnt = 0L
-              // release per proctime millisecond: RANGE peers share one
-              // frame that already contains all of them
-              merged.groupBy(p => ms(p._1)).toSeq.sortBy(_._1).foreach {
-                case (t, peers) =>
-                  while (window.nonEmpty && ms(window.head._1) < t - rangeMs) {
-                    wSum -= num(window.removeHead()._1); wCnt -= 1
-                  }
-                  peers.foreach { p => window.append(p); wSum += num(p._1); wCnt += 1 }
-                  peers.foreach { case (r, isReady) =>
-                    if (isReady) out += Row.fromSeq(r.toSeq ++ Seq[Any](wSum, wCnt))
-                  }
-              }
-              // a tail row at stamp s serves no frame once wm ≥ s + range
-              window.dropWhile(w => ms(w._1) <= wm - rangeMs).map(_._1).toSeq
-            case Right(n) =>
-              val window = scala.collection.mutable.ArrayDeque.empty[Row]
-              var wSum = 0.0
-              merged.foreach { case (r, isReady) =>
-                window.append(r); wSum += num(r)
-                while (window.size > n) wSum -= num(window.removeHead())
-                if (isReady)
-                  out += Row.fromSeq(r.toSeq ++ Seq[Any](wSum, window.size.toLong))
-              }
-              window.toSeq
-          }
+          val (outSeq, keepTail) =
+            StatefulOps.procTimeFrameStep(tail, ready, wm, frame, ms, num)
+          val out = scala.collection.mutable.ArrayBuffer.from(outSeq)
           val rangeDone = frame.isLeft && still.isEmpty && keepTail.isEmpty
           // a ROWS tail never time-expires: the idle-retention timer
           // (armed below when nothing is pending) fires with no ready

@@ -35,7 +35,10 @@ object ExplainAudit {
         "q88_dynamic_session_sql", "v45_pq_ann", "v46_ivfpq_ann",
         "v54_ivfsq_refine",
         // late r14: TIMESTAMP→TIME cast through the Flink dialect
-        "q90_time_cast", "q91_time_wrap_sql")
+        "q90_time_cast", "q91_time_wrap_sql",
+        // r16: TIME through the format roundtrips (map-side casts only)
+        "q92_csv_time_roundtrip", "q93_json_time_roundtrip",
+        "q94_avro_time_roundtrip")
     names.foreach { n =>
       println(s"\n========== $n ==========")
       graft.SparkEntry.queries(n)(spark, dir).explain("formatted")

@@ -114,4 +114,48 @@ class ProcTimeOverSpec extends AnyFunSuite {
         s"post-retention row must start a fresh frame: ${rows()}")
     } finally q.stop()
   }
+
+  /** r15 advice: stamps are assigned map-side while the watermark rides
+    * the separate heartbeat branch, so a shuffle-delayed row can become
+    * ready with a stamp BEHIND rows already released into the tail. The
+    * frame step must merge it in stamp order — a blind append would let
+    * its RANGE frame include later-stamped rows (violating
+    * [t − range, t]) and strand it behind newer rows in the deque.
+    * Pinned directly on the factored-out [[StatefulOps.procTimeFrameStep]].
+    */
+  test("frame step: shuffle-delayed stamp merges in order, frames honor [t-range, t]") {
+    import org.apache.spark.sql.Row
+    def row(t: Long, v: Double) = Row(t, v)
+    val ms = (r: Row) => r.getLong(0)
+    val num = (r: Row) => r.getDouble(1)
+    // tail released in earlier triggers: stamps 100 and 200
+    val tail = Seq(row(100L, 1.0), row(200L, 2.0))
+    // a shuffle-delayed row becomes ready with stamp 150 — behind the tail max
+    val ready = Seq(row(150L, 10.0))
+
+    // RANGE 100 ms: the frame for stamp 150 is [50, 150] = {100, 150};
+    // a blind append would have computed {100, 200, 150} = sum 13 cnt 3
+    val (out, keep) = StatefulOps.procTimeFrameStep(
+      tail, ready, wm = 250L, Left(100L), ms, num)
+    assert(out.map(o => (o.getLong(0), o.getDouble(2), o.getLong(3))) ==
+      Seq((150L, 11.0, 2L)), out.toString)
+    // tail expiry still honors wm − range (stamps <= 150 expire), and the
+    // late-stamped row is NOT stranded behind 200 in the kept deque
+    assert(keep.map(ms) == Seq(200L), keep.toString)
+
+    // RANGE same-millisecond peers: a ready row at the TAIL's stamp 200
+    // shares one frame with it ([100, 200] = all four rows)
+    val (outP, _) = StatefulOps.procTimeFrameStep(
+      tail, Seq(row(150L, 10.0), row(200L, 5.0)), wm = 201L, Left(100L), ms, num)
+    assert(outP.map(o => (o.getLong(0), o.getDouble(2), o.getLong(3))).toSet ==
+      Set((150L, 11.0, 2L), (200L, 18.0, 4L)), outP.toString)
+
+    // ROWS n=2: stamp-ordered frames — 150's frame is {100, 150}, and the
+    // kept tail is the last two in STAMP order {150, 200}, not {200, 150}
+    val (outR, keepR) = StatefulOps.procTimeFrameStep(
+      tail, ready, wm = 250L, Right(2), ms, num)
+    assert(outR.map(o => (o.getLong(0), o.getDouble(2), o.getLong(3))) ==
+      Seq((150L, 11.0, 2L)), outR.toString)
+    assert(keepR.map(ms) == Seq(150L, 200L), keepR.toString)
+  }
 }
