@@ -1293,6 +1293,68 @@ class SqlEnvSpec extends AnyFunSuite {
     spark.sql("DROP TABLE IF EXISTS an_spec_cat")
   }
 
+  test("ANALYZE TABLE: analyzed stats change the join strategy (CBO visibility)") {
+    // The point of FLIP-240 stats is planning: the same join must pick
+    // its physical strategy from the ANALYZED size, not the raw
+    // file-size estimate. Two views over the same parquet, one
+    // analyzed; the broadcast threshold is pinned BETWEEN their two
+    // size estimates, so exactly one of the two (the smaller-estimated
+    // one) broadcasts — i.e. the ANALYZE changed the plan.
+    val env = SqlEnv(spark)
+    // The cache is PLAN-keyed, so an unanalyzed twin over the same file
+    // would silently resolve to the analyzed view's cached relation —
+    // the twin needs its own physical copy.
+    val dup = java.nio.file.Files.createTempDirectory("an_join_dup").toString
+    spark.read.parquet(s"${TestSpark.sfDir}/orders.parquet")
+      .write.mode("overwrite").parquet(dup)
+    spark.read.parquet(dup).createOrReplaceTempView("an_join_un")
+    spark.read.parquet(s"${TestSpark.sfDir}/orders.parquet")
+      .createOrReplaceTempView("an_join_an")
+    val sizeAnBefore =
+      spark.table("an_join_an").queryExecution.optimizedPlan.stats.sizeInBytes
+    env.executeSql("ANALYZE TABLE an_join_an COMPUTE STATISTICS")
+    val sizeUn = spark.table("an_join_un").queryExecution.optimizedPlan.stats.sizeInBytes
+    val sizeAn = spark.table("an_join_an").queryExecution.optimizedPlan.stats.sizeInBytes
+    assert(sizeAn != sizeAnBefore,
+      s"analyze must replace the file-size estimate: before=$sizeAnBefore after=$sizeAn")
+    assert(sizeUn != sizeAn,
+      s"the two views must carry different estimates: un=$sizeUn an=$sizeAn")
+    // The join prunes the dim to its key column, so the size the
+    // planner compares against the threshold is the PRUNED estimate —
+    // file-ratio-scaled for the parquet view, column-ratio-scaled from
+    // the analyzed stats for the cached one. Pin the threshold between
+    // THOSE two.
+    def pruned(dim: String): BigInt =
+      spark.sql(s"SELECT o_orderkey FROM $dim")
+        .queryExecution.optimizedPlan.stats.sizeInBytes
+    val (prunedUn, prunedAn) = (pruned("an_join_un"), pruned("an_join_an"))
+    assert(prunedUn != prunedAn,
+      s"pruned estimates must differ: un=$prunedUn an=$prunedAn")
+    // probe side far above any threshold we pick
+    spark.range(0L, 4000000L).createOrReplaceTempView("an_join_probe")
+    val prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    try {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold",
+        ((prunedUn + prunedAn) / 2).toString)
+      def broadcasts(dim: String): Boolean =
+        spark.sql(
+          s"""SELECT count(*) FROM an_join_probe p
+             |JOIN $dim d ON p.id = d.o_orderkey""".stripMargin)
+          .queryExecution.sparkPlan.toString.contains("BroadcastHashJoin")
+      val (smallName, bigName) =
+        if (prunedAn < prunedUn) ("an_join_an", "an_join_un")
+        else ("an_join_un", "an_join_an")
+      assert(broadcasts(smallName),
+        s"the smaller-estimated side ($smallName) must broadcast")
+      assert(!broadcasts(bigName),
+        s"the larger-estimated side ($bigName) must not broadcast — " +
+          "if it did, the ANALYZE changed nothing the planner sees")
+    } finally {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+      spark.catalog.uncacheTable("an_join_an")
+    }
+  }
+
   test("TIME wrap/cast: session-timezone independent across a DST gap") {
     // r15 advice: TimeAddWrap/CastTime's NTZ legs roundtripped through
     // the SESSION zone — 1970-04-26 02:30 falls inside America/New_York's
