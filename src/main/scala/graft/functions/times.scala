@@ -144,6 +144,20 @@ case class TimeAddWrap(
     case _ => 6
   }
 
+  // The registered SQL surface used to carry a typed signature
+  // (t TIME(6), d INTERVAL DAY TO SECOND) whose implicit coercions the
+  // expression-backed registration bypasses — re-apply them here so
+  // string operands keep working: time_add_wrap('10:30:05', d) casts
+  // the time leg to TIME(6); a non-interval d leg likewise casts.
+  private def timeOperand: Expression = time.dataType match {
+    case _: TimeType => time
+    case _ => Cast(time, TimeType(6), timeZoneId)
+  }
+  private def intervalOperand: Expression = interval.dataType match {
+    case _: DayTimeIntervalType | CalendarIntervalType => interval
+    case _ => Cast(interval, DayTimeIntervalType(), timeZoneId)
+  }
+
   override lazy val replacement: Expression =
     Cast(
       ToTime(DateFormatClass(
@@ -155,7 +169,8 @@ case class TimeAddWrap(
         // pin BOTH legs to UTC so the result is independent of
         // spark.sql.session.timeZone (r15 advice).
         Cast(TimestampAddInterval(
-          MakeTimestampNTZ(Literal(0, DateType), time), interval, timeZoneId),
+          MakeTimestampNTZ(Literal(0, DateType), timeOperand),
+          intervalOperand, timeZoneId),
           TimestampType, Some("UTC")),
         Literal("HH:mm:ss.SSSSSS"), Some("UTC")), None),
       TimeType(precision), timeZoneId)

@@ -1176,10 +1176,13 @@ class SqlEnvSpec extends AnyFunSuite {
     // is timezone-free and crosses midnight in both directions):
     val wrapped = env.executeSql(
       """SELECT time_add_wrap(TIME'23:59:59.5', INTERVAL '30' MINUTE) AS f,
-        |       time_add_wrap(TIME'00:10:00', INTERVAL '-30' MINUTE) AS b""".stripMargin)
+        |       time_add_wrap(TIME'00:10:00', INTERVAL '-30' MINUTE) AS b,
+        |       time_add_wrap('23:59:59.5', INTERVAL '30' MINUTE) AS s""".stripMargin)
       .collect()(0)
     assert(wrapped.get(0).toString == "00:29:59.500", wrapped.toString)
     assert(wrapped.get(1).toString == "23:40", wrapped.toString)
+    // string operand keeps the old typed-signature coercion (TIME(6))
+    assert(wrapped.get(2).toString == "00:29:59.500", wrapped.toString)
     // TIMESTAMP→TIME cast (r14 tail: closes the README delta): Spark's
     // native Cast rejects it, so the Flink dialect routes every
     // TIME-targeted cast through CastTime, which dispatches on the
