@@ -70,8 +70,12 @@ class DdlTypeFuzzSpec extends AnyFunSuite {
       } yield "ROW<" + fs.zipWithIndex
         .map { case (t, i) => s"`c$i` $t" }.mkString(", ") + ">"))
 
+  // GRAFT_FUZZ_SCALE multiplies every sample count for one-off deep
+  // hunts (seeds stay pinned, so scale-10 strictly supersets scale-1)
+  private val fuzzScale = sys.env.getOrElse("GRAFT_FUZZ_SCALE", "1").toInt
   private def samples[T](g: Gen[T], n: Int): Seq[T] =
-    (0 until n).flatMap(i => g.apply(Gen.Parameters.default, Seed(0xDD1L + i)))
+    (0 until n * fuzzScale).flatMap(i =>
+      g.apply(Gen.Parameters.default, Seed(0xDD1L + i)))
 
   test("print -> parse is identity for every printable type (400 samples)") {
     samples(printableType(3), 400).zipWithIndex.foreach { case (t, i) =>

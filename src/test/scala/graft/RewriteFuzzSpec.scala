@@ -81,8 +81,12 @@ class RewriteFuzzSpec extends AnyFunSuite {
         s"GROUP BY window(ts, '${secs * 2} seconds', '$secs seconds'), k"))
   } yield (call, expect)
 
+  // GRAFT_FUZZ_SCALE multiplies every sample count for one-off deep
+  // hunts (seeds stay pinned, so scale-10 strictly supersets scale-1)
+  private val fuzzScale = sys.env.getOrElse("GRAFT_FUZZ_SCALE", "1").toInt
   private def samples[T](g: Gen[T], n: Int): Seq[T] =
-    (0 until n).flatMap(i => g.apply(Gen.Parameters.default, Seed(0xA11CEL + i)))
+    (0 until n * fuzzScale).flatMap(i =>
+      g.apply(Gen.Parameters.default, Seed(0xA11CEL + i)))
 
   test("preservation: neutral input round-trips byte-identical (500 samples)") {
     samples(noise, 500).zipWithIndex.foreach { case (s, i) =>
