@@ -80,6 +80,21 @@ class PlanInvariantsSpec extends AnyFunSuite {
     assert(stale.isEmpty, s"whitelisted queries no longer declared: $stale")
   }
 
+  test("TIME format roundtrips stay exchange-free map-side shapes (q92-q94)") {
+    // The TimeFormats/Avro encode+decode is per-row cast work on both
+    // sides of the format; an Exchange appearing here would mean the
+    // shim started shuffling a scan-shaped pipeline (PLANS.md r16).
+    for (n <- Seq("q92_csv_time_roundtrip", "q93_json_time_roundtrip",
+      "q94_avro_time_roundtrip")) {
+      val plan = SparkEntry.queries(n)(spark, dir).queryExecution.sparkPlan
+      val exchanges = plan.collect {
+        case e: org.apache.spark.sql.execution.exchange.Exchange => e
+      }
+      assert(exchanges.isEmpty,
+        s"$n read side gained ${exchanges.size} exchange(s):\n$plan")
+    }
+  }
+
   test("flagship scans prune columns: q1 lineitem reads <= 8 of 11 columns") {
     val plan = SparkEntry.queries("q1_pricing_summary")(spark, dir)
       .queryExecution.explainString(org.apache.spark.sql.execution.ExplainMode.fromString("formatted"))
