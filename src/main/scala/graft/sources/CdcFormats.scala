@@ -90,7 +90,9 @@ object CdcFormats {
     val op = parsed.getField(opField)
     val before = rowStruct(parsed.getField("before"), schema)
     val after = rowStruct(parsed.getField("after"), schema)
-    df.withColumn(stage, from_json(jsonCol, env))
+    // TIME fields ride the envelope as ISO text (from_json rejects
+    // TimeType) — TimeFormats.parseJson casts them back post-parse
+    df.withColumn(stage, TimeFormats.parseJson(jsonCol, env))
       .select(explode(
         when(op.isin(insertOps: _*), array(kindRow(Changelog.Insert, after)))
         .when(op === updateOp, array(kindRow(Changelog.UpdateBefore, before),
@@ -110,7 +112,9 @@ object CdcFormats {
       StructField("type", StringType)))
     val stage = stagingName(df) // staged parse — see fromBeforeAfter
     val parsed = col(stage)
-    df.withColumn(stage, from_json(jsonCol, env))
+    // TIME fields ride the envelope as ISO text (from_json rejects
+    // TimeType) — TimeFormats.parseJson casts them back post-parse
+    df.withColumn(stage, TimeFormats.parseJson(jsonCol, env))
       .select(parsed.getField("type").as("__t"), parsed.getField("old").as("__old"),
         posexplode(parsed.getField("data")).as(Seq("__i", "__d")))
       .select(explode(
@@ -135,7 +139,9 @@ object CdcFormats {
     val parsed = col(stage)
     val data = rowStruct(parsed.getField("data"), schema)
     val old = mergeOld(parsed.getField("old"), parsed.getField("data"), schema)
-    df.withColumn(stage, from_json(jsonCol, env))
+    // TIME fields ride the envelope as ISO text (from_json rejects
+    // TimeType) — TimeFormats.parseJson casts them back post-parse
+    df.withColumn(stage, TimeFormats.parseJson(jsonCol, env))
       .select(parsed.getField("type").as("__t"), data.as("__d"), old.as("__o"))
       .select(explode(
         when(col("__t").isin("insert", "bootstrap-insert"),

@@ -64,7 +64,9 @@ object Kafka {
   def decodeJson(kafkaDf: DataFrame, schema: DataType): DataFrame =
     kafkaDf.select(
       col("key").cast("string").as("k"),
-      from_json(col("value").cast("string"), schema).as("v"),
+      // TIME fields ride the value as ISO text (flink-json contract;
+      // from_json rejects TimeType) — parseJson casts them back
+      TimeFormats.parseJson(col("value").cast("string"), schema).as("v"),
       col("offset"))
 
   /** Decode a protobuf `value` column against a declared (or
@@ -106,9 +108,12 @@ object Kafka {
     */
   def sink(df: DataFrame, bootstrapServers: String, topic: String,
            keyCols: Seq[String], checkpointDir: String) = {
-    val keyed = df.select(
+    // TIME columns encode to ISO text before to_json (which rejects
+    // TimeType) — same wire contract as the decode side
+    val enc = TimeFormats.encodeTimes(df)
+    val keyed = enc.select(
       concat_ws("|", keyCols.map(col): _*).cast("binary").as("key"),
-      to_json(struct(df.columns.map(col).toIndexedSeq: _*)).cast("binary").as("value"))
+      to_json(struct(enc.columns.map(col).toIndexedSeq: _*)).cast("binary").as("value"))
     keyed.writeStream.format("kafka")
       .options(sinkOptions(bootstrapServers, topic))
       .option("checkpointLocation", checkpointDir)

@@ -80,4 +80,44 @@ object TimeFormats {
 
   def readJson(spark: SparkSession, path: String, schema: StructType): DataFrame =
     decodeTimes(spark.read.schema(textSchema(schema)).json(path), schema)
+
+  // ---- from_json / to_json wire contract --------------------------------
+  // The JSON FUNCTIONS reject TimeType like the datasource does
+  // (from_json: UNSUPPORTED_DATATYPE; to_json: conversion failure), so
+  // every schema-driven JSON envelope — Kafka value decode, the CDC
+  // debezium/canal/maxwell/ogg envelopes, JSON sinks — applies the same
+  // ISO-text contract: TIME fields travel as STRING on the wire and a
+  // struct-level Cast flips them back, recursively through nested
+  // structs/arrays/maps. Cast is codegen'd and a no-op when the schema
+  // carries no TIME.
+
+  /** `dt` with every (nested) TIME field demoted to STRING. */
+  def wireType(dt: DataType): DataType = dt match {
+    case _: TimeType => StringType
+    case s: StructType =>
+      StructType(s.fields.map(f => f.copy(dataType = wireType(f.dataType))))
+    case ArrayType(et, n) => ArrayType(wireType(et), n)
+    case MapType(kt, vt, n) => MapType(wireType(kt), wireType(vt), n)
+    case other => other
+  }
+
+  /** `from_json` that accepts TIME fields in `declared`: parses the
+    * wire shape and casts back to the declared type (string→TIME per
+    * field). Identical to plain `from_json` for TIME-free schemas.
+    */
+  def parseJson(jsonCol: org.apache.spark.sql.Column,
+                declared: DataType): org.apache.spark.sql.Column = {
+    val wire = wireType(declared)
+    val parsed = org.apache.spark.sql.functions.from_json(jsonCol, wire)
+    if (wire == declared) parsed else parsed.cast(declared)
+  }
+
+  /** `to_json`-ready view of a struct column: TIME fields cast to
+    * their ISO text (no-op cast removed by the optimizer otherwise).
+    */
+  def toWire(structCol: org.apache.spark.sql.Column,
+             declared: DataType): org.apache.spark.sql.Column = {
+    val wire = wireType(declared)
+    if (wire == declared) structCol else structCol.cast(wire)
+  }
 }

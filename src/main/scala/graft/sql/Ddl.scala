@@ -444,7 +444,10 @@ object Ddl {
     val out = fmt match {
       case "json" | "protobuf" =>
         val valueCol = fmt match {
-          case "json" => from_json(col("value").cast("string"), valueSchema)
+          // TIME fields ride the value as ISO text (flink-json wire
+          // contract; from_json rejects TimeType) — parseJson restores
+          case "json" => graft.sources.TimeFormats.parseJson(
+            col("value").cast("string"), valueSchema)
           case _ =>
             val descFile = d.options.getOrElse("protobuf.descriptor-file",
               throw new IllegalArgumentException(
@@ -578,16 +581,24 @@ object Ddl {
     def parseMode(fmt: String): String =
       if (d.options.getOrElse(s"$fmt.ignore-parse-errors", "false") == "true")
         "DROPMALFORMED" else "FAILFAST"
+    // TIME(p) columns ride CSV/JSON as ISO text (the reference's
+    // RowDataToCsv/JsonConverters contract; Spark's datasources reject
+    // TimeType) — read the wire schema, cast back to the declared one.
+    import graft.sources.TimeFormats
     val base = d.format match {
       case "parquet" => spark.read.schema(d.schema).parquet(d.path)
       case "orc" => spark.read.schema(d.schema).orc(d.path)
-      case "json" => spark.read.schema(d.schema)
-        .option("mode", parseMode("json")).json(d.path)
-      case "csv" => spark.read.schema(d.schema)
-        .option("header", d.options.getOrElse("csv.include-header", "false"))
-        .option("sep", d.options.getOrElse("csv.field-delimiter", ","))
-        .option("mode", parseMode("csv"))
-        .csv(d.path)
+      case "json" => TimeFormats.decodeTimes(
+        spark.read.schema(TimeFormats.textSchema(d.schema))
+          .option("mode", parseMode("json")).json(d.path),
+        d.schema)
+      case "csv" => TimeFormats.decodeTimes(
+        spark.read.schema(TimeFormats.textSchema(d.schema))
+          .option("header", d.options.getOrElse("csv.include-header", "false"))
+          .option("sep", d.options.getOrElse("csv.field-delimiter", ","))
+          .option("mode", parseMode("csv"))
+          .csv(d.path),
+        d.schema)
       case "avro" => graft.sources.Avro.read(spark, d.path)
       case "raw" => spark.read.text(d.path)
         .select(col("value").as(d.schema.fieldNames.head))
@@ -641,7 +652,12 @@ object Ddl {
       case "blackhole" => data.write.format("noop").mode("overwrite").save()
       case "print" => data.show(20, truncate = false)
       case "filesystem" =>
-        val aligned = data.toDF(d.schema.fieldNames.toIndexedSeq: _*)
+        val aligned0 = data.toDF(d.schema.fieldNames.toIndexedSeq: _*)
+        // TIME(p) → ISO text for the text formats (see register)
+        val aligned = d.format match {
+          case "json" | "csv" => graft.sources.TimeFormats.encodeTimes(aligned0)
+          case _ => aligned0
+        }
         val writer0 = aligned.write.mode(mode)
           .option("partitionOverwriteMode",
             if (staticParts.nonEmpty) "dynamic" else "static")

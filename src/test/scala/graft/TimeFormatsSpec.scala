@@ -70,6 +70,70 @@ class TimeFormatsSpec extends AnyFunSuite {
     assertRoundtrip(back, p3 = 3, tag = "json")
   }
 
+  test("from_json/to_json wire contract: CDC envelope and Kafka value carry TIME") {
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    // from_json rejects TimeType outright (UNSUPPORTED_DATATYPE) and
+    // to_json fails converting it — every schema-driven JSON envelope
+    // rides TIME as ISO text and casts back (the flink-json converters'
+    // contract). Debezium decode with a TIME column:
+    val schema = StructType(Seq(
+      StructField("k", StringType), StructField("t", TimeType(3))))
+    val env = Seq(
+      """{"before":null,"after":{"k":"a","t":"10:30:05.123"},"op":"c"}""",
+      """{"before":{"k":"a","t":"10:30:05.123"},"after":{"k":"a","t":"11:00:00"},"op":"u"}""",
+      """{"before":{"k":"a","t":"11:00:00"},"after":null,"op":"d"}""").toDF("j")
+    val out = graft.sources.CdcFormats.fromDebeziumJson(env, col("j"), schema)
+    assert(out.schema("t").dataType == TimeType(3), out.schema.simpleString)
+    val rows = out.collect().map(r =>
+      (r.getString(0), r.getString(1), String.valueOf(r.get(2))))
+    assert(rows.toSeq == Seq(
+      ("+I", "a", "10:30:05.123"), ("-U", "a", "10:30:05.123"),
+      ("+U", "a", "11:00"), ("-D", "a", "11:00")), rows.mkString("; "))
+
+    // Kafka JSON value decode restores the declared TIME field
+    val kafkaShaped = Seq(("k1", """{"id":1,"t":"10:30:05.5"}""", 0L))
+      .toDF("key", "value", "offset")
+      .select(col("key").cast("binary").as("key"),
+        col("value").cast("binary").as("value"), col("offset"))
+    val vSchema = StructType(Seq(
+      StructField("id", LongType), StructField("t", TimeType(6))))
+    val dec = graft.sources.Kafka.decodeJson(kafkaShaped, vSchema)
+    val v = dec.select("v.id", "v.t").collect()(0)
+    assert(v.getLong(0) == 1L &&
+      v.getAs[java.time.LocalTime](1) == lt("10:30:05.5"), v.toString)
+
+    // ...and the sink-side encode renders TIME as its ISO text
+    val js = spark.range(1).select(
+      to_json(graft.sources.TimeFormats.toWire(
+        struct(expr("TIME'10:30:05.5'").as("t")),
+        StructType(Seq(StructField("t", TimeType(6)))))).as("j"))
+      .collect()(0).getString(0)
+    assert(js.contains("\"10:30:05.5\""), js)
+  }
+
+  test("DDL JSON and CSV tables with TIME columns: INSERT + read back") {
+    val env = graft.sql.SqlEnv(spark)
+    for (fmt <- Seq("json", "csv")) {
+      val path = java.nio.file.Files.createTempDirectory(s"graft_tf_ddl_$fmt")
+      env.executeSql(
+        s"""CREATE TABLE tf_ddl_$fmt (id BIGINT, t TIME(3))
+           |WITH ('connector' = 'filesystem', 'path' = '$path',
+           |      'format' = '$fmt')""".stripMargin)
+      env.executeSql(
+        s"""INSERT INTO tf_ddl_$fmt
+           |SELECT * FROM VALUES (1, CAST(TIME'10:30:05.123' AS TIME(3))),
+           |                     (2, CAST(NULL AS TIME(3))) AS v(id, t)""".stripMargin)
+      val back = spark.table(s"tf_ddl_$fmt")
+      assert(back.schema("t").dataType == TimeType(3),
+        s"$fmt: ${back.schema.simpleString}")
+      val rows = back.orderBy("id").collect()
+      assert(rows(0).getAs[java.time.LocalTime]("t") == lt("10:30:05.123"),
+        s"$fmt: ${rows.mkString("; ")}")
+      assert(rows(1).isNullAt(1), s"$fmt: null TIME must survive")
+    }
+  }
+
   test("Avro: time-millis for p<=3, time-micros above, values exact") {
     val df = frame()
     // schema mapping: p<=3 -> INT time-millis, p>3 -> LONG time-micros
