@@ -52,10 +52,24 @@ object TimeFormats {
 
   /** Parse the STRING-wire TIME fields back to their declared
     * TIME(p) (read side) — requires `spark.sql.timeType.enabled`.
+    *
+    * `dropMalformed` mirrors the reference's `ignore-parse-errors`
+    * contract at the TIME level: a record whose wire text is present
+    * but unparseable is DROPPED (Flink's JsonToRowDataConverters skip
+    * the whole record on any field-level parse failure), instead of
+    * raising the ANSI cast error. Genuine nulls pass through.
     */
-  def decodeTimes(raw: DataFrame, schema: StructType): DataFrame = {
+  def decodeTimes(raw: DataFrame, schema: StructType,
+                  dropMalformed: Boolean = false): DataFrame = {
     if (!schema.exists(_.dataType.isInstanceOf[TimeType])) return raw
-    raw.select(schema.fields.map { f =>
+    val timeFields = schema.fields.collect { case f if f.dataType.isInstanceOf[TimeType] => f }
+    val kept =
+      if (!dropMalformed) raw
+      else raw.filter(!timeFields.map { f =>
+        col(f.name).isNotNull &&
+          expr(s"TRY_CAST(`${f.name}` AS TIME(6))").isNull
+      }.reduce(_ || _))
+    kept.select(schema.fields.map { f =>
       f.dataType match {
         case TimeType(p) =>
           expr(s"CAST(to_time(`${f.name}`) AS TIME($p))").as(f.name)

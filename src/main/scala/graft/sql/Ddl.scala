@@ -591,14 +591,18 @@ object Ddl {
       case "json" => TimeFormats.decodeTimes(
         spark.read.schema(TimeFormats.textSchema(d.schema))
           .option("mode", parseMode("json")).json(d.path),
-        d.schema)
+        d.schema,
+        // ignore-parse-errors drops a record on ANY field parse
+        // failure in the reference — including its TIME text
+        dropMalformed = parseMode("json") == "DROPMALFORMED")
       case "csv" => TimeFormats.decodeTimes(
         spark.read.schema(TimeFormats.textSchema(d.schema))
           .option("header", d.options.getOrElse("csv.include-header", "false"))
           .option("sep", d.options.getOrElse("csv.field-delimiter", ","))
           .option("mode", parseMode("csv"))
           .csv(d.path),
-        d.schema)
+        d.schema,
+        dropMalformed = parseMode("csv") == "DROPMALFORMED")
       case "avro" => graft.sources.Avro.read(spark, d.path)
       case "raw" => spark.read.text(d.path)
         .select(col("value").as(d.schema.fieldNames.head))

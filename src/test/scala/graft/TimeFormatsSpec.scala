@@ -134,6 +134,33 @@ class TimeFormatsSpec extends AnyFunSuite {
     }
   }
 
+  test("DDL json ignore-parse-errors drops records with malformed TIME text") {
+    // flink-json's ignore-parse-errors skips the WHOLE record on any
+    // field-level parse failure, TIME included; without it the parse
+    // failure raises. decodeTimes(dropMalformed) mirrors both.
+    val env = graft.sql.SqlEnv(spark)
+    val dir = java.nio.file.Files.createTempDirectory("graft_tf_bad").toString
+    java.nio.file.Files.write(java.nio.file.Paths.get(dir, "part-0.json"),
+      ("""{"id":1,"t":"10:30:05"}""" + "\n" +
+       """{"id":2,"t":"not a time"}""" + "\n" +
+       """{"id":3,"t":null}""" + "\n").getBytes)
+    env.executeSql(
+      s"""CREATE TABLE tf_bad_lenient (id BIGINT, t TIME(0))
+         |WITH ('connector' = 'filesystem', 'path' = '$dir',
+         |      'format' = 'json', 'json.ignore-parse-errors' = 'true')""".stripMargin)
+    val rows = spark.table("tf_bad_lenient").orderBy("id").collect()
+    assert(rows.map(_.getLong(0)).toSeq == Seq(1L, 3L),
+      s"record with malformed TIME must be dropped: ${rows.mkString("; ")}")
+    assert(rows(0).getAs[java.time.LocalTime]("t") == lt("10:30:05") &&
+      rows(1).isNullAt(1), rows.mkString("; "))
+    // strict mode (the default) raises instead of silently dropping
+    env.executeSql(
+      s"""CREATE TABLE tf_bad_strict (id BIGINT, t TIME(0))
+         |WITH ('connector' = 'filesystem', 'path' = '$dir',
+         |      'format' = 'json')""".stripMargin)
+    intercept[Exception] { spark.table("tf_bad_strict").collect() }
+  }
+
   test("Avro: time-millis for p<=3, time-micros above, values exact") {
     val df = frame()
     // schema mapping: p<=3 -> INT time-millis, p>3 -> LONG time-micros
