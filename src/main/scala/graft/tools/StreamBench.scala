@@ -45,6 +45,8 @@ object StreamBench {
   case class Ev(ts: java.sql.Timestamp, user: String, tpe: String, value: Double)
   case class Doc(doc_id: Long, text: String)
   case class Chg(row_kind: String, k: String, price: Double)
+  case class Cj(row_kind: String, k: String, v: Double, seq: Long)
+  case class Rtn(row_kind: String, grp: String, id: String, score: Double)
 
   def main(args: Array[String]): Unit = {
     val rowSizes = sys.env.getOrElse("SPARK_GRAFT_STREAM_ROWS", "400000,1600000")
@@ -314,6 +316,70 @@ object StreamBench {
         val n = chgBatches.tail.map(_.size).sum
         println(f"[stream-bench] retract_group_agg            ${n / sec}%,.0f rows/s ($n rows in $sec%.2f s)")
         results += ("retract_group_agg" -> n / sec)
+      } finally q.stop()
+    }
+
+    // retracting stream-stream join (r16: SURVEY row 24's first
+    // committed throughput row): two +I/-D changelog sides keyed on k,
+    // ~batches rows per key per side so the per-key cross product stays
+    // bounded; throughput counts BOTH sides' rows through the operator.
+    locally {
+      val perSide = perBatch / 2
+      def mkSide(b: Int, side: Int): IndexedSeq[Cj] =
+        (0 until perSide).map { i =>
+          val n = b * perSide + i
+          Cj(if (n % 10 == 9) "-D" else "+I", s"k${n % 50000}",
+            (n % 1000).toDouble + side, n.toLong * 2 + side)
+        }
+      val lIn = MemoryStream[Cj]
+      val rIn = MemoryStream[Cj]
+      val out = graft.streaming.ChangelogJoin.streaming(
+        lIn.toDF(), Seq("k"), rIn.toDF(), Seq("k"), "seq", "inner")
+      val q = out.writeStream.format("noop").outputMode(OutputMode.Append)
+        .option("checkpointLocation",
+          java.nio.file.Files.createTempDirectory("sb_cjoin").toString)
+        .start()
+      try {
+        lIn.addData(mkSide(0, 0)); rIn.addData(mkSide(0, 1))
+        q.processAllAvailable()
+        val t0 = System.nanoTime()
+        (1 until batches).foreach { b =>
+          lIn.addData(mkSide(b, 0)); rIn.addData(mkSide(b, 1))
+        }
+        q.processAllAvailable()
+        val sec = (System.nanoTime() - t0) / 1e9
+        val n = (batches - 1).toLong * perSide * 2
+        println(f"[stream-bench] changelog_join               ${n / sec}%,.0f rows/s ($n rows in $sec%.2f s)")
+        results += ("changelog_join" -> n / sec)
+      } finally q.stop()
+    }
+
+    // retractable TopN over an updating input (r16: SURVEY row 44's
+    // first committed throughput row): per-group id→row state map,
+    // diff-emitting membership changelog
+    locally {
+      val rtBatches: IndexedSeq[IndexedSeq[Rtn]] =
+        (0 until batches).map(b => (0 until perBatch).map { i =>
+          val n = b * perBatch + i
+          Rtn(if (n % 10 == 9) "-D" else "+I", s"g${n % 1000}",
+            s"id${n % 20000}", (n % 997).toDouble)
+        })
+      val in = MemoryStream[Rtn]
+      val out = graft.streaming.RetractTopN(
+        in.toDF(), keys = Seq("grp"), idCol = "id", scoreCol = "score", n = 5)
+      val q = out.writeStream.format("noop").outputMode(OutputMode.Append)
+        .option("checkpointLocation",
+          java.nio.file.Files.createTempDirectory("sb_rtopn").toString)
+        .start()
+      try {
+        in.addData(rtBatches.head); q.processAllAvailable()
+        val t0 = System.nanoTime()
+        rtBatches.tail.foreach(b => in.addData(b))
+        q.processAllAvailable()
+        val sec = (System.nanoTime() - t0) / 1e9
+        val n = rtBatches.tail.map(_.size).sum
+        println(f"[stream-bench] retract_topn                 ${n / sec}%,.0f rows/s ($n rows in $sec%.2f s)")
+        results += ("retract_topn" -> n / sec)
       } finally q.stop()
     }
 
