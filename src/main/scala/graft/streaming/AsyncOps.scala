@@ -27,6 +27,13 @@ object AsyncOps {
     ds.mapPartitions { it =>
       // bounded thread pool per partition ≈ Flink's per-subtask capacity
       val pool = java.util.concurrent.Executors.newFixedThreadPool(capacity)
+      // The pool's threads are non-daemon and the executor JVM outlives
+      // the task: a failing element (non-timeout exception) or an
+      // ABANDONED iterator (downstream limit/take stops consuming)
+      // would leak `capacity` threads per task. Tie the pool to the
+      // task lifecycle — shutdownNow is harmless after a normal drain.
+      Option(org.apache.spark.TaskContext.get()).foreach(
+        _.addTaskCompletionListener[Unit](_ => pool.shutdownNow()))
       implicit val ec: ExecutionContext = ExecutionContext.fromExecutorService(pool)
       val inflight = scala.collection.mutable.Queue.empty[Future[O]]
       new Iterator[O] {
@@ -104,6 +111,9 @@ object AsyncOps {
     require(timeoutMs > 0)
     ds.mapPartitions { it =>
       val pool = java.util.concurrent.Executors.newFixedThreadPool(capacity)
+      // task-lifecycle cleanup — see mapAsyncOrdered
+      Option(org.apache.spark.TaskContext.get()).foreach(
+        _.addTaskCompletionListener[Unit](_ => pool.shutdownNow()))
       val ecs = new java.util.concurrent.ExecutorCompletionService[O](pool)
       var inflight = 0
       new Iterator[O] {

@@ -103,6 +103,33 @@ class AsyncOpsSpec extends AnyFunSuite {
         maxAttempts = 2)).collect()
     assert(out.sameElements((0L until 16).map(_ + 100)))
   }
+
+  test("failed tasks do not leak the per-partition pool threads (r16)") {
+    // Pool threads are non-daemon and the executor JVM outlives the
+    // task: without the task-completion shutdown hook, every FAILING
+    // element leaked `capacity` threads. Run several failing jobs and
+    // assert the JVM's default-named pool threads settle back.
+    import scala.jdk.CollectionConverters._
+    def poolThreads(): Int = Thread.getAllStackTraces.keySet().asScala
+      .count(t => t.isAlive && t.getName.startsWith("pool-"))
+    val before = poolThreads()
+    (1 to 3).foreach { _ =>
+      intercept[Exception] {
+        AsyncOps.mapAsyncOrdered(spark.range(8).coalesce(1).as[Long],
+          capacity = 8) { _ => throw new RuntimeException("boom"); 0L }
+          .collect()
+      }
+    }
+    // shutdownNow from the completion listener interrupts idle workers;
+    // give them a moment to exit
+    val deadline = System.currentTimeMillis() + 15000
+    var after = poolThreads()
+    while (after > before + 4 && System.currentTimeMillis() < deadline) {
+      Thread.sleep(250); after = poolThreads()
+    }
+    assert(after <= before + 4,
+      s"3 failing jobs x capacity 8 leaked pool threads: before=$before after=$after")
+  }
 }
 
 /** Executor-side dedup set for the retry-composition test (a lambda
