@@ -246,23 +246,26 @@ object Bench {
           s": ${toRun.map(_._1).mkString(", ")}")
         // Fresh calibration for the tail window — lets a reader verify the
         // re-measure really ran quieter than the battery.
-        val calibTail = try medianOf((1 to 3).map { _ =>
+        def tailCalib(): Double = try medianOf((1 to 3).map { _ =>
           val t0 = System.nanoTime()
           spark.range(0L, 200000000L, 1L, cpus.toInt)
             .selectExpr("bit_xor(xxhash64(id)) AS s").collect()
           (System.nanoTime() - t0) / 1e9
         }) catch { case _: Throwable => -1.0 }
-        // r15 directive #4: substitution is GATED on the tail window
-        // actually being quieter than the battery — otherwise the quiet-
-        // median replacement could launder a contended re-measure into
-        // the headline. On rejection the contended battery medians stay
-        // in "queries" and the tail evidence is still recorded.
-        val verdict = BenchAdjudication.gate(calibTail, calibSpark)
-        if (!verdict.substitute)
-          System.err.println(s"[bench] adjudication NOT applied: ${verdict.reason}")
+        val calibTail = tailCalib()
+        // r15 directive #4 + r16 advice: substitution is GATED on the
+        // tail window being quieter than the battery at BOTH ends — the
+        // first calibration only covers the window's start, so a second
+        // one after the re-measure loop catches a window that turned
+        // contended mid-tail. The verdict lands only after both; during
+        // the loop the artifact carries remeasure_applied:false.
+        var verdict = BenchAdjudication.Verdict(substitute = false,
+          "pending post-remeasure calibration")
+        var calibTailAfter = -1.0
         val contended = scala.collection.mutable.ArrayBuffer.empty[(String, Double)]
         val remeasured = scala.collection.mutable.ArrayBuffer.empty[(String, Double)]
         val remeasuredSd = scala.collection.mutable.ArrayBuffer.empty[(String, Double)]
+        val remeasuredMin = scala.collection.mutable.ArrayBuffer.empty[(String, Double)]
         val remeasuredOk = scala.collection.mutable.ArrayBuffer.empty[(String, Int)]
         val notRemeasured = scala.collection.mutable.ArrayBuffer.empty[String]
         notRemeasured ++= skippedByCap.map(_._1)
@@ -274,7 +277,8 @@ object Bench {
             s""""remeasure_applied":${verdict.substitute},""" +
             (if (verdict.substitute) ""
              else s""""remeasure_rejected_reason":"${verdict.reason}",""") +
-            f""""remeasure_calib_spark32_sec":$calibTail%.4f,"""
+            f""""remeasure_calib_spark32_sec":$calibTail%.4f,""" +
+            f""""remeasure_calib_after_sec":$calibTailAfter%.4f,"""
         for (r <- toRun) {
           val name = r._1
           if (elapsed > budget * 0.95) notRemeasured += name
@@ -288,19 +292,25 @@ object Bench {
               contended += ((name, r._2))
               remeasured += ((name, med))
               remeasuredSd += ((name, sd))
+              remeasuredMin += ((name, ts.head))
               remeasuredOk += ((name, ts.length))
-              if (verdict.substitute) {
-                val i = results.indexWhere(_._1 == name)
-                // preserve the BATTERY's n_ok/attempted so its flaky
-                // marker survives substitution (remeasure_n_ok carries
-                // the tail survivors)
-                results(i) = BenchAdjudication.substitutedRow(
-                  results(i), med, sd, ts.head)
-              }
             } else notRemeasured += name
             extra = renderExtra()
             writeFile(renderJson(results.toSeq, notRun, failed.toSeq, partial = false, extra))
           }
+        }
+        calibTailAfter = tailCalib()
+        verdict = BenchAdjudication.gate(calibTail, calibTailAfter, calibSpark)
+        if (!verdict.substitute)
+          System.err.println(s"[bench] adjudication NOT applied: ${verdict.reason}")
+        else remeasured.foreach { case (name, med) =>
+          val i = results.indexWhere(_._1 == name)
+          val sd = remeasuredSd.find(_._1 == name).map(_._2).getOrElse(0.0)
+          val mn = remeasuredMin.find(_._1 == name).map(_._2).getOrElse(med)
+          // preserve the BATTERY's n_ok/attempted so its flaky marker
+          // survives substitution (remeasure_n_ok carries the tail
+          // survivors)
+          results(i) = BenchAdjudication.substitutedRow(results(i), med, sd, mn)
         }
         extra = renderExtra()
       }
@@ -329,6 +339,17 @@ object Bench {
 object BenchAdjudication {
   /** `substitute` = tail medians may replace battery medians. */
   final case class Verdict(substitute: Boolean, reason: String)
+
+  /** Two-ended gate (r16 advice): the tail must be quiet BOTH before
+    * and after the re-measure loop — a window that turns contended
+    * mid-tail must not substitute. Gates on the WORSE of the two
+    * calibrations; either failing (-1) rejects.
+    */
+  def gate(calibTailBefore: Double, calibTailAfter: Double,
+           calibBattery: Double): Verdict =
+    if (calibTailBefore <= 0 || calibTailAfter <= 0)
+      Verdict(substitute = false, "tail calibration failed")
+    else gate(math.max(calibTailBefore, calibTailAfter), calibBattery)
 
   /** @param calibTail    fixed-job median measured in the tail window
     *                     (-1 if calibration itself failed)

@@ -133,6 +133,26 @@ object Functions3 {
       graft.sources.Avro.read(s, out)
     }),
 
+    // ---- TIME(p) through ORC (r16 directive #3) -------------------------
+    // The reference's ORC bridge writes TIME as an int column of
+    // millis-of-day (flink-orc RowDataVectorizer.java:120); Spark's ORC
+    // datasource rejects TimeType (tools/TimeProbe), so TimeFormats
+    // applies the same numeric wire around it — INT millis for p<=3
+    // (reference-compatible bytes), BIGINT micros for p>3 (the Avro
+    // time-micros extension). Encode/decode are codegen'd cast chains;
+    // the oracle derives the same values from the ORIGINAL parquet.
+    "q96_orc_time_roundtrip" -> ((s, dir) => {
+      graft.functions.functions.register(s)
+      val e = Tables.load(s, dir, "events")
+        .select(col("event_id"), col("event_type"),
+          expr("cast_time(ts, 6)").as("tod_us"),
+          expr("cast_time(ts, 3)").as("tod_ms"),
+          expr("cast_time(ts, 0)").as("tod_s"))
+      val out = roundtripDir("orctime", dir)
+      graft.sources.TimeFormats.writeOrc(e, out)
+      graft.sources.TimeFormats.readOrc(s, out, e.schema)
+    }),
+
     // ---- Compressed CSV roundtrip — flink-formats compress factory ----
     // (reference: flink-formats/.../CompressWriterFactory + the
     // filesystem connector's gzip auto-detection on read). Spark's
@@ -445,6 +465,12 @@ object Functions3 {
       """SELECT event_id,
         |  CAST(ts AS TIME) AS tod_us,
         |  CAST(date_trunc('millisecond', ts) AS TIME) AS tod_ms
+        |FROM events""".stripMargin,
+    "q96_orc_time_roundtrip" ->
+      """SELECT event_id, event_type,
+        |  CAST(ts AS TIME) AS tod_us,
+        |  CAST(date_trunc('millisecond', ts) AS TIME) AS tod_ms,
+        |  CAST(date_trunc('second', ts) AS TIME) AS tod_s
         |FROM events""".stripMargin,
     "q77_raw_text_roundtrip" -> "SELECT text FROM documents",
     "q78_sequence_file_roundtrip" -> "SELECT doc_id, text FROM documents",

@@ -38,6 +38,38 @@ object SqlSurface {
     // table; the metadata column is gated by a data-computed contract
     // boolean (every source file name ends in .parquet), the q63/q71
     // pattern for values DuckDB cannot observe.
+    // ---- CTAS: CREATE TABLE ... AS SELECT (FLIP-218, r16 directive #1)
+    // Reference: flink-sql-parser ddl/SqlCreateTableAs.java (new in the
+    // 1.16 release), converted to create-then-insert. The derived table
+    // materializes a real transform (join + aggregate) at the sink
+    // path, is re-read through the registered view, and is INSERT-able
+    // afterwards (the second INSERT appends the low-balance rows, so
+    // the oracle covers ALL suppliers — proving the CTAS table behaves
+    // like any CREATE TABLE'd one).
+    "q95_ctas" -> ((s, dir) => {
+      val env = graft.sql.SqlEnv(s).registerTestdata(dir)
+      val sink = sinkDir("ctas", dir)
+      org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(sink))
+      env.executeSql("DROP TABLE IF EXISTS ctas_sup_stats")
+      env.executeSql(
+        s"""CREATE TABLE ctas_sup_stats
+           |WITH ('connector' = 'filesystem', 'path' = '$sink',
+           |      'format' = 'parquet')
+           |AS SELECT s.s_suppkey AS suppkey, s.s_name AS sname,
+           |          n.n_name AS nation,
+           |          CAST(round(s.s_acctbal * 100) AS BIGINT) AS bal_cents
+           |   FROM supplier s JOIN nation n ON s.s_nationkey = n.n_nationkey
+           |   WHERE s.s_acctbal >= 0""".stripMargin)
+      env.executeSql(
+        """INSERT INTO ctas_sup_stats
+          |SELECT s.s_suppkey, s.s_name, n.n_name,
+          |       CAST(round(s.s_acctbal * 100) AS BIGINT)
+          |FROM supplier s JOIN nation n ON s.s_nationkey = n.n_nationkey
+          |WHERE s.s_acctbal < 0""".stripMargin)
+      env.executeSql(
+        "SELECT suppkey, sname, nation, bal_cents FROM ctas_sup_stats")
+    }),
+
     "q83_ddl_enriched" -> ((s, dir) => {
       val env = graft.sql.SqlEnv(s)
       val hi = sinkDir("hi", dir); val lo = sinkDir("lo", dir)
@@ -220,6 +252,10 @@ object SqlSurface {
         |                    ',' ORDER BY CAST(user_id AS VARCHAR)) || '}' AS obj,
         |  '[' || string_agg(CAST(n AS VARCHAR), ',' ORDER BY n) || ']' AS arr
         |FROM g GROUP BY event_type""".stripMargin,
+    "q95_ctas" ->
+      """SELECT s_suppkey AS suppkey, s_name AS sname, n_name AS nation,
+        |  CAST(round(s_acctbal * 100) AS BIGINT) AS bal_cents
+        |FROM supplier JOIN nation ON s_nationkey = n_nationkey""".stripMargin,
     "q83_ddl_enriched" ->
       """SELECT CASE WHEN o_totalprice > 150000 THEN 'hi' ELSE 'lo' END AS side,
         |  CAST(year(o_orderdate) AS INT) AS o_year,

@@ -56,9 +56,15 @@ object Avro {
         LogicalTypes.timestampMicros().addToSchema(Schema.create(Schema.Type.LONG))
       case TimestampNTZType =>
         LogicalTypes.localTimestampMicros().addToSchema(Schema.create(Schema.Type.LONG))
-      // TIME(p) rides Avro's time logical types, exactly the reference's
-      // AvroSchemaConverter TIME_WITHOUT_TIME_ZONE mapping: millisecond
-      // precisions as time-millis (INT), finer as time-micros (LONG).
+      // TIME(p) rides Avro's time logical types. p<=3 as time-millis
+      // (INT) is the reference's AvroSchemaConverter
+      // TIME_WITHOUT_TIME_ZONE mapping; time-micros (LONG) for p>3 is
+      // an EXTENSION — the reference's internal TIME is millis, so its
+      // write side never emits finer than time-millis (its reader
+      // handles time-micros, so interop holds). Roundtrip note: the
+      // container schema carries only the logical type, so sub-milli
+      // declared precisions read back widened — TIME(0..2) as TIME(3),
+      // TIME(4..5) as TIME(6) (pinned in TimeFormatsSpec).
       case t: TimeType if t.precision <= 3 =>
         LogicalTypes.timeMillis().addToSchema(Schema.create(Schema.Type.INT))
       case _: TimeType =>

@@ -30,41 +30,45 @@ import org.apache.spark.sql.types._
   */
 object TimeFormats {
 
-  /** TIME(p) columns → canonical time-of-day strings (write side). */
+  /** TIME(p) columns → canonical time-of-day strings (write side).
+    * NESTED TIME (inside ROW/ARRAY/MAP) encodes through the same
+    * recursive [[wireType]] cast the JSON envelopes use — Spark's Cast
+    * applies TIME→STRING elementwise inside structs/collections, like
+    * the reference's nested-row converter branches.
+    */
   def encodeTimes(df: DataFrame): DataFrame = {
-    if (!df.schema.exists(_.dataType.isInstanceOf[TimeType])) return df
+    if (wireType(df.schema) == df.schema) return df
     df.select(df.schema.fields.map { f =>
-      f.dataType match {
-        case _: TimeType => col(f.name).cast(StringType).as(f.name)
-        case _ => col(f.name)
-      }
+      val w = wireType(f.dataType)
+      if (w == f.dataType) col(f.name) else col(f.name).cast(w).as(f.name)
     }.toSeq: _*)
   }
 
-  /** `schema` with TIME(p) fields demoted to STRING (wire schema). */
+  /** `schema` with every (nested) TIME(p) field demoted to STRING. */
   def textSchema(schema: StructType): StructType =
-    StructType(schema.fields.map { f =>
-      f.dataType match {
-        case _: TimeType => f.copy(dataType = StringType)
-        case _ => f
-      }
-    })
+    wireType(schema).asInstanceOf[StructType]
 
   /** Parse the STRING-wire TIME fields back to their declared
     * TIME(p) (read side) — requires `spark.sql.timeType.enabled`.
+    * Top-level TIME restores through `to_time` + a precision cast;
+    * nested TIME restores through a struct-level cast to the declared
+    * type (values written by [[encodeTimes]] are already at their
+    * declared precision, so the parse is value-exact).
     *
     * `dropMalformed` mirrors the reference's `ignore-parse-errors`
     * contract at the TIME level: a record whose wire text is present
     * but unparseable is DROPPED (Flink's JsonToRowDataConverters skip
     * the whole record on any field-level parse failure), instead of
-    * raising the ANSI cast error. Genuine nulls pass through.
+    * raising the ANSI cast error. Genuine nulls pass through. The
+    * malformed-drop check covers TOP-LEVEL TIME fields; a malformed
+    * NESTED time text still fails the cast (strict-mode behavior).
     */
   def decodeTimes(raw: DataFrame, schema: StructType,
                   dropMalformed: Boolean = false): DataFrame = {
-    if (!schema.exists(_.dataType.isInstanceOf[TimeType])) return raw
+    if (wireType(schema) == schema) return raw
     val timeFields = schema.fields.collect { case f if f.dataType.isInstanceOf[TimeType] => f }
     val kept =
-      if (!dropMalformed) raw
+      if (!dropMalformed || timeFields.isEmpty) raw
       else raw.filter(!timeFields.map { f =>
         col(f.name).isNotNull &&
           expr(s"TRY_CAST(`${f.name}` AS TIME(6))").isNull
@@ -73,9 +77,23 @@ object TimeFormats {
       f.dataType match {
         case TimeType(p) =>
           expr(s"CAST(to_time(`${f.name}`) AS TIME($p))").as(f.name)
+        case dt if wireType(dt) != dt =>
+          // the text wire reads back all-nullable and Cast refuses a
+          // nullable→NOT NULL struct field, so the decode target is the
+          // declared type with nullability relaxed (types unchanged)
+          col(f.name).cast(relaxNullable(dt)).as(f.name)
         case _ => col(f.name)
       }
     }.toSeq: _*)
+  }
+
+  private def relaxNullable(dt: DataType): DataType = dt match {
+    case s: StructType => StructType(s.fields.map(f =>
+      f.copy(dataType = relaxNullable(f.dataType), nullable = true)))
+    case ArrayType(et, _) => ArrayType(relaxNullable(et), containsNull = true)
+    case MapType(kt, vt, _) =>
+      MapType(relaxNullable(kt), relaxNullable(vt), valueContainsNull = true)
+    case other => other
   }
 
   def writeCsv(df: DataFrame, path: String, header: Boolean = true): Unit =
@@ -134,4 +152,78 @@ object TimeFormats {
     val wire = wireType(declared)
     if (wire == declared) structCol else structCol.cast(wire)
   }
+
+  // ---- ORC numeric wire --------------------------------------------------
+  // Spark's ORC datasource rejects TimeType like CSV/JSON do (probed in
+  // tools/TimeProbe), but the reference's ORC bridge writes TIME as an
+  // int-typed column of MILLIS-OF-DAY (flink-orc RowDataVectorizer.java:120
+  // shares the INTEGER vectorizer branch). The shim applies the same
+  // numeric wire around Spark's native ORC datasource: TIME(p<=3) rides
+  // as INT millis-of-day (byte-compatible with the reference), TIME(p>3)
+  // as BIGINT micros-of-day — the same documented widening extension as
+  // the Avro time-micros leg (the reference's internal TIME is millis, so
+  // it never writes finer). Encode/decode are codegen'd builtin chains
+  // (cast + extract + make_time), per-row map-side work, no UDF, no
+  // shuffle. Top-level TIME columns only — the reference's ORC writer is
+  // likewise driven by the flat vectorizer row; a nested TIME raises.
+
+  /** `schema` with top-level TIME(p) demoted to the ORC numeric wire. */
+  def orcWireSchema(schema: StructType): StructType =
+    StructType(schema.fields.map { f =>
+      f.dataType match {
+        case t: TimeType if t.precision <= 3 => f.copy(dataType = IntegerType)
+        case _: TimeType => f.copy(dataType = LongType)
+        case dt if wireType(dt) != dt => throw new IllegalArgumentException(
+          s"ORC TIME wire supports top-level TIME columns only; " +
+            s"field '${f.name}: ${dt.sql}' nests a TIME — use parquet or avro")
+        case _ => f
+      }
+    })
+
+  /** TIME(p) columns → millis/micros-of-day numerics (ORC write side). */
+  def encodeOrcTimes(df: DataFrame): DataFrame = {
+    if (!df.schema.exists(_.dataType.isInstanceOf[TimeType])) {
+      orcWireSchema(df.schema) // raises on nested TIME
+      return df
+    }
+    df.select(df.schema.fields.map { f =>
+      f.dataType match {
+        case t: TimeType if t.precision <= 3 =>
+          expr(s"CAST(CAST(`${f.name}` AS BIGINT) * 1000 + " +
+            s"CAST((EXTRACT(SECOND FROM `${f.name}`) % 1) * 1000 AS BIGINT) AS INT)")
+            .as(f.name)
+        case _: TimeType =>
+          expr(s"CAST(`${f.name}` AS BIGINT) * 1000000 + " +
+            s"CAST((EXTRACT(SECOND FROM `${f.name}`) % 1) * 1000000 AS BIGINT)")
+            .as(f.name)
+        case _ => col(f.name)
+      }
+    }.toSeq: _*)
+  }
+
+  /** Numeric-wire TIME fields back to their declared TIME(p). */
+  def decodeOrcTimes(raw: DataFrame, schema: StructType): DataFrame = {
+    if (!schema.exists(_.dataType.isInstanceOf[TimeType])) return raw
+    raw.select(schema.fields.map { f =>
+      f.dataType match {
+        case t: TimeType if t.precision <= 3 =>
+          expr(s"CAST(make_time(CAST(`${f.name}` div 3600000 AS INT), " +
+            s"CAST(`${f.name}` % 3600000 div 60000 AS INT), " +
+            s"CAST(`${f.name}` % 60000 AS DECIMAL(16,3)) / 1000) " +
+            s"AS TIME(${t.precision}))").as(f.name)
+        case t: TimeType =>
+          expr(s"CAST(make_time(CAST(`${f.name}` div 3600000000 AS INT), " +
+            s"CAST(`${f.name}` % 3600000000 div 60000000 AS INT), " +
+            s"CAST(`${f.name}` % 60000000 AS DECIMAL(16,6)) / 1000000) " +
+            s"AS TIME(${t.precision}))").as(f.name)
+        case _ => col(f.name)
+      }
+    }.toSeq: _*)
+  }
+
+  def writeOrc(df: DataFrame, path: String): Unit =
+    encodeOrcTimes(df).write.mode("overwrite").orc(path)
+
+  def readOrc(spark: SparkSession, path: String, schema: StructType): DataFrame =
+    decodeOrcTimes(spark.read.schema(orcWireSchema(schema)).orc(path), schema)
 }

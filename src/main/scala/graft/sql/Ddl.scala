@@ -587,7 +587,11 @@ object Ddl {
     import graft.sources.TimeFormats
     val base = d.format match {
       case "parquet" => spark.read.schema(d.schema).parquet(d.path)
-      case "orc" => spark.read.schema(d.schema).orc(d.path)
+      // TIME(p) rides ORC as the reference's numeric wire (int
+      // millis-of-day; RowDataVectorizer.java:120) — see TimeFormats
+      case "orc" => TimeFormats.decodeOrcTimes(
+        spark.read.schema(TimeFormats.orcWireSchema(d.schema)).orc(d.path),
+        d.schema)
       case "json" => TimeFormats.decodeTimes(
         spark.read.schema(TimeFormats.textSchema(d.schema))
           .option("mode", parseMode("json")).json(d.path),
@@ -656,34 +660,87 @@ object Ddl {
       case "blackhole" => data.write.format("noop").mode("overwrite").save()
       case "print" => data.show(20, truncate = false)
       case "filesystem" =>
-        val aligned0 = data.toDF(d.schema.fieldNames.toIndexedSeq: _*)
-        // TIME(p) → ISO text for the text formats (see register)
-        val aligned = d.format match {
-          case "json" | "csv" => graft.sources.TimeFormats.encodeTimes(aligned0)
-          case _ => aligned0
-        }
-        val writer0 = aligned.write.mode(mode)
-          .option("partitionOverwriteMode",
-            if (staticParts.nonEmpty) "dynamic" else "static")
-        val writer = if (d.partitionedBy.nonEmpty)
-          writer0.partitionBy(d.partitionedBy: _*) else writer0
-        d.format match {
-          case "parquet" => writer.parquet(d.path)
-          case "orc" => writer.orc(d.path)
-          case "json" => writer.json(d.path)
-          case "csv" => writer
-            .option("header", d.options.getOrElse("csv.include-header", "false"))
-            .csv(d.path)
-          case "avro" =>
-            require(mode == "overwrite" || !new java.io.File(d.path).exists(),
-              "avro INSERT supports overwrite/initial write")
-            graft.sources.Avro.write(aligned, d.path)
-          case other => throw new IllegalArgumentException(s"unsupported format '$other'")
-        }
+        writeFilesystem(spark, d, data.toDF(d.schema.fieldNames.toIndexedSeq: _*),
+          mode, dynamicPartitions = staticParts.nonEmpty)
+        // ANALYZE TABLE on a graft temp view caches the relation
+        // (SqlEnv's analyze handler); without invalidation the
+        // re-registered view would keep serving PRE-insert rows — the
+        // replacement scan is sameResult with the cached plan because
+        // InMemoryFileIndex equality is rootPaths-based. Drop the
+        // cache and the path's file-index caches before re-registering.
+        try if (spark.catalog.tableExists(d.name) && spark.catalog.isCached(d.name))
+          spark.catalog.uncacheTable(d.name)
+        catch { case _: Throwable => () }
+        spark.catalog.refreshByPath(d.path)
         register(spark, d) // now readable — (re)register the view
       case other => throw new IllegalArgumentException(
         s"INSERT into connector '$other' unsupported")
     }
     spark.emptyDataFrame
   }
+
+  /** Write `aligned` (already in declared column order) at the table's
+    * path with the table's format — shared by INSERT and CTAS. TIME(p)
+    * columns ride the per-format wire (ISO text for the text formats,
+    * numeric millis/micros-of-day for ORC — see [[graft.sources
+    * .TimeFormats]]); the ORC wire width depends on the DECLARED
+    * precision, so TIME columns coerce to it before encoding.
+    */
+  private def writeFilesystem(spark: SparkSession, d: TableDef,
+                              aligned0: DataFrame, mode: String,
+                              dynamicPartitions: Boolean): Unit = {
+    val aligned = d.format match {
+      case "json" | "csv" => graft.sources.TimeFormats.encodeTimes(aligned0)
+      case "orc" =>
+        graft.sources.TimeFormats.encodeOrcTimes(
+          aligned0.select(d.schema.fields.map { f =>
+            f.dataType match {
+              case t: TimeType => col(f.name).cast(t).as(f.name)
+              case _ => col(f.name)
+            }
+          }.toIndexedSeq: _*))
+      case _ => aligned0
+    }
+    val writer0 = aligned.write.mode(mode)
+      .option("partitionOverwriteMode",
+        if (dynamicPartitions) "dynamic" else "static")
+    val writer = if (d.partitionedBy.nonEmpty)
+      writer0.partitionBy(d.partitionedBy: _*) else writer0
+    d.format match {
+      case "parquet" => writer.parquet(d.path)
+      case "orc" => writer.orc(d.path)
+      case "json" => writer.json(d.path)
+      case "csv" => writer
+        .option("header", d.options.getOrElse("csv.include-header", "false"))
+        .csv(d.path)
+      case "avro" =>
+        require(mode == "overwrite" || !new java.io.File(d.path).exists(),
+          "avro INSERT supports overwrite/initial write")
+        graft.sources.Avro.write(aligned, d.path)
+      case other => throw new IllegalArgumentException(s"unsupported format '$other'")
+    }
+  }
+
+  /** Execute `CREATE TABLE ... AS SELECT` (FLIP-218 — reference:
+    * flink-sql-parser `ddl/SqlCreateTableAs.java`, converted by
+    * SqlNodeToOperationConversion into create-then-insert): materialize
+    * the query result at the table's path with the table's format, then
+    * register the view so the table is readable, SHOW CREATE-able and
+    * INSERT-able. Non-atomic like the reference release (atomic CTAS
+    * landed after 1.16). Sinks: `filesystem` (all formats) and
+    * `blackhole`; anything else is rejected the way the reference
+    * rejects a connector without a batch sink.
+    */
+  def executeCtas(spark: SparkSession, d: TableDef, data: DataFrame): Unit =
+    d.connector match {
+      case "filesystem" =>
+        writeFilesystem(spark, d, data, "overwrite", dynamicPartitions = false)
+        spark.catalog.refreshByPath(d.path)
+        register(spark, d)
+      case "blackhole" =>
+        data.write.format("noop").mode("overwrite").save()
+      case other => throw new IllegalArgumentException(
+        s"CREATE TABLE AS: connector '$other' does not support CTAS " +
+          "(filesystem/blackhole)")
+    }
 }

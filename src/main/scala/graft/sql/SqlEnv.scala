@@ -60,7 +60,7 @@ class SqlEnv private (val spark: SparkSession) {
         createdViews.add(name)
         return spark.emptyDataFrame
       case dropRe(name) =>
-        tableDefs.remove(name); createdViews.remove(name)
+        tableDefs.remove(name); createdViews.remove(name); tableDb.remove(name)
         spark.catalog.dropTempView(name)
         return spark.emptyDataFrame
       // EXECUTE STATEMENT SET BEGIN <insert>; <insert>; END
@@ -83,9 +83,16 @@ class SqlEnv private (val spark: SparkSession) {
         import spark.implicits._
         return what.toUpperCase match {
           case "TABLES" =>
-            (tableDefs.keySet.toArray.map(_.toString) ++
-              spark.catalog.listTables().collect().map(_.name))
-              .distinct.sorted.toSeq.toDF("table name")
+            // scoped to the current database: DDL tables carry their
+            // owning database (tableDb); plain catalog temp views (e.g.
+            // registerTestdata) live in the default database
+            val ddlTables = tableDefs.keySet.toArray.map(_.toString)
+              .filter(t => tableDb.getOrDefault(t, "default_database") == currentDatabase)
+            val catalogViews =
+              if (currentDatabase == "default_database")
+                spark.catalog.listTables().collect().map(_.name)
+              else Array.empty[String]
+            (ddlTables ++ catalogViews).distinct.sorted.toSeq.toDF("table name")
           // only objects created with CREATE VIEW (SqlShowViews lists
           // catalog views, not every temp table registration)
           case "VIEWS" =>
@@ -111,17 +118,75 @@ class SqlEnv private (val spark: SparkSession) {
         return executeSql(s"DESCRIBE $name")
       // USE CATALOG c / USE db — session-scoped like the SQL client;
       // SHOW CATALOGS / SHOW DATABASES list them with Flink's literal
-      // one-column headers
+      // one-column headers. In the default catalog USE validates
+      // against the database registry (the reference's
+      // UseDatabaseOperation throws on a missing database).
       case useCatalogRe(c) =>
         currentCatalog = c; return spark.emptyDataFrame
       case useDbRe(db) =>
+        require(!inDefaultCatalog || databases.containsKey(db),
+          s"USE: database '$db' does not exist (CREATE DATABASE $db first)")
         currentDatabase = db; return spark.emptyDataFrame
       case showCatalogsRe() =>
         import spark.implicits._
         return Seq(currentCatalog).distinct.sorted.toDF("catalog name")
       case showDatabasesRe() =>
         import spark.implicits._
-        return Seq(currentDatabase).distinct.sorted.toDF("database name")
+        return (if (inDefaultCatalog) databases.keySet.toArray.map(_.toString).toSeq
+                else Seq(currentDatabase)).distinct.sorted.toDF("database name")
+      // CREATE / DROP / ALTER DATABASE (SqlCreateDatabase.java,
+      // SqlDropDatabase.java, SqlAlterDatabase.java — the remaining
+      // catalog DDL a SQL-client user scripts against)
+      case createDbRe(ifNotExists, name, props) =>
+        if (databases.containsKey(name))
+          require(ifNotExists != null, s"CREATE DATABASE: '$name' already exists")
+        else databases.put(name,
+          Option(props).map(Ddl.parseOptionPairs).getOrElse(Map.empty))
+        return spark.emptyDataFrame
+      case dropDbRe(ifExists, name, mode) =>
+        if (!databases.containsKey(name)) {
+          require(ifExists != null, s"DROP DATABASE: '$name' does not exist")
+          return spark.emptyDataFrame
+        }
+        require(name != currentDatabase,
+          s"DROP DATABASE: '$name' is the current database (USE another first)")
+        require(name != "default_database",
+          "DROP DATABASE: the default database cannot be dropped")
+        val contained = { import scala.jdk.CollectionConverters._
+          tableDb.asScala.filter(_._2 == name).keys.toSeq.sorted }
+        if (contained.nonEmpty) {
+          // RESTRICT is the reference's default drop behavior
+          require(Option(mode).exists(_.equalsIgnoreCase("CASCADE")),
+            s"DROP DATABASE: '$name' is not empty " +
+              s"(${contained.mkString(", ")}) — use DROP DATABASE $name CASCADE")
+          contained.foreach { t =>
+            tableDefs.remove(t); tableDb.remove(t)
+            spark.catalog.dropTempView(t)
+          }
+        }
+        databases.remove(name)
+        return spark.emptyDataFrame
+      case alterDbRe(name, props) =>
+        val cur = Option(databases.get(name)).getOrElse(
+          throw new IllegalArgumentException(
+            s"ALTER DATABASE: '$name' does not exist"))
+        databases.put(name, cur ++ Ddl.parseOptionPairs(props))
+        return spark.emptyDataFrame
+      // ALTER VIEW (SqlAlterViewRename.java / SqlAlterViewAs.java):
+      // only objects created through CREATE VIEW qualify, like the
+      // reference's convertAlterView validation
+      case alterViewRenameRe(oldName, newName) =>
+        require(createdViews.contains(oldName),
+          s"ALTER VIEW: '$oldName' was not created via CREATE VIEW")
+        spark.table(oldName).createOrReplaceTempView(newName)
+        spark.catalog.dropTempView(oldName)
+        createdViews.remove(oldName); createdViews.add(newName)
+        return spark.emptyDataFrame
+      case alterViewAsRe(name, body) =>
+        require(createdViews.contains(name),
+          s"ALTER VIEW: '$name' was not created via CREATE VIEW")
+        executeSql(body).createOrReplaceTempView(name)
+        return spark.emptyDataFrame
       // DESCRIBE t — Flink's six-column shape (name, type, null, key,
       // extras, watermark: SqlRichDescribeTable → DescribeTableOperation).
       // key/extras/watermark come from OUR CREATE TABLE def when the
@@ -170,6 +235,7 @@ class SqlEnv private (val spark: SparkSession) {
           throw new IllegalArgumentException(
             s"ALTER TABLE: '$oldName' was not created via CREATE TABLE"))
         tableDefs.put(newName, d.copy(name = newName))
+        Option(tableDb.remove(oldName)).foreach(tableDb.put(newName, _))
         if (spark.catalog.tableExists(oldName)) {
           spark.table(oldName).createOrReplaceTempView(newName)
           spark.catalog.dropTempView(oldName)
@@ -217,6 +283,16 @@ class SqlEnv private (val spark: SparkSession) {
           try spark.catalog.getTable(name).tableType == "TEMPORARY"
           catch { case _: Throwable => false }
         if (isTempView) {
+          // Spark's analyzer accepts cached temp views only through the
+          // FOR COLUMNS form (AnalyzeProbe): NOSCAN and PARTITION(...)
+          // would fail with a raw Spark error, so reject them here with
+          // the graft-level recipe instead.
+          require(!t.toUpperCase.contains("NOSCAN") &&
+            !t.toUpperCase.startsWith("PARTITION"),
+            s"ANALYZE TABLE on a graft temp view supports COMPUTE STATISTICS " +
+              "[FOR COLUMNS ... | FOR ALL COLUMNS] only — NOSCAN and " +
+              "PARTITION forms need a catalog table (persist with " +
+              "CREATE TABLE ... USING parquet AS SELECT, README §ANALYZE)")
           spark.catalog.cacheTable(name)
           val upgraded =
             if (t.equalsIgnoreCase("COMPUTE STATISTICS"))
@@ -234,8 +310,12 @@ class SqlEnv private (val spark: SparkSession) {
                | showCreateRe(_) | showColumnsRe(_) | useCatalogRe(_)
                | useDbRe(_) | showCatalogsRe() | showDatabasesRe()
                | alterRenameRe(_, _) | alterSetRe(_, _) | alterResetRe(_, _)
+               | createDbRe(_, _, _) | dropDbRe(_, _, _) | alterDbRe(_, _)
+               | alterViewRenameRe(_, _) | alterViewAsRe(_, _)
                | analyzeRe(_, _) => true
-          case _ => Ddl.isCreateTable(trimmed)
+          case _ =>
+            Ddl.isCreateTable(trimmed) || ctasRe.matches(trimmed) ||
+              ctasColsRe.matches(trimmed)
         }
         require(!isCommand,
           "EXPLAIN supports queries and INSERT statements only")
@@ -248,6 +328,43 @@ class SqlEnv private (val spark: SparkSession) {
           org.apache.spark.sql.execution.ExtendedMode)
         return Seq(plan).toDF("result")
       case _ =>
+    }
+    // CREATE TABLE ... AS <query> (FLIP-218, new in the 1.16 release —
+    // reference: flink-sql-parser ddl/SqlCreateTableAs.java, converted
+    // to create-then-insert by SqlNodeToOperationConversion). Tried
+    // BEFORE the LIKE and plain forms: the plain regex's greedy WITH
+    // group would otherwise swallow the AS tail and silently drop the
+    // query. The reference's validate() rejections are reproduced with
+    // its messages.
+    if (ctasTempRe.matches(sql))
+      throw new IllegalArgumentException(
+        "CREATE TABLE AS SELECT syntax does not support to create temporary table yet.")
+    if (ctasColsRe.matches(sql))
+      throw new IllegalArgumentException(
+        "CREATE TABLE AS SELECT syntax does not support to specify explicit columns yet.")
+    ctasRe.findFirstMatchIn(sql).foreach { m =>
+      val ifNotExists = m.group(1) != null
+      val name = m.group(2)
+      val opts = Option(m.group(3)).map(Ddl.parseOptionPairs)
+        .getOrElse(Map.empty[String, String])
+      require(opts.contains("connector"),
+        s"CREATE TABLE AS: table '$name' needs WITH ('connector' = ...) — " +
+          "the dialect has no default sink connector")
+      if (tableDefs.containsKey(name)) {
+        if (ifNotExists) return spark.emptyDataFrame
+        throw new IllegalArgumentException(
+          s"CREATE TABLE AS: table '$name' already exists " +
+            "(IF NOT EXISTS skips instead)")
+      }
+      // the derived schema IS the query's schema (no explicit columns
+      // by validation above); runs back through executeSql so every
+      // graft SQL surface works as the CTAS body
+      val data = executeSql(m.group(4))
+      val d = Ddl.TableDef(name, data.schema, None, Nil, Nil, opts)
+      Ddl.executeCtas(spark, d, data)
+      tableDefs.put(name, d)
+      tableDb.put(name, currentDatabase)
+      return spark.emptyDataFrame
     }
     // CREATE TABLE ... LIKE must be tried BEFORE the plain create (the
     // plain regex's greedy WITH group would swallow a LIKE tail)
@@ -286,12 +403,14 @@ class SqlEnv private (val spark: SparkSession) {
         columnOrder = baseDef.declaredOrder ++
           d0.declaredOrder.filterNot(_ == "__like_dummy"))
       tableDefs.put(name, merged)
+      tableDb.put(name, currentDatabase)
       Ddl.executeCreate(spark, merged)
       return spark.emptyDataFrame
     }
     if (Ddl.isCreateTable(sql)) {
       val d = Ddl.parseCreateTable(sql)
       tableDefs.put(d.name, d)
+      tableDb.put(d.name, currentDatabase)
       Ddl.executeCreate(spark, d) // false = deferred until first INSERT
       return spark.emptyDataFrame
     }
@@ -554,8 +673,46 @@ class SqlEnv private (val spark: SparkSession) {
   private val useDbRe = """(?is)^\s*USE\s+(?!CATALOG\b)([\w.]+)\s*;?\s*$""".r
   private val showCatalogsRe = """(?is)^\s*SHOW\s+CATALOGS\s*;?\s*$""".r
   private val showDatabasesRe = """(?is)^\s*SHOW\s+DATABASES\s*;?\s*$""".r
+  // CREATE TABLE ... AS <query> (FLIP-218 SqlCreateTableAs — new in the
+  // 1.16 release): optional WITH, NO column list/watermark/partition/PK
+  // (the reference's validate() rejects each — the column-group form is
+  // detected separately so it fails with the reference's message, not a
+  // silent mis-parse into the plain-create regex).
+  private val ctasRe =
+    """(?is)^\s*CREATE\s+TABLE\s+(IF\s+NOT\s+EXISTS\s+)?`?([\w.]+)`?\s*(?:WITH\s*\((.*?)\)\s*)?AS\s+((?:SELECT|VALUES|WITH|TABLE)\b.*)$""".r
+  private val ctasColsRe =
+    """(?is)^\s*CREATE\s+TABLE\s+(?:IF\s+NOT\s+EXISTS\s+)?`?[\w.]+`?\s*\(.*\)\s*(?:WITH\s*\(.*?\)\s*)?AS\s+(?:SELECT|VALUES|WITH|TABLE)\b.*$""".r
+  private val ctasTempRe =
+    """(?is)^\s*CREATE\s+TEMPORARY\s+TABLE\s+.*\bAS\s+(?:SELECT|VALUES)\b.*$""".r
+  // Catalog database DDL (reference: flink-sql-parser ddl/
+  // SqlCreateDatabase.java, SqlDropDatabase.java, SqlAlterDatabase.java)
+  private val createDbRe =
+    """(?is)^\s*CREATE\s+DATABASE\s+(IF\s+NOT\s+EXISTS\s+)?`?([\w.]+)`?\s*(?:COMMENT\s+'[^']*'\s*)?(?:WITH\s*\((.*)\)\s*)?;?\s*$""".r
+  private val dropDbRe =
+    """(?is)^\s*DROP\s+DATABASE\s+(IF\s+EXISTS\s+)?`?([\w.]+)`?\s*(RESTRICT|CASCADE)?\s*;?\s*$""".r
+  private val alterDbRe =
+    """(?is)^\s*ALTER\s+DATABASE\s+`?([\w.]+)`?\s+SET\s*\((.*)\)\s*;?\s*$""".r
+  // ALTER VIEW (reference: ddl/SqlAlterViewAs.java, SqlAlterViewRename.java)
+  private val alterViewRenameRe =
+    """(?is)^\s*ALTER\s+(?:TEMPORARY\s+)?VIEW\s+`?([\w.]+)`?\s+RENAME\s+TO\s+`?([\w.]+)`?\s*;?\s*$""".r
+  private val alterViewAsRe =
+    """(?is)^\s*ALTER\s+(?:TEMPORARY\s+)?VIEW\s+`?([\w.]+)`?\s+AS\s+(.+)$""".r
   @volatile private var currentCatalog = "default_catalog"
   @volatile private var currentDatabase = "default_database"
+  /** Databases of the default catalog (name → properties). The registry
+    * backs CREATE/DROP/ALTER DATABASE and scopes SHOW TABLES; inside a
+    * non-default catalog (USE CATALOG x) the database surface stays
+    * session-scoped free-form, like the pre-registry behavior — the
+    * sandbox has a single real catalog underneath.
+    */
+  private val databases =
+    new java.util.concurrent.ConcurrentHashMap[String, Map[String, String]]()
+  databases.put("default_database", Map.empty)
+  /** Owning database of each CREATE TABLE'd table (DROP … RESTRICT and
+    * SHOW TABLES scoping). */
+  private val tableDb =
+    new java.util.concurrent.ConcurrentHashMap[String, String]()
+  private def inDefaultCatalog: Boolean = currentCatalog == "default_catalog"
   private val descRe =
     """(?is)^\s*DESC(?:RIBE)?\s+([\w.]+)\s*;?\s*$""".r
   private val explainRe =

@@ -38,7 +38,9 @@ object ExplainAudit {
         "q90_time_cast", "q91_time_wrap_sql",
         // r16: TIME through the format roundtrips (map-side casts only)
         "q92_csv_time_roundtrip", "q93_json_time_roundtrip",
-        "q94_avro_time_roundtrip")
+        "q94_avro_time_roundtrip",
+        // r17: CTAS read-back + ORC numeric TIME wire
+        "q95_ctas", "q96_orc_time_roundtrip")
     names.foreach { n =>
       println(s"\n========== $n ==========")
       graft.SparkEntry.queries(n)(spark, dir).explain("formatted")

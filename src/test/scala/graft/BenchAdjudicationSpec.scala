@@ -34,6 +34,26 @@ class BenchAdjudicationSpec extends AnyFunSuite {
     assert(BenchAdjudication.gate(calibTail = 0.30, calibBattery = -1.0).substitute)
   }
 
+  test("two-ended gate: quiet at BOTH ends -> substitute (r16 advice)") {
+    assert(BenchAdjudication.gate(calibTailBefore = 0.25, calibTailAfter = 0.30,
+      calibBattery = 0.42).substitute)
+  }
+
+  test("two-ended gate: window turns contended MID-tail -> reject on the after-calibration") {
+    // the first calibration only covers the window's start; the post-
+    // re-measure one catches a window that got loud while measuring
+    val v = BenchAdjudication.gate(calibTailBefore = 0.25, calibTailAfter = 0.61,
+      calibBattery = 0.42)
+    assert(!v.substitute && v.reason.contains("0.61"), v.reason)
+    // ...and symmetric: loud start, quiet end also rejects
+    assert(!BenchAdjudication.gate(0.61, 0.25, 0.42).substitute)
+  }
+
+  test("two-ended gate: either calibration failing (-1) rejects") {
+    assert(!BenchAdjudication.gate(-1.0, 0.25, 0.42).substitute)
+    assert(!BenchAdjudication.gate(0.25, -1.0, 0.42).substitute)
+  }
+
   test("substituted row: tail median/sd/min, battery n_ok and attempted") {
     // battery row: 2 of 3 runs survived (flaky), contended median 1.8 s
     val battery = ("q99_example", 1.8, 0.7, 2, 3, 0.9)

@@ -1385,4 +1385,180 @@ class SqlEnvSpec extends AnyFunSuite {
         s"DST-gap wall clock must survive verbatim: $nyc")
     } finally spark.conf.set("spark.sql.session.timeZone", prev)
   }
+
+  test("CTAS: CREATE TABLE AS SELECT materializes, registers, SHOW CREATE roundtrips") {
+    // FLIP-218 (reference: flink-sql-parser ddl/SqlCreateTableAs.java —
+    // new in the 1.16 release): derived schema, create-then-insert,
+    // readable + SHOW CREATE-able + INSERT-able afterwards.
+    val env = SqlEnv(spark).registerTestdata(TestSpark.sfDir)
+    val dir = "/tmp/graft_sql_ctas_t"
+    org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(dir))
+    env.executeSql(
+      s"""CREATE TABLE ctas_t
+         |WITH ('connector' = 'filesystem', 'path' = '$dir',
+         |      'format' = 'parquet')
+         |AS SELECT n_regionkey AS rk, count(*) AS n
+         |   FROM nation GROUP BY n_regionkey""".stripMargin)
+    val rows = env.executeSql("SELECT * FROM ctas_t ORDER BY rk").collect()
+    assert(rows.length == 5 && rows.map(_.getLong(1)).sum == 25,
+      rows.mkString("; "))
+    // SHOW CREATE reflects the DERIVED schema and is re-executable as a
+    // plain CREATE TABLE over the materialized path
+    val ddl = env.executeSql("SHOW CREATE TABLE ctas_t").collect()(0).getString(0)
+    assert(ddl.contains("`rk` INT") && ddl.contains("`n` BIGINT"), ddl)
+    val env2 = SqlEnv(spark)
+    env2.executeSql(ddl.replace("`ctas_t`", "ctas_t_reread"))
+    assert(env2.executeSql("SELECT count(*) AS c FROM ctas_t_reread")
+      .collect()(0).getLong(0) == 5)
+    // the created table is a first-class DDL table: INSERT INTO appends
+    env.executeSql("INSERT INTO ctas_t SELECT CAST(99 AS INT), CAST(0 AS BIGINT)")
+    assert(env.executeSql("SELECT count(*) AS c FROM ctas_t").collect()(0).getLong(0) == 6)
+    // duplicate name: error without IF NOT EXISTS, silent skip with it
+    val dup = intercept[IllegalArgumentException] {
+      env.executeSql(
+        s"""CREATE TABLE ctas_t WITH ('connector' = 'filesystem',
+           |  'path' = '$dir', 'format' = 'parquet')
+           |AS SELECT 1 AS x""".stripMargin)
+    }
+    assert(dup.getMessage.contains("already exists"), dup.getMessage)
+    env.executeSql(
+      s"""CREATE TABLE IF NOT EXISTS ctas_t WITH ('connector' = 'filesystem',
+         |  'path' = '$dir', 'format' = 'parquet')
+         |AS SELECT 1 AS x""".stripMargin)
+    assert(env.executeSql("SELECT count(*) AS c FROM ctas_t").collect()(0).getLong(0) == 6,
+      "IF NOT EXISTS must not overwrite the existing table")
+    // the reference's validate() rejections, same messages
+    val cols = intercept[IllegalArgumentException] {
+      env.executeSql(
+        s"""CREATE TABLE ctas_cols (x INT)
+           |WITH ('connector' = 'filesystem', 'path' = '/tmp/x')
+           |AS SELECT 1 AS x""".stripMargin)
+    }
+    assert(cols.getMessage.contains("explicit columns"), cols.getMessage)
+    val tmp = intercept[IllegalArgumentException] {
+      env.executeSql("CREATE TEMPORARY TABLE ctas_tmp AS SELECT 1 AS x")
+    }
+    assert(tmp.getMessage.contains("temporary"), tmp.getMessage)
+    // no connector → clear error, nothing registered
+    val noConn = intercept[IllegalArgumentException] {
+      env.executeSql("CREATE TABLE ctas_noconn AS SELECT 1 AS x")
+    }
+    assert(noConn.getMessage.contains("connector"), noConn.getMessage)
+    // EXPLAIN CTAS is a command — rejected, not executed
+    intercept[IllegalArgumentException] {
+      env.executeSql(
+        s"""EXPLAIN CREATE TABLE ctas_expl WITH ('connector' = 'filesystem',
+           |  'path' = '/tmp/graft_ctas_expl') AS SELECT 1 AS x""".stripMargin)
+    }
+    assert(!new java.io.File("/tmp/graft_ctas_expl").exists())
+    // a CTE body works as the CTAS query (the WITH head must not be
+    // mistaken for the options clause)
+    env.executeSql("DROP TABLE IF EXISTS ctas_cte")
+    env.executeSql(
+      s"""CREATE TABLE ctas_cte
+         |WITH ('connector' = 'filesystem', 'path' = '/tmp/graft_sql_ctas_cte',
+         |      'format' = 'json')
+         |AS WITH big AS (SELECT * FROM region WHERE r_regionkey >= 2)
+         |   SELECT r_regionkey, r_name FROM big""".stripMargin)
+    assert(env.executeSql("SELECT count(*) AS c FROM ctas_cte").collect()(0).getLong(0) == 3)
+  }
+
+  test("CREATE/DROP/ALTER DATABASE + USE scoping + ALTER VIEW") {
+    // Reference: flink-sql-parser ddl/SqlCreateDatabase.java,
+    // SqlDropDatabase.java, SqlAlterDatabase.java, SqlAlterViewAs.java,
+    // SqlAlterViewRename.java — the remaining SQL-client catalog DDL.
+    val env = SqlEnv(spark).registerTestdata(TestSpark.sfDir)
+    // USE of a nonexistent database errors (UseDatabaseOperation)
+    val noDb = intercept[IllegalArgumentException] { env.executeSql("USE db17") }
+    assert(noDb.getMessage.contains("does not exist"), noDb.getMessage)
+    env.executeSql("CREATE DATABASE db17 WITH ('owner' = 'graft')")
+    assert(env.executeSql("SHOW DATABASES").collect().map(_.getString(0)).toSeq ==
+      Seq("db17", "default_database"))
+    // duplicate: error without IF NOT EXISTS, skip with it
+    val dup = intercept[IllegalArgumentException] { env.executeSql("CREATE DATABASE db17") }
+    assert(dup.getMessage.contains("already exists"), dup.getMessage)
+    env.executeSql("CREATE DATABASE IF NOT EXISTS db17")
+    // create a table inside db17 → SHOW TABLES is scoped per database
+    env.executeSql("USE db17")
+    env.executeSql(
+      """CREATE TABLE db17_t (id BIGINT)
+        |WITH ('connector' = 'blackhole')""".stripMargin)
+    val inDb = env.executeSql("SHOW TABLES").collect().map(_.getString(0))
+    assert(inDb.toSeq == Seq("db17_t"),
+      s"SHOW TABLES in db17 must list only db17's tables: ${inDb.mkString(", ")}")
+    env.executeSql("USE default_database")
+    val inDefault = env.executeSql("SHOW TABLES").collect().map(_.getString(0))
+    assert(!inDefault.contains("db17_t") && inDefault.contains("orders"),
+      s"db17's table must not leak into default_database: ${inDefault.mkString(", ")}")
+    // ALTER DATABASE merges properties; missing database errors
+    env.executeSql("ALTER DATABASE db17 SET ('retention' = '30d')")
+    intercept[IllegalArgumentException] {
+      env.executeSql("ALTER DATABASE nope SET ('k' = 'v')")
+    }
+    // DROP guards: current database, default database, non-empty RESTRICT
+    env.executeSql("USE db17")
+    val cur = intercept[IllegalArgumentException] { env.executeSql("DROP DATABASE db17") }
+    assert(cur.getMessage.contains("current database"), cur.getMessage)
+    val dflt = intercept[IllegalArgumentException] {
+      env.executeSql("DROP DATABASE default_database")
+    }
+    assert(dflt.getMessage.contains("default database"), dflt.getMessage)
+    env.executeSql("USE default_database")
+    val notEmpty = intercept[IllegalArgumentException] { env.executeSql("DROP DATABASE db17") }
+    assert(notEmpty.getMessage.contains("CASCADE"), notEmpty.getMessage)
+    // CASCADE drops the contained table with the database
+    env.executeSql("DROP DATABASE db17 CASCADE")
+    assert(env.executeSql("SHOW DATABASES").collect().map(_.getString(0)).toSeq ==
+      Seq("default_database"))
+    intercept[IllegalArgumentException] { env.executeSql("SHOW CREATE TABLE db17_t") }
+    // IF EXISTS on a missing database is a no-op; bare DROP errors
+    env.executeSql("DROP DATABASE IF EXISTS db17")
+    intercept[IllegalArgumentException] { env.executeSql("DROP DATABASE db17") }
+    // ALTER VIEW ... AS swaps the definition in place
+    env.executeSql("CREATE VIEW av_v AS SELECT r_regionkey FROM region WHERE r_regionkey < 2")
+    assert(env.executeSql("SELECT count(*) AS c FROM av_v").collect()(0).getLong(0) == 2)
+    env.executeSql("ALTER VIEW av_v AS SELECT r_regionkey, r_name FROM region")
+    val swapped = env.executeSql("SELECT * FROM av_v")
+    assert(swapped.columns.toSeq == Seq("r_regionkey", "r_name") &&
+      swapped.count() == 5, "ALTER VIEW AS must replace the definition")
+    // ALTER VIEW ... RENAME TO moves the view (still a CREATE VIEW object)
+    env.executeSql("ALTER VIEW av_v RENAME TO av_v2")
+    assert(env.executeSql("SHOW VIEWS").collect().map(_.getString(0)).contains("av_v2"))
+    assert(!spark.catalog.tableExists("av_v"))
+    // only CREATE VIEW objects qualify (the reference's convertAlterView)
+    val notView = intercept[IllegalArgumentException] {
+      env.executeSql("ALTER VIEW orders AS SELECT 1")
+    }
+    assert(notView.getMessage.contains("CREATE VIEW"), notView.getMessage)
+    env.executeSql("DROP VIEW av_v2")
+  }
+
+  test("ANALYZE then INSERT: the re-registered view must serve post-insert rows") {
+    // r16 advice (medium): ANALYZE caches the temp view; a later INSERT
+    // re-registers a scan that is sameResult with the cached plan
+    // (InMemoryFileIndex equality is rootPaths-based), so without
+    // invalidation the SELECT would silently serve stale pre-insert
+    // rows from the InMemoryRelation.
+    val env = SqlEnv(spark)
+    val dir = "/tmp/graft_sql_an_insert"
+    org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(dir))
+    env.executeSql(
+      s"""CREATE TABLE an_ins_t (id BIGINT, v STRING)
+         |WITH ('connector' = 'filesystem', 'path' = '$dir',
+         |      'format' = 'parquet')""".stripMargin)
+    env.executeSql("INSERT INTO an_ins_t SELECT CAST(1 AS BIGINT), 'a'")
+    env.executeSql("ANALYZE TABLE an_ins_t COMPUTE STATISTICS")
+    assert(spark.catalog.isCached("an_ins_t"))
+    env.executeSql("INSERT INTO an_ins_t SELECT CAST(2 AS BIGINT), 'b'")
+    val rows = env.executeSql("SELECT id FROM an_ins_t ORDER BY id").collect()
+    assert(rows.map(_.getLong(0)).toSeq == Seq(1L, 2L),
+      s"post-ANALYZE INSERT must be visible: ${rows.mkString("; ")}")
+    // NOSCAN / PARTITION forms on a temp view are rejected with the
+    // graft-level recipe, not a raw Spark error (r16 advice)
+    val noscan = intercept[IllegalArgumentException] {
+      env.executeSql("ANALYZE TABLE an_ins_t COMPUTE STATISTICS NOSCAN")
+    }
+    assert(noscan.getMessage.contains("catalog table"), noscan.getMessage)
+    try spark.catalog.uncacheTable("an_ins_t") catch { case _: Throwable => () }
+  }
 }
