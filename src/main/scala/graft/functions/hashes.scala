@@ -5,6 +5,7 @@ import org.apache.spark.sql.catalyst.InternalRow
 import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
 import org.apache.spark.sql.catalyst.expressions._
 import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
+import org.apache.spark.sql.catalyst.expressions.UnsafeArrayData
 import org.apache.spark.sql.types._
 import org.apache.spark.unsafe.types.UTF8String
 
@@ -79,7 +80,9 @@ object MinHashSignature {
       }
       i += 1
     }
-    new GenericArrayData(mins)
+    // primitive layout — GenericArrayData would box k longs per row,
+    // real allocation pressure at 128 hashes x millions of docs
+    UnsafeArrayData.fromPrimitiveArray(mins)
   }
 }
 
@@ -172,7 +175,7 @@ object KGramHashes {
   def compute(s: UTF8String, k: Int): ArrayData = {
     val bytes = s.getBytes
     val n = bytes.length
-    if (n < k) return new GenericArrayData(Array.emptyLongArray)
+    if (n < k) return UnsafeArrayData.fromPrimitiveArray(Array.emptyLongArray)
     var pow = 1L
     var i = 0
     while (i < k - 1) { pow *= Base; i += 1 }
@@ -187,7 +190,7 @@ object KGramHashes {
       out(i - k + 1) = Hashing.mix64(h)
       i += 1
     }
-    new GenericArrayData(out)
+    UnsafeArrayData.fromPrimitiveArray(out)
   }
 }
 
@@ -226,7 +229,7 @@ object NgramHashes {
   /** Static kernel shared by eval and generated code. */
   def compute(arr: ArrayData, n: Int): ArrayData = {
     val t = arr.numElements()
-    if (n <= 0 || t < n) return new GenericArrayData(Array.emptyLongArray)
+    if (n <= 0 || t < n) return UnsafeArrayData.fromPrimitiveArray(Array.emptyLongArray)
     val th = new Array[Long](t)
     var i = 0
     while (i < t) {
@@ -242,7 +245,7 @@ object NgramHashes {
       out(i) = Hashing.mix64(h)
       i += 1
     }
-    new GenericArrayData(out)
+    UnsafeArrayData.fromPrimitiveArray(out)
   }
 }
 

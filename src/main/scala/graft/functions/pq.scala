@@ -4,6 +4,7 @@ import org.apache.spark.sql.Column
 import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
 import org.apache.spark.sql.catalyst.expressions._
 import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
+import org.apache.spark.sql.catalyst.expressions.UnsafeArrayData
 import org.apache.spark.sql.types._
 
 /** Product-quantization kernels (Jégou et al., "Product Quantization
@@ -41,7 +42,7 @@ object PqKernels {
       out(s) = best
       s += 1
     }
-    new GenericArrayData(out)
+    UnsafeArrayData.fromPrimitiveArray(out)
   }
 
   /** Asymmetric distance (ADC): Σ_m ||q_sub(m) − cb[m][codes[m]]||².

@@ -4,6 +4,7 @@ import org.apache.spark.sql.Column
 import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
 import org.apache.spark.sql.catalyst.expressions._
 import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
+import org.apache.spark.sql.catalyst.expressions.UnsafeArrayData
 import org.apache.spark.sql.types._
 
 /** Map-side IVF cell assignment: `nearest_cells(emb)` → array<int> of
@@ -61,7 +62,7 @@ object NearestCells {
     }
     val out = new Array[Int](filled)
     System.arraycopy(topCell, 0, out, 0, filled)
-    new GenericArrayData(out)
+    UnsafeArrayData.fromPrimitiveArray(out)
   }
 }
 
