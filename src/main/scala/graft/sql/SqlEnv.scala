@@ -57,7 +57,7 @@ class SqlEnv private (val spark: SparkSession) {
       // (DDL tables, window TVFs, MATCH_RECOGNIZE) works in a view.
       case createViewRe(name, body) =>
         executeSql(body).createOrReplaceTempView(name)
-        createdViews.add(name)
+        createdViews.put(name, body.trim)
         return spark.emptyDataFrame
       case dropRe(name) =>
         tableDefs.remove(name); createdViews.remove(name); tableDb.remove(name)
@@ -97,7 +97,7 @@ class SqlEnv private (val spark: SparkSession) {
           // catalog views, not every temp table registration)
           case "VIEWS" =>
             spark.catalog.listTables().collect()
-              .filter(t => t.tableType == "TEMPORARY" && createdViews.contains(t.name))
+              .filter(t => t.tableType == "TEMPORARY" && createdViews.containsKey(t.name))
               .map(_.name).distinct.sorted.toSeq.toDF("view name")
           case _ =>
             spark.catalog.listFunctions().collect()
@@ -122,6 +122,8 @@ class SqlEnv private (val spark: SparkSession) {
       // against the database registry (the reference's
       // UseDatabaseOperation throws on a missing database).
       case useCatalogRe(c) =>
+        require(catalogs.containsKey(c),
+          s"USE CATALOG: '$c' does not exist (CREATE CATALOG $c first)")
         currentCatalog = c; return spark.emptyDataFrame
       case useDbRe(db) =>
         require(!inDefaultCatalog || databases.containsKey(db),
@@ -129,7 +131,8 @@ class SqlEnv private (val spark: SparkSession) {
         currentDatabase = db; return spark.emptyDataFrame
       case showCatalogsRe() =>
         import spark.implicits._
-        return Seq(currentCatalog).distinct.sorted.toDF("catalog name")
+        return catalogs.keySet.toArray.map(_.toString)
+          .toSeq.distinct.sorted.toDF("catalog name")
       case showDatabasesRe() =>
         import spark.implicits._
         return (if (inDefaultCatalog) databases.keySet.toArray.map(_.toString).toSeq
@@ -176,17 +179,208 @@ class SqlEnv private (val spark: SparkSession) {
       // only objects created through CREATE VIEW qualify, like the
       // reference's convertAlterView validation
       case alterViewRenameRe(oldName, newName) =>
-        require(createdViews.contains(oldName),
+        require(createdViews.containsKey(oldName),
           s"ALTER VIEW: '$oldName' was not created via CREATE VIEW")
         spark.table(oldName).createOrReplaceTempView(newName)
         spark.catalog.dropTempView(oldName)
-        createdViews.remove(oldName); createdViews.add(newName)
+        createdViews.put(newName, createdViews.remove(oldName))
         return spark.emptyDataFrame
       case alterViewAsRe(name, body) =>
-        require(createdViews.contains(name),
+        require(createdViews.containsKey(name),
           s"ALTER VIEW: '$name' was not created via CREATE VIEW")
         executeSql(body).createOrReplaceTempView(name)
+        createdViews.put(name, body.trim)
         return spark.emptyDataFrame
+      // ---- round-17 SQL-client completion sweep ----
+      // SHOW CURRENT CATALOG / DATABASE (TableEnvironmentImpl.java:1252,
+      // 1257 — literal one-column headers)
+      case showCurrentCatRe() =>
+        import spark.implicits._
+        return Seq(currentCatalog).toDF("current catalog name")
+      case showCurrentDbRe() =>
+        import spark.implicits._
+        return Seq(currentDatabase).toDF("current database name")
+      // SHOW CREATE VIEW (dql/SqlShowCreateView — reconstructs from the
+      // stored view query like ShowCreateUtil.buildShowCreateViewRow)
+      case showCreateViewRe(name) =>
+        import spark.implicits._
+        val body = Option(createdViews.get(name)).getOrElse(
+          throw new IllegalArgumentException(
+            s"SHOW CREATE VIEW: '$name' was not created via CREATE VIEW"))
+        return Seq(s"CREATE VIEW `$name` AS\n$body").toDF("result")
+      // CREATE / DROP CATALOG (ddl/SqlCreateCatalog, SqlDropCatalog)
+      case createCatalogRe(ifNotExists, name, props) =>
+        if (catalogs.containsKey(name))
+          require(ifNotExists != null, s"CREATE CATALOG: '$name' already exists")
+        else catalogs.put(name,
+          Option(props).map(Ddl.parseOptionPairs).getOrElse(Map.empty))
+        return spark.emptyDataFrame
+      case dropCatalogRe(ifExists, name) =>
+        if (!catalogs.containsKey(name)) {
+          require(ifExists != null, s"DROP CATALOG: '$name' does not exist")
+          return spark.emptyDataFrame
+        }
+        require(name != currentCatalog,
+          s"DROP CATALOG: '$name' is the current catalog (USE CATALOG another first)")
+        require(name != "default_catalog",
+          "DROP CATALOG: the default catalog cannot be dropped")
+        catalogs.remove(name)
+        return spark.emptyDataFrame
+      // DESCRIBE DATABASE [EXTENDED] / DESCRIBE CATALOG (dql/
+      // SqlDescribeDatabase, SqlDescribeCatalog): (info, value) rows
+      case descDbRe(extended, name) =>
+        import spark.implicits._
+        val props = Option(databases.get(name)).getOrElse(
+          throw new IllegalArgumentException(
+            s"DESCRIBE DATABASE: '$name' does not exist"))
+        val base = Seq("name" -> name, "catalog" -> currentCatalog)
+        val rows = if (extended == null) base
+          else base ++ props.toSeq.sortBy(_._1).map { case (k, v) => s"property:$k" -> v }
+        return rows.toDF("info", "value")
+      case descCatalogRe(name) =>
+        import spark.implicits._
+        val props = Option(catalogs.get(name)).getOrElse(
+          throw new IllegalArgumentException(
+            s"DESCRIBE CATALOG: '$name' does not exist"))
+        return (Seq("name" -> name) ++
+          props.toSeq.sortBy(_._1).map { case (k, v) => s"property:$k" -> v })
+          .toDF("info", "value")
+      // CREATE / DROP / ALTER FUNCTION (ddl/SqlCreateFunction,
+      // SqlDropFunction, SqlAlterFunction): the class is resolved from
+      // the session classpath like the reference's FunctionCatalog;
+      // JVM languages only (no Python runtime in this engine build),
+      // classes implement Spark's java UDF0..UDF22 interfaces — the
+      // engine-appropriate analog of extending ScalarFunction.
+      case createFnRe(ifNotExists, name, className, language) =>
+        require(language == null || !language.equalsIgnoreCase("PYTHON"),
+          "CREATE FUNCTION LANGUAGE PYTHON: no Python runtime in this engine build")
+        if (spark.catalog.functionExists(name)) {
+          require(ifNotExists != null, s"CREATE FUNCTION: '$name' already exists")
+          return spark.emptyDataFrame
+        }
+        spark.udf.registerJava(name, className, null)
+        return spark.emptyDataFrame
+      case dropFnRe(ifExists, name) =>
+        val dropped = spark.sessionState.functionRegistry.dropFunction(
+          org.apache.spark.sql.catalyst.FunctionIdentifier(name))
+        require(dropped || ifExists != null,
+          s"DROP FUNCTION: '$name' does not exist")
+        return spark.emptyDataFrame
+      case alterFnRe(name, className, language) =>
+        require(language == null || !language.equalsIgnoreCase("PYTHON"),
+          "ALTER FUNCTION LANGUAGE PYTHON: no Python runtime in this engine build")
+        require(spark.catalog.functionExists(name),
+          s"ALTER FUNCTION: '$name' does not exist")
+        spark.udf.registerJava(name, className, null)
+        return spark.emptyDataFrame
+      // ALTER TABLE ADD/DROP PRIMARY KEY (converter-wired in 1.16:
+      // SqlAlterTableAddConstraint/DropConstraint) — registry update,
+      // SHOW CREATE/DESCRIBE reflect it; PK drives upsert sinks
+      case alterAddPkRe(name, cols) =>
+        val d = Option(tableDefs.get(name)).getOrElse(
+          throw new IllegalArgumentException(
+            s"ALTER TABLE: '$name' was not created via CREATE TABLE"))
+        require(d.primaryKey.isEmpty,
+          s"ALTER TABLE ADD PRIMARY KEY: '$name' already has one (drop it first)")
+        val pk = cols.split(",").map(_.trim.stripPrefix("`").stripSuffix("`"))
+          .filter(_.nonEmpty).toSeq
+        val unknown = pk.filterNot(d.schema.fieldNames.contains)
+        require(unknown.isEmpty,
+          s"ALTER TABLE ADD PRIMARY KEY: unknown columns ${unknown.mkString(", ")}")
+        tableDefs.put(name, d.copy(primaryKey = pk))
+        return spark.emptyDataFrame
+      case alterDropPkRe(name) =>
+        val d = Option(tableDefs.get(name)).getOrElse(
+          throw new IllegalArgumentException(
+            s"ALTER TABLE: '$name' was not created via CREATE TABLE"))
+        tableDefs.put(name, d.copy(primaryKey = Nil))
+        return spark.emptyDataFrame
+      // ALTER TABLE ... COMPACT (ddl/SqlAlterTableCompact, FLINK-26392 —
+      // converter-wired in 1.16 for managed tables; the filesystem DDL
+      // table is this dialect's analog): rewrite the table's files to
+      // ~target-sized ones via ops.Compact, swap directories, refresh +
+      // re-register. Non-atomic like the reference's batch compact job.
+      case alterCompactRe(name) =>
+        val d = Option(tableDefs.get(name)).getOrElse(
+          throw new IllegalArgumentException(
+            s"ALTER TABLE: '$name' was not created via CREATE TABLE"))
+        require(d.connector == "filesystem" && d.format == "parquet",
+          s"ALTER TABLE COMPACT supports filesystem parquet tables (got " +
+            s"${d.connector}/${d.format})")
+        val target = d.options.get("compaction.target-file-size")
+          .map(_.toLong).getOrElse(128L << 20)
+        val tmp = d.path + "__compact_tmp"
+        graft.ops.Compact.compact(spark, d.path, tmp, target)
+        val hPath = new org.apache.hadoop.fs.Path(d.path)
+        val fs = hPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
+        val old = new org.apache.hadoop.fs.Path(d.path + "__compact_old")
+        require(fs.rename(hPath, old), s"COMPACT: could not stage $name's files")
+        require(fs.rename(new org.apache.hadoop.fs.Path(tmp), hPath),
+          s"COMPACT: could not move compacted files for $name")
+        fs.delete(old, true)
+        spark.catalog.refreshByPath(d.path)
+        Ddl.register(spark, d)
+        return spark.emptyDataFrame
+      // SHOW PARTITIONS (dql/SqlShowPartitions): Hive-style k=v[/k=v]
+      // strings under the reference's literal header. The DISTINCT over
+      // the partition columns is metadata-scale (bounded by partition
+      // count, prunes to the partition columns at the scan).
+      case showPartitionsRe(name) =>
+        import spark.implicits._
+        val d = Option(tableDefs.get(name)).getOrElse(
+          throw new IllegalArgumentException(
+            s"SHOW PARTITIONS: '$name' was not created via CREATE TABLE"))
+        require(d.partitionedBy.nonEmpty,
+          s"SHOW PARTITIONS: '$name' is not a partitioned table")
+        val rows = spark.table(name)
+          .select(d.partitionedBy.map(col): _*).distinct().collect()
+        return rows.map(r => d.partitionedBy.zipWithIndex
+            .map { case (k, i) => s"$k=${r.get(i)}" }.mkString("/"))
+          .sorted.toSeq.toDF("partition name")
+      // modules (ModuleManager): 'core' is the only module shipped in
+      // this engine build; loading anything else fails exactly like the
+      // reference when the module's factory is absent from the classpath
+      case showModulesRe(full) =>
+        import spark.implicits._
+        return if (full == null) {
+          import scala.jdk.CollectionConverters._
+          modules.asScala.toSeq.toDF("module name")
+        } else {
+          import scala.jdk.CollectionConverters._
+          modules.asScala.toSeq.map(m => (m, true)).toDF("module name", "used")
+        }
+      case loadModuleRe(name, _) =>
+        require(name == "core",
+          s"LOAD MODULE: no factory for module '$name' on the classpath " +
+            "('core' is the only module in this engine build)")
+        if (!modules.contains(name)) modules.add(name)
+        return spark.emptyDataFrame
+      case unloadModuleRe(name) =>
+        require(modules.remove(name), s"UNLOAD MODULE: '$name' is not loaded")
+        return spark.emptyDataFrame
+      case useModulesRe(list) if list.trim.nonEmpty &&
+          list.split(",").forall(_.trim.matches("`?[\\w.]+`?")) =>
+        val names = list.split(",").map(_.trim.stripPrefix("`").stripSuffix("`")).toSeq
+        names.foreach(n => require(modules.contains(n) || n == "core",
+          s"USE MODULES: module '$n' is not loaded"))
+        modules.clear(); names.distinct.foreach(modules.add)
+        return spark.emptyDataFrame
+      // jars: ADD JAR passes through to Spark's own (the executor-side
+      // distribution is real); REMOVE JAR is rejected — a JVM cannot
+      // unload classes from a live classloader, and Spark has no
+      // LIST-remove either (documented narrowing)
+      case addJarRe(path) =>
+        spark.sql(s"ADD JAR '$path'")
+        addedJars.add(path)
+        return spark.emptyDataFrame
+      case showJarsRe() =>
+        import spark.implicits._
+        import scala.jdk.CollectionConverters._
+        return addedJars.asScala.toSeq.sorted.toDF("jars")
+      case removeJarRe(_) =>
+        throw new IllegalArgumentException(
+          "REMOVE JAR is not supported: the JVM cannot unload a jar from " +
+            "a live session classloader (restart the session without ADD JAR)")
       // DESCRIBE t — Flink's six-column shape (name, type, null, key,
       // extras, watermark: SqlRichDescribeTable → DescribeTableOperation).
       // key/extras/watermark come from OUR CREATE TABLE def when the
@@ -312,6 +506,13 @@ class SqlEnv private (val spark: SparkSession) {
                | alterRenameRe(_, _) | alterSetRe(_, _) | alterResetRe(_, _)
                | createDbRe(_, _, _) | dropDbRe(_, _, _) | alterDbRe(_, _)
                | alterViewRenameRe(_, _) | alterViewAsRe(_, _)
+               | showCurrentCatRe() | showCurrentDbRe() | showCreateViewRe(_)
+               | createCatalogRe(_, _, _) | dropCatalogRe(_, _)
+               | descDbRe(_, _) | descCatalogRe(_)
+               | createFnRe(_, _, _, _) | dropFnRe(_, _) | alterFnRe(_, _, _)
+               | alterAddPkRe(_, _) | alterDropPkRe(_) | alterCompactRe(_)
+               | showPartitionsRe(_) | showModulesRe(_) | loadModuleRe(_, _)
+               | unloadModuleRe(_) | addJarRe(_) | removeJarRe(_) | showJarsRe()
                | analyzeRe(_, _) => true
           case _ =>
             Ddl.isCreateTable(trimmed) || ctasRe.matches(trimmed) ||
@@ -635,9 +836,11 @@ class SqlEnv private (val spark: SparkSession) {
   /** CREATE TABLE definitions by name (drives INSERT routing). */
   private val tableDefs =
     new java.util.concurrent.ConcurrentHashMap[String, Ddl.TableDef]()
-  /** Names created through CREATE VIEW (drives SHOW VIEWS). */
+  /** Views created through CREATE VIEW: name → body SQL (drives SHOW
+    * VIEWS and SHOW CREATE VIEW — the reference's ShowCreateUtil
+    * reconstructs the view from its stored expanded query). */
   private val createdViews =
-    java.util.concurrent.ConcurrentHashMap.newKeySet[String]()
+    new java.util.concurrent.ConcurrentHashMap[String, String]()
   private def asScala = { import scala.jdk.CollectionConverters._; tableDefs.asScala }
 
   // ---- command statements (SET / views / statement sets) ---------------
@@ -697,6 +900,60 @@ class SqlEnv private (val spark: SparkSession) {
     """(?is)^\s*ALTER\s+(?:TEMPORARY\s+)?VIEW\s+`?([\w.]+)`?\s+RENAME\s+TO\s+`?([\w.]+)`?\s*;?\s*$""".r
   private val alterViewAsRe =
     """(?is)^\s*ALTER\s+(?:TEMPORARY\s+)?VIEW\s+`?([\w.]+)`?\s+AS\s+(.+)$""".r
+  // SQL-client completion sweep (round 17) — the remaining statement
+  // classes of the reference parser (flink-sql-parser ddl/ + dql/)
+  private val showCurrentCatRe =
+    """(?is)^\s*SHOW\s+CURRENT\s+CATALOG\s*;?\s*$""".r
+  private val showCurrentDbRe =
+    """(?is)^\s*SHOW\s+CURRENT\s+DATABASE\s*;?\s*$""".r
+  private val showCreateViewRe =
+    """(?is)^\s*SHOW\s+CREATE\s+VIEW\s+`?([\w.]+)`?\s*;?\s*$""".r
+  private val createCatalogRe =
+    """(?is)^\s*CREATE\s+CATALOG\s+(IF\s+NOT\s+EXISTS\s+)?`?([\w.]+)`?\s*(?:WITH\s*\((.*)\)\s*)?;?\s*$""".r
+  private val dropCatalogRe =
+    """(?is)^\s*DROP\s+CATALOG\s+(IF\s+EXISTS\s+)?`?([\w.]+)`?\s*;?\s*$""".r
+  private val descDbRe =
+    """(?is)^\s*DESC(?:RIBE)?\s+DATABASE\s+(EXTENDED\s+)?`?([\w.]+)`?\s*;?\s*$""".r
+  private val descCatalogRe =
+    """(?is)^\s*DESC(?:RIBE)?\s+CATALOG\s+`?([\w.]+)`?\s*;?\s*$""".r
+  // CREATE [TEMPORARY] [SYSTEM] FUNCTION f AS 'class' [LANGUAGE ...]
+  // (ddl/SqlCreateFunction.java — USING JAR is a 1.17 addition)
+  private val createFnRe =
+    ("""(?is)^\s*CREATE\s+(?:TEMPORARY\s+)?(?:SYSTEM\s+)?FUNCTION\s+""" +
+      """(IF\s+NOT\s+EXISTS\s+)?`?([\w.]+)`?\s+AS\s+'([^']+)'""" +
+      """\s*(?:LANGUAGE\s+(\w+)\s*)?;?\s*$""").r
+  private val dropFnRe =
+    """(?is)^\s*DROP\s+(?:TEMPORARY\s+)?(?:SYSTEM\s+)?FUNCTION\s+(IF\s+EXISTS\s+)?`?([\w.]+)`?\s*;?\s*$""".r
+  private val alterFnRe =
+    ("""(?is)^\s*ALTER\s+(?:TEMPORARY\s+)?(?:SYSTEM\s+)?FUNCTION\s+""" +
+      """`?([\w.]+)`?\s+AS\s+'([^']+)'\s*(?:LANGUAGE\s+(\w+)\s*)?;?\s*$""").r
+  // ALTER TABLE constraint + compaction (ddl/SqlAlterTableAddConstraint,
+  // SqlAlterTableDropConstraint, SqlAlterTableCompact — all three are
+  // converter-wired in the 1.16 release; the ADD/MODIFY column forms
+  // are parse-only there and rejected the same way here)
+  private val alterAddPkRe =
+    ("""(?is)^\s*ALTER\s+TABLE\s+`?([\w.]+)`?\s+ADD\s+(?:CONSTRAINT\s+`?[\w.]+`?\s+)?""" +
+      """PRIMARY\s+KEY\s*\(([^)]*)\)\s*(?:NOT\s+ENFORCED\s*)?;?\s*$""").r
+  private val alterDropPkRe =
+    """(?is)^\s*ALTER\s+TABLE\s+`?([\w.]+)`?\s+DROP\s+(?:CONSTRAINT\s+`?[\w.]+`?|PRIMARY\s+KEY)\s*;?\s*$""".r
+  private val alterCompactRe =
+    """(?is)^\s*ALTER\s+TABLE\s+`?([\w.]+)`?\s+COMPACT\s*;?\s*$""".r
+  private val showPartitionsRe =
+    """(?is)^\s*SHOW\s+PARTITIONS\s+`?([\w.]+)`?\s*;?\s*$""".r
+  // modules (dql/SqlShowModules, SqlLoadModule, SqlUnloadModule,
+  // ddl/SqlUseModules)
+  private val showModulesRe =
+    """(?is)^\s*SHOW\s+(FULL\s+)?MODULES\s*;?\s*$""".r
+  private val loadModuleRe =
+    """(?is)^\s*LOAD\s+MODULE\s+`?([\w.]+)`?\s*(?:WITH\s*\((.*)\)\s*)?;?\s*$""".r
+  private val unloadModuleRe =
+    """(?is)^\s*UNLOAD\s+MODULE\s+`?([\w.]+)`?\s*;?\s*$""".r
+  private val useModulesRe =
+    """(?is)^\s*USE\s+MODULES\s+(.+?)\s*;?\s*$""".r
+  // jars (ddl/SqlAddJar, SqlRemoveJar, dql/SqlShowJars)
+  private val addJarRe = """(?is)^\s*ADD\s+JAR\s+'([^']+)'\s*;?\s*$""".r
+  private val removeJarRe = """(?is)^\s*REMOVE\s+JAR\s+'([^']+)'\s*;?\s*$""".r
+  private val showJarsRe = """(?is)^\s*SHOW\s+JARS\s*;?\s*$""".r
   @volatile private var currentCatalog = "default_catalog"
   @volatile private var currentDatabase = "default_database"
   /** Databases of the default catalog (name → properties). The registry
@@ -708,6 +965,21 @@ class SqlEnv private (val spark: SparkSession) {
   private val databases =
     new java.util.concurrent.ConcurrentHashMap[String, Map[String, String]]()
   databases.put("default_database", Map.empty)
+  /** Catalogs (name → properties) — CREATE/DROP CATALOG registry; USE
+    * CATALOG validates against it like the reference's CatalogManager. */
+  private val catalogs =
+    new java.util.concurrent.ConcurrentHashMap[String, Map[String, String]]()
+  catalogs.put("default_catalog", Map.empty)
+  /** Enabled modules in resolution order (LOAD/UNLOAD/USE MODULES —
+    * reference ModuleManager). This engine build ships exactly one
+    * module ('core', the built-in functions); loading anything else
+    * fails like the reference does when the module jar is absent. */
+  private val modules =
+    java.util.Collections.synchronizedList(
+      new java.util.ArrayList[String](java.util.List.of("core")))
+  /** Jars added through ADD JAR (drives SHOW JARS). */
+  private val addedJars =
+    java.util.Collections.synchronizedList(new java.util.ArrayList[String]())
   /** Owning database of each CREATE TABLE'd table (DROP … RESTRICT and
     * SHOW TABLES scoping). */
   private val tableDb =

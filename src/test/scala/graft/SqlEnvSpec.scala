@@ -1037,15 +1037,24 @@ class SqlEnvSpec extends AnyFunSuite {
     // SHOW COLUMNS shares DESCRIBE's six-column shape
     val sc1 = env.executeSql("SHOW COLUMNS FROM sct_t").collect().map(_.toString).toSeq
     assert(sc1 == d1)
-    // catalog/database session surface
+    // catalog/database session surface. USE CATALOG validates against
+    // the registry (round 17 — the reference's CatalogManager throws on
+    // an unknown catalog), so register it first; inside a non-default
+    // catalog the database surface is session-scoped free-form.
     assert(env.executeSql("SHOW CATALOGS").collect().map(_.getString(0)).toSeq ==
       Seq("default_catalog"))
+    intercept[IllegalArgumentException] { env.executeSql("USE CATALOG other_cat") }
+    env.executeSql("CREATE CATALOG other_cat WITH ('type' = 'generic_in_memory')")
     env.executeSql("USE CATALOG other_cat")
     env.executeSql("USE other_db")
     assert(env.executeSql("SHOW CATALOGS").collect().map(_.getString(0)).toSeq ==
-      Seq("other_cat"))
+      Seq("default_catalog", "other_cat"))
     assert(env.executeSql("SHOW DATABASES").collect().map(_.getString(0)).toSeq ==
       Seq("other_db"))
+    assert(env.executeSql("SHOW CURRENT CATALOG").collect()(0).getString(0) ==
+      "other_cat")
+    assert(env.executeSql("SHOW CURRENT DATABASE").collect()(0).getString(0) ==
+      "other_db")
   }
 
   test("ALTER TABLE RENAME/SET/RESET and CREATE TABLE LIKE") {
@@ -1531,6 +1540,129 @@ class SqlEnvSpec extends AnyFunSuite {
     }
     assert(notView.getMessage.contains("CREATE VIEW"), notView.getMessage)
     env.executeSql("DROP VIEW av_v2")
+  }
+
+  test("SQL-client completion sweep: catalogs, SHOW CREATE VIEW, functions, PK, COMPACT, partitions, modules, jars") {
+    val env = SqlEnv(spark).registerTestdata(TestSpark.sfDir)
+    // --- CREATE/DROP CATALOG + DESCRIBE CATALOG ---
+    env.executeSql("CREATE CATALOG cat17 WITH ('type' = 'generic_in_memory')")
+    intercept[IllegalArgumentException] { env.executeSql("CREATE CATALOG cat17") }
+    env.executeSql("CREATE CATALOG IF NOT EXISTS cat17")
+    val catDesc = env.executeSql("DESCRIBE CATALOG cat17").collect()
+      .map(r => r.getString(0) -> r.getString(1)).toMap
+    assert(catDesc("name") == "cat17" && catDesc("property:type") == "generic_in_memory")
+    intercept[IllegalArgumentException] { env.executeSql("DROP CATALOG default_catalog") }
+    env.executeSql("DROP CATALOG cat17")
+    intercept[IllegalArgumentException] { env.executeSql("DROP CATALOG cat17") }
+    env.executeSql("DROP CATALOG IF EXISTS cat17")
+    // --- DESCRIBE DATABASE [EXTENDED] ---
+    env.executeSql("CREATE DATABASE ddb17 WITH ('owner' = 'graft')")
+    val dbDesc = env.executeSql("DESCRIBE DATABASE ddb17").collect()
+      .map(_.getString(0)).toSeq
+    assert(dbDesc.contains("name") && !dbDesc.exists(_.startsWith("property:")))
+    val dbDescExt = env.executeSql("DESCRIBE DATABASE EXTENDED ddb17").collect()
+      .map(r => r.getString(0) -> r.getString(1)).toMap
+    assert(dbDescExt("property:owner") == "graft")
+    env.executeSql("DROP DATABASE ddb17")
+    // --- SHOW CREATE VIEW (reconstructed from the stored body) ---
+    env.executeSql("CREATE VIEW scv_v AS SELECT r_regionkey FROM region WHERE r_regionkey < 3")
+    val vddl = env.executeSql("SHOW CREATE VIEW scv_v").collect()(0).getString(0)
+    assert(vddl.startsWith("CREATE VIEW `scv_v` AS"), vddl)
+    assert(vddl.contains("r_regionkey < 3"), vddl)
+    // ...and it reflects ALTER VIEW AS
+    env.executeSql("ALTER VIEW scv_v AS SELECT r_name FROM region")
+    assert(env.executeSql("SHOW CREATE VIEW scv_v").collect()(0).getString(0)
+      .contains("SELECT r_name FROM region"))
+    intercept[IllegalArgumentException] { env.executeSql("SHOW CREATE VIEW orders") }
+    env.executeSql("DROP VIEW scv_v")
+    // --- CREATE/ALTER/DROP FUNCTION (classes on the session classpath,
+    // Spark java-UDF interfaces — the ScalarFunction analog) ---
+    try spark.sessionState.functionRegistry.dropFunction(
+      org.apache.spark.sql.catalyst.FunctionIdentifier("fn17")) catch { case _: Throwable => () }
+    env.executeSql("CREATE FUNCTION fn17 AS 'graft.TestUdfUpper' LANGUAGE SCALA")
+    assert(env.executeSql("SELECT fn17('abc') AS v").collect()(0).getString(0) == "ABC")
+    intercept[IllegalArgumentException] {
+      env.executeSql("CREATE FUNCTION fn17 AS 'graft.TestUdfUpper'")
+    }
+    env.executeSql("CREATE FUNCTION IF NOT EXISTS fn17 AS 'graft.TestUdfUpper'")
+    env.executeSql("ALTER FUNCTION fn17 AS 'graft.TestUdfLower'")
+    assert(env.executeSql("SELECT fn17('AbC') AS v").collect()(0).getString(0) == "abc")
+    intercept[Exception] {
+      env.executeSql("CREATE TEMPORARY FUNCTION pyfn AS 'x' LANGUAGE PYTHON")
+    }
+    env.executeSql("DROP FUNCTION fn17")
+    intercept[IllegalArgumentException] { env.executeSql("DROP FUNCTION fn17") }
+    env.executeSql("DROP FUNCTION IF EXISTS fn17")
+    // --- ALTER TABLE ADD/DROP PRIMARY KEY (registry + SHOW CREATE) ---
+    env.executeSql(
+      """CREATE TABLE pk17_t (id BIGINT, v STRING)
+        |WITH ('connector' = 'blackhole')""".stripMargin)
+    env.executeSql("ALTER TABLE pk17_t ADD CONSTRAINT pk PRIMARY KEY (id) NOT ENFORCED")
+    assert(env.executeSql("SHOW CREATE TABLE pk17_t").collect()(0).getString(0)
+      .contains("PRIMARY KEY (`id`) NOT ENFORCED"))
+    intercept[IllegalArgumentException] {
+      env.executeSql("ALTER TABLE pk17_t ADD PRIMARY KEY (v) NOT ENFORCED")
+    }
+    intercept[IllegalArgumentException] {
+      env.executeSql("ALTER TABLE pk17_t DROP PRIMARY KEY")
+      env.executeSql("ALTER TABLE pk17_t ADD PRIMARY KEY (nope) NOT ENFORCED")
+    }
+    assert(!env.executeSql("SHOW CREATE TABLE pk17_t").collect()(0).getString(0)
+      .contains("PRIMARY KEY"))
+    // --- ALTER TABLE COMPACT (ops.Compact behind the reference's
+    // SqlAlterTableCompact statement) ---
+    val cdir = "/tmp/graft_sql_compact17"
+    org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(cdir))
+    env.executeSql(
+      s"""CREATE TABLE compact17_t (id BIGINT, v DOUBLE)
+         |WITH ('connector' = 'filesystem', 'path' = '$cdir',
+         |      'format' = 'parquet', 'compaction.target-file-size' = '33554432')""".stripMargin)
+    // fragment: 16 tiny files
+    spark.range(0, 10000).selectExpr("id", "CAST(id AS DOUBLE) AS v")
+      .repartition(16).write.mode("overwrite").parquet(cdir)
+    env.executeSql(s"INSERT INTO compact17_t SELECT CAST(-1 AS BIGINT), CAST(0.0 AS DOUBLE)")
+    val before = graft.ops.Compact.partFileCount(spark, cdir)
+    assert(before > 10, s"fixture must be fragmented: $before files")
+    env.executeSql("ALTER TABLE compact17_t COMPACT")
+    val after = graft.ops.Compact.partFileCount(spark, cdir)
+    assert(after < before && after >= 1, s"compact must shrink file count: $before -> $after")
+    assert(env.executeSql("SELECT count(*) AS c FROM compact17_t")
+      .collect()(0).getLong(0) == 10001, "content preserved through COMPACT")
+    // --- SHOW PARTITIONS ---
+    val pdir = "/tmp/graft_sql_parts17"
+    org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(pdir))
+    env.executeSql(
+      s"""CREATE TABLE parts17_t (id BIGINT, grp STRING)
+         |PARTITIONED BY (grp)
+         |WITH ('connector' = 'filesystem', 'path' = '$pdir',
+         |      'format' = 'parquet')""".stripMargin)
+    env.executeSql(
+      """INSERT INTO parts17_t
+        |SELECT * FROM VALUES (CAST(1 AS BIGINT), 'a'), (CAST(2 AS BIGINT), 'b'),
+        |  (CAST(3 AS BIGINT), 'a') AS v(id, grp)""".stripMargin)
+    val parts = env.executeSql("SHOW PARTITIONS parts17_t").collect().map(_.getString(0))
+    assert(parts.toSeq == Seq("grp=a", "grp=b"), parts.mkString(", "))
+    assert(env.executeSql("SHOW PARTITIONS parts17_t").columns.sameElements(
+      Array("partition name")))
+    intercept[IllegalArgumentException] { env.executeSql("SHOW PARTITIONS pk17_t") }
+    // --- modules ---
+    assert(env.executeSql("SHOW MODULES").collect().map(_.getString(0)).toSeq ==
+      Seq("core"))
+    val full = env.executeSql("SHOW FULL MODULES").collect()
+    assert(full.length == 1 && full(0).getString(0) == "core" && full(0).getBoolean(1))
+    intercept[IllegalArgumentException] { env.executeSql("LOAD MODULE hive") }
+    env.executeSql("UNLOAD MODULE core")
+    assert(env.executeSql("SHOW MODULES").collect().isEmpty)
+    env.executeSql("LOAD MODULE core")
+    env.executeSql("USE MODULES core")
+    assert(env.executeSql("SHOW MODULES").collect().map(_.getString(0)).toSeq ==
+      Seq("core"))
+    // --- jars ---
+    assert(env.executeSql("SHOW JARS").collect().isEmpty)
+    intercept[IllegalArgumentException] { env.executeSql("REMOVE JAR '/tmp/x.jar'") }
+    // EXPLAIN rejects every sweep statement as a command
+    intercept[IllegalArgumentException] { env.executeSql("EXPLAIN SHOW MODULES") }
+    intercept[IllegalArgumentException] { env.executeSql("EXPLAIN CREATE CATALOG c2") }
   }
 
   test("ANALYZE then INSERT: the re-registered view must serve post-insert rows") {
