@@ -196,6 +196,42 @@ class TimeFormatsSpec extends AnyFunSuite {
     assert(err.getMessage.contains("top-level"), err.getMessage)
   }
 
+  test("ORC numeric wire: 2000 hash-derived times-of-day roundtrip value-exact per precision") {
+    // Deterministic value fuzz (xxhash64-derived, so re-runs see the
+    // same 2000 rows): every row derives t3/t0 from one TIME(6) value
+    // by the ENGINE's own precision cast, so the expected strings bake
+    // in exactly the truncation the wire must preserve. Boundary rows
+    // (midnight, 23:59:59.999999) appended explicitly.
+    val df = spark.sql(
+      """SELECT id, t6, CAST(t6 AS TIME(3)) AS t3, CAST(t6 AS TIME(0)) AS t0
+        |FROM (
+        |  SELECT id, CAST(make_time(
+        |      CAST(abs(xxhash64(id)) % 24 AS INT),
+        |      CAST(abs(xxhash64(id + 1)) % 60 AS INT),
+        |      CAST(abs(xxhash64(id + 2)) % 60000000 AS DECIMAL(16,6)) / 1000000)
+        |    AS TIME(6)) AS t6
+        |  FROM range(2000)
+        |  UNION ALL SELECT 100001, TIME'00:00:00'
+        |  UNION ALL SELECT 100002, TIME'23:59:59.999999'
+        |)""".stripMargin)
+    def canon(frame: org.apache.spark.sql.DataFrame): Seq[String] =
+      frame.selectExpr("id", "CAST(t6 AS STRING) AS s6",
+          "CAST(t3 AS STRING) AS s3", "CAST(t0 AS STRING) AS s0")
+        .orderBy("id").collect().map(_.toString).toSeq
+    val before = canon(df)
+    val dir = java.nio.file.Files.createTempDirectory("graft_tf_orc_fuzz").toString
+    TimeFormats.writeOrc(df, dir)
+    val back = TimeFormats.readOrc(spark, dir, df.schema)
+    // ORC reads every column back nullable; names+types must match
+    assert(back.schema.fields.map(f => (f.name, f.dataType)).toSeq ==
+      df.schema.fields.map(f => (f.name, f.dataType)).toSeq,
+      back.schema.simpleString)
+    val after = canon(back)
+    assert(after == before,
+      s"ORC wire must be value-exact; first diff: ${
+        before.zip(after).find(p => p._1 != p._2)}")
+  }
+
   test("DDL ORC table with TIME columns: INSERT + read back") {
     val env = graft.sql.SqlEnv(spark)
     val path = java.nio.file.Files.createTempDirectory("graft_tf_ddl_orc")
