@@ -299,8 +299,15 @@ object Bench {
             writeFile(renderJson(results.toSeq, notRun, failed.toSeq, partial = false, extra))
           }
         }
-        calibTailAfter = tailCalib()
-        verdict = BenchAdjudication.gate(calibTail, calibTailAfter, calibSpark)
+        // nothing re-measured (budget guard skipped every suspect, or
+        // all tail runs failed) → no post-calibration to burn, and the
+        // artifact must not claim substitution was applied
+        if (remeasured.isEmpty)
+          verdict = BenchAdjudication.Verdict(substitute = false, "no rows re-measured")
+        else {
+          calibTailAfter = tailCalib()
+          verdict = BenchAdjudication.gate(calibTail, calibTailAfter, calibSpark)
+        }
         if (!verdict.substitute)
           System.err.println(s"[bench] adjudication NOT applied: ${verdict.reason}")
         else remeasured.foreach { case (name, med) =>

@@ -182,10 +182,8 @@ object TimeFormats {
 
   /** TIME(p) columns → millis/micros-of-day numerics (ORC write side). */
   def encodeOrcTimes(df: DataFrame): DataFrame = {
-    if (!df.schema.exists(_.dataType.isInstanceOf[TimeType])) {
-      orcWireSchema(df.schema) // raises on nested TIME
-      return df
-    }
+    orcWireSchema(df.schema) // validates: nested TIME raises on BOTH legs
+    if (!df.schema.exists(_.dataType.isInstanceOf[TimeType])) return df
     // TIME − TIME'00:00:00' is the micros-of-day as a day-time interval;
     // the interval→DECIMAL(17,6) cast surfaces it as seconds.fraction in
     // one codegen'd step — 5–6× cheaper per row than the

@@ -87,9 +87,9 @@ class SqlEnv private (val spark: SparkSession) {
             // owning database (tableDb); plain catalog temp views (e.g.
             // registerTestdata) live in the default database
             val ddlTables = tableDefs.keySet.toArray.map(_.toString)
-              .filter(t => tableDb.getOrDefault(t, "default_database") == currentDatabase)
+              .filter(t => tableDb.getOrDefault(t, "default_catalog.default_database") == currentDbKey)
             val catalogViews =
-              if (currentDatabase == "default_database")
+              if (currentDbKey == "default_catalog.default_database")
                 spark.catalog.listTables().collect().map(_.name)
               else Array.empty[String]
             (ddlTables ++ catalogViews).distinct.sorted.toSeq.toDF("table name")
@@ -141,12 +141,18 @@ class SqlEnv private (val spark: SparkSession) {
       // SqlDropDatabase.java, SqlAlterDatabase.java — the remaining
       // catalog DDL a SQL-client user scripts against)
       case createDbRe(ifNotExists, name, props) =>
+        require(inDefaultCatalog,
+          "database DDL is supported in default_catalog only " +
+            "(non-default catalogs are session-scoped)")
         if (databases.containsKey(name))
           require(ifNotExists != null, s"CREATE DATABASE: '$name' already exists")
         else databases.put(name,
           Option(props).map(Ddl.parseOptionPairs).getOrElse(Map.empty))
         return spark.emptyDataFrame
       case dropDbRe(ifExists, name, mode) =>
+        require(inDefaultCatalog,
+          "database DDL is supported in default_catalog only " +
+            "(non-default catalogs are session-scoped)")
         if (!databases.containsKey(name)) {
           require(ifExists != null, s"DROP DATABASE: '$name' does not exist")
           return spark.emptyDataFrame
@@ -156,7 +162,7 @@ class SqlEnv private (val spark: SparkSession) {
         require(name != "default_database",
           "DROP DATABASE: the default database cannot be dropped")
         val contained = { import scala.jdk.CollectionConverters._
-          tableDb.asScala.filter(_._2 == name).keys.toSeq.sorted }
+          tableDb.asScala.filter(_._2 == s"default_catalog.$name").keys.toSeq.sorted }
         if (contained.nonEmpty) {
           // RESTRICT is the reference's default drop behavior
           require(Option(mode).exists(_.equalsIgnoreCase("CASCADE")),
@@ -181,6 +187,8 @@ class SqlEnv private (val spark: SparkSession) {
       case alterViewRenameRe(oldName, newName) =>
         require(createdViews.containsKey(oldName),
           s"ALTER VIEW: '$oldName' was not created via CREATE VIEW")
+        require(!spark.catalog.tableExists(newName) && !createdViews.containsKey(newName),
+          s"ALTER VIEW RENAME: target '$newName' already exists")
         spark.table(oldName).createOrReplaceTempView(newName)
         spark.catalog.dropTempView(oldName)
         createdViews.put(newName, createdViews.remove(oldName))
@@ -254,24 +262,41 @@ class SqlEnv private (val spark: SparkSession) {
       case createFnRe(ifNotExists, name, className, language) =>
         require(language == null || !language.equalsIgnoreCase("PYTHON"),
           "CREATE FUNCTION LANGUAGE PYTHON: no Python runtime in this engine build")
-        if (spark.catalog.functionExists(name)) {
+        if (createdFunctions.containsKey(name)) {
           require(ifNotExists != null, s"CREATE FUNCTION: '$name' already exists")
           return spark.emptyDataFrame
         }
+        // a name that already resolves but was NOT created here is a
+        // built-in (or a graft function) — registering over it would
+        // silently shadow it session-wide, and skipping under IF NOT
+        // EXISTS would silently serve the built-in instead of the
+        // user's class; both are wrong answers, so reject
+        require(!spark.catalog.functionExists(name),
+          s"CREATE FUNCTION: '$name' is a built-in function — choose another name")
         spark.udf.registerJava(name, className, null)
+        createdFunctions.put(name, className)
         return spark.emptyDataFrame
       case dropFnRe(ifExists, name) =>
-        val dropped = spark.sessionState.functionRegistry.dropFunction(
+        // only functions created through CREATE FUNCTION may be dropped —
+        // the raw registry would happily drop Spark built-ins and break
+        // the shared session (the reference likewise rejects dropping
+        // system functions)
+        if (!createdFunctions.containsKey(name)) {
+          require(ifExists != null,
+            s"DROP FUNCTION: '$name' was not created via CREATE FUNCTION")
+          return spark.emptyDataFrame
+        }
+        spark.sessionState.functionRegistry.dropFunction(
           org.apache.spark.sql.catalyst.FunctionIdentifier(name))
-        require(dropped || ifExists != null,
-          s"DROP FUNCTION: '$name' does not exist")
+        createdFunctions.remove(name)
         return spark.emptyDataFrame
       case alterFnRe(name, className, language) =>
         require(language == null || !language.equalsIgnoreCase("PYTHON"),
           "ALTER FUNCTION LANGUAGE PYTHON: no Python runtime in this engine build")
-        require(spark.catalog.functionExists(name),
-          s"ALTER FUNCTION: '$name' does not exist")
+        require(createdFunctions.containsKey(name),
+          s"ALTER FUNCTION: '$name' was not created via CREATE FUNCTION")
         spark.udf.registerJava(name, className, null)
+        createdFunctions.put(name, className)
         return spark.emptyDataFrame
       // ALTER TABLE ADD/DROP PRIMARY KEY (converter-wired in 1.16:
       // SqlAlterTableAddConstraint/DropConstraint) — registry update,
@@ -307,6 +332,13 @@ class SqlEnv private (val spark: SparkSession) {
         require(d.connector == "filesystem" && d.format == "parquet",
           s"ALTER TABLE COMPACT supports filesystem parquet tables (got " +
             s"${d.connector}/${d.format})")
+        // a flat rewrite of a Hive-layout dir would fold the partition
+        // columns into the data files and break later partitioned
+        // INSERTs/reads — reject rather than corrupt
+        require(d.partitionedBy.isEmpty,
+          s"ALTER TABLE COMPACT: '$name' is partitioned " +
+            s"(${d.partitionedBy.mkString(", ")}) — per-partition compaction " +
+            "is not supported; compact a non-partitioned table")
         val target = d.options.get("compaction.target-file-size")
           .map(_.toLong).getOrElse(128L << 20)
         val tmp = d.path + "__compact_tmp"
@@ -332,6 +364,11 @@ class SqlEnv private (val spark: SparkSession) {
             s"SHOW PARTITIONS: '$name' was not created via CREATE TABLE"))
         require(d.partitionedBy.nonEmpty,
           s"SHOW PARTITIONS: '$name' is not a partitioned table")
+        // a created-but-never-inserted filesystem table has no view yet
+        // (registration defers to first INSERT) — empty partition list,
+        // like the reference on an empty table
+        if (!spark.catalog.tableExists(name))
+          return Seq.empty[String].toDF("partition name")
         val rows = spark.table(name)
           .select(d.partitionedBy.map(col): _*).distinct().collect()
         return rows.map(r => d.partitionedBy.zipWithIndex
@@ -425,6 +462,8 @@ class SqlEnv private (val spark: SparkSession) {
       // ALTER TABLE — registry + catalog updates (rename moves the
       // temp view; SET merges options; RESET drops keys)
       case alterRenameRe(oldName, newName) =>
+        require(!tableDefs.containsKey(newName),
+          s"ALTER TABLE RENAME: target '$newName' already exists")
         val d = Option(tableDefs.remove(oldName)).getOrElse(
           throw new IllegalArgumentException(
             s"ALTER TABLE: '$oldName' was not created via CREATE TABLE"))
@@ -481,7 +520,10 @@ class SqlEnv private (val spark: SparkSession) {
           // FOR COLUMNS form (AnalyzeProbe): NOSCAN and PARTITION(...)
           // would fail with a raw Spark error, so reject them here with
           // the graft-level recipe instead.
-          require(!t.toUpperCase.contains("NOSCAN") &&
+          // exact NOSCAN spelling only — a FOR COLUMNS list may contain
+          // a column whose NAME contains "noscan"
+          require(!t.toUpperCase.replaceAll("\\s+", " ").trim
+              .equals("COMPUTE STATISTICS NOSCAN") &&
             !t.toUpperCase.startsWith("PARTITION"),
             s"ANALYZE TABLE on a graft temp view supports COMPUTE STATISTICS " +
               "[FOR COLUMNS ... | FOR ALL COLUMNS] only — NOSCAN and " +
@@ -564,7 +606,7 @@ class SqlEnv private (val spark: SparkSession) {
       val d = Ddl.TableDef(name, data.schema, None, Nil, Nil, opts)
       Ddl.executeCtas(spark, d, data)
       tableDefs.put(name, d)
-      tableDb.put(name, currentDatabase)
+      tableDb.put(name, currentDbKey)
       return spark.emptyDataFrame
     }
     // CREATE TABLE ... LIKE must be tried BEFORE the plain create (the
@@ -604,14 +646,14 @@ class SqlEnv private (val spark: SparkSession) {
         columnOrder = baseDef.declaredOrder ++
           d0.declaredOrder.filterNot(_ == "__like_dummy"))
       tableDefs.put(name, merged)
-      tableDb.put(name, currentDatabase)
+      tableDb.put(name, currentDbKey)
       Ddl.executeCreate(spark, merged)
       return spark.emptyDataFrame
     }
     if (Ddl.isCreateTable(sql)) {
       val d = Ddl.parseCreateTable(sql)
       tableDefs.put(d.name, d)
-      tableDb.put(d.name, currentDatabase)
+      tableDb.put(d.name, currentDbKey)
       Ddl.executeCreate(spark, d) // false = deferred until first INSERT
       return spark.emptyDataFrame
     }
@@ -980,11 +1022,18 @@ class SqlEnv private (val spark: SparkSession) {
   /** Jars added through ADD JAR (drives SHOW JARS). */
   private val addedJars =
     java.util.Collections.synchronizedList(new java.util.ArrayList[String]())
-  /** Owning database of each CREATE TABLE'd table (DROP … RESTRICT and
-    * SHOW TABLES scoping). */
+  /** Owning `catalog.database` of each CREATE TABLE'd table (DROP …
+    * RESTRICT and SHOW TABLES scoping) — CATALOG-qualified so a table
+    * created in another catalog can never leak into (or be CASCADE-
+    * dropped with) a same-named default-catalog database. */
   private val tableDb =
     new java.util.concurrent.ConcurrentHashMap[String, String]()
   private def inDefaultCatalog: Boolean = currentCatalog == "default_catalog"
+  private def currentDbKey: String = s"$currentCatalog.$currentDatabase"
+  /** Functions created through CREATE FUNCTION (name → class) — DROP/
+    * ALTER FUNCTION may only touch these, never built-ins. */
+  private val createdFunctions =
+    new java.util.concurrent.ConcurrentHashMap[String, String]()
   private val descRe =
     """(?is)^\s*DESC(?:RIBE)?\s+([\w.]+)\s*;?\s*$""".r
   private val explainRe =

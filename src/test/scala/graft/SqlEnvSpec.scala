@@ -1590,6 +1590,17 @@ class SqlEnvSpec extends AnyFunSuite {
     intercept[Exception] {
       env.executeSql("CREATE TEMPORARY FUNCTION pyfn AS 'x' LANGUAGE PYTHON")
     }
+    // built-ins are protected: neither creatable-over nor droppable
+    val shadow = intercept[IllegalArgumentException] {
+      env.executeSql("CREATE FUNCTION abs AS 'graft.TestUdfUpper'")
+    }
+    assert(shadow.getMessage.contains("built-in"), shadow.getMessage)
+    intercept[IllegalArgumentException] {
+      env.executeSql("CREATE FUNCTION IF NOT EXISTS abs AS 'graft.TestUdfUpper'")
+    }
+    intercept[IllegalArgumentException] { env.executeSql("DROP FUNCTION abs") }
+    assert(spark.sql("SELECT abs(-1)").collect()(0).get(0).toString == "1",
+      "abs must survive the rejected drop")
     env.executeSql("DROP FUNCTION fn17")
     intercept[IllegalArgumentException] { env.executeSql("DROP FUNCTION fn17") }
     env.executeSql("DROP FUNCTION IF EXISTS fn17")
@@ -1645,6 +1656,32 @@ class SqlEnvSpec extends AnyFunSuite {
     assert(env.executeSql("SHOW PARTITIONS parts17_t").columns.sameElements(
       Array("partition name")))
     intercept[IllegalArgumentException] { env.executeSql("SHOW PARTITIONS pk17_t") }
+    // created-but-never-inserted partitioned table → empty list, not a
+    // raw TABLE_OR_VIEW_NOT_FOUND
+    val edir = "/tmp/graft_sql_parts17_empty"
+    org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(edir))
+    env.executeSql(
+      s"""CREATE TABLE parts17_empty (id BIGINT, grp STRING)
+         |PARTITIONED BY (grp)
+         |WITH ('connector' = 'filesystem', 'path' = '$edir',
+         |      'format' = 'parquet')""".stripMargin)
+    assert(env.executeSql("SHOW PARTITIONS parts17_empty").collect().isEmpty)
+    // partitioned tables reject COMPACT (a flat rewrite would fold the
+    // partition columns into the files)
+    val pc = intercept[IllegalArgumentException] {
+      env.executeSql("ALTER TABLE parts17_t COMPACT")
+    }
+    assert(pc.getMessage.contains("partitioned"), pc.getMessage)
+    // rename guards: neither views nor tables may clobber an existing name
+    env.executeSql("CREATE VIEW rg17_a AS SELECT 1 AS x")
+    env.executeSql("CREATE VIEW rg17_b AS SELECT 2 AS x")
+    intercept[IllegalArgumentException] {
+      env.executeSql("ALTER VIEW rg17_a RENAME TO rg17_b")
+    }
+    intercept[IllegalArgumentException] {
+      env.executeSql("ALTER TABLE parts17_t RENAME TO parts17_empty")
+    }
+    env.executeSql("DROP VIEW rg17_a"); env.executeSql("DROP VIEW rg17_b")
     // --- modules ---
     assert(env.executeSql("SHOW MODULES").collect().map(_.getString(0)).toSeq ==
       Seq("core"))
@@ -1691,6 +1728,9 @@ class SqlEnvSpec extends AnyFunSuite {
       env.executeSql("ANALYZE TABLE an_ins_t COMPUTE STATISTICS NOSCAN")
     }
     assert(noscan.getMessage.contains("catalog table"), noscan.getMessage)
+    // ...but the rejection is the exact NOSCAN spelling, not a substring
+    // match — a FOR COLUMNS list stays accepted whatever the column names
+    env.executeSql("ANALYZE TABLE an_ins_t COMPUTE STATISTICS FOR COLUMNS id")
     try spark.catalog.uncacheTable("an_ins_t") catch { case _: Throwable => () }
   }
 }
