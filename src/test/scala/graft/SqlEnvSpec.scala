@@ -1266,6 +1266,10 @@ class SqlEnvSpec extends AnyFunSuite {
       s"""CREATE TABLE an_spec_cat USING parquet AS
          |SELECT r_regionkey, r_name FROM parquet.`${TestSpark.sfDir}/region.parquet`""".stripMargin)
     env.executeSql("ANALYZE TABLE an_spec_cat COMPUTE STATISTICS FOR COLUMNS r_regionkey")
+    // the catalog-table path is the blessed 100 TB recipe (README
+    // §ANALYZE) precisely because it does NOT materialize a cache
+    assert(!spark.catalog.isCached("an_spec_cat"),
+      "catalog-table ANALYZE must not cache the relation")
     val statsRow = spark.sql("DESC EXTENDED an_spec_cat").collect()
       .find(_.getString(0) == "Statistics").map(_.getString(1))
     assert(statsRow.exists(_.contains("5 rows")),
