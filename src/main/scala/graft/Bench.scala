@@ -262,17 +262,20 @@ object Bench {
         var verdict = BenchAdjudication.Verdict(substitute = false,
           "pending post-remeasure calibration")
         var calibTailAfter = -1.0
-        val contended = scala.collection.mutable.ArrayBuffer.empty[(String, Double)]
-        val remeasured = scala.collection.mutable.ArrayBuffer.empty[(String, Double)]
-        val remeasuredSd = scala.collection.mutable.ArrayBuffer.empty[(String, Double)]
-        val remeasuredMin = scala.collection.mutable.ArrayBuffer.empty[(String, Double)]
-        val remeasuredOk = scala.collection.mutable.ArrayBuffer.empty[(String, Int)]
+        // one record per re-measured row: (name, battery median, tail
+        // median, tail sd, tail min, tail survivors) — a single buffer
+        // cannot desync the way parallel name-keyed lists could
+        final case class Tail(name: String, battery: Double, med: Double,
+                              sd: Double, min: Double, nOk: Int)
+        val tails = scala.collection.mutable.ArrayBuffer.empty[Tail]
         val notRemeasured = scala.collection.mutable.ArrayBuffer.empty[String]
         notRemeasured ++= skippedByCap.map(_._1)
         def renderExtra(): String =
-          s""""contended":${m(contended.toSeq)},"remeasured":${m(remeasured.toSeq)},""" +
-            s""""remeasure_sd":${m(remeasuredSd.toSeq)},"remeasure_runs":$remeasureRuns,""" +
-            s""""remeasure_n_ok":${mi(remeasuredOk.toSeq)},""" +
+          s""""contended":${m(tails.toSeq.map(t => t.name -> t.battery))},""" +
+            s""""remeasured":${m(tails.toSeq.map(t => t.name -> t.med))},""" +
+            s""""remeasure_sd":${m(tails.toSeq.map(t => t.name -> t.sd))},""" +
+            s""""remeasure_runs":$remeasureRuns,""" +
+            s""""remeasure_n_ok":${mi(tails.toSeq.map(t => t.name -> t.nOk))},""" +
             s""""remeasure_skipped":${arr(notRemeasured.toSeq)},""" +
             s""""remeasure_applied":${verdict.substitute},""" +
             (if (verdict.substitute) ""
@@ -289,11 +292,7 @@ object Bench {
               val med = ts(ts.length / 2)
               val mean = ts.sum / ts.length
               val sd = math.sqrt(ts.map(t => (t - mean) * (t - mean)).sum / ts.length)
-              contended += ((name, r._2))
-              remeasured += ((name, med))
-              remeasuredSd += ((name, sd))
-              remeasuredMin += ((name, ts.head))
-              remeasuredOk += ((name, ts.length))
+              tails += Tail(name, r._2, med, sd, ts.head, ts.length)
             } else notRemeasured += name
             extra = renderExtra()
             writeFile(renderJson(results.toSeq, notRun, failed.toSeq, partial = false, extra))
@@ -302,7 +301,7 @@ object Bench {
         // nothing re-measured (budget guard skipped every suspect, or
         // all tail runs failed) → no post-calibration to burn, and the
         // artifact must not claim substitution was applied
-        if (remeasured.isEmpty)
+        if (tails.isEmpty)
           verdict = BenchAdjudication.Verdict(substitute = false, "no rows re-measured")
         else {
           calibTailAfter = tailCalib()
@@ -310,14 +309,12 @@ object Bench {
         }
         if (!verdict.substitute)
           System.err.println(s"[bench] adjudication NOT applied: ${verdict.reason}")
-        else remeasured.foreach { case (name, med) =>
-          val i = results.indexWhere(_._1 == name)
-          val sd = remeasuredSd.find(_._1 == name).map(_._2).getOrElse(0.0)
-          val mn = remeasuredMin.find(_._1 == name).map(_._2).getOrElse(med)
+        else tails.foreach { t =>
+          val i = results.indexWhere(_._1 == t.name)
           // preserve the BATTERY's n_ok/attempted so its flaky marker
           // survives substitution (remeasure_n_ok carries the tail
           // survivors)
-          results(i) = BenchAdjudication.substitutedRow(results(i), med, sd, mn)
+          results(i) = BenchAdjudication.substitutedRow(results(i), t.med, t.sd, t.min)
         }
         extra = renderExtra()
       }

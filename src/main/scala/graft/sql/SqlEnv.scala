@@ -88,9 +88,14 @@ class SqlEnv private (val spark: SparkSession) {
             // registerTestdata) live in the default database
             val ddlTables = tableDefs.keySet.toArray.map(_.toString)
               .filter(t => tableDb.getOrDefault(t, "default_catalog.default_database") == currentDbKey)
+            // catalog temp views from another database's MATERIALIZED
+            // filesystem tables are session-global — exclude any name
+            // the registry assigns elsewhere
             val catalogViews =
               if (currentDbKey == "default_catalog.default_database")
                 spark.catalog.listTables().collect().map(_.name)
+                  .filterNot(t => tableDb.containsKey(t) &&
+                    tableDb.get(t) != currentDbKey)
               else Array.empty[String]
             (ddlTables ++ catalogViews).distinct.sorted.toSeq.toDF("table name")
           // only objects created with CREATE VIEW (SqlShowViews lists
@@ -176,6 +181,9 @@ class SqlEnv private (val spark: SparkSession) {
         databases.remove(name)
         return spark.emptyDataFrame
       case alterDbRe(name, props) =>
+        require(inDefaultCatalog,
+          "database DDL is supported in default_catalog only " +
+            "(non-default catalogs are session-scoped)")
         val cur = Option(databases.get(name)).getOrElse(
           throw new IllegalArgumentException(
             s"ALTER DATABASE: '$name' does not exist"))
@@ -187,7 +195,8 @@ class SqlEnv private (val spark: SparkSession) {
       case alterViewRenameRe(oldName, newName) =>
         require(createdViews.containsKey(oldName),
           s"ALTER VIEW: '$oldName' was not created via CREATE VIEW")
-        require(!spark.catalog.tableExists(newName) && !createdViews.containsKey(newName),
+        require(!spark.catalog.tableExists(newName) &&
+          !createdViews.containsKey(newName) && !tableDefs.containsKey(newName),
           s"ALTER VIEW RENAME: target '$newName' already exists")
         spark.table(oldName).createOrReplaceTempView(newName)
         spark.catalog.dropTempView(oldName)
@@ -241,7 +250,9 @@ class SqlEnv private (val spark: SparkSession) {
         val props = Option(databases.get(name)).getOrElse(
           throw new IllegalArgumentException(
             s"DESCRIBE DATABASE: '$name' does not exist"))
-        val base = Seq("name" -> name, "catalog" -> currentCatalog)
+        // the registry is default_catalog-only, so that IS the owner —
+        // not whatever catalog happens to be current
+        val base = Seq("name" -> name, "catalog" -> "default_catalog")
         val rows = if (extended == null) base
           else base ++ props.toSeq.sortBy(_._1).map { case (k, v) => s"property:$k" -> v }
         return rows.toDF("info", "value")
@@ -398,7 +409,7 @@ class SqlEnv private (val spark: SparkSession) {
       case useModulesRe(list) if list.trim.nonEmpty &&
           list.split(",").forall(_.trim.matches("`?[\\w.]+`?")) =>
         val names = list.split(",").map(_.trim.stripPrefix("`").stripSuffix("`")).toSeq
-        names.foreach(n => require(modules.contains(n) || n == "core",
+        names.foreach(n => require(modules.contains(n),
           s"USE MODULES: module '$n' is not loaded"))
         modules.clear(); names.distinct.foreach(modules.add)
         return spark.emptyDataFrame
@@ -462,7 +473,8 @@ class SqlEnv private (val spark: SparkSession) {
       // ALTER TABLE — registry + catalog updates (rename moves the
       // temp view; SET merges options; RESET drops keys)
       case alterRenameRe(oldName, newName) =>
-        require(!tableDefs.containsKey(newName),
+        require(!tableDefs.containsKey(newName) &&
+          !createdViews.containsKey(newName) && !spark.catalog.tableExists(newName),
           s"ALTER TABLE RENAME: target '$newName' already exists")
         val d = Option(tableDefs.remove(oldName)).getOrElse(
           throw new IllegalArgumentException(
@@ -593,10 +605,14 @@ class SqlEnv private (val spark: SparkSession) {
       require(opts.contains("connector"),
         s"CREATE TABLE AS: table '$name' needs WITH ('connector' = ...) — " +
           "the dialect has no default sink connector")
-      if (tableDefs.containsKey(name)) {
+      // an existing object of ANY kind blocks the CTAS — clobbering a
+      // registered view/dataset would silently replace it session-wide
+      // (the reference rejects CTAS onto an existing object)
+      if (tableDefs.containsKey(name) || createdViews.containsKey(name) ||
+          spark.catalog.tableExists(name)) {
         if (ifNotExists) return spark.emptyDataFrame
         throw new IllegalArgumentException(
-          s"CREATE TABLE AS: table '$name' already exists " +
+          s"CREATE TABLE AS: object '$name' already exists " +
             "(IF NOT EXISTS skips instead)")
       }
       // the derived schema IS the query's schema (no explicit columns

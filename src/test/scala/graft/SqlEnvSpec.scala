@@ -1406,6 +1406,10 @@ class SqlEnvSpec extends AnyFunSuite {
     val env = SqlEnv(spark).registerTestdata(TestSpark.sfDir)
     val dir = "/tmp/graft_sql_ctas_t"
     org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(dir))
+    // the session is shared across suite runs; CTAS rejects ANY existing
+    // object at the name, so clear leftovers first
+    Seq("ctas_t", "ctas_t_reread", "ctas_cte").foreach(t =>
+      env.executeSql(s"DROP TABLE IF EXISTS $t"))
     env.executeSql(
       s"""CREATE TABLE ctas_t
          |WITH ('connector' = 'filesystem', 'path' = '$dir',
