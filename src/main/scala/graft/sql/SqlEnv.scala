@@ -336,6 +336,12 @@ class SqlEnv private (val spark: SparkSession) {
       // table is this dialect's analog): rewrite the table's files to
       // ~target-sized ones via ops.Compact, swap directories, refresh +
       // re-register. Non-atomic like the reference's batch compact job.
+      case alterSchemaRe(name, verb) =>
+        throw new IllegalArgumentException(
+          s"ALTER TABLE ${verb.toUpperCase} (schema change) is not supported — " +
+            "the 1.16 reference parses but never converts it either " +
+            "(SqlToOperationConverter has no SqlAlterTableAdd/Modify branch); " +
+            s"recreate '$name' with the new schema")
       case alterCompactRe(name) =>
         val d = Option(tableDefs.get(name)).getOrElse(
           throw new IllegalArgumentException(
@@ -565,6 +571,7 @@ class SqlEnv private (val spark: SparkSession) {
                | descDbRe(_, _) | descCatalogRe(_)
                | createFnRe(_, _, _, _) | dropFnRe(_, _) | alterFnRe(_, _, _)
                | alterAddPkRe(_, _) | alterDropPkRe(_) | alterCompactRe(_)
+               | alterSchemaRe(_, _)
                | showPartitionsRe(_) | showModulesRe(_) | loadModuleRe(_, _)
                | unloadModuleRe(_) | addJarRe(_) | removeJarRe(_) | showJarsRe()
                | analyzeRe(_, _) => true
@@ -996,6 +1003,13 @@ class SqlEnv private (val spark: SparkSession) {
     """(?is)^\s*ALTER\s+TABLE\s+`?([\w.]+)`?\s+DROP\s+(?:CONSTRAINT\s+`?[\w.]+`?|PRIMARY\s+KEY)\s*;?\s*$""".r
   private val alterCompactRe =
     """(?is)^\s*ALTER\s+TABLE\s+`?([\w.]+)`?\s+COMPACT\s*;?\s*$""".r
+  // ALTER TABLE ADD/MODIFY (column) — parse-only in the 1.16 reference:
+  // SqlAlterTableAdd/Modify exist in the parser but
+  // SqlToOperationConverter never wires them, so the statement fails
+  // there too; rejected here with that provenance instead of a raw
+  // Spark temp-view error
+  private val alterSchemaRe =
+    """(?is)^\s*ALTER\s+TABLE\s+`?([\w.]+)`?\s+(ADD|MODIFY)\s*\(.*\)\s*;?\s*$""".r
   private val showPartitionsRe =
     """(?is)^\s*SHOW\s+PARTITIONS\s+`?([\w.]+)`?\s*;?\s*$""".r
   // modules (dql/SqlShowModules, SqlLoadModule, SqlUnloadModule,

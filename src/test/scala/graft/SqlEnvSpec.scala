@@ -1628,6 +1628,15 @@ class SqlEnvSpec extends AnyFunSuite {
     }
     assert(!env.executeSql("SHOW CREATE TABLE pk17_t").collect()(0).getString(0)
       .contains("PRIMARY KEY"))
+    // schema-change ALTERs are parse-only in the 1.16 reference — clear
+    // rejection with that provenance, not a raw Spark temp-view error
+    val addCol = intercept[IllegalArgumentException] {
+      env.executeSql("ALTER TABLE pk17_t ADD (extra INT)")
+    }
+    assert(addCol.getMessage.contains("never converts"), addCol.getMessage)
+    intercept[IllegalArgumentException] {
+      env.executeSql("ALTER TABLE pk17_t MODIFY (id STRING)")
+    }
     // --- ALTER TABLE COMPACT (ops.Compact behind the reference's
     // SqlAlterTableCompact statement) ---
     val cdir = "/tmp/graft_sql_compact17"
