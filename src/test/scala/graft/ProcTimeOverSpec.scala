@@ -80,8 +80,13 @@ class ProcTimeOverSpec extends AnyFunSuite {
   test("rows: frames are count-bounded; idle retention clears state for a FRESH frame") {
     implicit val sc = spark.sqlContext
     val in = MemoryStream[PtoEv]
+    // ttl must comfortably exceed any host stall between the three
+    // addData micro-batches below — at 3 s a time-shared-vCPU pause
+    // aged rows out MID-TEST and every row started a fresh frame
+    // (observed once in a full-battery run); 20 s keeps the retention
+    // phase's 60 s poll valid while making the frame phase stall-proof
     val out = StatefulOps.procTimeBoundedRowsAgg(
-      in.toDF(), Seq("user"), "v", nRows = 2, ttlSec = 3L)
+      in.toDF(), Seq("user"), "v", nRows = 2, ttlSec = 20L)
       .select($"user", $"v", $"rows_sum", $"rows_count")
     val q = out.writeStream.format("memory").queryName("pto_rows")
       .outputMode(OutputMode.Append).start()
