@@ -349,24 +349,25 @@ class SqlEnv private (val spark: SparkSession) {
         require(d.connector == "filesystem" && d.format == "parquet",
           s"ALTER TABLE COMPACT supports filesystem parquet tables (got " +
             s"${d.connector}/${d.format})")
-        // a flat rewrite of a Hive-layout dir would fold the partition
-        // columns into the data files and break later partitioned
-        // INSERTs/reads — reject rather than corrupt
-        require(d.partitionedBy.isEmpty,
-          s"ALTER TABLE COMPACT: '$name' is partitioned " +
-            s"(${d.partitionedBy.mkString(", ")}) — per-partition compaction " +
-            "is not supported; compact a non-partitioned table")
         val target = d.options.get("compaction.target-file-size")
           .map(_.toLong).getOrElse(128L << 20)
-        val tmp = d.path + "__compact_tmp"
-        graft.ops.Compact.compact(spark, d.path, tmp, target)
-        val hPath = new org.apache.hadoop.fs.Path(d.path)
-        val fs = hPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
-        val old = new org.apache.hadoop.fs.Path(d.path + "__compact_old")
-        require(fs.rename(hPath, old), s"COMPACT: could not stage $name's files")
-        require(fs.rename(new org.apache.hadoop.fs.Path(tmp), hPath),
-          s"COMPACT: could not move compacted files for $name")
-        fs.delete(old, true)
+        if (d.partitionedBy.nonEmpty)
+          // partitioned tables compact PER LEAF, preserving the Hive
+          // layout — a flat rewrite would fold the partition columns
+          // into the data files and corrupt later partitioned reads
+          graft.ops.Compact.compactPartitioned(spark, d.path, target,
+            d.partitionedBy.length)
+        else {
+          val tmp = d.path + "__compact_tmp"
+          graft.ops.Compact.compact(spark, d.path, tmp, target)
+          val hPath = new org.apache.hadoop.fs.Path(d.path)
+          val fs = hPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
+          val old = new org.apache.hadoop.fs.Path(d.path + "__compact_old")
+          require(fs.rename(hPath, old), s"COMPACT: could not stage $name's files")
+          require(fs.rename(new org.apache.hadoop.fs.Path(tmp), hPath),
+            s"COMPACT: could not move compacted files for $name")
+          fs.delete(old, true)
+        }
         spark.catalog.refreshByPath(d.path)
         Ddl.register(spark, d)
         return spark.emptyDataFrame

@@ -1683,12 +1683,26 @@ class SqlEnvSpec extends AnyFunSuite {
          |WITH ('connector' = 'filesystem', 'path' = '$edir',
          |      'format' = 'parquet')""".stripMargin)
     assert(env.executeSql("SHOW PARTITIONS parts17_empty").collect().isEmpty)
-    // partitioned tables reject COMPACT (a flat rewrite would fold the
-    // partition columns into the files)
-    val pc = intercept[IllegalArgumentException] {
-      env.executeSql("ALTER TABLE parts17_t COMPACT")
-    }
-    assert(pc.getMessage.contains("partitioned"), pc.getMessage)
+    // partitioned tables compact PER LEAF, preserving the Hive layout:
+    // fragment one partition, compact, and the table still reads with
+    // its partition column intact
+    env.executeSql(
+      """INSERT INTO parts17_t PARTITION (grp='a')
+        |SELECT CAST(id + 100 AS BIGINT) FROM range(100)""".stripMargin)
+    val aLeaf = s"$pdir/grp=a"
+    spark.read.parquet(aLeaf).repartition(12).write.mode("overwrite").parquet(aLeaf)
+    val leafBefore = graft.ops.Compact.partFileCount(spark, aLeaf)
+    assert(leafBefore >= 10, s"leaf fixture must be fragmented: $leafBefore files")
+    env.executeSql("ALTER TABLE parts17_t COMPACT")
+    assert(graft.ops.Compact.partFileCount(spark, aLeaf) < leafBefore,
+      "leaf partition must shrink")
+    val pAfter = env.executeSql(
+      "SELECT grp, count(*) AS n FROM parts17_t GROUP BY grp ORDER BY grp")
+      .collect().map(r => (r.getString(0), r.getLong(1)))
+    assert(pAfter.toSeq == Seq(("a", 102L), ("b", 1L)),
+      s"partitioned content must survive COMPACT: ${pAfter.mkString(", ")}")
+    assert(env.executeSql("SHOW PARTITIONS parts17_t").collect()
+      .map(_.getString(0)).toSeq == Seq("grp=a", "grp=b"))
     // rename guards: neither views nor tables may clobber an existing name
     env.executeSql("CREATE VIEW rg17_a AS SELECT 1 AS x")
     env.executeSql("CREATE VIEW rg17_b AS SELECT 2 AS x")
