@@ -1,6 +1,6 @@
 package graft.ops
 
-import org.apache.hadoop.fs.Path
+import org.apache.hadoop.fs.{FileSystem, Path}
 import org.apache.spark.sql.{DataFrame, SparkSession}
 
 /** Small-file compaction — the table-maintenance operator every
@@ -18,6 +18,28 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   * rewrite (the reference ecosystem's sorted-compaction).
   */
 object Compact {
+
+  /** Parse the reference's MemorySize notation into bytes — bare bytes
+    * or a 1024-based unit suffix ('134217728', '128mb', '1 gb';
+    * reference: org.apache.flink.configuration.MemorySize, the type of
+    * the compaction target-size options). Anything else is rejected
+    * with a graft-level message naming the expected units.
+    */
+  def parseMemorySize(s: String): Long = {
+    val m = """(?i)^\s*(\d+)\s*([a-z]*)\s*$""".r.findFirstMatchIn(s).getOrElse(
+      throw new IllegalArgumentException(
+        s"cannot parse memory size '$s' (expected bytes or <n> kb|mb|gb|tb)"))
+    val mult = m.group(2).toLowerCase match {
+      case "" | "b" | "bytes" => 1L
+      case "k" | "kb" | "kibibytes" => 1L << 10
+      case "m" | "mb" | "mebibytes" => 1L << 20
+      case "g" | "gb" | "gibibytes" => 1L << 30
+      case "t" | "tb" | "tebibytes" => 1L << 40
+      case u => throw new IllegalArgumentException(
+        s"unknown memory-size unit '$u' in '$s' (expected bytes or <n> kb|mb|gb|tb)")
+    }
+    m.group(1).toLong * mult
+  }
 
   /** @return number of output files written */
   def compact(spark: SparkSession, inPath: String, outPath: String,
@@ -49,38 +71,97 @@ object Compact {
     * result back is layout-faithful by construction. Leaves rewrite via
     * a tmp-dir + rename swap (non-atomic per leaf, like the reference's
     * batch compact job); a leaf already at or under one target-sized
-    * file is left untouched. The per-leaf jobs are driver-sequenced but
-    * each rewrite is a distributed job, and the leaf listing is
-    * metadata-scale (bounded by partition count).
+    * file is left untouched.
+    *
+    * Crash safety: staging dirs are DOT-PREFIXED siblings
+    * (`.<leaf>__compact_tmp` / `.<leaf>__compact_old`), a namespace
+    * Spark's file index skips — a crash between the two renames can
+    * never surface a phantom partition to readers. [[sweepStaging]]
+    * runs first and repairs any residue of a previous crashed run:
+    * stale tmp dirs are deleted (the leaf or its `old` copy still holds
+    * the data), and a stale `old` dir is restored to the leaf when the
+    * leaf is missing (crash between renames) or deleted when the leaf
+    * exists (rewrite completed, only the cleanup failed).
+    *
+    * Scale: up to `parallelism` leaf rewrites run concurrently (each is
+    * its own distributed Spark job), so wall time is leaf-count /
+    * parallelism — on a 100k-partition table raise `parallelism` to
+    * what the cluster's job scheduler tolerates, and prefer partition-
+    * filtered compaction passes over whole-table sweeps (README
+    * §COMPACT).
     *
     * @return number of leaf partitions rewritten */
   def compactPartitioned(spark: SparkSession, rootPath: String,
-                         targetBytes: Long, partDepth: Int): Int = {
-    require(targetBytes > 0 && partDepth > 0)
+                         targetBytes: Long, partDepth: Int,
+                         parallelism: Int = 4): Int = {
+    require(targetBytes > 0 && partDepth > 0 && parallelism > 0)
     val root = new Path(rootPath)
     val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    def leaves(p: Path, depth: Int): Seq[Path] =
-      if (depth == 0) Seq(p)
-      else fs.listStatus(p).toSeq
-        .filter(s => s.isDirectory && s.getPath.getName.contains("="))
-        .flatMap(s => leaves(s.getPath, depth - 1))
-    var rewritten = 0
-    leaves(root, partDepth).foreach { leaf =>
-      val bytes = fs.getContentSummary(leaf).getLength
-      val nFiles = fs.listStatus(leaf)
-        .count(s => s.isFile && !s.getPath.getName.startsWith("_"))
-      val n = math.max(1, math.ceil(bytes.toDouble / targetBytes).toInt)
-      if (nFiles > n) {
-        val tmp = new Path(leaf.getParent, leaf.getName + "__compact_tmp")
-        spark.read.parquet(leaf.toString).repartition(n)
-          .write.mode("overwrite").parquet(tmp.toString)
-        val old = new Path(leaf.getParent, leaf.getName + "__compact_old")
-        require(fs.rename(leaf, old), s"compact: could not stage $leaf")
-        require(fs.rename(tmp, leaf), s"compact: could not move compacted files for $leaf")
-        fs.delete(old, true)
-        rewritten += 1
+    sweepStaging(fs, root, partDepth)
+    val leaves = graft.sql.Partitions.leafDirs(fs, root, partDepth)
+    if (leaves.isEmpty) return 0
+    val rewritten = new java.util.concurrent.atomic.AtomicInteger(0)
+    val pool = java.util.concurrent.Executors.newFixedThreadPool(
+      math.min(parallelism, leaves.size))
+    try {
+      val futures = leaves.map { leaf =>
+        pool.submit(new java.util.concurrent.Callable[Unit] {
+          def call(): Unit =
+            if (compactLeaf(spark, fs, leaf, targetBytes)) rewritten.incrementAndGet()
+        })
+      }
+      futures.foreach { f =>
+        try f.get()
+        catch { case e: java.util.concurrent.ExecutionException => throw e.getCause }
+      }
+    } finally pool.shutdown()
+    rewritten.get
+  }
+
+  /** Rewrite one leaf to ~targetBytes files if it has more files than
+    * the target count. @return true if rewritten */
+  private def compactLeaf(spark: SparkSession, fs: FileSystem, leaf: Path,
+                          targetBytes: Long): Boolean = {
+    val bytes = fs.getContentSummary(leaf).getLength
+    val nFiles = fs.listStatus(leaf)
+      .count(s => s.isFile && !graft.sql.Partitions.hidden(s.getPath.getName))
+    val n = math.max(1, math.ceil(bytes.toDouble / targetBytes).toInt)
+    if (nFiles <= n) return false
+    val tmp = new Path(leaf.getParent, "." + leaf.getName + "__compact_tmp")
+    fs.delete(tmp, true) // residue of a failed attempt within this run
+    spark.read.parquet(leaf.toString).repartition(n)
+      .write.mode("overwrite").parquet(tmp.toString)
+    val old = new Path(leaf.getParent, "." + leaf.getName + "__compact_old")
+    require(fs.rename(leaf, old), s"compact: could not stage $leaf")
+    require(fs.rename(tmp, leaf), s"compact: could not move compacted files for $leaf")
+    fs.delete(old, true)
+    true
+  }
+
+  /** Repair crash residue from a previous compaction run (see
+    * [[compactPartitioned]]). Also sweeps the pre-r18 UNPREFIXED
+    * staging names (`<leaf>__compact_tmp/old`), which Spark's partition
+    * discovery COULD see — restoring or deleting them removes the
+    * phantom-partition hazard retroactively.
+    */
+  private[graft] def sweepStaging(fs: FileSystem, root: Path, depth: Int): Unit = {
+    def scan(p: Path, d: Int): Unit = {
+      if (!fs.exists(p)) return
+      fs.listStatus(p).filter(_.isDirectory).foreach { s =>
+        val n = s.getPath.getName
+        if (n.endsWith("__compact_tmp"))
+          // never the only copy: the leaf (write crashed) or its old
+          // dir (rename crashed) still holds the data
+          fs.delete(s.getPath, true)
+        else if (n.endsWith("__compact_old")) {
+          val leaf = new Path(p, n.stripPrefix(".").stripSuffix("__compact_old"))
+          if (fs.exists(leaf)) fs.delete(s.getPath, true) // rewrite done, cleanup failed
+          else require(fs.rename(s.getPath, leaf), // crash between the two renames
+            s"compact: could not restore $leaf from crash residue ${s.getPath}")
+        } else if (d > 1 && !graft.sql.Partitions.hidden(n) && n.contains("="))
+          scan(s.getPath, d - 1)
       }
     }
-    rewritten
+    scan(root, depth)
   }
 }

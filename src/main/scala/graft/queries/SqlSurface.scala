@@ -70,6 +70,45 @@ object SqlSurface {
         "SELECT suppkey, sname, nation, bal_cents FROM ctas_sup_stats")
     }),
 
+    // ---- Partition DDL: ALTER TABLE ADD/DROP PARTITION (r17 directive
+    // #1; reference ddl/SqlAddPartitions.java / SqlDropPartitions.java,
+    // converter-wired SqlToOperationConverter.java:544,557). A
+    // partitioned copy of orders is built with a dynamic INSERT, an
+    // empty partition is ADDed (visible to SHOW PARTITIONS, zero rows —
+    // asserted here because DuckDB cannot observe directory listings),
+    // and one real partition is DROPped; the final read must equal the
+    // oracle's complement aggregate. Scale: ADD/DROP are one filesystem
+    // call per spec (no Spark job), and the read prunes the dropped
+    // leaf at the partition-discovery level.
+    "q97_partition_ddl" -> ((s, dir) => {
+      val env = graft.sql.SqlEnv(s).registerTestdata(dir)
+      val root = sinkDir("partddl", dir)
+      org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(root))
+      env.executeSql("DROP TABLE IF EXISTS part_orders_q97")
+      env.executeSql(
+        s"""CREATE TABLE part_orders_q97 (o_orderkey BIGINT, o_totalprice DOUBLE,
+           |  o_orderpriority STRING)
+           |PARTITIONED BY (o_orderpriority)
+           |WITH ('connector' = 'filesystem', 'path' = '$root',
+           |      'format' = 'parquet')""".stripMargin)
+      env.executeSql(
+        """INSERT INTO part_orders_q97
+          |SELECT o_orderkey, o_totalprice, o_orderpriority FROM orders""".stripMargin)
+      env.executeSql(
+        "ALTER TABLE part_orders_q97 ADD IF NOT EXISTS PARTITION (o_orderpriority = '9-SYNTHETIC')")
+      env.executeSql(
+        "ALTER TABLE part_orders_q97 DROP PARTITION (o_orderpriority = '1-URGENT')")
+      val parts = env.executeSql("SHOW PARTITIONS part_orders_q97")
+        .collect().map(_.getString(0))
+      require(parts.contains("o_orderpriority=9-SYNTHETIC") &&
+        !parts.contains("o_orderpriority=1-URGENT"),
+        s"partition DDL must be visible in SHOW PARTITIONS: ${parts.mkString(", ")}")
+      env.executeSql(
+        """SELECT o_orderpriority, count(*) AS n,
+          |  CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT) AS cents
+          |FROM part_orders_q97 GROUP BY o_orderpriority""".stripMargin)
+    }),
+
     "q83_ddl_enriched" -> ((s, dir) => {
       val env = graft.sql.SqlEnv(s)
       val hi = sinkDir("hi", dir); val lo = sinkDir("lo", dir)
@@ -256,6 +295,13 @@ object SqlSurface {
       """SELECT s_suppkey AS suppkey, s_name AS sname, n_name AS nation,
         |  CAST(round(s_acctbal * 100) AS BIGINT) AS bal_cents
         |FROM supplier JOIN nation ON s_nationkey = n_nationkey""".stripMargin,
+    // the ADD'ed empty partition contributes zero rows (asserted Spark-
+    // side); the oracle is the complement of the DROPped partition
+    "q97_partition_ddl" ->
+      """SELECT o_orderpriority, count(*) AS n,
+        |  CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT) AS cents
+        |FROM orders WHERE o_orderpriority <> '1-URGENT'
+        |GROUP BY o_orderpriority""".stripMargin,
     "q83_ddl_enriched" ->
       """SELECT CASE WHEN o_totalprice > 150000 THEN 'hi' ELSE 'lo' END AS side,
         |  CAST(year(o_orderdate) AS INT) AS o_year,

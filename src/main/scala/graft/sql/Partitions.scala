@@ -1,0 +1,128 @@
+package graft.sql
+
+import org.apache.hadoop.fs.{FileSystem, Path}
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.catalyst.catalog.ExternalCatalogUtils
+
+/** Explicit partition DDL for filesystem tables — `ALTER TABLE ADD/DROP
+  * PARTITION` (reference: flink-sql-parser `ddl/SqlAddPartitions.java` /
+  * `SqlDropPartitions.java`, converter-wired at
+  * `SqlToOperationConverter.java:544,557` and executed spec-by-spec via
+  * `Catalog.createPartition`/`dropPartition` in
+  * `TableEnvironmentImpl.java:1024-1050`).
+  *
+  * The filesystem analog of the catalog call is the Hive layout itself:
+  * a partition IS a `k=v[/k2=v2]` leaf directory under the table root.
+  * ADD creates the (empty) leaf — visible in SHOW PARTITIONS before any
+  * row lands, contributing zero rows to reads, exactly Hive's contract —
+  * and DROP removes the leaf's data. Both are metadata-scale: one
+  * filesystem call per spec, no Spark job, so a 100k-partition table
+  * costs 100k namenode RPCs and nothing else.
+  *
+  * Values are escaped into directory names with Spark's own Hive-
+  * compatible escaping (`ExternalCatalogUtils.escapePathName`), so a
+  * partition added here is byte-identical on disk to one written by a
+  * dynamic-partition INSERT of the same value; NULL values land in
+  * `__HIVE_DEFAULT_PARTITION__` like both engines' writers.
+  */
+object Partitions {
+
+  /** Dirs whose names Spark's file index skips (`_`/`.` prefixes) —
+    * staging and bookkeeping dirs must live in this namespace so a
+    * crash can never surface them to readers as phantom partitions. */
+  def hidden(name: String): Boolean =
+    name.startsWith("_") || name.startsWith(".")
+
+  /** Visible `k=v` leaf directories exactly `depth` levels under
+    * `root` (the Hive layout of a `depth`-column partitioned table).
+    * Listing cost is bounded by partition count — metadata-scale. */
+  def leafDirs(fs: FileSystem, root: Path, depth: Int): Seq[Path] =
+    if (depth == 0) Seq(root)
+    else if (!fs.exists(root)) Nil
+    else fs.listStatus(root).toSeq
+      .filter(s => s.isDirectory && !hidden(s.getPath.getName) &&
+        s.getPath.getName.contains("="))
+      .flatMap(s => leafDirs(fs, s.getPath, depth - 1))
+
+  /** `k1=v1/k2=v2` partition name of a leaf (values unescaped for
+    * display — a null partition's `__HIVE_DEFAULT_PARTITION__` segment
+    * unescapes to itself, matching the reference's listing). */
+  def partName(leaf: Path, depth: Int): String = {
+    val segs = Iterator.iterate(leaf)(_.getParent).take(depth).toSeq.reverse
+    segs.map { p =>
+      val n = p.getName
+      val eq = n.indexOf('=')
+      n.substring(0, eq + 1) + ExternalCatalogUtils.unescapePathName(n.substring(eq + 1))
+    }.mkString("/")
+  }
+
+  /** SHOW PARTITIONS listing — the reference's `listPartitions` is a
+    * catalog call, not a scan; the filesystem analog is this leaf
+    * listing (which is also what makes an ADD'ed empty partition
+    * visible before any INSERT touches it). */
+  def listPartitionNames(spark: SparkSession, root: String,
+                         partCols: Seq[String]): Seq[String] = {
+    val rootP = new Path(root)
+    val fs = rootP.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    leafDirs(fs, rootP, partCols.length).map(partName(_, partCols.length)).sorted
+  }
+
+  /** Resolve a full partition spec to its leaf path, validating that it
+    * names every partition column (the reference's
+    * `Catalog.createPartition` rejects a partial spec the same way). */
+  def specLeaf(root: Path, partCols: Seq[String],
+               spec: Seq[(String, String)], stmt: String): Path = {
+    val keys = spec.map(_._1)
+    require(keys.distinct == keys,
+      s"$stmt: duplicate partition column in spec (${keys.mkString(", ")})")
+    require(keys.toSet == partCols.toSet,
+      s"$stmt: partition spec (${keys.mkString(", ")}) must name exactly " +
+        s"the partition columns (${partCols.mkString(", ")})")
+    val m = spec.toMap
+    partCols.foldLeft(root)((p, k) =>
+      new Path(p, s"$k=${ExternalCatalogUtils.escapePathName(m(k))}"))
+  }
+
+  /** `ADD [IF NOT EXISTS] PARTITION (spec)...` — creates each leaf dir.
+    * @return partition names actually created */
+  def add(spark: SparkSession, root: String, partCols: Seq[String],
+          specs: Seq[Seq[(String, String)]], ifNotExists: Boolean): Seq[String] = {
+    val rootP = new Path(root)
+    val fs = rootP.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    specs.flatMap { spec =>
+      val leaf = specLeaf(rootP, partCols, spec, "ALTER TABLE ADD PARTITION")
+      if (fs.exists(leaf)) {
+        require(ifNotExists,
+          s"ALTER TABLE ADD PARTITION: partition " +
+            s"(${spec.map { case (k, v) => s"$k=$v" }.mkString(", ")}) " +
+            "already exists (IF NOT EXISTS skips instead)")
+        None
+      } else {
+        require(fs.mkdirs(leaf), s"ALTER TABLE ADD PARTITION: could not create $leaf")
+        Some(partName(leaf, partCols.length))
+      }
+    }
+  }
+
+  /** `DROP [IF EXISTS] PARTITION (spec), ...` — removes each leaf's
+    * data. @return partition names actually dropped */
+  def drop(spark: SparkSession, root: String, partCols: Seq[String],
+           specs: Seq[Seq[(String, String)]], ifExists: Boolean): Seq[String] = {
+    val rootP = new Path(root)
+    val fs = rootP.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    specs.flatMap { spec =>
+      val leaf = specLeaf(rootP, partCols, spec, "ALTER TABLE DROP PARTITION")
+      if (!fs.exists(leaf)) {
+        require(ifExists,
+          s"ALTER TABLE DROP PARTITION: partition " +
+            s"(${spec.map { case (k, v) => s"$k=$v" }.mkString(", ")}) " +
+            "does not exist (IF EXISTS skips instead)")
+        None
+      } else {
+        val name = partName(leaf, partCols.length)
+        require(fs.delete(leaf, true), s"ALTER TABLE DROP PARTITION: could not delete $leaf")
+        Some(name)
+      }
+    }
+  }
+}

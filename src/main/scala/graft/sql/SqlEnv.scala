@@ -277,13 +277,23 @@ class SqlEnv private (val spark: SparkSession) {
           require(ifNotExists != null, s"CREATE FUNCTION: '$name' already exists")
           return spark.emptyDataFrame
         }
-        // a name that already resolves but was NOT created here is a
-        // built-in (or a graft function) — registering over it would
-        // silently shadow it session-wide, and skipping under IF NOT
-        // EXISTS would silently serve the built-in instead of the
-        // user's class; both are wrong answers, so reject
-        require(!spark.catalog.functionExists(name),
+        // registering over a resolvable name would silently shadow it
+        // session-wide — reject, but with the REAL provenance: Spark
+        // built-ins are permanent (IF NOT EXISTS skipping would
+        // silently serve the built-in instead of the user's class);
+        // names registered on the shared SparkSession by graft or
+        // another SqlEnv instance DO satisfy IF NOT EXISTS (existence
+        // is session-level, not per-instance)
+        require(!org.apache.spark.sql.catalyst.analysis.FunctionRegistry.builtin
+            .functionExists(org.apache.spark.sql.catalyst.FunctionIdentifier(name)),
           s"CREATE FUNCTION: '$name' is a built-in function — choose another name")
+        if (spark.catalog.functionExists(name)) {
+          if (ifNotExists != null) return spark.emptyDataFrame
+          throw new IllegalArgumentException(
+            s"CREATE FUNCTION: '$name' is already registered on the shared " +
+              "session (a graft function or another SqlEnv's CREATE FUNCTION) — " +
+              "IF NOT EXISTS skips, or choose another name")
+        }
         spark.udf.registerJava(name, className, null)
         createdFunctions.put(name, className)
         return spark.emptyDataFrame
@@ -349,8 +359,10 @@ class SqlEnv private (val spark: SparkSession) {
         require(d.connector == "filesystem" && d.format == "parquet",
           s"ALTER TABLE COMPACT supports filesystem parquet tables (got " +
             s"${d.connector}/${d.format})")
+        // the reference option is a MemorySize ('128mb') — parse the
+        // unit notation instead of choking on a raw .toLong
         val target = d.options.get("compaction.target-file-size")
-          .map(_.toLong).getOrElse(128L << 20)
+          .map(graft.ops.Compact.parseMemorySize).getOrElse(128L << 20)
         if (d.partitionedBy.nonEmpty)
           // partitioned tables compact PER LEAF, preserving the Hive
           // layout — a flat rewrite would fold the partition columns
@@ -358,18 +370,77 @@ class SqlEnv private (val spark: SparkSession) {
           graft.ops.Compact.compactPartitioned(spark, d.path, target,
             d.partitionedBy.length)
         else {
-          val tmp = d.path + "__compact_tmp"
-          graft.ops.Compact.compact(spark, d.path, tmp, target)
           val hPath = new org.apache.hadoop.fs.Path(d.path)
           val fs = hPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
+          val tmp = new org.apache.hadoop.fs.Path(d.path + "__compact_tmp")
           val old = new org.apache.hadoop.fs.Path(d.path + "__compact_old")
+          // crash-residue recovery (staging dirs are SIBLINGS of the
+          // table root, never visible to its readers): a stale old dir
+          // with the root missing means a crash between the two renames
+          if (!fs.exists(hPath) && fs.exists(old))
+            require(fs.rename(old, hPath), s"COMPACT: could not restore $name from $old")
+          fs.delete(tmp, true)
+          if (fs.exists(hPath) && fs.exists(old)) fs.delete(old, true)
+          graft.ops.Compact.compact(spark, d.path, tmp.toString, target)
           require(fs.rename(hPath, old), s"COMPACT: could not stage $name's files")
-          require(fs.rename(new org.apache.hadoop.fs.Path(tmp), hPath),
+          require(fs.rename(tmp, hPath),
             s"COMPACT: could not move compacted files for $name")
           fs.delete(old, true)
         }
         spark.catalog.refreshByPath(d.path)
         Ddl.register(spark, d)
+        return spark.emptyDataFrame
+      // ALTER TABLE ADD/DROP PARTITION (ddl/SqlAddPartitions.java /
+      // SqlDropPartitions.java — the last converter-wired 1.16 table
+      // statements; executed per-spec in TableEnvironmentImpl.java:1024
+      // via Catalog.createPartition/dropPartition). The filesystem
+      // analog manipulates the Hive leaf directories directly — see
+      // [[Partitions]]. ADD's optional per-spec WITH props (the
+      // reference's CatalogPartition properties) land in a session
+      // registry: the filesystem layout has no metadata sidecar.
+      case alterAddPartRe(name, ifNotExists, tail) =>
+        val d = Option(tableDefs.get(name)).getOrElse(
+          throw new IllegalArgumentException(
+            s"ALTER TABLE: '$name' was not created via CREATE TABLE"))
+        require(d.connector == "filesystem",
+          s"ALTER TABLE ADD PARTITION supports filesystem tables (got ${d.connector})")
+        require(d.partitionedBy.nonEmpty,
+          s"ALTER TABLE ADD PARTITION: '$name' is not a partitioned table")
+        val specs = partSpecRe.findAllMatchIn(tail)
+          .map(m => (parsePartSpec(m.group(1)), Option(m.group(2)))).toSeq
+        require(specs.nonEmpty, "ALTER TABLE ADD PARTITION: no PARTITION (...) spec")
+        val added = Partitions.add(spark, d.path, d.partitionedBy,
+          specs.map(_._1), ifNotExists != null)
+        specs.foreach { case (spec, props) =>
+          props.filter(_.trim.nonEmpty).foreach { p =>
+            val leaf = Partitions.specLeaf(new org.apache.hadoop.fs.Path(d.path),
+              d.partitionedBy, spec, "ALTER TABLE ADD PARTITION")
+            partitionProps.put(s"$name/${Partitions.partName(leaf, d.partitionedBy.length)}",
+              Ddl.parseOptionPairs(p))
+          }
+        }
+        if (added.nonEmpty) {
+          spark.catalog.refreshByPath(d.path)
+          Ddl.executeCreate(spark, d) // registers the view if now readable
+        }
+        return spark.emptyDataFrame
+      case alterDropPartRe(name, ifExists, tail) =>
+        val d = Option(tableDefs.get(name)).getOrElse(
+          throw new IllegalArgumentException(
+            s"ALTER TABLE: '$name' was not created via CREATE TABLE"))
+        require(d.connector == "filesystem",
+          s"ALTER TABLE DROP PARTITION supports filesystem tables (got ${d.connector})")
+        require(d.partitionedBy.nonEmpty,
+          s"ALTER TABLE DROP PARTITION: '$name' is not a partitioned table")
+        val specs = partSpecRe.findAllMatchIn(tail).map(m => parsePartSpec(m.group(1))).toSeq
+        require(specs.nonEmpty, "ALTER TABLE DROP PARTITION: no PARTITION (...) spec")
+        val dropped = Partitions.drop(spark, d.path, d.partitionedBy,
+          specs, ifExists != null)
+        dropped.foreach(p => partitionProps.remove(s"$name/$p"))
+        if (dropped.nonEmpty) {
+          spark.catalog.refreshByPath(d.path)
+          if (spark.catalog.tableExists(name)) Ddl.register(spark, d)
+        }
         return spark.emptyDataFrame
       // SHOW PARTITIONS (dql/SqlShowPartitions): Hive-style k=v[/k=v]
       // strings under the reference's literal header. The DISTINCT over
@@ -382,16 +453,49 @@ class SqlEnv private (val spark: SparkSession) {
             s"SHOW PARTITIONS: '$name' was not created via CREATE TABLE"))
         require(d.partitionedBy.nonEmpty,
           s"SHOW PARTITIONS: '$name' is not a partitioned table")
-        // a created-but-never-inserted filesystem table has no view yet
-        // (registration defers to first INSERT) — empty partition list,
-        // like the reference on an empty table
+        // filesystem tables list the on-disk Hive leaves — the
+        // reference's listPartitions is a catalog call, not a scan, and
+        // the directory listing is what makes an ADD PARTITION'ed empty
+        // partition visible before any row lands; a null value's leaf
+        // is __HIVE_DEFAULT_PARTITION__, rendered verbatim like the
+        // reference (and the layout) rather than as 'k=null'
+        if (d.connector == "filesystem")
+          return Partitions.listPartitionNames(spark, d.path, d.partitionedBy)
+            .toDF("partition name")
+        // non-filesystem: fall back to a distinct over the partition
+        // columns (prunes to those columns at the scan); a table with
+        // no view yet lists empty, like the reference on an empty table
         if (!spark.catalog.tableExists(name))
           return Seq.empty[String].toDF("partition name")
         val rows = spark.table(name)
           .select(d.partitionedBy.map(col): _*).distinct().collect()
         return rows.map(r => d.partitionedBy.zipWithIndex
-            .map { case (k, i) => s"$k=${r.get(i)}" }.mkString("/"))
+            .map { case (k, i) => s"$k=${Option(r.get(i)).map(_.toString)
+              .getOrElse(org.apache.spark.sql.catalyst.catalog.ExternalCatalogUtils.DEFAULT_PARTITION_NAME)}" }
+            .mkString("/"))
           .sorted.toSeq.toDF("partition name")
+      // FLIP-190 plan persistence (ddl/SqlCompilePlan.java,
+      // dml/SqlExecutePlan.java + SqlCompileAndExecutePlan.java,
+      // converter-wired SqlToOperationConverter.java:366-372) — honest
+      // adaptation via [[PlanFiles]]: the file persists the statement +
+      // referenced-table DDL; EXECUTE PLAN restores missing tables and
+      // re-executes, with Catalyst re-deriving the physical plan
+      // (README §COMPILE PLAN documents the contract difference).
+      case compilePlanRe(file, ifNotExists, body) =>
+        compilePlanFile(file, ifNotExists != null, body)
+        return spark.emptyDataFrame
+      case compileExecPlanRe(file, body) =>
+        compilePlanFile(file, ifNotExists = false, body)
+        return executeSql(body.trim.replaceAll(";\\s*$", ""))
+      case executePlanRe(file) =>
+        val (stmt, tables) = PlanFiles.read(new java.io.File(file))
+        // restore referenced dialect tables absent from this session
+        // (create-only — an existing same-name table wins, like the
+        // reference resolving against the live catalog)
+        tables.foreach { case (t, ddl) =>
+          if (!tableDefs.containsKey(t)) executeSql(ddl)
+        }
+        return executeSql(stmt)
       // modules (ModuleManager): 'core' is the only module shipped in
       // this engine build; loading anything else fails exactly like the
       // reference when the module's factory is absent from the classpath
@@ -573,6 +677,8 @@ class SqlEnv private (val spark: SparkSession) {
                | createFnRe(_, _, _, _) | dropFnRe(_, _) | alterFnRe(_, _, _)
                | alterAddPkRe(_, _) | alterDropPkRe(_) | alterCompactRe(_)
                | alterSchemaRe(_, _)
+               | alterAddPartRe(_, _, _) | alterDropPartRe(_, _, _)
+               | compilePlanRe(_, _, _) | compileExecPlanRe(_, _) | executePlanRe(_)
                | showPartitionsRe(_) | showModulesRe(_) | loadModuleRe(_, _)
                | unloadModuleRe(_) | addJarRe(_) | removeJarRe(_) | showJarsRe()
                | analyzeRe(_, _) => true
@@ -952,7 +1058,7 @@ class SqlEnv private (val spark: SparkSession) {
   private val ctasColsRe =
     """(?is)^\s*CREATE\s+TABLE\s+(?:IF\s+NOT\s+EXISTS\s+)?`?[\w.]+`?\s*\(.*\)\s*(?:WITH\s*\(.*?\)\s*)?AS\s+(?:SELECT|VALUES|WITH|TABLE)\b.*$""".r
   private val ctasTempRe =
-    """(?is)^\s*CREATE\s+TEMPORARY\s+TABLE\s+.*\bAS\s+(?:SELECT|VALUES)\b.*$""".r
+    """(?is)^\s*CREATE\s+TEMPORARY\s+TABLE\s+.*\bAS\s+(?:SELECT|VALUES|WITH|TABLE)\b.*$""".r
   // Catalog database DDL (reference: flink-sql-parser ddl/
   // SqlCreateDatabase.java, SqlDropDatabase.java, SqlAlterDatabase.java)
   private val createDbRe =
@@ -1004,6 +1110,68 @@ class SqlEnv private (val spark: SparkSession) {
     """(?is)^\s*ALTER\s+TABLE\s+`?([\w.]+)`?\s+DROP\s+(?:CONSTRAINT\s+`?[\w.]+`?|PRIMARY\s+KEY)\s*;?\s*$""".r
   private val alterCompactRe =
     """(?is)^\s*ALTER\s+TABLE\s+`?([\w.]+)`?\s+COMPACT\s*;?\s*$""".r
+  // ALTER TABLE ADD/DROP PARTITION (ddl/SqlAddPartitions.java /
+  // SqlDropPartitions.java): ADD takes one or more space-separated
+  // PARTITION (spec) [WITH (props)] groups; DROP takes comma-separated
+  // PARTITION (spec) groups — both per the reference grammar
+  // (parserImpls.ftl SqlAlterTable's partition branches)
+  private val alterAddPartRe =
+    ("""(?is)^\s*ALTER\s+TABLE\s+`?([\w.]+)`?\s+ADD\s+(IF\s+NOT\s+EXISTS\s+)?""" +
+      """((?:PARTITION\s*\([^)]*\)\s*(?:WITH\s*\([^)]*\)\s*)?)+);?\s*$""").r
+  private val alterDropPartRe =
+    ("""(?is)^\s*ALTER\s+TABLE\s+`?([\w.]+)`?\s+DROP\s+(IF\s+EXISTS\s+)?""" +
+      """((?:PARTITION\s*\([^)]*\)\s*,?\s*)+);?\s*$""").r
+  /** One PARTITION (spec) [WITH (props)] group inside the ADD/DROP tail. */
+  private val partSpecRe =
+    """(?is)PARTITION\s*\(([^)]*)\)(?:\s*WITH\s*\(([^)]*)\))?""".r
+  /** Parse `k = 'v'[, k2 = v2]` partition-spec text into ordered pairs. */
+  private def parsePartSpec(txt: String): Seq[(String, String)] =
+    txt.split(",").map(_.trim).filter(_.nonEmpty).toSeq.map { kv =>
+      val eq = kv.indexOf('=')
+      require(eq > 0, s"cannot parse partition spec item: '$kv' (expected k = 'v')")
+      val k = kv.substring(0, eq).trim.stripPrefix("`").stripSuffix("`")
+      val v = kv.substring(eq + 1).trim.stripPrefix("'").stripSuffix("'")
+      require(k.nonEmpty && v.nonEmpty, s"cannot parse partition spec item: '$kv'")
+      (k, v)
+    }
+  /** ADD PARTITION ... WITH (...) properties (table/partition-name →
+    * props) — the reference's CatalogPartition properties; the
+    * filesystem layout has no metadata sidecar, so they live here. */
+  private val partitionProps =
+    new java.util.concurrent.ConcurrentHashMap[String, Map[String, String]]()
+  // FLIP-190 plan statements (ddl/SqlCompilePlan.java: file path first,
+  // then optional IF NOT EXISTS, then FOR <insert|statement set>)
+  private val compilePlanRe =
+    """(?is)^\s*COMPILE\s+PLAN\s+'([^']+)'\s+(IF\s+NOT\s+EXISTS\s+)?FOR\s+(.+)$""".r
+  private val compileExecPlanRe =
+    """(?is)^\s*COMPILE\s+AND\s+EXECUTE\s+PLAN\s+'([^']+)'\s+FOR\s+(.+)$""".r
+  private val executePlanRe =
+    """(?is)^\s*EXECUTE\s+PLAN\s+'([^']+)'\s*;?\s*$""".r
+  /** Validate + persist a COMPILE PLAN body (see [[PlanFiles]]). */
+  private def compilePlanFile(file: String, ifNotExists: Boolean, body: String): Unit = {
+    val stmt = body.trim.replaceAll(";\\s*$", "")
+    require(Ddl.isInsert(stmt) || stmtSetRe.matches(stmt),
+      "COMPILE PLAN supports INSERT and STATEMENT SET statements only " +
+        "(the reference grammar: SqlCompilePlan FOR RichSqlInsert|SqlStatementSet)")
+    val f = new java.io.File(file)
+    if (f.exists) {
+      if (ifNotExists) return
+      // the reference's escape hatch option, same key
+      // (TableConfigOptions.PLAN_FORCE_RECOMPILE)
+      if (spark.conf.getOption("table.plan.force-recompile").forall(_ != "true"))
+        throw new IllegalArgumentException(
+          s"Cannot overwrite the plan file '$file'. Either manually remove the " +
+            "file or, if you're debugging your job, set the option " +
+            "'table.plan.force-recompile' to true.")
+    }
+    // dialect tables the statement references ride along as DDL so
+    // EXECUTE PLAN can restore them in a fresh session
+    val referenced = asScala.toMap.filter { case (t, _) =>
+      ("""(?i)\b""" + java.util.regex.Pattern.quote(t) + """\b""").r
+        .findFirstIn(stmt).isDefined
+    }
+    PlanFiles.write(f, stmt, referenced.map { case (t, d) => t -> Ddl.showCreate(d) })
+  }
   // ALTER TABLE ADD/MODIFY (column) — parse-only in the 1.16 reference:
   // SqlAlterTableAdd/Modify exist in the parser but
   // SqlToOperationConverter never wires them, so the statement fails

@@ -31,6 +31,82 @@ class CompactionSpec extends AnyFunSuite {
     assert(sig(a) == sig(src))
   }
 
+  test("partitioned compaction: parallel leaf rewrites, identical content") {
+    // r17 directive #3: leaf rewrites run concurrently (bounded pool);
+    // many leaves, each fragmented, must land byte-identical to the
+    // sequential result — i.e. to the source content
+    val base = Files.createTempDirectory("graft_compact_par").toString
+    val root = s"$base/t"
+    val src = spark.range(0, 40 * 500)
+      .selectExpr("id", "CAST(id % 40 AS STRING) AS grp")
+    src.repartition(4).write.partitionBy("grp").mode("overwrite").parquet(root)
+    val leaves = (0 until 40).map(g => s"$root/grp=$g")
+    assert(leaves.forall(l => ops.Compact.partFileCount(spark, l) >= 2))
+    val rewritten = ops.Compact.compactPartitioned(spark, root,
+      targetBytes = 64L << 20, partDepth = 1, parallelism = 8)
+    assert(rewritten == 40, s"all leaves must compact: $rewritten")
+    assert(leaves.forall(l => ops.Compact.partFileCount(spark, l) == 1))
+    val after = spark.read.parquet(root)
+    assert(after.count() == 40 * 500)
+    assert(after.agg(sum(col("id"))).collect()(0).getLong(0) ==
+      src.agg(sum(col("id"))).collect()(0).getLong(0))
+  }
+
+  test("staging dirs are hidden from readers; crash residue is swept") {
+    // r17 ADVICE (medium): staging must live in the '_'/'.' namespace
+    // Spark's file index skips, and stale residue from a crashed run
+    // must be repaired before compacting, not double-read or recompacted
+    val base = Files.createTempDirectory("graft_compact_crash").toString
+    val root = s"$base/t"
+    spark.range(0, 300).selectExpr("id", "CAST(id % 3 AS STRING) AS grp")
+      .repartition(4).write.partitionBy("grp").mode("overwrite").parquet(root)
+    val fs = new org.apache.hadoop.fs.Path(root)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    def p(s: String) = new org.apache.hadoop.fs.Path(s)
+    val count0 = spark.read.parquet(root).count()
+    assert(count0 == 300)
+
+    // (a) the LEGACY visible residue shape ('<leaf>__compact_old', a
+    // sibling whose name contains '=' and no hidden prefix): partition
+    // discovery DOES see it — the phantom-partition hazard the fix
+    // removes — and the sweep deletes it because the leaf exists
+    fs.mkdirs(p(s"$root/grp=9__compact_old"))
+    spark.range(0, 50).selectExpr("id").write.mode("overwrite")
+      .parquet(s"$root/grp=9__compact_old")
+    spark.catalog.refreshByPath(root)
+    assert(spark.read.parquet(root).count() == 350,
+      "fixture: legacy residue IS visible to readers (the bug being fixed)")
+    // ...while a DOT-PREFIXED staging dir (the new namespace) is not
+    fs.mkdirs(p(s"$root/.grp=8__compact_tmp"))
+    spark.range(0, 50).selectExpr("id").write.mode("overwrite")
+      .parquet(s"$root/.grp=8__compact_tmp/x")
+    spark.catalog.refreshByPath(root)
+    assert(spark.read.parquet(root).count() == 350,
+      "hidden staging must be invisible to readers")
+    // legacy residue needs a matching leaf for 'delete' recovery;
+    // grp=9 does not exist, so this residue RESTORES to grp=9 — make
+    // that the crash-between-renames scenario instead for grp=1:
+    fs.delete(p(s"$root/grp=9__compact_old"), true)
+
+    // (b) crash between the two renames: leaf moved to old, new files
+    // never moved in — leaf missing, hidden old + tmp present
+    require(fs.rename(p(s"$root/grp=1"), p(s"$root/.grp=1__compact_old")))
+    fs.mkdirs(p(s"$root/.grp=1__compact_tmp"))
+    // (c) crash after the swap, before cleanup: leaf present AND old
+    fs.mkdirs(p(s"$root/.grp=2__compact_old"))
+
+    spark.catalog.refreshByPath(root)
+    assert(spark.read.parquet(root).count() == 200,
+      "fixture: grp=1 is offline after the simulated crash")
+    ops.Compact.compactPartitioned(spark, root, targetBytes = 64L << 20, partDepth = 1)
+    spark.catalog.refreshByPath(root)
+    // the sweep restored grp=1, deleted grp=2's stale old and every tmp
+    assert(spark.read.parquet(root).count() == 300, "crash residue repaired")
+    val leftovers = fs.listStatus(p(root)).map(_.getPath.getName)
+      .filter(n => n.contains("__compact_"))
+    assert(leftovers.isEmpty, leftovers.mkString(", "))
+  }
+
   test("clusterBy sorts within each output file") {
     val base = Files.createTempDirectory("graft_compact2").toString
     val in = s"$base/in"; val out = s"$base/out"

@@ -1733,6 +1733,227 @@ class SqlEnvSpec extends AnyFunSuite {
     intercept[IllegalArgumentException] { env.executeSql("EXPLAIN CREATE CATALOG c2") }
   }
 
+  test("ALTER TABLE ADD/DROP PARTITION: lifecycle, IF guards, Hive layout") {
+    val env = SqlEnv(spark)
+    val dir = "/tmp/graft_sql_partddl18"
+    org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(dir))
+    env.executeSql("DROP TABLE IF EXISTS pd18_t")
+    env.executeSql(
+      s"""CREATE TABLE pd18_t (id BIGINT, grp STRING)
+         |PARTITIONED BY (grp)
+         |WITH ('connector' = 'filesystem', 'path' = '$dir',
+         |      'format' = 'parquet')""".stripMargin)
+    // ADD on a never-inserted table: the empty partition is visible in
+    // SHOW PARTITIONS (directory listing, the catalog analog) and the
+    // table reads as empty — Hive's contract
+    env.executeSql("ALTER TABLE pd18_t ADD PARTITION (grp = 'a')")
+    assert(env.executeSql("SHOW PARTITIONS pd18_t").collect()
+      .map(_.getString(0)).toSeq == Seq("grp=a"))
+    assert(env.executeSql("SELECT * FROM pd18_t").count() == 0)
+    // duplicate ADD: rejected without IF NOT EXISTS, skipped with it
+    val dup = intercept[IllegalArgumentException] {
+      env.executeSql("ALTER TABLE pd18_t ADD PARTITION (grp='a')")
+    }
+    assert(dup.getMessage.contains("already exists"), dup.getMessage)
+    env.executeSql("ALTER TABLE pd18_t ADD IF NOT EXISTS PARTITION (grp='a')")
+    // multi-spec ADD with per-spec WITH props (reference grammar:
+    // PARTITION spec [WITH props] repeated, space-separated)
+    env.executeSql(
+      """ALTER TABLE pd18_t ADD
+        |PARTITION (grp='b') WITH ('note' = 'cold')
+        |PARTITION (grp='c')""".stripMargin)
+    assert(env.executeSql("SHOW PARTITIONS pd18_t").collect()
+      .map(_.getString(0)).toSeq == Seq("grp=a", "grp=b", "grp=c"))
+    // INSERT INTO the ADD'ed partition, then rows land there
+    env.executeSql(
+      "INSERT INTO pd18_t PARTITION (grp='a') SELECT CAST(id AS BIGINT) FROM range(5)")
+    env.executeSql(
+      "INSERT INTO pd18_t PARTITION (grp='b') SELECT CAST(id + 10 AS BIGINT) FROM range(3)")
+    assert(env.executeSql(
+      "SELECT grp, count(*) AS n FROM pd18_t GROUP BY grp ORDER BY grp")
+      .collect().map(r => (r.getString(0), r.getLong(1))).toSeq ==
+      Seq(("a", 5L), ("b", 3L)))
+    // DROP excludes the partition from reads and from the listing;
+    // comma-separated multi-spec per the reference grammar
+    env.executeSql("ALTER TABLE pd18_t DROP PARTITION (grp='a'), PARTITION (grp='c')")
+    assert(env.executeSql("SHOW PARTITIONS pd18_t").collect()
+      .map(_.getString(0)).toSeq == Seq("grp=b"))
+    assert(env.executeSql("SELECT grp, count(*) AS n FROM pd18_t GROUP BY grp")
+      .collect().map(r => (r.getString(0), r.getLong(1))).toSeq == Seq(("b", 3L)))
+    val gone = intercept[IllegalArgumentException] {
+      env.executeSql("ALTER TABLE pd18_t DROP PARTITION (grp='a')")
+    }
+    assert(gone.getMessage.contains("does not exist"), gone.getMessage)
+    env.executeSql("ALTER TABLE pd18_t DROP IF EXISTS PARTITION (grp='a')")
+    // spec validation: unknown / missing partition columns are rejected
+    // with the column list in the message
+    val wrongCol = intercept[IllegalArgumentException] {
+      env.executeSql("ALTER TABLE pd18_t ADD PARTITION (nope='x')")
+    }
+    assert(wrongCol.getMessage.contains("partition columns"), wrongCol.getMessage)
+    // two-level table: a partial spec is rejected (full-spec contract,
+    // like Catalog.createPartition)
+    val dir2 = "/tmp/graft_sql_partddl18_2"
+    org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(dir2))
+    env.executeSql("DROP TABLE IF EXISTS pd18_t2")
+    env.executeSql(
+      s"""CREATE TABLE pd18_t2 (id BIGINT, a STRING, b STRING)
+         |PARTITIONED BY (a, b)
+         |WITH ('connector' = 'filesystem', 'path' = '$dir2',
+         |      'format' = 'parquet')""".stripMargin)
+    intercept[IllegalArgumentException] {
+      env.executeSql("ALTER TABLE pd18_t2 ADD PARTITION (a='x')")
+    }
+    env.executeSql("ALTER TABLE pd18_t2 ADD PARTITION (a='x', b='y:1')")
+    // values are Hive-escaped on disk with Spark's OWN escaping (':' →
+    // '%3A') and unescaped in the listing — so the ADD'ed leaf is
+    // byte-identical to one a partitioned INSERT of the same value
+    // writes, proven by inserting into it and reading one partition
+    assert(env.executeSql("SHOW PARTITIONS pd18_t2").collect()
+      .map(_.getString(0)).toSeq == Seq("a=x/b=y:1"))
+    val esc = org.apache.spark.sql.catalyst.catalog.ExternalCatalogUtils.escapePathName("y:1")
+    assert(esc != "y:1" && new java.io.File(s"$dir2/a=x/b=$esc").isDirectory, esc)
+    env.executeSql(
+      "INSERT INTO pd18_t2 PARTITION (a='x', b='y:1') SELECT CAST(7 AS BIGINT)")
+    assert(env.executeSql("SHOW PARTITIONS pd18_t2").collect()
+      .map(_.getString(0)).toSeq == Seq("a=x/b=y:1"), "INSERT reuses the ADD'ed leaf")
+    assert(env.executeSql("SELECT id FROM pd18_t2 WHERE b = 'y:1'")
+      .collect().map(_.getLong(0)).toSeq == Seq(7L))
+    env.executeSql("ALTER TABLE pd18_t2 DROP PARTITION (b='y:1', a='x')")
+    assert(env.executeSql("SHOW PARTITIONS pd18_t2").collect().isEmpty)
+    // a NULL partition value written by a dynamic INSERT lists as the
+    // on-disk __HIVE_DEFAULT_PARTITION__ leaf, not 'grp=null'
+    env.executeSql(
+      """INSERT INTO pd18_t
+        |SELECT * FROM VALUES (CAST(99 AS BIGINT), CAST(NULL AS STRING)) AS v(id, grp)""".stripMargin)
+    assert(env.executeSql("SHOW PARTITIONS pd18_t").collect().map(_.getString(0)).toSeq ==
+      Seq("grp=__HIVE_DEFAULT_PARTITION__", "grp=b"))
+    // non-partitioned and non-CREATE TABLE targets: graft-level errors
+    intercept[IllegalArgumentException] {
+      env.executeSql("ALTER TABLE an_unknown_t ADD PARTITION (grp='a')")
+    }
+    env.executeSql("DROP TABLE IF EXISTS pd18_flat")
+    env.executeSql("CREATE TABLE pd18_flat (id BIGINT) WITH ('connector' = 'blackhole')")
+    val flat = intercept[IllegalArgumentException] {
+      env.executeSql("ALTER TABLE pd18_flat ADD PARTITION (grp='a')")
+    }
+    assert(flat.getMessage.contains("filesystem"), flat.getMessage)
+  }
+
+  test("COMPILE PLAN / EXECUTE PLAN: FLIP-190 adaptation persists statement + DDL") {
+    val env = SqlEnv(spark).registerTestdata(TestSpark.sfDir)
+    val dir = "/tmp/graft_sql_plan18"
+    org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(dir))
+    val plan = s"$dir/ins.json"
+    env.executeSql("DROP TABLE IF EXISTS plan18_t")
+    env.executeSql(
+      s"""CREATE TABLE plan18_t (r BIGINT, nm STRING)
+         |WITH ('connector' = 'filesystem', 'path' = '$dir/t',
+         |      'format' = 'parquet')""".stripMargin)
+    val ins = "INSERT INTO plan18_t SELECT r_regionkey, r_name FROM region"
+    // only INSERT / STATEMENT SET bodies compile (reference grammar)
+    val notIns = intercept[IllegalArgumentException] {
+      env.executeSql(s"COMPILE PLAN '$plan' FOR SELECT 1")
+    }
+    assert(notIns.getMessage.contains("INSERT"), notIns.getMessage)
+    // COMPILE does NOT execute — the table stays unmaterialized
+    env.executeSql(s"COMPILE PLAN '$plan' FOR $ins")
+    assert(new java.io.File(plan).isFile)
+    assert(!spark.catalog.tableExists("plan18_t"),
+      "COMPILE PLAN must not run the statement")
+    // overwrite guard with the reference's escape-hatch option
+    val over = intercept[IllegalArgumentException] {
+      env.executeSql(s"COMPILE PLAN '$plan' FOR $ins")
+    }
+    assert(over.getMessage.contains("Cannot overwrite the plan file"), over.getMessage)
+    env.executeSql(s"COMPILE PLAN '$plan' IF NOT EXISTS FOR $ins") // skip, no error
+    env.executeSql("SET 'table.plan.force-recompile' = 'true'")
+    env.executeSql(s"COMPILE PLAN '$plan' FOR $ins") // now allowed
+    env.executeSql("RESET 'table.plan.force-recompile'")
+    // EXECUTE PLAN in a FRESH env: the referenced table is restored
+    // from the persisted DDL and the insert runs
+    val env2 = SqlEnv(spark).registerTestdata(TestSpark.sfDir)
+    env2.executeSql("DROP TABLE IF EXISTS plan18_t")
+    env2.executeSql(s"EXECUTE PLAN '$plan'")
+    assert(env2.executeSql("SELECT count(*) AS c FROM plan18_t")
+      .collect()(0).getLong(0) == 5)
+    assert(env2.executeSql("SHOW CREATE TABLE plan18_t").collect()(0).getString(0)
+      .contains("`r` BIGINT"), "restored table carries the persisted schema")
+    // missing / non-plan files: graft-level provenance
+    val missing = intercept[IllegalArgumentException] {
+      env2.executeSql("EXECUTE PLAN '/tmp/graft_no_such_plan.json'")
+    }
+    assert(missing.getMessage.contains("does not exist"), missing.getMessage)
+    java.nio.file.Files.write(java.nio.file.Paths.get(s"$dir/bogus.json"),
+      "{\"not\": \"a plan\"}".getBytes)
+    val bogus = intercept[IllegalArgumentException] {
+      env2.executeSql(s"EXECUTE PLAN '$dir/bogus.json'")
+    }
+    assert(bogus.getMessage.contains("not a graft plan file"), bogus.getMessage)
+    // COMPILE AND EXECUTE PLAN: writes the file AND runs the body —
+    // with a STATEMENT SET body (the grammar's other branch)
+    env2.executeSql("DROP TABLE IF EXISTS plan18_t")
+    org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(s"$dir/t"))
+    env2.executeSql(
+      s"""CREATE TABLE plan18_t (r BIGINT, nm STRING)
+         |WITH ('connector' = 'filesystem', 'path' = '$dir/t',
+         |      'format' = 'parquet')""".stripMargin)
+    env2.executeSql(
+      s"""COMPILE AND EXECUTE PLAN '$dir/set.json' FOR
+         |STATEMENT SET BEGIN
+         |$ins;
+         |INSERT INTO plan18_t SELECT n_nationkey, n_name FROM nation;
+         |END""".stripMargin)
+    assert(new java.io.File(s"$dir/set.json").isFile)
+    assert(env2.executeSql("SELECT count(*) AS c FROM plan18_t")
+      .collect()(0).getLong(0) == 30)
+    // EXPLAIN treats all three as commands
+    intercept[IllegalArgumentException] {
+      env2.executeSql(s"EXPLAIN EXECUTE PLAN '$plan'")
+    }
+  }
+
+  test("COMPACT: MemorySize option notation and provenance on bad units") {
+    val env = SqlEnv(spark)
+    val dir = "/tmp/graft_sql_memsize18"
+    org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(dir))
+    env.executeSql("DROP TABLE IF EXISTS ms18_t")
+    env.executeSql(
+      s"""CREATE TABLE ms18_t (id BIGINT)
+         |WITH ('connector' = 'filesystem', 'path' = '$dir',
+         |      'format' = 'parquet', 'compaction.target-file-size' = '32mb')""".stripMargin)
+    spark.range(0, 1000).repartition(8).write.mode("overwrite").parquet(dir)
+    env.executeSql("INSERT INTO ms18_t SELECT CAST(-1 AS BIGINT)")
+    env.executeSql("ALTER TABLE ms18_t COMPACT") // '32mb' parses, no NumberFormatException
+    assert(graft.ops.Compact.partFileCount(spark, dir) < 8)
+    assert(env.executeSql("SELECT count(*) AS c FROM ms18_t").collect()(0).getLong(0) == 1001)
+    env.executeSql("ALTER TABLE ms18_t SET ('compaction.target-file-size' = '12 parsecs')")
+    val bad = intercept[IllegalArgumentException] {
+      env.executeSql("ALTER TABLE ms18_t COMPACT")
+    }
+    assert(bad.getMessage.contains("kb|mb|gb|tb"), bad.getMessage)
+    // CTAS TEMPORARY rejection covers the WITH/TABLE body forms too
+    val tmpCtas = intercept[IllegalArgumentException] {
+      env.executeSql(
+        "CREATE TEMPORARY TABLE tt18 AS WITH x AS (SELECT 1 AS a) SELECT * FROM x")
+    }
+    assert(tmpCtas.getMessage.contains("temporary table"), tmpCtas.getMessage)
+    intercept[IllegalArgumentException] {
+      env.executeSql("CREATE TEMPORARY TABLE tt18 AS TABLE ms18_t")
+    }
+    // CREATE FUNCTION provenance: a graft-registered (shared-session)
+    // name is reported as such, not mislabeled a built-in — and IF NOT
+    // EXISTS treats it as existing (session-level semantics)
+    val shared = intercept[IllegalArgumentException] {
+      env.executeSql("CREATE FUNCTION minhash AS 'graft.TestUdfUpper'")
+    }
+    assert(shared.getMessage.contains("shared"), shared.getMessage)
+    assert(!shared.getMessage.contains("built-in"), shared.getMessage)
+    env.executeSql("CREATE FUNCTION IF NOT EXISTS minhash AS 'graft.TestUdfUpper'")
+    assert(spark.sql("SELECT size(minhash(array('a','b'), 8)) AS k")
+      .collect()(0).getInt(0) == 8, "the graft registration must survive the skip")
+  }
+
   test("ANALYZE then INSERT: the re-registered view must serve post-insert rows") {
     // r16 advice (medium): ANALYZE caches the temp view; a later INSERT
     // re-registers a scan that is sameResult with the cached plan
