@@ -93,7 +93,7 @@ object Compact {
     * @return number of leaf partitions rewritten */
   def compactPartitioned(spark: SparkSession, rootPath: String,
                          targetBytes: Long, partDepth: Int,
-                         parallelism: Int = 4): Int = {
+                         parallelism: Int = 8): Int = {
     require(targetBytes > 0 && partDepth > 0 && parallelism > 0)
     val root = new Path(rootPath)
     val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)

@@ -1,0 +1,250 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.scalacheck.Gen
+import org.scalacheck.rng.Seed
+
+/** Property fuzz of the SQL-client statement DISPATCH — the r14
+  * rewrite-scanner fuzz (RewriteFuzzSpec) predates the catalog /
+  * function / partition / CTAS / plan statements, so this spec extends
+  * the seed-pinned generator approach to the statement surface itself
+  * (r17 directive #5). Invariants:
+  *
+  *  1. ROBUST DISPATCH — generated VALID statements (random identifier
+  *     case, keyword case, whitespace/newlines, backticks, optional
+  *     semicolon, WITH props) execute without raw Spark parse errors,
+  *     and their effects are observable (listings, SELECTs);
+  *  2. IDEMPOTENCE — the IF NOT EXISTS / IF EXISTS forms re-execute as
+  *     no-ops: running the same lifecycle twice leaves the registries
+  *     in the same state;
+  *  3. ERROR PROVENANCE — generated NEAR-MISS statements (unknown
+  *     objects, invalid bodies, bad specs) throw graft-level messages
+  *     that name the statement class, never a raw Spark parse error;
+  *  4. PRESERVATION — statement keywords inside string literals of a
+  *     plain query are NOT intercepted by the dispatcher (all dispatch
+  *     regexes are statement-anchored).
+  *
+  * Sampling is seed-pinned (deterministic across runs) so a failure is
+  * reproducible from its printed seed index.
+  */
+class StatementFuzzSpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+  lazy val env = graft.sql.SqlEnv(spark)
+
+  private val fuzzScale = sys.env.getOrElse("GRAFT_FUZZ_SCALE", "1").toInt
+  private def samples[T](g: Gen[T], n: Int): Seq[T] =
+    (0 until n * fuzzScale).flatMap(i =>
+      g.apply(Gen.Parameters.default, Seed(0xF0221L + i)))
+
+  // ---- token-shape generators -----------------------------------------
+  // keyword case variants (the dispatch regexes are (?i))
+  private def kw(s: String): Gen[String] =
+    Gen.oneOf(s, s.toLowerCase, s.toUpperCase,
+      s.zipWithIndex.map { case (c, i) =>
+        if (i % 2 == 0) c.toUpper else c.toLower }.mkString)
+  // inter-token whitespace: spaces, tabs, newlines
+  private val ws: Gen[String] =
+    Gen.oneOf(" ", "  ", "\t", "\n", " \n ", "   ")
+  private def joinTokens(toks: Seq[String]): Gen[String] =
+    Gen.listOfN(math.max(0, toks.length - 1), ws).map { seps =>
+      toks.head + seps.zip(toks.tail).map { case (s, t) => s + t }.mkString
+    }
+  // identifiers arrive bare or backticked
+  private def quotable(name: String): Gen[String] =
+    Gen.oneOf(name, s"`$name`")
+  private val semi: Gen[String] = Gen.oneOf("", ";", " ;", ";\n")
+  // WITH-props clause (values: letters/digits/space/dash/dot — the
+  // option parser's documented charset)
+  private val propPair: Gen[String] = for {
+    k <- Gen.oneOf("owner", "a.b.c", "format", "note-2")
+    v <- Gen.oneOf("graft", "v 1", "x-y.z", "12")
+  } yield s"'$k' = '$v'"
+  private val withProps: Gen[String] =
+    Gen.choose(0, 3).flatMap(n =>
+      if (n == 0) Gen.const("")
+      else Gen.listOfN(n, propPair).map(ps => s" WITH (${ps.distinct.mkString(", ")})"))
+
+  // ---- 1+2: valid lifecycles are dispatched and idempotent ------------
+
+  test("database/catalog lifecycle: random shapes execute, IF-guards are idempotent (80 samples)") {
+    val gen = for {
+      obj <- Gen.oneOf("DATABASE", "CATALOG")
+      create <- kw(s"CREATE $obj")
+      ine <- kw("IF NOT EXISTS")
+      drop <- kw(s"DROP $obj")
+      ie <- kw("IF EXISTS")
+      props <- withProps
+      s <- semi
+    } yield (obj, create, ine, drop, ie, props, s)
+    samples(gen, 80).zipWithIndex.foreach {
+      case ((obj, create, ine, drop, ie, props, s), i) =>
+        val name = s"fz_${obj.toLowerCase.take(3)}_$i"
+        def listed: Boolean = env.executeSql(
+          if (obj == "DATABASE") "SHOW DATABASES" else "SHOW CATALOGS")
+          .collect().map(_.getString(0)).contains(name)
+        val stmt = for {
+          q <- quotable(name)
+          t <- joinTokens(Seq(create, ine, q + props + s))
+        } yield t
+        val sql = stmt.apply(Gen.Parameters.default, Seed(0xBEEFL + i)).get
+        env.executeSql(sql)
+        assert(listed, s"sample #$i: '$sql' must register $name")
+        env.executeSql(sql) // IF NOT EXISTS: second run is a no-op
+        assert(listed)
+        // plain re-create must fail with the statement class in the message
+        val dup = intercept[IllegalArgumentException] {
+          env.executeSql(s"$create $name")
+        }
+        assert(dup.getMessage.contains(s"CREATE $obj"), s"#$i: ${dup.getMessage}")
+        if (obj == "DATABASE") // ALTER DATABASE only exists for databases
+          env.executeSql(s"ALTER DATABASE $name SET ('k' = 'v$i')")
+        env.executeSql(s"$drop $name$s")
+        assert(!listed, s"sample #$i: $name must be dropped")
+        env.executeSql(joinTokens(Seq(drop, ie, name)).apply(
+          Gen.Parameters.default, Seed(0xCAFEL + i)).get) // idempotent drop
+        val gone = intercept[IllegalArgumentException] {
+          env.executeSql(s"$drop $name")
+        }
+        assert(gone.getMessage.contains(s"DROP $obj"), s"#$i: ${gone.getMessage}")
+    }
+  }
+
+  test("function lifecycle: random shapes execute end-to-end (40 samples)") {
+    val gen = for {
+      create <- kw("CREATE FUNCTION")
+      tmp <- Gen.oneOf("", "TEMPORARY ", "TEMPORARY SYSTEM ")
+      ine <- kw("IF NOT EXISTS")
+      lang <- Gen.oneOf("", " LANGUAGE SCALA", " LANGUAGE JAVA")
+      drop <- kw("DROP FUNCTION")
+      s <- semi
+    } yield (create, tmp, ine, lang, drop, s)
+    samples(gen, 40).zipWithIndex.foreach { case ((create, tmp, ine, lang, drop, s), i) =>
+      val name = s"fz_fn_$i"
+      try spark.sessionState.functionRegistry.dropFunction(
+        org.apache.spark.sql.catalyst.FunctionIdentifier(name))
+      catch { case _: Throwable => () }
+      val createSql = create.replaceFirst("(?i)FUNCTION", s"${tmp}FUNCTION") +
+        s" $name AS 'graft.TestUdfUpper'$lang$s"
+      env.executeSql(createSql)
+      assert(spark.sql(s"SELECT $name('ab') AS v").collect()(0).getString(0) == "AB",
+        s"sample #$i: '$createSql' must register a working function")
+      env.executeSql(s"$create $ine $name AS 'graft.TestUdfUpper'") // no-op
+      env.executeSql(s"ALTER FUNCTION $name AS 'graft.TestUdfLower'")
+      assert(spark.sql(s"SELECT $name('AB') AS v").collect()(0).getString(0) == "ab")
+      env.executeSql(s"$drop $name$s")
+      val gone = intercept[IllegalArgumentException] { env.executeSql(s"$drop $name") }
+      assert(gone.getMessage.contains("DROP FUNCTION"), s"#$i: ${gone.getMessage}")
+      env.executeSql(s"$drop IF EXISTS $name")
+    }
+  }
+
+  test("CTAS: SELECT/VALUES/WITH/TABLE bodies, random shapes (12 samples)") {
+    spark.range(0, 7).selectExpr("id AS x").createOrReplaceTempView("fz_ctas_base")
+    val bodies: Gen[(String, Long)] = Gen.oneOf(
+      ("SELECT x, x * 2 AS y FROM VALUES (1), (2), (3) AS v(x)", 3L),
+      ("VALUES (CAST(1 AS BIGINT)), (CAST(2 AS BIGINT))", 2L),
+      ("WITH c AS (SELECT 1 AS x UNION ALL SELECT 2 AS x) SELECT * FROM c", 2L),
+      ("TABLE fz_ctas_base", 7L))
+    val gen = for {
+      create <- kw("CREATE TABLE")
+      ine <- Gen.oneOf("", "IF NOT EXISTS ")
+      as <- kw("AS")
+      (body, n) <- bodies
+      s <- semi
+    } yield (create, ine, as, body, n, s)
+    samples(gen, 12).zipWithIndex.foreach { case ((create, ine, as, body, n, s), i) =>
+      val name = s"fz_ctas_$i"
+      val dir = s"/tmp/graft_fuzz18/ctas_$i"
+      org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(dir))
+      env.executeSql(s"DROP TABLE IF EXISTS $name")
+      env.executeSql(
+        s"$create $ine$name\nWITH ('connector' = 'filesystem', 'path' = '$dir',\n" +
+          s"     'format' = 'parquet')\n$as $body$s")
+      assert(env.executeSql(s"SELECT count(*) AS c FROM $name")
+        .collect()(0).getLong(0) == n, s"sample #$i body: $body")
+      assert(env.executeSql(s"SHOW CREATE TABLE $name").collect()(0).getString(0)
+        .contains("'connector' = 'filesystem'"))
+      env.executeSql(s"DROP TABLE $name")
+      // the reference's validate() rejections, across body forms
+      val tmpMsg = intercept[IllegalArgumentException] {
+        env.executeSql(s"CREATE TEMPORARY TABLE $name AS $body")
+      }
+      assert(tmpMsg.getMessage.contains("temporary table"), s"#$i: ${tmpMsg.getMessage}")
+      val colsMsg = intercept[IllegalArgumentException] {
+        env.executeSql(s"CREATE TABLE $name (a INT) WITH ('connector'='blackhole') AS $body")
+      }
+      assert(colsMsg.getMessage.contains("explicit columns"), s"#$i: ${colsMsg.getMessage}")
+    }
+  }
+
+  // ---- 3: near-miss statements carry graft-level provenance -----------
+
+  test("near-miss statements: graft provenance, never a raw Spark parse error (fixed grid x case fuzz)") {
+    // (statement template, required message fragment)
+    val grid: Seq[(String, String)] = Seq(
+      ("ALTER TABLE fz_nope COMPACT", "was not created via CREATE TABLE"),
+      ("ALTER TABLE fz_nope ADD PARTITION (k='v')", "was not created via CREATE TABLE"),
+      ("ALTER TABLE fz_nope DROP PARTITION (k='v')", "was not created via CREATE TABLE"),
+      ("SHOW PARTITIONS fz_nope", "was not created via CREATE TABLE"),
+      ("SHOW CREATE TABLE fz_nope", "was not created via CREATE TABLE"),
+      ("SHOW CREATE VIEW fz_nope", "was not created via CREATE VIEW"),
+      ("DESCRIBE DATABASE fz_nope", "does not exist"),
+      ("DESCRIBE CATALOG fz_nope", "does not exist"),
+      ("ALTER DATABASE fz_nope SET ('a'='b')", "does not exist"),
+      ("USE CATALOG fz_nope", "does not exist"),
+      ("ALTER VIEW fz_nope AS SELECT 1", "was not created via CREATE VIEW"),
+      ("ALTER FUNCTION fz_nope AS 'x.Y'", "was not created via CREATE FUNCTION"),
+      ("LOAD MODULE fz_nope", "no factory for module"),
+      ("UNLOAD MODULE fz_nope", "is not loaded"),
+      ("COMPILE PLAN '/tmp/fz_plan_miss.json' FOR SELECT 1", "INSERT and STATEMENT SET"),
+      ("COMPILE AND EXECUTE PLAN '/tmp/fz_plan_miss.json' FOR SHOW TABLES",
+        "INSERT and STATEMENT SET"),
+      ("EXECUTE PLAN '/tmp/fz_no_such_plan.json'", "does not exist"),
+      ("REMOVE JAR '/tmp/fz.jar'", "REMOVE JAR is not supported"))
+    val caseGen = Gen.oneOf[String => String](identity[String] _,
+      (s: String) => s.toLowerCase, (s: String) => s.replace(" ", "\n  "))
+    grid.zipWithIndex.foreach { case ((stmt, frag), i) =>
+      samples(caseGen, 3).foreach { f =>
+        val sql = f(stmt)
+        val e = intercept[IllegalArgumentException] { env.executeSql(sql) }
+        assert(e.getMessage.contains(frag),
+          s"grid #$i: '$sql' →\n${e.getMessage}\nexpected fragment: $frag")
+      }
+    }
+    // broken partition specs on a REAL table: spec-level provenance
+    val dir = "/tmp/graft_fuzz18/pspec"
+    org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(dir))
+    env.executeSql("DROP TABLE IF EXISTS fz_pt")
+    env.executeSql(
+      s"""CREATE TABLE fz_pt (id BIGINT, g STRING) PARTITIONED BY (g)
+         |WITH ('connector' = 'filesystem', 'path' = '$dir', 'format' = 'parquet')""".stripMargin)
+    Seq("ALTER TABLE fz_pt ADD PARTITION ()",
+        "ALTER TABLE fz_pt ADD PARTITION (nope='x')",
+        "ALTER TABLE fz_pt ADD PARTITION (g='a', g='b')",
+        "ALTER TABLE fz_pt DROP PARTITION (g='missing')").foreach { sql =>
+      val e = intercept[IllegalArgumentException] { env.executeSql(sql) }
+      assert(e.getMessage.contains("PARTITION"), s"'$sql' → ${e.getMessage}")
+    }
+  }
+
+  // ---- 4: statement keywords inside literals are not intercepted ------
+
+  test("preservation: statement text inside string literals passes through to Spark (60 samples)") {
+    val inner: Gen[String] = Gen.oneOf(
+      "CREATE DATABASE fz_x", "DROP CATALOG fz_x", "ALTER TABLE t COMPACT",
+      "ALTER TABLE t ADD PARTITION (k=1)", "SHOW PARTITIONS t",
+      "EXECUTE PLAN /x.json", "LOAD MODULE hive", "USE MODULES core",
+      "CREATE FUNCTION f AS x.Y", "ADD JAR /tmp/x.jar",
+      "COMPILE PLAN f FOR INSERT", "SHOW CURRENT CATALOG")
+    val gen = for {
+      lit <- inner
+      alias <- Gen.oneOf("s", "txt", "v")
+      extra <- Gen.choose(1, 99)
+    } yield (lit, alias, extra)
+    samples(gen, 60).zipWithIndex.foreach { case ((lit, alias, extra), i) =>
+      val row = env.executeSql(s"SELECT '$lit' AS $alias, $extra AS n").collect()(0)
+      assert(row.getString(0) == lit && row.getInt(1) == extra,
+        s"sample #$i: literal '$lit' must survive dispatch untouched")
+    }
+  }
+}
