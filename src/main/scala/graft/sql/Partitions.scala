@@ -83,6 +83,40 @@ object Partitions {
       new Path(p, s"$k=${ExternalCatalogUtils.escapePathName(m(k))}"))
   }
 
+  /** Validate a PARTIAL partition spec's keys against the table's
+    * partition columns, with the reference's messages
+    * (`SqlToOperationConverter.convertAlterTableCompact:644-663`:
+    * "Table X is not partitioned." / "Partition column 'k' not defined
+    * in the table schema. Available ordered partition columns: ...").
+    */
+  def validatePartialSpec(table: String, partCols: Seq[String],
+                          spec: Seq[(String, String)]): Unit = {
+    require(partCols.nonEmpty, s"Table $table is not partitioned.")
+    spec.map(_._1).foreach { k =>
+      require(partCols.contains(k),
+        s"Partition column '$k' not defined in the table schema. " +
+          s"Available ordered partition columns: " +
+          partCols.mkString("'", "', '", "'"))
+    }
+  }
+
+  /** Leaves matching a PARTIAL spec: every (k, v) pair must equal the
+    * leaf's path segment at k's depth (values compared escaped — the
+    * on-disk form). An empty spec matches every leaf. */
+  def matchingLeaves(leaves: Seq[Path], partCols: Seq[String],
+                     spec: Seq[(String, String)]): Seq[Path] =
+    if (spec.isEmpty) leaves
+    else {
+      val wanted = spec.map { case (k, v) =>
+        partCols.indexOf(k) -> s"$k=${ExternalCatalogUtils.escapePathName(v)}"
+      }
+      leaves.filter { leaf =>
+        val segs = Iterator.iterate(leaf)(_.getParent)
+          .take(partCols.length).toSeq.reverse.map(_.getName)
+        wanted.forall { case (i, seg) => segs(i) == seg }
+      }
+    }
+
   /** `ADD [IF NOT EXISTS] PARTITION (spec)...` — creates each leaf dir.
     * @return partition names actually created */
   def add(spark: SparkSession, root: String, partCols: Seq[String],

@@ -352,13 +352,19 @@ class SqlEnv private (val spark: SparkSession) {
             "the 1.16 reference parses but never converts it either " +
             "(SqlToOperationConverter has no SqlAlterTableAdd/Modify branch); " +
             s"recreate '$name' with the new schema")
-      case alterCompactRe(name) =>
+      case alterCompactRe(name, specTxt) =>
         val d = Option(tableDefs.get(name)).getOrElse(
           throw new IllegalArgumentException(
             s"ALTER TABLE: '$name' was not created via CREATE TABLE"))
         require(d.connector == "filesystem" && d.format == "parquet",
           s"ALTER TABLE COMPACT supports filesystem parquet tables (got " +
             s"${d.connector}/${d.format})")
+        // `PARTITION (spec) COMPACT` targets the matching leaves only —
+        // PARTIAL specs legal, keys validated with the reference's
+        // messages (convertAlterTableCompact:644-663)
+        val compactSpec = Option(specTxt).map(parsePartSpec).getOrElse(Nil)
+        if (compactSpec.nonEmpty)
+          Partitions.validatePartialSpec(name, d.partitionedBy, compactSpec)
         // the reference option is a MemorySize ('128mb') — parse the
         // unit notation instead of choking on a raw .toLong
         val target = d.options.get("compaction.target-file-size")
@@ -368,7 +374,8 @@ class SqlEnv private (val spark: SparkSession) {
           // layout — a flat rewrite would fold the partition columns
           // into the data files and corrupt later partitioned reads
           graft.ops.Compact.compactPartitioned(spark, d.path, target,
-            d.partitionedBy.length)
+            d.partitionedBy.length,
+            partCols = d.partitionedBy, spec = compactSpec)
         else {
           val hPath = new org.apache.hadoop.fs.Path(d.path)
           val fs = hPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
@@ -446,13 +453,23 @@ class SqlEnv private (val spark: SparkSession) {
       // strings under the reference's literal header. The DISTINCT over
       // the partition columns is metadata-scale (bounded by partition
       // count, prunes to the partition columns at the scan).
-      case showPartitionsRe(name) =>
+      case showPartitionsRe(name, specTxt) =>
         import spark.implicits._
         val d = Option(tableDefs.get(name)).getOrElse(
           throw new IllegalArgumentException(
             s"SHOW PARTITIONS: '$name' was not created via CREATE TABLE"))
         require(d.partitionedBy.nonEmpty,
           s"SHOW PARTITIONS: '$name' is not a partitioned table")
+        // optional PARTIAL spec filters the listing (SqlShowPartitions'
+        // partitionSpec; keys validated like the compact converter)
+        val showSpec = Option(specTxt).map(parsePartSpec).getOrElse(Nil)
+        if (showSpec.nonEmpty)
+          Partitions.validatePartialSpec(name, d.partitionedBy, showSpec)
+        def keepPart(n: String): Boolean = {
+          val segs = n.split("/")
+          showSpec.forall { case (k, v) =>
+            segs(d.partitionedBy.indexOf(k)) == s"$k=$v" }
+        }
         // filesystem tables list the on-disk Hive leaves — the
         // reference's listPartitions is a catalog call, not a scan, and
         // the directory listing is what makes an ADD PARTITION'ed empty
@@ -461,7 +478,7 @@ class SqlEnv private (val spark: SparkSession) {
         // reference (and the layout) rather than as 'k=null'
         if (d.connector == "filesystem")
           return Partitions.listPartitionNames(spark, d.path, d.partitionedBy)
-            .toDF("partition name")
+            .filter(keepPart).toDF("partition name")
         // non-filesystem: fall back to a distinct over the partition
         // columns (prunes to those columns at the scan); a table with
         // no view yet lists empty, like the reference on an empty table
@@ -473,7 +490,7 @@ class SqlEnv private (val spark: SparkSession) {
             .map { case (k, i) => s"$k=${Option(r.get(i)).map(_.toString)
               .getOrElse(org.apache.spark.sql.catalyst.catalog.ExternalCatalogUtils.DEFAULT_PARTITION_NAME)}" }
             .mkString("/"))
-          .sorted.toSeq.toDF("partition name")
+          .filter(keepPart).sorted.toSeq.toDF("partition name")
       // FLIP-190 plan persistence (ddl/SqlCompilePlan.java,
       // dml/SqlExecutePlan.java + SqlCompileAndExecutePlan.java,
       // converter-wired SqlToOperationConverter.java:366-372) — honest
@@ -675,11 +692,11 @@ class SqlEnv private (val spark: SparkSession) {
                | createCatalogRe(_, _, _) | dropCatalogRe(_, _)
                | descDbRe(_, _) | descCatalogRe(_)
                | createFnRe(_, _, _, _) | dropFnRe(_, _) | alterFnRe(_, _, _)
-               | alterAddPkRe(_, _) | alterDropPkRe(_) | alterCompactRe(_)
+               | alterAddPkRe(_, _) | alterDropPkRe(_) | alterCompactRe(_, _)
                | alterSchemaRe(_, _)
                | alterAddPartRe(_, _, _) | alterDropPartRe(_, _, _)
                | compilePlanRe(_, _, _) | compileExecPlanRe(_, _) | executePlanRe(_)
-               | showPartitionsRe(_) | showModulesRe(_) | loadModuleRe(_, _)
+               | showPartitionsRe(_, _) | showModulesRe(_) | loadModuleRe(_, _)
                | unloadModuleRe(_) | addJarRe(_) | removeJarRe(_) | showJarsRe()
                | analyzeRe(_, _) => true
           case _ =>
@@ -1108,8 +1125,11 @@ class SqlEnv private (val spark: SparkSession) {
       """PRIMARY\s+KEY\s*\(([^)]*)\)\s*(?:NOT\s+ENFORCED\s*)?;?\s*$""").r
   private val alterDropPkRe =
     """(?is)^\s*ALTER\s+TABLE\s+`?([\w.]+)`?\s+DROP\s+(?:CONSTRAINT\s+`?[\w.]+`?|PRIMARY\s+KEY)\s*;?\s*$""".r
+  // optional PARTITION (spec) — PARTIAL specs legal (parserImpls.ftl:689
+  // SqlAlterTableCompact's PartitionSpecCommaList; key validation per
+  // convertAlterTableCompact:644)
   private val alterCompactRe =
-    """(?is)^\s*ALTER\s+TABLE\s+`?([\w.]+)`?\s+COMPACT\s*;?\s*$""".r
+    """(?is)^\s*ALTER\s+TABLE\s+`?([\w.]+)`?\s+(?:PARTITION\s*\(([^)]*)\)\s*)?COMPACT\s*;?\s*$""".r
   // ALTER TABLE ADD/DROP PARTITION (ddl/SqlAddPartitions.java /
   // SqlDropPartitions.java): ADD takes one or more space-separated
   // PARTITION (spec) [WITH (props)] groups; DROP takes comma-separated
@@ -1179,8 +1199,11 @@ class SqlEnv private (val spark: SparkSession) {
   // Spark temp-view error
   private val alterSchemaRe =
     """(?is)^\s*ALTER\s+TABLE\s+`?([\w.]+)`?\s+(ADD|MODIFY)\s*\(.*\)\s*;?\s*$""".r
+  // optional PARTITION (spec) filter — SqlShowPartitions carries the
+  // spec (dql/SqlShowPartitions.java:49; hive-dialect-parsed, shared
+  // ShowPartitionsOperation converter); partial specs legal
   private val showPartitionsRe =
-    """(?is)^\s*SHOW\s+PARTITIONS\s+`?([\w.]+)`?\s*;?\s*$""".r
+    """(?is)^\s*SHOW\s+PARTITIONS\s+`?([\w.]+)`?\s*(?:PARTITION\s*\(([^)]*)\)\s*)?;?\s*$""".r
   // modules (dql/SqlShowModules, SqlLoadModule, SqlUnloadModule,
   // ddl/SqlUseModules)
   private val showModulesRe =

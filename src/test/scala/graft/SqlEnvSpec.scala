@@ -1840,6 +1840,71 @@ class SqlEnvSpec extends AnyFunSuite {
     assert(flat.getMessage.contains("filesystem"), flat.getMessage)
   }
 
+  test("partition-targeted COMPACT and SHOW PARTITIONS PARTITION(spec) filters") {
+    val env = SqlEnv(spark)
+    val dir = "/tmp/graft_sql_pcompact18"
+    org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(dir))
+    env.executeSql("DROP TABLE IF EXISTS pc18_t")
+    env.executeSql(
+      s"""CREATE TABLE pc18_t (id BIGINT, a STRING, b STRING)
+         |PARTITIONED BY (a, b)
+         |WITH ('connector' = 'filesystem', 'path' = '$dir',
+         |      'format' = 'parquet')""".stripMargin)
+    env.executeSql(
+      """INSERT INTO pc18_t SELECT * FROM VALUES
+        |  (CAST(1 AS BIGINT), 'x', 'p'), (CAST(2 AS BIGINT), 'x', 'q'),
+        |  (CAST(3 AS BIGINT), 'y', 'p') AS v(id, a, b)""".stripMargin)
+    // fragment two leaves (leaf data files carry only the non-partition
+    // column, so a direct 200-row × 8-file rewrite is layout-faithful)
+    Seq(s"$dir/a=x/b=p", s"$dir/a=y/b=p").foreach { leaf =>
+      spark.range(0, 200).selectExpr("id")
+        .repartition(8).write.mode("overwrite").parquet(leaf)
+    }
+    spark.catalog.refreshByPath(dir)
+    val beforeX = graft.ops.Compact.partFileCount(spark, s"$dir/a=x/b=p")
+    val beforeY = graft.ops.Compact.partFileCount(spark, s"$dir/a=y/b=p")
+    assert(beforeX >= 8 && beforeY >= 8)
+    // PARTIAL spec: only a=x leaves compact; a=y stays fragmented
+    env.executeSql("ALTER TABLE pc18_t PARTITION (a='x') COMPACT")
+    assert(graft.ops.Compact.partFileCount(spark, s"$dir/a=x/b=p") < beforeX)
+    assert(graft.ops.Compact.partFileCount(spark, s"$dir/a=y/b=p") == beforeY,
+      "a partial spec must not touch non-matching leaves")
+    // full spec targets one leaf
+    env.executeSql("ALTER TABLE pc18_t PARTITION (a='y', b='p') COMPACT")
+    assert(graft.ops.Compact.partFileCount(spark, s"$dir/a=y/b=p") < beforeY)
+    // content intact after both targeted passes (the two fragmented
+    // b=p leaves carry 200 rows each, a=x/b=q kept its original row)
+    assert(env.executeSql("SELECT count(*) AS c FROM pc18_t")
+      .collect()(0).getLong(0) == 401)
+    // the reference's spec validation messages (convertAlterTableCompact)
+    val badKey = intercept[IllegalArgumentException] {
+      env.executeSql("ALTER TABLE pc18_t PARTITION (nope='1') COMPACT")
+    }
+    assert(badKey.getMessage.contains("not defined in the table schema") &&
+      badKey.getMessage.contains("Available ordered partition columns"),
+      badKey.getMessage)
+    env.executeSql("DROP TABLE IF EXISTS pc18_flat")
+    env.executeSql(
+      s"""CREATE TABLE pc18_flat (id BIGINT)
+         |WITH ('connector' = 'filesystem', 'path' = '$dir-flat',
+         |      'format' = 'parquet')""".stripMargin)
+    val notPart = intercept[IllegalArgumentException] {
+      env.executeSql("ALTER TABLE pc18_flat PARTITION (a='1') COMPACT")
+    }
+    assert(notPart.getMessage.contains("is not partitioned"), notPart.getMessage)
+    // SHOW PARTITIONS with a partial / full spec filter
+    assert(env.executeSql("SHOW PARTITIONS pc18_t PARTITION (a='x')").collect()
+      .map(_.getString(0)).toSeq == Seq("a=x/b=p", "a=x/b=q"))
+    assert(env.executeSql("SHOW PARTITIONS pc18_t PARTITION (b='p')").collect()
+      .map(_.getString(0)).toSeq == Seq("a=x/b=p", "a=y/b=p"))
+    assert(env.executeSql("SHOW PARTITIONS pc18_t PARTITION (a='y', b='p')").collect()
+      .map(_.getString(0)).toSeq == Seq("a=y/b=p"))
+    assert(env.executeSql("SHOW PARTITIONS pc18_t PARTITION (a='zz')").collect().isEmpty)
+    intercept[IllegalArgumentException] {
+      env.executeSql("SHOW PARTITIONS pc18_t PARTITION (nope='1')")
+    }
+  }
+
   test("COMPILE PLAN / EXECUTE PLAN: FLIP-190 adaptation persists statement + DDL") {
     val env = SqlEnv(spark).registerTestdata(TestSpark.sfDir)
     val dir = "/tmp/graft_sql_plan18"
