@@ -465,20 +465,26 @@ class SqlEnv private (val spark: SparkSession) {
         val showSpec = Option(specTxt).map(parsePartSpec).getOrElse(Nil)
         if (showSpec.nonEmpty)
           Partitions.validatePartialSpec(name, d.partitionedBy, showSpec)
-        def keepPart(n: String): Boolean = {
-          val segs = n.split("/")
-          showSpec.forall { case (k, v) =>
-            segs(d.partitionedBy.indexOf(k)) == s"$k=$v" }
-        }
         // filesystem tables list the on-disk Hive leaves — the
         // reference's listPartitions is a catalog call, not a scan, and
         // the directory listing is what makes an ADD PARTITION'ed empty
         // partition visible before any row lands; a null value's leaf
         // is __HIVE_DEFAULT_PARTITION__, rendered verbatim like the
-        // reference (and the layout) rather than as 'k=null'
-        if (d.connector == "filesystem")
-          return Partitions.listPartitionNames(spark, d.path, d.partitionedBy)
-            .filter(keepPart).toDF("partition name")
+        // reference (and the layout) rather than as 'k=null'. The spec
+        // filter matches ESCAPED path segments (matchingLeaves), so a
+        // value containing '/' or '=' filters correctly too.
+        if (d.connector == "filesystem") {
+          val rootP = new org.apache.hadoop.fs.Path(d.path)
+          val fs = rootP.getFileSystem(spark.sparkContext.hadoopConfiguration)
+          return Partitions.matchingLeaves(
+              Partitions.leafDirs(fs, rootP, d.partitionedBy.length),
+              d.partitionedBy, showSpec)
+            .map(Partitions.partName(_, d.partitionedBy.length))
+            .sorted.toDF("partition name")
+        }
+        def keepPart(vals: Seq[String]): Boolean =
+          showSpec.forall { case (k, v) =>
+            vals(d.partitionedBy.indexOf(k)) == v }
         // non-filesystem: fall back to a distinct over the partition
         // columns (prunes to those columns at the scan); a table with
         // no view yet lists empty, like the reference on an empty table
@@ -486,11 +492,13 @@ class SqlEnv private (val spark: SparkSession) {
           return Seq.empty[String].toDF("partition name")
         val rows = spark.table(name)
           .select(d.partitionedBy.map(col): _*).distinct().collect()
-        return rows.map(r => d.partitionedBy.zipWithIndex
-            .map { case (k, i) => s"$k=${Option(r.get(i)).map(_.toString)
-              .getOrElse(org.apache.spark.sql.catalyst.catalog.ExternalCatalogUtils.DEFAULT_PARTITION_NAME)}" }
-            .mkString("/"))
-          .filter(keepPart).sorted.toSeq.toDF("partition name")
+        return rows.map(r => d.partitionedBy.indices.map(i =>
+            Option(r.get(i)).map(_.toString).getOrElse(
+              org.apache.spark.sql.catalyst.catalog.ExternalCatalogUtils.DEFAULT_PARTITION_NAME)))
+          .filter(keepPart)
+          .map(vals => d.partitionedBy.zip(vals)
+            .map { case (k, v) => s"$k=$v" }.mkString("/"))
+          .sorted.toSeq.toDF("partition name")
       // FLIP-190 plan persistence (ddl/SqlCompilePlan.java,
       // dml/SqlExecutePlan.java + SqlCompileAndExecutePlan.java,
       // converter-wired SqlToOperationConverter.java:366-372) — honest
@@ -1144,9 +1152,10 @@ class SqlEnv private (val spark: SparkSession) {
   /** One PARTITION (spec) [WITH (props)] group inside the ADD/DROP tail. */
   private val partSpecRe =
     """(?is)PARTITION\s*\(([^)]*)\)(?:\s*WITH\s*\(([^)]*)\))?""".r
-  /** Parse `k = 'v'[, k2 = v2]` partition-spec text into ordered pairs. */
+  /** Parse `k = 'v'[, k2 = v2]` partition-spec text into ordered pairs
+    * (quote-aware item split — a quoted value may contain commas). */
   private def parsePartSpec(txt: String): Seq[(String, String)] =
-    txt.split(",").map(_.trim).filter(_.nonEmpty).toSeq.map { kv =>
+    Ddl.splitTopLevel(txt).map { kv =>
       val eq = kv.indexOf('=')
       require(eq > 0, s"cannot parse partition spec item: '$kv' (expected k = 'v')")
       val k = kv.substring(0, eq).trim.stripPrefix("`").stripSuffix("`")

@@ -1903,6 +1903,17 @@ class SqlEnvSpec extends AnyFunSuite {
     intercept[IllegalArgumentException] {
       env.executeSql("SHOW PARTITIONS pc18_t PARTITION (nope='1')")
     }
+    // hardened edges: a quoted value may contain a comma (quote-aware
+    // spec split) or a '/' (the spec filter matches ESCAPED segments,
+    // so a slash value cannot corrupt the per-level match)
+    env.executeSql("ALTER TABLE pc18_t ADD PARTITION (a='m,1', b='n/2')")
+    assert(env.executeSql("SHOW PARTITIONS pc18_t PARTITION (a='m,1')").collect()
+      .map(_.getString(0)).toSeq == Seq("a=m,1/b=n/2"))
+    assert(env.executeSql("SHOW PARTITIONS pc18_t PARTITION (b='n/2')").collect()
+      .map(_.getString(0)).toSeq == Seq("a=m,1/b=n/2"))
+    assert(env.executeSql("SHOW PARTITIONS pc18_t PARTITION (b='2')").collect().isEmpty,
+      "a slash value must not be matchable by its tail segment")
+    env.executeSql("ALTER TABLE pc18_t DROP PARTITION (a='m,1', b='n/2')")
   }
 
   test("COMPILE PLAN / EXECUTE PLAN: FLIP-190 adaptation persists statement + DDL") {
