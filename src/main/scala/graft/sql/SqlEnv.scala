@@ -685,12 +685,37 @@ class SqlEnv private (val spark: SparkSession) {
           spark.sql(s"ANALYZE TABLE $name $upgraded")
         } else spark.sql(s"ANALYZE TABLE $name $t")
         return spark.emptyDataFrame
-      case explainRe(body) =>
+      // EXECUTE <query|insert> (dml/SqlExecute — converter unwraps to the
+      // inner statement, SqlToOperationConverter.java:363-365); the
+      // STATEMENT SET and PLAN forms have their own branches above/below
+      case executeStmtRe(inner) =>
+        return executeSql(inner)
+      case explainRe(detailsTxt, body) =>
         import spark.implicits._
+        // FLIP-162 detail flags (SqlRichExplain + ParseExplainDetail;
+        // ExplainDetail.java) — duplicates rejected with the parser's
+        // exact message
+        val details = Option(detailsTxt).map(
+          _.toUpperCase.split(",").map(_.trim).toSeq).getOrElse(Nil)
+        require(details.distinct == details,
+          "Duplicate EXPLAIN DETAIL is not allowed.")
         val trimmed = body.trim
+        // EXPLAIN STATEMENT SET plans EVERY insert's source (the
+        // grammar's SqlStatementSet branch) — one section per statement,
+        // nothing executed
+        trimmed match {
+          case stmtSetRe(setBody) =>
+            val stmts = Ddl.splitTopLevelSemi(setBody).filter(_.nonEmpty)
+            require(stmts.nonEmpty && stmts.forall(Ddl.isInsert),
+              "STATEMENT SET supports INSERT statements only")
+            return Seq(stmts.zipWithIndex.map { case (s, i) =>
+              s"== Statement ${i + 1} ==\n${explainOne(s, details)}"
+            }.mkString("\n\n")).toDF("result")
+          case _ =>
+        }
         val isCommand = trimmed match {
           case setKvRe(_, _) | setListRe() | resetRe(_) | createViewRe(_, _)
-               | dropRe(_) | stmtSetRe(_) | showRe(_) | descRe(_)
+               | dropRe(_) | showRe(_) | descRe(_)
                | showCreateRe(_) | showColumnsRe(_) | useCatalogRe(_)
                | useDbRe(_) | showCatalogsRe() | showDatabasesRe()
                | alterRenameRe(_, _) | alterSetRe(_, _) | alterResetRe(_, _)
@@ -712,15 +737,8 @@ class SqlEnv private (val spark: SparkSession) {
               ctasColsRe.matches(trimmed)
         }
         require(!isCommand,
-          "EXPLAIN supports queries and INSERT statements only")
-        // any INSERT explains its source: DDL-table inserts write
-        // eagerly in executeInsert, native ones in spark.sql itself
-        val toPlan =
-          if (Ddl.isInsert(trimmed)) Ddl.insertSource(trimmed).get
-          else trimmed
-        val plan = executeSql(toPlan).queryExecution.explainString(
-          org.apache.spark.sql.execution.ExtendedMode)
-        return Seq(plan).toDF("result")
+          "EXPLAIN supports queries, INSERT statements and STATEMENT SETs only")
+        return Seq(explainOne(trimmed, details)).toDF("result")
       case _ =>
     }
     // CREATE TABLE ... AS <query> (FLIP-218, new in the 1.16 release —
@@ -1267,8 +1285,50 @@ class SqlEnv private (val spark: SparkSession) {
     new java.util.concurrent.ConcurrentHashMap[String, String]()
   private val descRe =
     """(?is)^\s*DESC(?:RIBE)?\s+([\w.]+)\s*;?\s*$""".r
+  // EXPLAIN [PLAN FOR | <detail>[, <detail>]...] <stmt> — the FLIP-162
+  // detail flags of SqlRichExplain (parserImpls.ftl:1969 +
+  // ParseExplainDetail; api/ExplainDetail.java)
   private val explainRe =
-    """(?is)^\s*EXPLAIN\s+(?:PLAN\s+FOR\s+)?(.+)$""".r
+    ("""(?is)^\s*EXPLAIN\s+(?:PLAN\s+FOR\s+)?""" +
+      """(?:((?:ESTIMATED_COST|CHANGELOG_MODE|JSON_EXECUTION_PLAN)""" +
+      """(?:\s*,\s*(?:ESTIMATED_COST|CHANGELOG_MODE|JSON_EXECUTION_PLAN))*)\s+)?(.+)$""").r
+  // EXECUTE <stmt> (dml/SqlExecute) — PLAN/STATEMENT SET excluded, they
+  // have dedicated statements
+  private val executeStmtRe =
+    """(?is)^\s*EXECUTE\s+(?!PLAN\b|STATEMENT\b)(.+)$""".r
+
+  /** Render one statement's plan with the requested FLIP-162 detail
+    * sections. ESTIMATED_COST maps onto Spark's cost explain mode
+    * (per-node `Statistics(sizeInBytes, rowCount)` — the optimizer's
+    * estimates, the analog of the reference's cumulative-cost rows);
+    * JSON_EXECUTION_PLAN appends the physical plan's JSON rendering;
+    * CHANGELOG_MODE reports the frame-level mode — Spark has no
+    * per-node changelog annotation, and graft changelog frames carry
+    * their kind in the `row_kind` column (honest adaptation, README
+    * dialect notes). An INSERT explains its SOURCE (executeInsert
+    * writes eagerly, so planning the full statement would perform the
+    * write).
+    */
+  private def explainOne(stmt: String, details: Seq[String]): String = {
+    val toPlan = if (Ddl.isInsert(stmt)) Ddl.insertSource(stmt).get else stmt
+    val df = executeSql(toPlan)
+    val qe = df.queryExecution
+    val base = qe.explainString(
+      if (details.contains("ESTIMATED_COST")) org.apache.spark.sql.execution.CostMode
+      else org.apache.spark.sql.execution.ExtendedMode)
+    val changelog =
+      if (!details.contains("CHANGELOG_MODE")) Nil
+      else if (df.columns.contains(graft.streaming.Changelog.KindCol))
+        Seq("== Changelog Mode ==\nchangelogMode=[I,UB,UA,D] " +
+          "(retract-encoded: kinds ride the 'row_kind' column)")
+      else Seq("== Changelog Mode ==\nchangelogMode=[I] (insert-only)")
+    val json =
+      if (!details.contains("JSON_EXECUTION_PLAN")) Nil
+      else Seq("== Physical Execution Plan (JSON) ==\n" +
+        (try qe.executedPlan.toJSON
+         catch { case e: Throwable => s"<not JSON-serializable: ${e.getMessage}>" }))
+    (Seq(base) ++ changelog ++ json).mkString("\n\n")
+  }
   private val analyzeRe =
     """(?is)^\s*ANALYZE\s+TABLE\s+([\w.]+)\s+(.+?)\s*;?\s*$""".r
 

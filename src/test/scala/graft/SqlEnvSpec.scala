@@ -2030,6 +2030,52 @@ class SqlEnvSpec extends AnyFunSuite {
       .collect()(0).getInt(0) == 8, "the graft registration must survive the skip")
   }
 
+  test("EXPLAIN details (FLIP-162), EXPLAIN STATEMENT SET, EXECUTE statement") {
+    val env = SqlEnv(spark).registerTestdata(TestSpark.sfDir)
+    def explain(sql: String): String =
+      env.executeSql(sql).collect()(0).getString(0)
+    // ESTIMATED_COST → Spark's cost mode: per-node Statistics estimates
+    val cost = explain("EXPLAIN ESTIMATED_COST SELECT r_regionkey FROM region WHERE r_regionkey > 1")
+    assert(cost.contains("Statistics(") && cost.contains("sizeInBytes"), cost.take(400))
+    // CHANGELOG_MODE: insert-only for a plain query...
+    val cm = explain("EXPLAIN CHANGELOG_MODE SELECT r_name FROM region")
+    assert(cm.contains("changelogMode=[I] (insert-only)"), cm.takeRight(200))
+    // ...retract-encoded when the frame carries graft's row_kind column
+    spark.sql("SELECT '+I' AS row_kind, 1 AS x")
+      .createOrReplaceTempView("cm18_changelog")
+    val cm2 = explain("EXPLAIN CHANGELOG_MODE SELECT * FROM cm18_changelog")
+    assert(cm2.contains("changelogMode=[I,UB,UA,D]"), cm2.takeRight(200))
+    // JSON_EXECUTION_PLAN appends the physical plan's JSON rendering
+    val js = explain("EXPLAIN JSON_EXECUTION_PLAN SELECT count(*) AS c FROM nation")
+    assert(js.contains("== Physical Execution Plan (JSON) ==") && js.contains("\"class\""),
+      js.takeRight(200))
+    // comma-combined details; duplicates rejected with the parser's message
+    val both = explain("EXPLAIN ESTIMATED_COST, CHANGELOG_MODE SELECT 1 AS x")
+    assert(both.contains("Statistics(") && both.contains("changelogMode="), both.take(200))
+    val dup = intercept[IllegalArgumentException] {
+      env.executeSql("EXPLAIN ESTIMATED_COST, ESTIMATED_COST SELECT 1")
+    }
+    assert(dup.getMessage.contains("Duplicate EXPLAIN DETAIL is not allowed."), dup.getMessage)
+    // EXPLAIN STATEMENT SET: one section per INSERT, nothing written
+    val dir = "/tmp/graft_sql_explainset18"
+    org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(dir))
+    env.executeSql("DROP TABLE IF EXISTS es18_t")
+    env.executeSql(
+      s"""CREATE TABLE es18_t (r BIGINT)
+         |WITH ('connector' = 'filesystem', 'path' = '$dir', 'format' = 'parquet')""".stripMargin)
+    val setPlan = explain(
+      """EXPLAIN STATEMENT SET BEGIN
+        |INSERT INTO es18_t SELECT r_regionkey FROM region;
+        |INSERT INTO es18_t SELECT n_nationkey FROM nation;
+        |END""".stripMargin)
+    assert(setPlan.contains("== Statement 1 ==") && setPlan.contains("== Statement 2 =="))
+    assert(!new java.io.File(dir).exists, "EXPLAIN STATEMENT SET must not write")
+    // EXECUTE <stmt> (SqlExecute): unwraps to the inner statement
+    assert(env.executeSql("EXECUTE SELECT 2 + 3 AS v").collect()(0).getInt(0) == 5)
+    env.executeSql("EXECUTE INSERT INTO es18_t SELECT r_regionkey FROM region")
+    assert(env.executeSql("SELECT count(*) AS c FROM es18_t").collect()(0).getLong(0) == 5)
+  }
+
   test("ANALYZE then INSERT: the re-registered view must serve post-insert rows") {
     // r16 advice (medium): ANALYZE caches the temp view; a later INSERT
     // re-registers a scan that is sameResult with the cached plan
