@@ -39,7 +39,36 @@ class SqlEnv private (val spark: SparkSession) {
     *    [[graft.streaming.Cep]] via [[MatchRecognizeSql]].
     */
   def executeSql(sql: String): DataFrame = {
+    // Interactive statement-set mode — `BEGIN STATEMENT SET;` ...
+    // INSERTs/CTAS buffered ... `END;` (dml/SqlBeginStatementSet /
+    // SqlEndStatementSet; session semantics per the SQL client,
+    // CliClient.java:618-630 callBeginStatementSet/callEndStatementSet:
+    // only inserts and CTAS may be buffered, END submits them, END
+    // without BEGIN errors — messages verbatim from CliStrings.java).
+    if (statementSetMode) {
+      sql match {
+        case endStmtRe() =>
+          statementSetMode = false
+          val stmts = statementSetBuffer.toSeq
+          statementSetBuffer.clear()
+          stmts.foreach(executeSql)
+          return spark.emptyDataFrame
+        case _ if Ddl.isInsert(sql) || ctasRe.matches(sql) =>
+          statementSetBuffer += sql
+          return spark.emptyDataFrame
+        case _ =>
+          throw new IllegalArgumentException(
+            "Only INSERT statement is allowed in Statement Set.")
+      }
+    }
     sql match {
+      case beginSetRe() =>
+        statementSetMode = true; statementSetBuffer.clear()
+        return spark.emptyDataFrame
+      case endStmtRe() =>
+        throw new IllegalArgumentException(
+          "No Statement Set to submit, \"END;\" command should be used " +
+            "after \"BEGIN STATEMENT SET;\".")
       // SET 'key' = 'value' — SQL-client session config (reference:
       // flink-table-planner SetOperationParseStrategy +
       // operations/command/SetOperation.java). Config keys the
@@ -75,29 +104,43 @@ class SqlEnv private (val spark: SparkSession) {
           "STATEMENT SET supports INSERT statements only")
         stmts.foreach(executeSql)
         return spark.emptyDataFrame
-      // SHOW TABLES / SHOW VIEWS / SHOW FUNCTIONS — catalog listings
-      // with Flink's literal result headers (SqlShowTables et al. in
-      // flink-sql-parser; TableEnvironmentImpl returns one string
-      // column named like "table name").
+      // SHOW TABLES [FROM|IN db] [[NOT] LIKE 'p'] (SqlShowTables'
+      // optional database + SQL-LIKE pattern, parserImpls.ftl:475) /
+      // SHOW VIEWS / SHOW [USER] FUNCTIONS (SqlShowFunctions:442 —
+      // USER lists only catalog functions, i.e. CREATE FUNCTION's) —
+      // catalog listings with Flink's literal result headers.
+      case showTablesRe(db, notLike, pat) =>
+        import spark.implicits._
+        val dbKey = Option(db) match {
+          case Some(d0) =>
+            require(inDefaultCatalog && databases.containsKey(d0),
+              s"SHOW TABLES: database '$d0' does not exist")
+            s"default_catalog.$d0"
+          case None => currentDbKey
+        }
+        // scoped to the database: DDL tables carry their owning database
+        // (tableDb); plain catalog temp views (e.g. registerTestdata)
+        // live in the default database
+        val ddlTables = tableDefs.keySet.toArray.map(_.toString)
+          .filter(t => tableDb.getOrDefault(t, "default_catalog.default_database") == dbKey)
+        // catalog temp views from another database's MATERIALIZED
+        // filesystem tables are session-global — exclude any name
+        // the registry assigns elsewhere
+        val catalogViews =
+          if (dbKey == "default_catalog.default_database")
+            spark.catalog.listTables().collect().map(_.name)
+              .filterNot(t => tableDb.containsKey(t) && tableDb.get(t) != dbKey)
+          else Array.empty[String]
+        val like = likeFilter(Option(pat), notLike != null)
+        return (ddlTables ++ catalogViews).distinct.filter(like)
+          .sorted.toSeq.toDF("table name")
+      case showUserFnRe() =>
+        import spark.implicits._
+        return createdFunctions.keySet.toArray.map(_.toString)
+          .distinct.sorted.toSeq.toDF("function name")
       case showRe(what) =>
         import spark.implicits._
         return what.toUpperCase match {
-          case "TABLES" =>
-            // scoped to the current database: DDL tables carry their
-            // owning database (tableDb); plain catalog temp views (e.g.
-            // registerTestdata) live in the default database
-            val ddlTables = tableDefs.keySet.toArray.map(_.toString)
-              .filter(t => tableDb.getOrDefault(t, "default_catalog.default_database") == currentDbKey)
-            // catalog temp views from another database's MATERIALIZED
-            // filesystem tables are session-global — exclude any name
-            // the registry assigns elsewhere
-            val catalogViews =
-              if (currentDbKey == "default_catalog.default_database")
-                spark.catalog.listTables().collect().map(_.name)
-                  .filterNot(t => tableDb.containsKey(t) &&
-                    tableDb.get(t) != currentDbKey)
-              else Array.empty[String]
-            (ddlTables ++ catalogViews).distinct.sorted.toSeq.toDF("table name")
           // only objects created with CREATE VIEW (SqlShowViews lists
           // catalog views, not every temp table registration)
           case "VIEWS" =>
@@ -117,10 +160,14 @@ class SqlEnv private (val spark: SparkSession) {
         val d = Option(tableDefs.get(name)).getOrElse(throw new IllegalArgumentException(
           s"SHOW CREATE TABLE: '$name' was not created via CREATE TABLE"))
         return Seq(Ddl.showCreate(d)).toDF("result")
-      // SHOW COLUMNS FROM t ≡ DESCRIBE t (SqlShowColumns shares
-      // DESCRIBE's six-column shape in the reference)
-      case showColumnsRe(name) =>
-        return executeSql(s"DESCRIBE $name")
+      // SHOW COLUMNS FROM t [[NOT] LIKE 'p'] ≡ DESCRIBE t filtered by
+      // column name (SqlShowColumns shares DESCRIBE's six-column shape
+      // in the reference; the LIKE leg is parserImpls.ftl:524)
+      case showColumnsRe(name, notLike, pat) =>
+        val desc = executeSql(s"DESCRIBE $name")
+        if (pat == null) return desc
+        val m = col("name").like(pat)
+        return desc.filter(if (notLike != null) !m else m)
       // USE CATALOG c / USE db — session-scoped like the SQL client;
       // SHOW CATALOGS / SHOW DATABASES list them with Flink's literal
       // one-column headers. In the default catalog USE validates
@@ -716,7 +763,9 @@ class SqlEnv private (val spark: SparkSession) {
         val isCommand = trimmed match {
           case setKvRe(_, _) | setListRe() | resetRe(_) | createViewRe(_, _)
                | dropRe(_) | showRe(_) | descRe(_)
-               | showCreateRe(_) | showColumnsRe(_) | useCatalogRe(_)
+               | showTablesRe(_, _, _) | showUserFnRe()
+               | beginSetRe() | endStmtRe()
+               | showCreateRe(_) | showColumnsRe(_, _, _) | useCatalogRe(_)
                | useDbRe(_) | showCatalogsRe() | showDatabasesRe()
                | alterRenameRe(_, _) | alterSetRe(_, _) | alterResetRe(_, _)
                | createDbRe(_, _, _) | dropDbRe(_, _, _) | alterDbRe(_, _)
@@ -1071,6 +1120,30 @@ class SqlEnv private (val spark: SparkSession) {
     """(?is)^\s*(?:EXECUTE\s+)?STATEMENT\s+SET\s+BEGIN\s+(.+?)\s*;?\s*END\s*;?\s*$""".r
   private val showRe =
     """(?is)^\s*SHOW\s+(TABLES|VIEWS|FUNCTIONS)\s*;?\s*$""".r
+  // SHOW TABLES [FROM|IN db] [[NOT] LIKE 'p'] (SqlShowTables:475)
+  private val showTablesRe =
+    ("""(?is)^\s*SHOW\s+TABLES\s*(?:(?:FROM|IN)\s+`?([\w.]+)`?\s*)?""" +
+      """(?:(NOT\s+)?LIKE\s+'([^']*)'\s*)?;?\s*$""").r
+  private val showUserFnRe =
+    """(?is)^\s*SHOW\s+USER\s+FUNCTIONS\s*;?\s*$""".r
+  /** SQL-LIKE predicate for the SHOW ... LIKE legs (% = any run,
+    * _ = one char), with NOT inversion; no pattern = keep all. */
+  private def likeFilter(pat: Option[String], not: Boolean): String => Boolean =
+    pat match {
+      case None => _ => true
+      case Some(p) =>
+        val rx = java.util.regex.Pattern.compile(
+          "(?s)" + java.util.regex.Pattern.quote(p)
+            .replace("%", "\\E.*\\Q").replace("_", "\\E.\\Q"))
+        s => rx.matcher(s).matches() != not
+    }
+  // interactive statement-set session mode (SqlBeginStatementSet /
+  // SqlEndStatementSet — see executeSql's head)
+  private val beginSetRe =
+    """(?is)^\s*BEGIN\s+STATEMENT\s+SET\s*;?\s*$""".r
+  private val endStmtRe = """(?is)^\s*END\s*;?\s*$""".r
+  @volatile private var statementSetMode = false
+  private val statementSetBuffer = scala.collection.mutable.ArrayBuffer.empty[String]
   private val showCreateRe =
     """(?is)^\s*SHOW\s+CREATE\s+TABLE\s+([\w.]+)\s*;?\s*$""".r
   // ALTER TABLE (SqlAlterTableRename / SqlAlterTableOptions /
@@ -1086,7 +1159,8 @@ class SqlEnv private (val spark: SparkSession) {
   private val createLikeRe =
     """(?is)^\s*CREATE\s+TABLE\s+(?:IF\s+NOT\s+EXISTS\s+)?`?([\w.]+)`?\s*(?:\((.*?)\)\s*)?(?:WITH\s*\((.*?)\)\s*)?LIKE\s+`?([\w.]+)`?\s*(?:\(\s*([^)]*)\)\s*)?;?\s*$""".r
   private val showColumnsRe =
-    """(?is)^\s*SHOW\s+COLUMNS\s+(?:FROM|IN)\s+([\w.]+)\s*;?\s*$""".r
+    ("""(?is)^\s*SHOW\s+COLUMNS\s+(?:FROM|IN)\s+([\w.]+)\s*""" +
+      """(?:(NOT\s+)?LIKE\s+'([^']*)'\s*)?;?\s*$""").r
   private val useCatalogRe = """(?is)^\s*USE\s+CATALOG\s+([\w.]+)\s*;?\s*$""".r
   private val useDbRe = """(?is)^\s*USE\s+(?!CATALOG\b)([\w.]+)\s*;?\s*$""".r
   private val showCatalogsRe = """(?is)^\s*SHOW\s+CATALOGS\s*;?\s*$""".r
@@ -1283,8 +1357,11 @@ class SqlEnv private (val spark: SparkSession) {
     * ALTER FUNCTION may only touch these, never built-ins. */
   private val createdFunctions =
     new java.util.concurrent.ConcurrentHashMap[String, String]()
+  // DESCRIBE [EXTENDED] t (SqlRichDescribeTable:573) — graft's
+  // six-column shape already carries the extended info (key/extras/
+  // watermark), so EXTENDED is accepted and serves the same rows
   private val descRe =
-    """(?is)^\s*DESC(?:RIBE)?\s+([\w.]+)\s*;?\s*$""".r
+    """(?is)^\s*DESC(?:RIBE)?\s+(?:EXTENDED\s+)?(?!DATABASE\b|CATALOG\b)([\w.]+)\s*;?\s*$""".r
   // EXPLAIN [PLAN FOR | <detail>[, <detail>]...] <stmt> — the FLIP-162
   // detail flags of SqlRichExplain (parserImpls.ftl:1969 +
   // ParseExplainDetail; api/ExplainDetail.java)

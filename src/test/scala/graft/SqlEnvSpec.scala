@@ -2076,6 +2076,77 @@ class SqlEnvSpec extends AnyFunSuite {
     assert(env.executeSql("SELECT count(*) AS c FROM es18_t").collect()(0).getLong(0) == 5)
   }
 
+  test("BEGIN STATEMENT SET session mode, SHOW variants (USER/FROM/LIKE), DESCRIBE EXTENDED") {
+    val env = SqlEnv(spark).registerTestdata(TestSpark.sfDir)
+    // --- interactive statement-set mode (CliClient semantics) ---
+    val dir = "/tmp/graft_sql_beginset18"
+    org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(dir))
+    env.executeSql("DROP TABLE IF EXISTS bs18_t")
+    env.executeSql(
+      s"""CREATE TABLE bs18_t (r BIGINT)
+         |WITH ('connector' = 'filesystem', 'path' = '$dir', 'format' = 'parquet')""".stripMargin)
+    // END without BEGIN: the client's exact error
+    val noSet = intercept[IllegalArgumentException] { env.executeSql("END;") }
+    assert(noSet.getMessage.contains("No Statement Set to submit"), noSet.getMessage)
+    env.executeSql("BEGIN STATEMENT SET;")
+    env.executeSql("INSERT INTO bs18_t SELECT r_regionkey FROM region")
+    env.executeSql("INSERT INTO bs18_t SELECT n_nationkey FROM nation")
+    assert(!new java.io.File(dir).exists, "buffered inserts must not execute before END")
+    // only inserts (and CTAS) may enter the set — the client's message
+    val notIns = intercept[IllegalArgumentException] { env.executeSql("SHOW TABLES") }
+    assert(notIns.getMessage == "Only INSERT statement is allowed in Statement Set.",
+      notIns.getMessage)
+    env.executeSql("END;")
+    assert(env.executeSql("SELECT count(*) AS c FROM bs18_t").collect()(0).getLong(0) == 30,
+      "END must submit both buffered inserts")
+    // mode is off again: END errors, statements execute directly
+    intercept[IllegalArgumentException] { env.executeSql("END") }
+    // empty set: BEGIN then END is a no-op
+    env.executeSql("BEGIN STATEMENT SET")
+    env.executeSql("END")
+    // --- SHOW USER FUNCTIONS lists only CREATE FUNCTION objects ---
+    try spark.sessionState.functionRegistry.dropFunction(
+      org.apache.spark.sql.catalyst.FunctionIdentifier("ufn18")) catch { case _: Throwable => () }
+    env.executeSql("CREATE FUNCTION ufn18 AS 'graft.TestUdfUpper'")
+    val userFns = env.executeSql("SHOW USER FUNCTIONS").collect().map(_.getString(0))
+    assert(userFns.toSeq == Seq("ufn18"), userFns.mkString(", "))
+    assert(env.executeSql("SHOW FUNCTIONS").collect().length > 100,
+      "plain SHOW FUNCTIONS lists the full registry")
+    env.executeSql("DROP FUNCTION ufn18")
+    // --- SHOW TABLES FROM db / [NOT] LIKE pattern ---
+    env.executeSql("CREATE DATABASE IF NOT EXISTS sv18_db")
+    env.executeSql("USE sv18_db")
+    env.executeSql("CREATE TABLE sv18_a (x INT) WITH ('connector' = 'blackhole')")
+    env.executeSql("CREATE TABLE sv18_b (x INT) WITH ('connector' = 'blackhole')")
+    env.executeSql("CREATE TABLE other18 (x INT) WITH ('connector' = 'blackhole')")
+    assert(env.executeSql("SHOW TABLES LIKE 'sv18%'").collect()
+      .map(_.getString(0)).toSeq == Seq("sv18_a", "sv18_b"))
+    assert(env.executeSql("SHOW TABLES NOT LIKE 'sv18%'").collect()
+      .map(_.getString(0)).toSeq == Seq("other18"))
+    // '_' is the single-char wildcard
+    assert(env.executeSql("SHOW TABLES LIKE 'sv18__'").collect()
+      .map(_.getString(0)).toSeq == Seq("sv18_a", "sv18_b"))
+    env.executeSql("USE default_database")
+    assert(env.executeSql("SHOW TABLES FROM sv18_db").collect()
+      .map(_.getString(0)).toSeq == Seq("other18", "sv18_a", "sv18_b"))
+    assert(env.executeSql("SHOW TABLES FROM sv18_db LIKE '%18_a'").collect()
+      .map(_.getString(0)).toSeq == Seq("sv18_a"))
+    intercept[IllegalArgumentException] { env.executeSql("SHOW TABLES FROM no_such_db18") }
+    env.executeSql("DROP DATABASE sv18_db CASCADE")
+    // --- SHOW COLUMNS ... LIKE + DESCRIBE EXTENDED ---
+    env.executeSql("DROP TABLE IF EXISTS svc18_t")
+    env.executeSql(
+      """CREATE TABLE svc18_t (order_id BIGINT, order_ts TIMESTAMP(3), amount DOUBLE)
+        |WITH ('connector' = 'blackhole')""".stripMargin)
+    assert(env.executeSql("SHOW COLUMNS FROM svc18_t LIKE 'order%'").collect()
+      .map(_.getString(0)).toSeq == Seq("order_id", "order_ts"))
+    assert(env.executeSql("SHOW COLUMNS IN svc18_t NOT LIKE 'order%'").collect()
+      .map(_.getString(0)).toSeq == Seq("amount"))
+    assert(env.executeSql("DESCRIBE EXTENDED svc18_t").collect().length == 3)
+    assert(env.executeSql("DESC EXTENDED svc18_t").columns.toSeq ==
+      Seq("name", "type", "null", "key", "extras", "watermark"))
+  }
+
   test("ANALYZE then INSERT: the re-registered view must serve post-insert rows") {
     // r16 advice (medium): ANALYZE caches the temp view; a later INSERT
     // re-registers a scan that is sameResult with the cached plan
