@@ -120,9 +120,25 @@ object Compact {
             if (compactLeaf(spark, fs, leaf, targetBytes)) rewritten.incrementAndGet()
         })
       }
+      var failure: Throwable = null
       futures.foreach { f =>
-        try f.get()
-        catch { case e: java.util.concurrent.ExecutionException => throw e.getCause }
+        if (failure == null)
+          try f.get()
+          catch {
+            case e: java.util.concurrent.ExecutionException => failure = e.getCause
+            case e: Throwable => failure = e
+          }
+      }
+      if (failure != null) {
+        // a failed leaf must not leave background rewrites mutating the
+        // table after the statement reports its error: queued leaves are
+        // cancelled before they start, in-flight swaps are waited out
+        // (each leaf swap is self-consistent), THEN the caller sees the
+        // failure — a retry can never race a still-running rename
+        futures.foreach(_.cancel(false))
+        pool.shutdown()
+        pool.awaitTermination(1, java.util.concurrent.TimeUnit.HOURS)
+        throw failure
       }
     } finally pool.shutdown()
     rewritten.get
@@ -149,26 +165,42 @@ object Compact {
   }
 
   /** Repair crash residue from a previous compaction run (see
-    * [[compactPartitioned]]). Also sweeps the pre-r18 UNPREFIXED
-    * staging names (`<leaf>__compact_tmp/old`), which Spark's partition
-    * discovery COULD see — restoring or deleting them removes the
-    * phantom-partition hazard retroactively.
+    * [[compactPartitioned]]).
+    *
+    * Only DOT-PREFIXED names are unambiguously ours — a real partition
+    * dir always starts with `k=`, never `.`, so `.X__compact_tmp/old`
+    * can only be staging. A bare `X__compact_tmp/old` name could ALSO
+    * be a legitimate partition whose escaped VALUE ends in the suffix
+    * (`_` is never path-escaped), so the pre-r18 unprefixed residue
+    * shapes are swept only when the partner leaf `X` exists — which
+    * proves residue (a completed rewrite whose cleanup failed, or an
+    * abandoned tmp) and makes deletion safe; an unpartnered bare name
+    * is left untouched rather than risk renaming user data.
     */
   private[graft] def sweepStaging(fs: FileSystem, root: Path, depth: Int): Unit = {
+    def partner(p: Path, n: String, suffix: String): Path =
+      new Path(p, n.stripPrefix(".").stripSuffix(suffix))
     def scan(p: Path, d: Int): Unit = {
       if (!fs.exists(p)) return
       fs.listStatus(p).filter(_.isDirectory).foreach { s =>
         val n = s.getPath.getName
-        if (n.endsWith("__compact_tmp"))
+        if (n.startsWith(".") && n.endsWith("__compact_tmp"))
           // never the only copy: the leaf (write crashed) or its old
           // dir (rename crashed) still holds the data
           fs.delete(s.getPath, true)
-        else if (n.endsWith("__compact_old")) {
-          val leaf = new Path(p, n.stripPrefix(".").stripSuffix("__compact_old"))
+        else if (n.startsWith(".") && n.endsWith("__compact_old")) {
+          val leaf = partner(p, n, "__compact_old")
           if (fs.exists(leaf)) fs.delete(s.getPath, true) // rewrite done, cleanup failed
           else require(fs.rename(s.getPath, leaf), // crash between the two renames
             s"compact: could not restore $leaf from crash residue ${s.getPath}")
-        } else if (d > 1 && !graft.sql.Partitions.hidden(n) && n.contains("="))
+        } else if (!n.startsWith(".") &&
+            (n.endsWith("__compact_tmp") || n.endsWith("__compact_old")) &&
+            fs.exists(partner(p, n,
+              if (n.endsWith("__compact_tmp")) "__compact_tmp" else "__compact_old")))
+          // legacy (pre-dot-prefix) residue, provably redundant: the
+          // partner leaf holds the data
+          fs.delete(s.getPath, true)
+        else if (d > 1 && !graft.sql.Partitions.hidden(n) && n.contains("="))
           scan(s.getPath, d - 1)
       }
     }

@@ -56,15 +56,19 @@ object Partitions {
     }.mkString("/")
   }
 
-  /** SHOW PARTITIONS listing — the reference's `listPartitions` is a
-    * catalog call, not a scan; the filesystem analog is this leaf
-    * listing (which is also what makes an ADD'ed empty partition
-    * visible before any INSERT touches it). */
+  /** SHOW PARTITIONS listing, optionally filtered by a PARTIAL spec —
+    * the reference's `listPartitions` is a catalog call, not a scan;
+    * the filesystem analog is this leaf listing (which is also what
+    * makes an ADD'ed empty partition visible before any INSERT touches
+    * it). The spec matches ESCAPED on-disk segments, so values
+    * containing '/' or '=' filter correctly. */
   def listPartitionNames(spark: SparkSession, root: String,
-                         partCols: Seq[String]): Seq[String] = {
+                         partCols: Seq[String],
+                         spec: Seq[(String, String)] = Nil): Seq[String] = {
     val rootP = new Path(root)
     val fs = rootP.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    leafDirs(fs, rootP, partCols.length).map(partName(_, partCols.length)).sorted
+    matchingLeaves(leafDirs(fs, rootP, partCols.length), partCols, spec)
+      .map(partName(_, partCols.length)).sorted
   }
 
   /** Resolve a full partition spec to its leaf path, validating that it

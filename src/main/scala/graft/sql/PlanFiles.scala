@@ -26,7 +26,8 @@ import com.fasterxml.jackson.databind.node.ObjectNode
 object PlanFiles {
 
   private val Version = 1
-  private def mapper = new ObjectMapper()
+  // ObjectMapper is thread-safe once configured; one shared instance
+  private val mapper = new ObjectMapper()
 
   /** Write the plan envelope. `tables` maps each referenced dialect
     * table to its reconstructed CREATE TABLE DDL. */

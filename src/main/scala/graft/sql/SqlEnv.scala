@@ -56,6 +56,15 @@ class SqlEnv private (val spark: SparkSession) {
         case _ if Ddl.isInsert(sql) || ctasRe.matches(sql) =>
           statementSetBuffer += sql
           return spark.emptyDataFrame
+        // unsupported CTAS forms fail at statement time with the CTAS
+        // messages (the CLI parses each buffered statement too), not a
+        // misleading insert-only rejection or a deferred END failure
+        case _ if ctasTempRe.matches(sql) =>
+          throw new IllegalArgumentException(
+            "CREATE TABLE AS SELECT syntax does not support to create temporary table yet.")
+        case _ if ctasColsRe.matches(sql) =>
+          throw new IllegalArgumentException(
+            "CREATE TABLE AS SELECT syntax does not support to specify explicit columns yet.")
         case _ =>
           throw new IllegalArgumentException(
             "Only INSERT statement is allowed in Statement Set.")
@@ -90,6 +99,7 @@ class SqlEnv private (val spark: SparkSession) {
         return spark.emptyDataFrame
       case dropRe(name) =>
         tableDefs.remove(name); createdViews.remove(name); tableDb.remove(name)
+        partitionProps.keySet.removeIf(_.startsWith(s"$name/"))
         spark.catalog.dropTempView(name)
         return spark.emptyDataFrame
       // EXECUTE STATEMENT SET BEGIN <insert>; <insert>; END
@@ -112,10 +122,15 @@ class SqlEnv private (val spark: SparkSession) {
       case showTablesRe(db, notLike, pat) =>
         import spark.implicits._
         val dbKey = Option(db) match {
-          case Some(d0) =>
-            require(inDefaultCatalog && databases.containsKey(d0),
+          // `catalog.db` qualified form addresses any catalog directly
+          case Some(d0) if d0.contains(".") => d0
+          case Some(d0) if inDefaultCatalog =>
+            require(databases.containsKey(d0),
               s"SHOW TABLES: database '$d0' does not exist")
             s"default_catalog.$d0"
+          // non-default catalogs keep the free-form database surface
+          // (same contract as USE there)
+          case Some(d0) => s"$currentCatalog.$d0"
           case None => currentDbKey
         }
         // scoped to the database: DDL tables carry their owning database
@@ -465,12 +480,17 @@ class SqlEnv private (val spark: SparkSession) {
         require(specs.nonEmpty, "ALTER TABLE ADD PARTITION: no PARTITION (...) spec")
         val added = Partitions.add(spark, d.path, d.partitionedBy,
           specs.map(_._1), ifNotExists != null)
+        val addedSet = added.toSet
         specs.foreach { case (spec, props) =>
           props.filter(_.trim.nonEmpty).foreach { p =>
             val leaf = Partitions.specLeaf(new org.apache.hadoop.fs.Path(d.path),
               d.partitionedBy, spec, "ALTER TABLE ADD PARTITION")
-            partitionProps.put(s"$name/${Partitions.partName(leaf, d.partitionedBy.length)}",
-              Ddl.parseOptionPairs(p))
+            val pn = Partitions.partName(leaf, d.partitionedBy.length)
+            // a spec skipped under IF NOT EXISTS skips its props too —
+            // the reference's createPartition(ignoreIfExists) never
+            // touches the existing partition's properties
+            if (addedSet(pn))
+              partitionProps.put(s"$name/$pn", Ddl.parseOptionPairs(p))
           }
         }
         if (added.nonEmpty) {
@@ -518,17 +538,11 @@ class SqlEnv private (val spark: SparkSession) {
         // partition visible before any row lands; a null value's leaf
         // is __HIVE_DEFAULT_PARTITION__, rendered verbatim like the
         // reference (and the layout) rather than as 'k=null'. The spec
-        // filter matches ESCAPED path segments (matchingLeaves), so a
-        // value containing '/' or '=' filters correctly too.
-        if (d.connector == "filesystem") {
-          val rootP = new org.apache.hadoop.fs.Path(d.path)
-          val fs = rootP.getFileSystem(spark.sparkContext.hadoopConfiguration)
-          return Partitions.matchingLeaves(
-              Partitions.leafDirs(fs, rootP, d.partitionedBy.length),
-              d.partitionedBy, showSpec)
-            .map(Partitions.partName(_, d.partitionedBy.length))
-            .sorted.toDF("partition name")
-        }
+        // filter matches ESCAPED path segments, so a value containing
+        // '/' or '=' filters correctly too.
+        if (d.connector == "filesystem")
+          return Partitions.listPartitionNames(spark, d.path, d.partitionedBy, showSpec)
+            .toDF("partition name")
         def keepPart(vals: Seq[String]): Boolean =
           showSpec.forall { case (k, v) =>
             vals(d.partitionedBy.indexOf(k)) == v }
@@ -664,6 +678,14 @@ class SqlEnv private (val spark: SparkSession) {
             s"ALTER TABLE: '$oldName' was not created via CREATE TABLE"))
         tableDefs.put(newName, d.copy(name = newName))
         Option(tableDb.remove(oldName)).foreach(tableDb.put(newName, _))
+        locally { // partition props follow the rename
+          import scala.jdk.CollectionConverters._
+          partitionProps.asScala.keys.filter(_.startsWith(s"$oldName/")).toSeq
+            .foreach { k =>
+              partitionProps.put(s"$newName/${k.stripPrefix(s"$oldName/")}",
+                partitionProps.remove(k))
+            }
+        }
         if (spark.catalog.tableExists(oldName)) {
           spark.table(oldName).createOrReplaceTempView(newName)
           spark.catalog.dropTempView(oldName)
@@ -1225,11 +1247,14 @@ class SqlEnv private (val spark: SparkSession) {
       """PRIMARY\s+KEY\s*\(([^)]*)\)\s*(?:NOT\s+ENFORCED\s*)?;?\s*$""").r
   private val alterDropPkRe =
     """(?is)^\s*ALTER\s+TABLE\s+`?([\w.]+)`?\s+DROP\s+(?:CONSTRAINT\s+`?[\w.]+`?|PRIMARY\s+KEY)\s*;?\s*$""".r
+  // the spec/props groups are QUOTE-AWARE (a quoted value may contain
+  // ')'): an unquoted ')' ends the group, a quoted run is skipped whole
+  private val specBody = """(?:[^)']|'[^']*')*"""
   // optional PARTITION (spec) — PARTIAL specs legal (parserImpls.ftl:689
   // SqlAlterTableCompact's PartitionSpecCommaList; key validation per
   // convertAlterTableCompact:644)
   private val alterCompactRe =
-    """(?is)^\s*ALTER\s+TABLE\s+`?([\w.]+)`?\s+(?:PARTITION\s*\(([^)]*)\)\s*)?COMPACT\s*;?\s*$""".r
+    s"""(?is)^\\s*ALTER\\s+TABLE\\s+`?([\\w.]+)`?\\s+(?:PARTITION\\s*\\(($specBody)\\)\\s*)?COMPACT\\s*;?\\s*$$""".r
   // ALTER TABLE ADD/DROP PARTITION (ddl/SqlAddPartitions.java /
   // SqlDropPartitions.java): ADD takes one or more space-separated
   // PARTITION (spec) [WITH (props)] groups; DROP takes comma-separated
@@ -1237,21 +1262,26 @@ class SqlEnv private (val spark: SparkSession) {
   // (parserImpls.ftl SqlAlterTable's partition branches)
   private val alterAddPartRe =
     ("""(?is)^\s*ALTER\s+TABLE\s+`?([\w.]+)`?\s+ADD\s+(IF\s+NOT\s+EXISTS\s+)?""" +
-      """((?:PARTITION\s*\([^)]*\)\s*(?:WITH\s*\([^)]*\)\s*)?)+);?\s*$""").r
+      s"""((?:PARTITION\\s*\\($specBody\\)\\s*(?:WITH\\s*\\($specBody\\)\\s*)?)+);?\\s*$$""").r
   private val alterDropPartRe =
     ("""(?is)^\s*ALTER\s+TABLE\s+`?([\w.]+)`?\s+DROP\s+(IF\s+EXISTS\s+)?""" +
-      """((?:PARTITION\s*\([^)]*\)\s*,?\s*)+);?\s*$""").r
+      s"""((?:PARTITION\\s*\\($specBody\\)\\s*,?\\s*)+);?\\s*$$""").r
   /** One PARTITION (spec) [WITH (props)] group inside the ADD/DROP tail. */
   private val partSpecRe =
-    """(?is)PARTITION\s*\(([^)]*)\)(?:\s*WITH\s*\(([^)]*)\))?""".r
+    s"""(?is)PARTITION\\s*\\(($specBody)\\)(?:\\s*WITH\\s*\\(($specBody)\\))?""".r
   /** Parse `k = 'v'[, k2 = v2]` partition-spec text into ordered pairs
-    * (quote-aware item split — a quoted value may contain commas). */
+    * (quote-aware item split — a quoted value may contain commas; a
+    * doubled quote inside a quoted value is SQL's escaped quote). */
   private def parsePartSpec(txt: String): Seq[(String, String)] =
     Ddl.splitTopLevel(txt).map { kv =>
       val eq = kv.indexOf('=')
       require(eq > 0, s"cannot parse partition spec item: '$kv' (expected k = 'v')")
       val k = kv.substring(0, eq).trim.stripPrefix("`").stripSuffix("`")
-      val v = kv.substring(eq + 1).trim.stripPrefix("'").stripSuffix("'")
+      val raw = kv.substring(eq + 1).trim
+      val v =
+        if (raw.length >= 2 && raw.startsWith("'") && raw.endsWith("'"))
+          raw.substring(1, raw.length - 1).replace("''", "'")
+        else raw
       require(k.nonEmpty && v.nonEmpty, s"cannot parse partition spec item: '$kv'")
       (k, v)
     }
@@ -1260,6 +1290,13 @@ class SqlEnv private (val spark: SparkSession) {
     * filesystem layout has no metadata sidecar, so they live here. */
   private val partitionProps =
     new java.util.concurrent.ConcurrentHashMap[String, Map[String, String]]()
+  /** Properties attached by `ADD PARTITION ... WITH (...)` — the API
+    * analog of the reference's `Catalog.getPartition().getProperties()`
+    * (the 1.16 dialect ships no SQL statement that reads them back;
+    * Table-API users read them through exactly this kind of accessor).
+    * `partitionName` is the SHOW PARTITIONS rendering (`k=v[/k2=v2]`). */
+  def partitionProperties(table: String, partitionName: String): Map[String, String] =
+    Option(partitionProps.get(s"$table/$partitionName")).getOrElse(Map.empty)
   // FLIP-190 plan statements (ddl/SqlCompilePlan.java: file path first,
   // then optional IF NOT EXISTS, then FOR <insert|statement set>)
   private val compilePlanRe =
@@ -1304,7 +1341,7 @@ class SqlEnv private (val spark: SparkSession) {
   // spec (dql/SqlShowPartitions.java:49; hive-dialect-parsed, shared
   // ShowPartitionsOperation converter); partial specs legal
   private val showPartitionsRe =
-    """(?is)^\s*SHOW\s+PARTITIONS\s+`?([\w.]+)`?\s*(?:PARTITION\s*\(([^)]*)\)\s*)?;?\s*$""".r
+    s"""(?is)^\\s*SHOW\\s+PARTITIONS\\s+`?([\\w.]+)`?\\s*(?:PARTITION\\s*\\(($specBody)\\)\\s*)?;?\\s*$$""".r
   // modules (dql/SqlShowModules, SqlLoadModule, SqlUnloadModule,
   // ddl/SqlUseModules)
   private val showModulesRe =

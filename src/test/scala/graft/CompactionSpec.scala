@@ -83,10 +83,17 @@ class CompactionSpec extends AnyFunSuite {
     spark.catalog.refreshByPath(root)
     assert(spark.read.parquet(root).count() == 350,
       "hidden staging must be invisible to readers")
-    // legacy residue needs a matching leaf for 'delete' recovery;
-    // grp=9 does not exist, so this residue RESTORES to grp=9 — make
-    // that the crash-between-renames scenario instead for grp=1:
-    fs.delete(p(s"$root/grp=9__compact_old"), true)
+    // the legacy residue becomes PROVABLY redundant once its partner
+    // leaf exists — the sweep may then delete it safely
+    spark.range(1000, 1010).selectExpr("id").write.mode("overwrite")
+      .parquet(s"$root/grp=9")
+    // ...but a bare name ending in the staging suffix WITHOUT a partner
+    // could be a legitimate partition whose value ends in
+    // '__compact_tmp' ('_' is never path-escaped) — the sweep must
+    // leave it untouched (r18 review finding: deleting it would be
+    // silent data loss)
+    spark.range(2000, 2020).selectExpr("id").write.mode("overwrite")
+      .parquet(s"$root/grp=7__compact_tmp")
 
     // (b) crash between the two renames: leaf moved to old, new files
     // never moved in — leaf missing, hidden old + tmp present
@@ -96,15 +103,21 @@ class CompactionSpec extends AnyFunSuite {
     fs.mkdirs(p(s"$root/.grp=2__compact_old"))
 
     spark.catalog.refreshByPath(root)
-    assert(spark.read.parquet(root).count() == 200,
-      "fixture: grp=1 is offline after the simulated crash")
+    assert(spark.read.parquet(root).count() == 100 + 100 + 10 + 50 + 20,
+      "fixture: grp=1 offline; legacy residue + lookalike partition visible")
     ops.Compact.compactPartitioned(spark, root, targetBytes = 64L << 20, partDepth = 1)
     spark.catalog.refreshByPath(root)
-    // the sweep restored grp=1, deleted grp=2's stale old and every tmp
-    assert(spark.read.parquet(root).count() == 300, "crash residue repaired")
-    val leftovers = fs.listStatus(p(root)).map(_.getPath.getName)
-      .filter(n => n.contains("__compact_"))
-    assert(leftovers.isEmpty, leftovers.mkString(", "))
+    // the sweep restored grp=1, deleted grp=2's stale old, every hidden
+    // tmp, and the PARTNERED legacy residue — while the unpartnered
+    // lookalike partition kept its 20 rows
+    assert(spark.read.parquet(root).count() == 300 + 10 + 20, "crash residue repaired")
+    assert(fs.exists(p(s"$root/grp=7__compact_tmp")),
+      "unpartnered staging-lookalike partition must survive the sweep")
+    assert(!fs.exists(p(s"$root/grp=9__compact_old")) &&
+      !fs.exists(p(s"$root/.grp=1__compact_old")) &&
+      !fs.exists(p(s"$root/.grp=1__compact_tmp")) &&
+      !fs.exists(p(s"$root/.grp=2__compact_old")) &&
+      !fs.exists(p(s"$root/.grp=8__compact_tmp")))
   }
 
   test("clusterBy sorts within each output file") {

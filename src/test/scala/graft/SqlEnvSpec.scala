@@ -1914,6 +1914,44 @@ class SqlEnvSpec extends AnyFunSuite {
     assert(env.executeSql("SHOW PARTITIONS pc18_t PARTITION (b='2')").collect().isEmpty,
       "a slash value must not be matchable by its tail segment")
     env.executeSql("ALTER TABLE pc18_t DROP PARTITION (a='m,1', b='n/2')")
+    // r18 review fixes: a doubled quote is SQL's escaped quote — the
+    // ADD'ed leaf must be the one a DROP of the same literal removes;
+    // an unquoted-paren value rides the quote-aware spec groups
+    env.executeSql("ALTER TABLE pc18_t ADD PARTITION (a='O''Brien', b='x)y')")
+    assert(env.executeSql("SHOW PARTITIONS pc18_t PARTITION (a='O''Brien')").collect()
+      .map(_.getString(0)).toSeq == Seq("a=O'Brien/b=x)y"))
+    env.executeSql("ALTER TABLE pc18_t PARTITION (b='x)y') COMPACT") // dispatches, 0 rewrites
+    env.executeSql("ALTER TABLE pc18_t DROP PARTITION (a='O''Brien', b='x)y')")
+    assert(env.executeSql("SHOW PARTITIONS pc18_t PARTITION (a='O''Brien')")
+      .collect().isEmpty)
+    // ADD ... WITH props are readable through the API accessor (the
+    // Catalog.getPartition().getProperties() analog) and an IF NOT
+    // EXISTS skip leaves an existing partition's props untouched
+    env.executeSql(
+      "ALTER TABLE pc18_t ADD PARTITION (a='pp', b='q') WITH ('note' = 'cold')")
+    assert(env.partitionProperties("pc18_t", "a=pp/b=q") == Map("note" -> "cold"))
+    env.executeSql(
+      "ALTER TABLE pc18_t ADD IF NOT EXISTS PARTITION (a='pp', b='q') WITH ('note' = 'hot')")
+    assert(env.partitionProperties("pc18_t", "a=pp/b=q") == Map("note" -> "cold"),
+      "a skipped IF NOT EXISTS spec must not mutate existing props")
+    env.executeSql("ALTER TABLE pc18_t RENAME TO pc18_renamed")
+    assert(env.partitionProperties("pc18_renamed", "a=pp/b=q") == Map("note" -> "cold"))
+    env.executeSql("DROP TABLE pc18_renamed")
+    assert(env.partitionProperties("pc18_renamed", "a=pp/b=q").isEmpty,
+      "DROP TABLE must clear the partition-props registry")
+    // SHOW TABLES FROM works outside the default catalog too (the
+    // free-form database surface non-default catalogs keep)
+    env.executeSql("CREATE CATALOG sv18_cat")
+    env.executeSql("USE CATALOG sv18_cat")
+    env.executeSql("USE freedb")
+    env.executeSql("CREATE TABLE cat_t18 (x INT) WITH ('connector' = 'blackhole')")
+    assert(env.executeSql("SHOW TABLES FROM freedb").collect()
+      .map(_.getString(0)).toSeq == Seq("cat_t18"))
+    env.executeSql("USE CATALOG default_catalog")
+    env.executeSql("USE default_database")
+    assert(env.executeSql("SHOW TABLES FROM sv18_cat.freedb").collect()
+      .map(_.getString(0)).toSeq == Seq("cat_t18"),
+      "the catalog-qualified FROM form addresses any catalog")
   }
 
   test("COMPILE PLAN / EXECUTE PLAN: FLIP-190 adaptation persists statement + DDL") {
