@@ -133,8 +133,11 @@ object Avro {
   private def fromAvroValue(v: Any, dt: DataType): Any = (v, dt) match {
     case (null, _) => null
     case (l: java.lang.Long, TimestampType) =>
-      val t = new java.sql.Timestamp(l / 1000L)
-      t.setNanos(((l % 1000000L + 1000000L) % 1000000L).toInt * 1000)
+      // floor semantics like the NTZ branch below: truncating division
+      // would land a pre-epoch value in the wrong second once the
+      // (always-positive) sub-second fraction is re-applied
+      val t = new java.sql.Timestamp(Math.floorDiv(l, 1000000L) * 1000L)
+      t.setNanos((Math.floorMod(l, 1000000L) * 1000L).toInt)
       t
     case (l: java.lang.Long, TimestampNTZType) =>
       java.time.LocalDateTime.ofEpochSecond(
@@ -232,9 +235,24 @@ object Avro {
   }
 
   /** Read every container file under `dir` (one Spark partition per
-    * file, like the reference's bulk reader).
+    * file, like the reference's bulk reader). An empty directory (a
+    * declared table before any row lands — writing an empty frame
+    * produces no container files) reads as an empty frame with
+    * `emptySchema` when given, else fails with a clear message instead
+    * of an opaque empty-collection error.
     */
-  def read(spark: SparkSession, dir: String): DataFrame = {
+  def read(spark: SparkSession, dir: String,
+           emptySchema: Option[StructType] = None): DataFrame = {
+    val dirPath = new org.apache.hadoop.fs.Path(dir)
+    val hfs = dirPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val hasFiles = hfs.exists(dirPath) && hfs.listStatus(dirPath)
+      .exists(s => s.isFile && s.getPath.getName.endsWith(".avro"))
+    if (!hasFiles) {
+      val schema = emptySchema.getOrElse(throw new IllegalArgumentException(
+        s"Avro.read: no .avro container files under $dir and no schema to " +
+          "serve an empty frame with (write at least one row first)"))
+      return spark.createDataFrame(new java.util.ArrayList[Row](), schema)
+    }
     val files = spark.sparkContext.binaryFiles(s"$dir/*.avro")
     // schema from the first container header
     val headBytes = files.first()._2.toArray()

@@ -36,22 +36,40 @@ object Jdbc {
     val colList = cols.mkString(", ")
     val params = cols.map(_ => "?").mkString(", ")
     val nonKeys = cols.filterNot(keys.contains)
+    // an all-key table (link/membership shape) has nothing to update on
+    // conflict — the statement degrades to insert-if-absent instead of
+    // emitting an empty (syntactically invalid) update list
     dialect.toLowerCase match {
       case "postgres" | "postgresql" =>
-        val updates = nonKeys.map(c => s"$c = EXCLUDED.$c").mkString(", ")
+        val conflict =
+          if (nonKeys.isEmpty) "DO NOTHING"
+          else s"DO UPDATE SET ${nonKeys.map(c => s"$c = EXCLUDED.$c").mkString(", ")}"
         s"INSERT INTO $table ($colList) VALUES ($params) " +
-          s"ON CONFLICT (${keys.mkString(", ")}) DO UPDATE SET $updates"
+          s"ON CONFLICT (${keys.mkString(", ")}) $conflict"
       case "mysql" =>
-        val updates = nonKeys.map(c => s"$c = VALUES($c)").mkString(", ")
+        // a no-op key assignment is MySQL's insert-if-absent idiom
+        // (INSERT IGNORE would swallow unrelated errors too)
+        val updates =
+          if (nonKeys.isEmpty) s"${keys.head} = ${keys.head}"
+          else nonKeys.map(c => s"$c = VALUES($c)").mkString(", ")
         s"INSERT INTO $table ($colList) VALUES ($params) " +
           s"ON DUPLICATE KEY UPDATE $updates"
-      case _ => // ANSI MERGE (Derby/Oracle/SQL Server family)
+      case d =>
+        // MERGE family. The parameter source needs a FROM-less row:
+        // Oracle spells it SELECT ... FROM dual; the ANSI/SQL Server/
+        // DB2/H2 form is a VALUES row constructor (a bare SELECT
+        // without FROM is invalid on both families).
         val on = keys.map(k => s"t.$k = s.$k").mkString(" AND ")
-        val updates = nonKeys.map(c => s"t.$c = s.$c").mkString(", ")
-        val srcCols = cols.map(c => s"? AS $c").mkString(", ")
+        val source =
+          if (d == "oracle")
+            s"(SELECT ${cols.map(c => s"? AS $c").mkString(", ")} FROM dual) s"
+          else s"(VALUES ($params)) AS s ($colList)"
+        val matched =
+          if (nonKeys.isEmpty) ""
+          else s"WHEN MATCHED THEN UPDATE SET " +
+            s"${nonKeys.map(c => s"t.$c = s.$c").mkString(", ")} "
         val insertVals = cols.map(c => s"s.$c").mkString(", ")
-        s"MERGE INTO $table t USING (SELECT $srcCols) s ON ($on) " +
-          s"WHEN MATCHED THEN UPDATE SET $updates " +
+        s"MERGE INTO $table t USING $source ON ($on) " + matched +
           s"WHEN NOT MATCHED THEN INSERT ($colList) VALUES ($insertVals)"
     }
   }
@@ -78,6 +96,11 @@ object Jdbc {
     val keyIdx = keys.map(schema.fieldIndex)
     batch.foreachPartition { (it: Iterator[Row]) =>
       val conn = connectionFactory()
+      // drivers default autoCommit=true, where commit() THROWS — open an
+      // explicit transaction for batch atomicity; a connection that
+      // cannot switch (test stubs) keeps its own commit semantics
+      val txn = try { conn.setAutoCommit(false); true }
+                catch { case _: Throwable => false }
       try {
         val up = conn.prepareStatement(upsert)
         val del = conn.prepareStatement(delete)
@@ -113,7 +136,7 @@ object Jdbc {
           }
         }
         flush()
-        conn.commit()
+        if (txn) conn.commit()
       } finally conn.close()
     }
   }

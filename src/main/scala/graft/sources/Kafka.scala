@@ -102,6 +102,18 @@ object Kafka {
   def sinkOptions(bootstrapServers: String, topic: String): Map[String, String] =
     Map("kafka.bootstrap.servers" -> bootstrapServers, "topic" -> topic)
 
+  /** Record-key wire: one key column rides raw (the source side's raw
+    * single-field key contract); a COMPOSITE key serializes as JSON —
+    * a separator join would collide distinct keys ('a|b'+'c' vs
+    * 'a'+'b|c') and silently DROP null components, corrupting
+    * compaction on the topic.
+    */
+  def keyColumn(keyCols: Seq[String]): org.apache.spark.sql.Column = {
+    require(keyCols.nonEmpty, "kafka sink needs at least one key column")
+    if (keyCols.length == 1) col(keyCols.head).cast("string")
+    else to_json(struct(keyCols.map(col): _*))
+  }
+
   /** Write a stream to Kafka as JSON values; `keyCols` become the
     * record key (partitioning/compaction key, like the reference's
     * upsert-kafka PRIMARY KEY).
@@ -112,7 +124,7 @@ object Kafka {
     // TimeType) — same wire contract as the decode side
     val enc = TimeFormats.encodeTimes(df)
     val keyed = enc.select(
-      concat_ws("|", keyCols.map(col): _*).cast("binary").as("key"),
+      keyColumn(keyCols).cast("binary").as("key"),
       to_json(struct(enc.columns.map(col).toIndexedSeq: _*)).cast("binary").as("value"))
     keyed.writeStream.format("kafka")
       .options(sinkOptions(bootstrapServers, topic))

@@ -167,10 +167,21 @@ object Proto {
         val a = v.asInstanceOf[ArrayData]
         val n = a.numElements()
         if (n == 0) return
+        // proto3 has no element presence — a NULL inside a repeated
+        // field is unrepresentable, so it fails with the field name
+        // instead of an opaque NPE deep in the writer (SQL arrays are
+        // containsNull by default, nothing upstream strips them)
+        def nonNull(e: Any): Any = {
+          require(e != null, s"protobuf field '${f.name}': repeated fields " +
+            "cannot hold NULL elements (proto3 has no element presence) — " +
+            "filter nulls before encoding")
+          e
+        }
         if (isPackedScalar(elem)) {
           val payload = new Buf()
           var i = 0
-          while (i < n) { putScalar(payload, elem, a.get(i, sqlType(elem))); i += 1 }
+          while (i < n) {
+            putScalar(payload, elem, nonNull(a.get(i, sqlType(elem)))); i += 1 }
           b.varint(tag(f.no, 2)); b.varint(payload.size.toLong); b.bytes(payload.result())
         } else {
           // Elements are emitted unconditionally — the proto3
@@ -178,7 +189,7 @@ object Proto {
           // an empty string inside a repeated field is a real element.
           var i = 0
           while (i < n) {
-            putElement(b, f.no, elem, a.get(i, sqlType(elem)))
+            putElement(b, f.no, elem, nonNull(a.get(i, sqlType(elem))))
             i += 1
           }
         }

@@ -46,7 +46,8 @@ object ProtoDescriptors {
   // keeps an IDENTICAL 4-field layout at every depth (so the walker's
   // positional reads are uniform) and bottoms out at depth 5 with a
   // name-only leaf — deeper message-type nesting than 5 is out of
-  // scope and fails loudly via the type_name index lookup.
+  // scope and fails loudly in build() (the name-only leaf is detected
+  // there; it must never be built as a silently-empty message).
   private def descriptorProto(depth: Int): PbMessage = {
     val nestedT: PbType =
       if (depth <= 0) PbMessage(Seq(PbField(1, "name", PbString)))
@@ -152,9 +153,23 @@ object ProtoDescriptors {
   }
 
   private def build(raw: RawMsg,
-                    index: scala.collection.mutable.LinkedHashMap[String, RawMsg]): PbMessage = {
+                    index: scala.collection.mutable.LinkedHashMap[String, RawMsg],
+                    building: Set[String] = Set.empty): PbMessage = {
+    // PbMessage is a finite tree — a self-referential proto (legal in
+    // protobuf) cannot be represented, so re-entering a type on the
+    // current build path must fail loudly instead of recursing forever
+    require(!building.contains(raw.fqName),
+      s"recursive message type '${raw.fqName}' is not supported " +
+        "(the schema tree cannot represent a cycle)")
+    // a name-only row is the depth-5 meta-schema leaf: the message sits
+    // BELOW the supported nesting, and building it as an empty message
+    // would silently drop every field — fail loudly instead (an empty
+    // message at a supported depth carries the full 4-field layout)
+    require(raw.row.numFields > 1,
+      s"message '${raw.fqName}' is nested deeper than the supported 5 " +
+        "levels of message nesting — flatten the schema")
     val fieldsArr =
-      if (raw.row.numFields <= 1 || raw.row.isNullAt(1)) null else raw.row.getArray(1)
+      if (raw.row.isNullAt(1)) null else raw.row.getArray(1)
     val fields = scala.collection.mutable.ArrayBuffer.empty[PbField]
     if (fieldsArr != null) {
       var i = 0
@@ -171,9 +186,9 @@ object ProtoDescriptors {
               s"type '$tn' not in descriptor set (field ${raw.fqName}.$name)"))
             if (sub.mapEntry) {
               // protoc's map<k,v> compilation: Entry{1:key 2:value}
-              val entry = build(sub, index)
+              val entry = build(sub, index, building + raw.fqName)
               PbMap(entry.fields(0).tpe, entry.fields(1).tpe)
-            } else build(sub, index)
+            } else build(sub, index, building + raw.fqName)
           } else scalarOf(tpe, s"${raw.fqName}.$name")
         val finalTpe = elem match {
           case m: PbMap => m // map fields carry LABEL_REPEATED; already a map

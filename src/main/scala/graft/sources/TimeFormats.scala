@@ -141,7 +141,10 @@ object TimeFormats {
                 declared: DataType): org.apache.spark.sql.Column = {
     val wire = wireType(declared)
     val parsed = org.apache.spark.sql.functions.from_json(jsonCol, wire)
-    if (wire == declared) parsed else parsed.cast(declared)
+    // cast to the NULLABILITY-RELAXED declared type: from_json output is
+    // all-nullable and Cast refuses nullable→NOT NULL struct fields —
+    // the same restriction decodeTimes works around above
+    if (wire == declared) parsed else parsed.cast(relaxNullable(declared))
   }
 
   /** `to_json`-ready view of a struct column: TIME fields cast to

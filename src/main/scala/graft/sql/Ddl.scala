@@ -607,7 +607,7 @@ object Ddl {
           .csv(d.path),
         d.schema,
         dropMalformed = parseMode("csv") == "DROPMALFORMED")
-      case "avro" => graft.sources.Avro.read(spark, d.path)
+      case "avro" => graft.sources.Avro.read(spark, d.path, Some(d.schema))
       case "raw" => spark.read.text(d.path)
         .select(col("value").as(d.schema.fieldNames.head))
       case other => throw new IllegalArgumentException(s"unsupported format '$other'")

@@ -12,6 +12,45 @@ import java.nio.file.Files
 class AvroNestedSpec extends AnyFunSuite {
   lazy val spark = TestSpark.spark
 
+  test("pre-epoch timestamp-micros roundtrip (floor semantics, r18 review fix)") {
+    // truncating division landed pre-epoch values one second late once
+    // the always-positive sub-second fraction was re-applied
+    val schema = StructType(Seq(
+      StructField("id", LongType, nullable = false),
+      StructField("ts", TimestampType)))
+    val vals = Seq(
+      1L -> "1969-12-31 23:59:59.9995",  // -500 µs
+      2L -> "1969-12-31 23:59:58.9995",  // -1.0005 s
+      3L -> "1970-01-01 00:00:00.0005",  // +500 µs
+      4L -> "1969-12-31 23:59:59.0",     // exactly -1 s
+      5L -> "2001-02-03 04:05:06.789012")
+    val rows = vals.map { case (id, s) =>
+      Row(id, java.sql.Timestamp.valueOf(s))
+    }
+    val df = spark.createDataFrame(
+      spark.sparkContext.parallelize(rows, 1), schema)
+    val dir = Files.createTempDirectory("graft_avro_preepoch").toString + "/data"
+    sources.Avro.write(df, dir)
+    val back = sources.Avro.read(spark, dir).collect()
+      .map(r => r.getLong(0) -> r.getTimestamp(1)).toMap
+    vals.foreach { case (id, s) =>
+      assert(back(id) == java.sql.Timestamp.valueOf(s),
+        s"id=$id: wrote $s, read back ${back(id)}")
+    }
+  }
+
+  test("empty directory: read with a schema serves an empty frame, without one fails clearly") {
+    val schema = StructType(Seq(StructField("id", LongType)))
+    val dir = Files.createTempDirectory("graft_avro_empty").toString + "/data"
+    // writing an empty frame produces no container files
+    sources.Avro.write(
+      spark.createDataFrame(new java.util.ArrayList[Row](), schema), dir)
+    val back = sources.Avro.read(spark, dir, Some(schema))
+    assert(back.schema == schema && back.count() == 0)
+    val e = intercept[IllegalArgumentException] { sources.Avro.read(spark, dir) }
+    assert(e.getMessage.contains("no .avro container files"), e.getMessage)
+  }
+
   test("array/map/struct roundtrip incl. nulls at every level") {
     val schema = StructType(Seq(
       StructField("id", LongType, nullable = false),

@@ -14,7 +14,8 @@ import graft.sources.{Jdbc, Kafka, Proto}
 object FakeJdbc {
   val rows = new java.util.concurrent.ConcurrentHashMap[String, Seq[Any]]()
   val statements = new java.util.concurrent.ConcurrentLinkedQueue[String]()
-  def clear(): Unit = { rows.clear(); statements.clear() }
+  @volatile var autoCommitDisabled = false
+  def clear(): Unit = { rows.clear(); statements.clear(); autoCommitDisabled = false }
 
   def connection(keyCount: Int): Connection = {
     def statement(sql: String): PreparedStatement = {
@@ -52,6 +53,9 @@ object FakeJdbc {
           case "prepareStatement" =>
             statements.add(args(0).asInstanceOf[String])
             statement(args(0).asInstanceOf[String])
+          case "setAutoCommit" =>
+            if (args(0) == java.lang.Boolean.FALSE) autoCommitDisabled = true
+            null
           case "commit" | "close" => null
           case "hashCode" => Integer.valueOf(System.identityHashCode(p))
           case "toString" => "FakeConnection"
@@ -80,6 +84,31 @@ class JdbcKafkaSpec extends AnyFunSuite {
     assert(me.startsWith("MERGE INTO t t USING") &&
       me.contains("WHEN MATCHED THEN UPDATE") &&
       me.contains("WHEN NOT MATCHED THEN INSERT"))
+    // the MERGE source must be a FROM-less row the target DB accepts:
+    // a bare SELECT without FROM is invalid on both MERGE families
+    assert(me.contains("USING (VALUES (?, ?, ?)) AS s (id, name, score)"), me)
+    val ora = Jdbc.upsertSql("oracle", "t", cols, Seq("id"))
+    assert(ora.contains("FROM dual"), ora)
+    // an all-key table degrades to insert-if-absent, never an empty
+    // (syntactically invalid) update list
+    val allPg = Jdbc.upsertSql("postgres", "t", Seq("id"), Seq("id"))
+    assert(allPg.endsWith("ON CONFLICT (id) DO NOTHING"), allPg)
+    val allMy = Jdbc.upsertSql("mysql", "t", Seq("id"), Seq("id"))
+    assert(allMy.endsWith("ON DUPLICATE KEY UPDATE id = id"), allMy)
+    val allMe = Jdbc.upsertSql("ansi", "t", Seq("id"), Seq("id"))
+    assert(!allMe.contains("WHEN MATCHED") &&
+      allMe.contains("WHEN NOT MATCHED THEN INSERT"), allMe)
+  }
+
+  test("kafka sink key: single column rides raw, composite keys are collision-free JSON") {
+    val df = Seq(("x|y", "z"), ("x", "y|z"), ("x", null: String)).toDF("a", "b")
+    val composite = df.select(Kafka.keyColumn(Seq("a", "b")).as("k"))
+      .collect().map(_.getString(0))
+    assert(composite.distinct.length == 3,
+      s"composite keys must not collide or drop nulls: ${composite.mkString(" ; ")}")
+    val single = df.select(Kafka.keyColumn(Seq("a")).as("k"))
+      .collect().map(_.getString(0))
+    assert(single.toSeq == Seq("x|y", "x", "x"), "single key column rides raw")
   }
 
   test("writeBatchUpsert: upserts keyed rows, honors row_kind deletes") {
@@ -99,6 +128,9 @@ class JdbcKafkaSpec extends AnyFunSuite {
     assert(rows == Map("k1" -> 2.0))
     assert(FakeJdbc.statements.asScala.exists(_.contains("ON CONFLICT")))
     assert(FakeJdbc.statements.asScala.exists(_.startsWith("DELETE FROM t")))
+    // real drivers default autoCommit=true, where commit() throws —
+    // the sink must open an explicit transaction
+    assert(FakeJdbc.autoCommitDisabled, "writeBatchUpsert must setAutoCommit(false)")
   }
 
   test("writeBatchUpsert: -D then +I of one key in one batch keeps the row") {

@@ -84,6 +84,46 @@ class ProtoDescriptorsSpec extends AnyFunSuite {
     assert(byFq == PbMessage(Seq(PbField(1, "tag", PbString))))
   }
 
+  test("recursive message types fail loudly instead of recursing forever") {
+    // message Tree { string name = 1; repeated Tree children = 2; } —
+    // legal protobuf, unrepresentable as a finite PbMessage tree
+    val tree = row(u("Tree"),
+      arr(fld("name", 1, 9),
+          fld("children", 2, 11, label = 3, typeName = ".demo.Tree")),
+      arr(), null)
+    val file = row(u("tree.proto"), u("demo"), arr(tree))
+    val bytes = Proto.encodeInternal(row(arr(file)), ProtoDescriptors.metaSchema)
+    val e = intercept[IllegalArgumentException] {
+      ProtoDescriptors.fromDescriptorSet(bytes, "Tree")
+    }
+    assert(e.getMessage.contains("recursive message type"), e.getMessage)
+  }
+
+  test("a message below the supported nesting depth fails loudly, never builds empty") {
+    // F sits 5 nested-type levels below the top-level message — the
+    // meta-schema bottoms out there with a name-only leaf, and building
+    // it as an empty message would silently drop every field
+    val f5 = row(u("F")) // leaf layout: name only
+    val e4 = row(u("E"), arr(), arr(f5), null)
+    val d3 = row(u("D"), arr(), arr(e4), null)
+    val c2 = row(u("C"), arr(), arr(d3), null)
+    val b1 = row(u("B"), arr(), arr(c2), null)
+    val top = row(u("A"),
+      arr(fld("deep", 1, 11, typeName = ".demo.A.B.C.D.E.F")),
+      arr(b1), null)
+    val file = row(u("deep.proto"), u("demo"), arr(top))
+    val bytes = Proto.encodeInternal(row(arr(file)), ProtoDescriptors.metaSchema)
+    val e = intercept[IllegalArgumentException] {
+      ProtoDescriptors.fromDescriptorSet(bytes, "A")
+    }
+    assert(e.getMessage.contains("nested deeper than the supported"), e.getMessage)
+    // ...while a legitimately EMPTY message at a supported depth builds fine
+    val emptyOk = row(u("Empty"), arr(), arr(), null)
+    val file2 = row(u("empty.proto"), u("demo"), arr(emptyOk))
+    val bytes2 = Proto.encodeInternal(row(arr(file2)), ProtoDescriptors.metaSchema)
+    assert(ProtoDescriptors.fromDescriptorSet(bytes2, "Empty").fields.isEmpty)
+  }
+
   test("unknown message name fails with the available names listed") {
     val e = intercept[IllegalArgumentException] {
       ProtoDescriptors.fromDescriptorSet(descriptorSetBytes, "Nope")

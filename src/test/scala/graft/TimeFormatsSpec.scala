@@ -112,6 +112,22 @@ class TimeFormatsSpec extends AnyFunSuite {
     assert(js.contains("\"10:30:05.5\""), js)
   }
 
+  test("parseJson: a NOT NULL field beside TIME plans (nullability-relaxed cast, r18 review fix)") {
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    // from_json output is all-nullable and Cast refuses nullable→NOT
+    // NULL struct fields — parseJson must target the relaxed type
+    val schema = StructType(Seq(
+      StructField("id", LongType, nullable = false),
+      StructField("t", TimeType(3))))
+    val out = Seq("""{"id":7,"t":"10:30:05.123"}""").toDF("j")
+      .select(graft.sources.TimeFormats.parseJson(col("j"), schema).as("v"))
+      .select(col("v.id"), expr("CAST(v.t AS STRING) AS t"))
+      .collect()
+    assert(out.length == 1 && out(0).getLong(0) == 7L &&
+      out(0).getString(1) == "10:30:05.123")
+  }
+
   test("DDL JSON and CSV tables with TIME columns: INSERT + read back") {
     val env = graft.sql.SqlEnv(spark)
     for (fmt <- Seq("json", "csv")) {
