@@ -22,16 +22,27 @@ case class SortedIntersectCount(left: Expression, right: Expression)
     case _ => TypeCheckResult.TypeCheckFailure(
       "sorted_intersect_count expects two array<string>")
   }
+  // null elements are SKIPPED (treated as absent from the set) — they
+  // would otherwise NPE the comparator; checked only when the static
+  // array type says nulls can occur (split() output is containsNull=
+  // false, so the dedup hot path pays nothing)
+  @transient private lazy val mayHaveNulls: Boolean =
+    left.dataType.asInstanceOf[ArrayType].containsNull ||
+      right.dataType.asInstanceOf[ArrayType].containsNull
   override def nullSafeEval(a: Any, b: Any): Any = {
     val x = a.asInstanceOf[ArrayData]
     val y = b.asInstanceOf[ArrayData]
     val nx = x.numElements(); val ny = y.numElements()
     var i = 0; var j = 0; var c = 0
     while (i < nx && j < ny) {
-      val cmp = x.getUTF8String(i).compareTo(y.getUTF8String(j))
-      if (cmp == 0) { c += 1; i += 1; j += 1 }
-      else if (cmp < 0) i += 1
-      else j += 1
+      if (mayHaveNulls && x.isNullAt(i)) i += 1
+      else if (mayHaveNulls && y.isNullAt(j)) j += 1
+      else {
+        val cmp = x.getUTF8String(i).compareTo(y.getUTF8String(j))
+        if (cmp == 0) { c += 1; i += 1; j += 1 }
+        else if (cmp < 0) i += 1
+        else j += 1
+      }
     }
     c
   }
@@ -41,10 +52,16 @@ case class SortedIntersectCount(left: Expression, right: Expression)
       val i = ctx.freshName("i"); val j = ctx.freshName("j")
       val c = ctx.freshName("c"); val cmp = ctx.freshName("cmp")
       val nx = ctx.freshName("nx"); val ny = ctx.freshName("ny")
+      val skipNulls =
+        if (mayHaveNulls)
+          s"""if ($a.isNullAt($i)) { $i++; continue; }
+             |  if ($b.isNullAt($j)) { $j++; continue; }""".stripMargin
+        else ""
       s"""
          |int $nx = $a.numElements(); int $ny = $b.numElements();
          |int $i = 0, $j = 0, $c = 0;
          |while ($i < $nx && $j < $ny) {
+         |  $skipNulls
          |  int $cmp = $a.getUTF8String($i).compareTo($b.getUTF8String($j));
          |  if ($cmp == 0) { $c++; $i++; $j++; }
          |  else if ($cmp < 0) { $i++; } else { $j++; }
@@ -69,7 +86,13 @@ case class DistinctShingleCount(child: Expression, width: Expression)
   override def right: Expression = width
   override def dataType: DataType = IntegerType
   override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
-    case ArrayType(StringType, _) if width.foldable => TypeCheckResult.TypeCheckSuccess
+    case ArrayType(StringType, _) if width.foldable &&
+        width.dataType == IntegerType =>
+      width.eval(org.apache.spark.sql.catalyst.InternalRow.empty) match {
+        case ww: Int if ww >= 1 => TypeCheckResult.TypeCheckSuccess
+        case other => TypeCheckResult.TypeCheckFailure(
+          s"distinct_shingle_count expects a positive constant width, got $other")
+      }
     case _ => TypeCheckResult.TypeCheckFailure(
       "distinct_shingle_count expects (array<string>, foldable int)")
   }
@@ -111,7 +134,13 @@ case class TopShingleCount(child: Expression, width: Expression)
   override def right: Expression = width
   override def dataType: DataType = IntegerType
   override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
-    case ArrayType(StringType, _) if width.foldable => TypeCheckResult.TypeCheckSuccess
+    case ArrayType(StringType, _) if width.foldable &&
+        width.dataType == IntegerType =>
+      width.eval(org.apache.spark.sql.catalyst.InternalRow.empty) match {
+        case ww: Int if ww >= 1 => TypeCheckResult.TypeCheckSuccess
+        case other => TypeCheckResult.TypeCheckFailure(
+          s"top_shingle_count expects a positive constant width, got $other")
+      }
     case _ => TypeCheckResult.TypeCheckFailure(
       "top_shingle_count expects (array<string>, foldable int)")
   }

@@ -95,7 +95,14 @@ case class MinHashSignature(child: Expression, k: Expression)
 
   override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
     case ArrayType(StringType, _) if k.foldable && k.dataType == IntegerType =>
-      TypeCheckResult.TypeCheckSuccess
+      // reject a null/non-positive k at ANALYSIS time — a negative k
+      // would crash coefficients() and a null k would silently yield
+      // an empty signature instead of an error
+      k.eval(InternalRow.empty) match {
+        case kk: Int if kk >= 1 => TypeCheckResult.TypeCheckSuccess
+        case other => TypeCheckResult.TypeCheckFailure(
+          s"minhash expects a positive constant k, got $other")
+      }
     case _ => TypeCheckResult.TypeCheckFailure(
       "minhash expects (array<string>, foldable int)")
   }
@@ -135,13 +142,18 @@ case class MinHashSignature(child: Expression, k: Expression)
 object TokenHashes {
   def compute(arr: ArrayData): ArrayData = {
     val n = arr.numElements()
-    val out = new java.util.ArrayList[Any](n)
+    // primitive layout like the sibling kernels — GenericArrayData
+    // would box one Long per token
+    var cnt = 0
     var i = 0
+    while (i < n) { if (!arr.isNullAt(i)) cnt += 1; i += 1 }
+    val out = new Array[Long](cnt)
+    i = 0; var j = 0
     while (i < n) {
-      if (!arr.isNullAt(i)) out.add(Hashing.hashToken(arr.getUTF8String(i)))
+      if (!arr.isNullAt(i)) { out(j) = Hashing.hashToken(arr.getUTF8String(i)); j += 1 }
       i += 1
     }
-    new GenericArrayData(out.toArray)
+    UnsafeArrayData.fromPrimitiveArray(out)
   }
 }
 
@@ -175,7 +187,9 @@ object KGramHashes {
   def compute(s: UTF8String, k: Int): ArrayData = {
     val bytes = s.getBytes
     val n = bytes.length
-    if (n < k) return UnsafeArrayData.fromPrimitiveArray(Array.emptyLongArray)
+    // k <= 0 is meaningless (and would read bytes(-1)); empty like the
+    // too-short case, mirroring NgramHashes' n <= 0 guard
+    if (k <= 0 || n < k) return UnsafeArrayData.fromPrimitiveArray(Array.emptyLongArray)
     var pow = 1L
     var i = 0
     while (i < k - 1) { pow *= Base; i += 1 }
@@ -350,10 +364,26 @@ case class SigAgreeCount(left: Expression, right: Expression)
     case (ArrayType(LongType, _), ArrayType(LongType, _)) => TypeCheckResult.TypeCheckSuccess
     case _ => TypeCheckResult.TypeCheckFailure("sig_agree expects two array<bigint>")
   }
+  // a NULL at a compared position makes the whole result NULL — the
+  // aggregate(zip_with(...)) chain this replaces propagates null the
+  // same way. STATIC fast path: minhash signatures declare
+  // containsNull=false, so the LSH hot path pays zero per-element
+  // null checks.
+  @transient private lazy val mayHaveNulls: Boolean =
+    left.dataType.asInstanceOf[ArrayType].containsNull ||
+      right.dataType.asInstanceOf[ArrayType].containsNull
+  override def nullable: Boolean = super.nullable || mayHaveNulls
   override def nullSafeEval(a: Any, b: Any): Any = {
     val x = a.asInstanceOf[ArrayData]
     val y = b.asInstanceOf[ArrayData]
     val n = math.min(x.numElements(), y.numElements())
+    if (mayHaveNulls) {
+      var i = 0
+      while (i < n) {
+        if (x.isNullAt(i) || y.isNullAt(i)) return null
+        i += 1
+      }
+    }
     var c = 0; var i = 0
     while (i < n) {
       if (x.getLong(i) == y.getLong(i)) c += 1
@@ -366,11 +396,22 @@ case class SigAgreeCount(left: Expression, right: Expression)
     nullSafeCodeGen(ctx, ev, (a, b) => {
       val i = ctx.freshName("i"); val n = ctx.freshName("n")
       val c = ctx.freshName("c")
+      // two-pass when nulls are statically possible: the null scan is a
+      // separate cheap loop, the compare loop stays branch-free
+      val nullScan =
+        if (mayHaveNulls)
+          s"""for (int $i = 0; $i < $n && !${ev.isNull}; $i++) {
+             |  if ($a.isNullAt($i) || $b.isNullAt($i)) ${ev.isNull} = true;
+             |}""".stripMargin
+        else ""
       s"""
          |int $n = java.lang.Math.min($a.numElements(), $b.numElements());
          |int $c = 0;
-         |for (int $i = 0; $i < $n; $i++) {
-         |  if ($a.getLong($i) == $b.getLong($i)) $c++;
+         |$nullScan
+         |if (!${ev.isNull}) {
+         |  for (int $i = 0; $i < $n; $i++) {
+         |    if ($a.getLong($i) == $b.getLong($i)) $c++;
+         |  }
          |}
          |${ev.value} = $c;
        """.stripMargin
@@ -393,10 +434,25 @@ case class CosineSimilarity(left: Expression, right: Expression)
     case (ArrayType(FloatType, _), ArrayType(FloatType, _)) => TypeCheckResult.TypeCheckSuccess
     case _ => TypeCheckResult.TypeCheckFailure("cosine_sim expects two array<float>")
   }
+  // NULL vector components make the result NULL (the zip_with chain's
+  // semantics), checked only when the STATIC type says nulls can occur
+  // — embedding columns declare containsNull=false, so the ANN hot
+  // path pays nothing.
+  @transient private lazy val mayHaveNulls: Boolean =
+    left.dataType.asInstanceOf[ArrayType].containsNull ||
+      right.dataType.asInstanceOf[ArrayType].containsNull
+  override def nullable: Boolean = super.nullable || mayHaveNulls
   override def nullSafeEval(a: Any, b: Any): Any = {
     val x = a.asInstanceOf[ArrayData]
     val y = b.asInstanceOf[ArrayData]
     val n = math.min(x.numElements(), y.numElements())
+    if (mayHaveNulls) {
+      var i = 0
+      while (i < n) {
+        if (x.isNullAt(i) || y.isNullAt(i)) return null
+        i += 1
+      }
+    }
     var dot = 0.0; var nx = 0.0; var ny = 0.0
     var i = 0
     while (i < n) {
@@ -408,7 +464,9 @@ case class CosineSimilarity(left: Expression, right: Expression)
   }
 
   // Same loop, emitted into whole-stage codegen — the pair-join hot
-  // path never leaves generated code.
+  // path never leaves generated code. Two-pass when nulls are
+  // statically possible: the cheap null scan runs first so the FP
+  // loop stays branch-free.
   override protected def doGenCode(ctx: codegen.CodegenContext,
       ev: codegen.ExprCode): codegen.ExprCode =
     nullSafeCodeGen(ctx, ev, (a, b) => {
@@ -416,13 +474,22 @@ case class CosineSimilarity(left: Expression, right: Expression)
       val dot = ctx.freshName("dot"); val nx = ctx.freshName("nx")
       val ny = ctx.freshName("ny"); val xi = ctx.freshName("xi")
       val yi = ctx.freshName("yi")
+      val nullScan =
+        if (mayHaveNulls)
+          s"""for (int $i = 0; $i < $n && !${ev.isNull}; $i++) {
+             |  if ($a.isNullAt($i) || $b.isNullAt($i)) ${ev.isNull} = true;
+             |}""".stripMargin
+        else ""
       s"""
          |int $n = java.lang.Math.min($a.numElements(), $b.numElements());
          |double $dot = 0.0, $nx = 0.0, $ny = 0.0;
-         |for (int $i = 0; $i < $n; $i++) {
-         |  double $xi = (double) $a.getFloat($i);
-         |  double $yi = (double) $b.getFloat($i);
-         |  $dot += $xi * $yi; $nx += $xi * $xi; $ny += $yi * $yi;
+         |$nullScan
+         |if (!${ev.isNull}) {
+         |  for (int $i = 0; $i < $n; $i++) {
+         |    double $xi = (double) $a.getFloat($i);
+         |    double $yi = (double) $b.getFloat($i);
+         |    $dot += $xi * $yi; $nx += $xi * $xi; $ny += $yi * $yi;
+         |  }
          |}
          |${ev.value} = ($nx == 0.0 || $ny == 0.0) ? 0.0
          |  : $dot / (java.lang.Math.sqrt($nx) * java.lang.Math.sqrt($ny));
@@ -505,21 +572,28 @@ object functions {
     // registered as SQL scalar functions (inlined at plan time, so they
     // stay inside whole-stage codegen):
     //  - SPLIT_INDEX (SqlFunctionUtils.splitIndex:387): 0-based,
-    //    LITERAL separator (\Q..\E quoting), NULL when index < 0 or
-    //    out of range; split(limit -1) preserves trailing empties like
+    //    LITERAL separator — every regex metachar (incl. backslash)
+    //    escaped individually, since \Q..\E quoting breaks on a
+    //    separator containing \E; NULL when index < 0 or out of
+    //    range; split(limit -1) preserves trailing empties like
     //    splitByWholeSeparatorPreserveAllTokens.
     //  - TRUNCATE (SqlFunctionUtils.struncate: BigDecimal ROUND_DOWN):
-    //    toward-zero via the BIGINT cast.
+    //    toward-zero via the BIGINT cast below 2^53 — above it a
+    //    double has no fractional digits at any positive scale, so
+    //    truncation is identity (the BigDecimal result), never an
+    //    overflowing cast.
     //  - IS_ALPHA / IS_DIGIT / IS_DECIMAL (SqlFunctionUtils:62 family).
     //  - RAND_INTEGER(n): uniform int in [0, n).
     Seq(
       """CREATE OR REPLACE TEMPORARY FUNCTION split_index(s STRING, sep STRING, i INT)
         |RETURNS STRING RETURN
         |CASE WHEN i < 0 THEN CAST(NULL AS STRING)
-        |     ELSE get(split(s, concat('\\Q', sep, '\\E'), -1), i) END""".stripMargin,
+        |     ELSE get(split(s,
+        |       regexp_replace(sep, '([\\\\^$.|?*+()\\[\\]{}])', '\\\\$1'), -1), i) END""".stripMargin,
       """CREATE OR REPLACE TEMPORARY FUNCTION truncate(x DOUBLE, d INT)
         |RETURNS DOUBLE RETURN
-        |CAST(CAST(x * pow(10, d) AS BIGINT) AS DOUBLE) / pow(10, d)""".stripMargin,
+        |CASE WHEN abs(x * pow(10, d)) >= 9007199254740992D THEN x
+        |     ELSE CAST(CAST(x * pow(10, d) AS BIGINT) AS DOUBLE) / pow(10, d) END""".stripMargin,
       """CREATE OR REPLACE TEMPORARY FUNCTION is_alpha(s STRING)
         |RETURNS BOOLEAN RETURN s rlike '^[A-Za-z]+$'""".stripMargin,
       """CREATE OR REPLACE TEMPORARY FUNCTION is_digit(s STRING)

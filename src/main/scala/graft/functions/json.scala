@@ -88,7 +88,11 @@ object jsonfns {
     // order). The r7 per-element filter lambda embedded the whole
     // sort_array(collect_list(...)) subtree twice, re-materializing the
     // sorted array per element — O(g²·log g) per group (87× on q86).
-    spark.conf.set("spark.sql.mapKeyDedupPolicy", "LAST_WIN")
+    // ...but never override a policy the USER set explicitly: the
+    // session default moves to the reference's upsert semantics, an
+    // explicit spark.sql.mapKeyDedupPolicy choice wins (r18 review)
+    if (!spark.conf.getAll.contains("spark.sql.mapKeyDedupPolicy"))
+      spark.conf.set("spark.sql.mapKeyDedupPolicy", "LAST_WIN")
     reg.createOrReplaceTempFunction("json_objectagg", es => {
       val entries = fn("sort_array", fn("collect_list",
         CreateNamedStruct(Seq(Literal("k"), es(0), Literal("v"), es(1)))))

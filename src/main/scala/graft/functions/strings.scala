@@ -30,6 +30,8 @@ object Strings {
         case '%' => sb.append(".*")
         case '_' => sb.append('.')
         case '.' => sb.append("\\.")     // literal dot in SIMILAR TO
+        case '$' => sb.append("\\$")     // literal in SIMILAR TO, anchor in Java regex
+        case '^' => sb.append("\\^")     // likewise
         case c => sb.append(c)
       }
       i += 1
@@ -62,10 +64,16 @@ object Strings {
       .otherwise(get(split(str, java.util.regex.Pattern.quote(sep), -1), index))
 
   /** TRUNCATE(x, d) — toward-zero truncation at d decimal places
-    * (SqlFunctionUtils.struncate: BigDecimal ROUND_DOWN).
+    * (SqlFunctionUtils.struncate: BigDecimal ROUND_DOWN). Beyond 2^53
+    * a double carries no fractional digits at any positive scale, so
+    * truncation is identity — returning x there instead of overflowing
+    * the BIGINT cast (the BigDecimal reference result).
     */
-  def truncateNum(x: Column, d: Int): Column =
-    (x * pow(lit(10), lit(d))).cast("bigint").cast("double") / pow(lit(10), lit(d))
+  def truncateNum(x: Column, d: Int): Column = {
+    val scaled = x * pow(lit(10), lit(d))
+    when(abs(scaled) >= lit(9007199254740992.0), x)
+      .otherwise(scaled.cast("bigint").cast("double") / pow(lit(10), lit(d)))
+  }
 
   /** TEMPORAL_OVERLAPS(s1, e1, s2, e2): whether the two periods share
     * any instant; endpoints may arrive unordered, like the SQL

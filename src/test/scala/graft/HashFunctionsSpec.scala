@@ -163,6 +163,67 @@ class HashFunctionsSpec extends AnyFunSuite {
     assert(viaSql == Seq(hs(0)(0), hs(0)(1)))
   }
 
+  test("kernel edge hardening (r18 review): k/width guards, null elements, overflow, SIMILAR TO literals") {
+    graft.functions.functions.register(spark)
+    // minhash: non-positive / NULL k rejected at ANALYSIS time
+    intercept[org.apache.spark.sql.AnalysisException] {
+      spark.sql("SELECT minhash(array('a'), -5)").collect()
+    }
+    intercept[org.apache.spark.sql.AnalysisException] {
+      spark.sql("SELECT minhash(array('a'), CAST(NULL AS INT))").collect()
+    }
+    // kgram_hashes: non-positive k → empty, never a negative index read
+    assert(spark.sql("SELECT size(kgram_hashes('abcdef', 0)) AS n, " +
+      "size(kgram_hashes('abcdef', -1)) AS m").collect()(0).toSeq == Seq(0, 0))
+    // shingle widths: wrong type / non-positive rejected at analysis
+    intercept[org.apache.spark.sql.AnalysisException] {
+      spark.sql("SELECT distinct_shingle_count(array('a','b'), '2')").collect()
+    }
+    intercept[org.apache.spark.sql.AnalysisException] {
+      spark.sql("SELECT top_shingle_count(array('a','b'), 0)").collect()
+    }
+    // sorted_intersect_count: null elements are skipped, not NPE'd
+    // (sort_array places nulls first, so the fixture is genuinely sorted)
+    assert(spark.sql("SELECT sort_array(array('b', NULL, 'a')) AS x, " +
+        "sort_array(array('b', 'c', NULL)) AS y")
+      .select(graft.functions.ArrayFns.sorted_intersect_count(
+        col("x"), col("y")).as("c"))
+      .collect()(0).getInt(0) == 1)
+    // sig_agree / cosine_sim: a NULL position nulls the result (the
+    // zip_with chain's semantics); null-free inputs behave as before
+    val sa = spark.sql(
+      """SELECT sig_agree(array(1L, CAST(NULL AS BIGINT)), array(1L, 2L)) AS a,
+        |       sig_agree(array(1L, 2L), array(1L, 3L)) AS b,
+        |       cosine_sim(array(CAST(1.0 AS FLOAT), CAST(NULL AS FLOAT)),
+        |                  array(CAST(1.0 AS FLOAT), CAST(1.0 AS FLOAT))) AS c""".stripMargin)
+      .collect()(0)
+    assert(sa.isNullAt(0) && sa.getInt(1) == 1 && sa.isNullAt(2))
+    // truncate: beyond 2^53 a double has no fractional digits — identity,
+    // not an overflowing BIGINT cast
+    val tr = spark.sql(
+      "SELECT truncate(1e19, 2) AS big, truncate(3.14159, 2) AS small").collect()(0)
+    assert(tr.getDouble(0) == 1e19 && tr.getDouble(1) == 3.14)
+    // split_index: separators containing regex text (incl. the \E that
+    // breaks \Q..\E quoting) stay literal
+    val si = spark.sql(
+      """SELECT split_index('x.y.z', '.', 1) AS dot,
+        |       split_index('1a\\Eb2a\\Eb3', 'a\\Eb', 2) AS esc""".stripMargin).collect()(0)
+    assert(si.getString(0) == "y" && si.getString(1) == "3", si.toSeq.toString)
+    // SIMILAR TO: '$' and '^' are literal characters in SQL:1999
+    assert(graft.functions.Strings.similarToRegexp("100$") == "^100\\$$")
+    assert("100$".matches(graft.functions.Strings.similarToRegexp("100$")))
+    assert(!"100".matches(graft.functions.Strings.similarToRegexp("100$")))
+    assert("a^b".matches(graft.functions.Strings.similarToRegexp("a^b")))
+    // registration must not clobber a user-set map-key policy
+    val old = spark.conf.get("spark.sql.mapKeyDedupPolicy", "LAST_WIN")
+    try {
+      spark.conf.set("spark.sql.mapKeyDedupPolicy", "EXCEPTION")
+      graft.functions.functions.register(spark)
+      assert(spark.conf.get("spark.sql.mapKeyDedupPolicy") == "EXCEPTION",
+        "register() must respect an explicit user policy")
+    } finally spark.conf.set("spark.sql.mapKeyDedupPolicy", old)
+  }
+
   test("FlinkSqlOperatorTable stragglers: split_index / hash_code / truncate / is_* / rand_integer") {
     graft.functions.functions.register(spark)
     val r = spark.sql(
