@@ -578,10 +578,12 @@ object functions {
     //    range; split(limit -1) preserves trailing empties like
     //    splitByWholeSeparatorPreserveAllTokens.
     //  - TRUNCATE (SqlFunctionUtils.struncate: BigDecimal ROUND_DOWN):
-    //    toward-zero via the BIGINT cast below 2^53 — above it a
-    //    double has no fractional digits at any positive scale, so
-    //    truncation is identity (the BigDecimal result), never an
-    //    overflowing cast.
+    //    toward-zero via the BIGINT cast while x*10^d stays below 2^53;
+    //    identity above 2^53 where the double is integral; and for the
+    //    band |x| < 2^53 <= |x*10^d| (1 <= d <= 17, where the double
+    //    still carries sub-10^-d precision but scaling in double space
+    //    would destroy it) an exact DECIMAL remainder chop — see
+    //    Strings.truncateNum for the regime analysis.
     //  - IS_ALPHA / IS_DIGIT / IS_DECIMAL (SqlFunctionUtils:62 family).
     //  - RAND_INTEGER(n): uniform int in [0, n).
     Seq(
@@ -592,8 +594,14 @@ object functions {
         |       regexp_replace(sep, '([\\\\^$.|?*+()\\[\\]{}])', '\\\\$1'), -1), i) END""".stripMargin,
       """CREATE OR REPLACE TEMPORARY FUNCTION truncate(x DOUBLE, d INT)
         |RETURNS DOUBLE RETURN
-        |CASE WHEN abs(x * pow(10, d)) >= 9007199254740992D THEN x
-        |     ELSE CAST(CAST(x * pow(10, d) AS BIGINT) AS DOUBLE) / pow(10, d) END""".stripMargin,
+        |CASE WHEN abs(x) >= 9007199254740992D THEN x
+        |     WHEN abs(x * pow(10, d)) < 9007199254740992D
+        |       THEN CAST(CAST(x * pow(10, d) AS BIGINT) AS DOUBLE) / pow(10, d)
+        |     WHEN d BETWEEN 1 AND 17
+        |       THEN CAST(CAST(x AS DECIMAL(38,18))
+        |              - CAST(x AS DECIMAL(38,18)) % CAST(pow(10, -d) AS DECIMAL(38,18))
+        |            AS DOUBLE)
+        |     ELSE x END""".stripMargin,
       """CREATE OR REPLACE TEMPORARY FUNCTION is_alpha(s STRING)
         |RETURNS BOOLEAN RETURN s rlike '^[A-Za-z]+$'""".stripMargin,
       """CREATE OR REPLACE TEMPORARY FUNCTION is_digit(s STRING)

@@ -64,15 +64,36 @@ object Strings {
       .otherwise(get(split(str, java.util.regex.Pattern.quote(sep), -1), index))
 
   /** TRUNCATE(x, d) — toward-zero truncation at d decimal places
-    * (SqlFunctionUtils.struncate: BigDecimal ROUND_DOWN). Beyond 2^53
-    * a double carries no fractional digits at any positive scale, so
-    * truncation is identity — returning x there instead of overflowing
-    * the BIGINT cast (the BigDecimal reference result).
+    * (SqlFunctionUtils.struncate: BigDecimal ROUND_DOWN on
+    * BigDecimal.valueOf(x), i.e. the double's SHORTEST decimal
+    * representation). Three regimes:
+    *  - |x| >= 2^53: x is integral (ulp >= 1), truncation is identity
+    *    at any non-negative scale — never an overflowing BIGINT cast;
+    *  - |x*10^d| < 2^53: the scaled double is exact enough for the
+    *    BIGINT-cast fast path (whole-stage-codegen'd arithmetic);
+    *  - the band |x| < 2^53 <= |x*10^d| (1 <= d <= 17): the double
+    *    still carries sub-10^-d precision (d=2, x~9.1e13 has ulp 1/64)
+    *    but scaling in double space would destroy it, so truncate in
+    *    DECIMAL space: x - (x % 10^-d) with exact decimal remainder
+    *    (remainder takes the dividend's sign = toward-zero). Spark's
+    *    double→decimal cast goes through BigDecimal.valueOf, matching
+    *    the reference's view of the value. d >= 18 stays identity: a
+    *    shortest representation with |x| >= 2^53/10^18 has no digits
+    *    below 10^-18 to chop (17 significant digits).
     */
   def truncateNum(x: Column, d: Int): Column = {
     val scaled = x * pow(lit(10), lit(d))
-    when(abs(scaled) >= lit(9007199254740992.0), x)
-      .otherwise(scaled.cast("bigint").cast("double") / pow(lit(10), lit(d)))
+    val fast = scaled.cast("bigint").cast("double") / pow(lit(10), lit(d))
+    val band =
+      if (d >= 1 && d <= 17) {
+        val dec = x.cast("decimal(38,18)")
+        val step = lit(new java.math.BigDecimal(java.math.BigInteger.ONE, d))
+          .cast("decimal(38,18)")
+        (dec - (dec % step)).cast("double")
+      } else x
+    when(abs(x) >= lit(9007199254740992.0), x)
+      .otherwise(when(abs(scaled) < lit(9007199254740992.0), fast)
+        .otherwise(band))
   }
 
   /** TEMPORAL_OVERLAPS(s1, e1, s2, e2): whether the two periods share

@@ -19,6 +19,8 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   */
 object Compact {
 
+  private val logger = org.slf4j.LoggerFactory.getLogger(getClass)
+
   /** Parse the reference's MemorySize notation into bytes — bare bytes
     * or a 1024-based unit suffix ('134217728', '128mb', '1 gb';
     * reference: org.apache.flink.configuration.MemorySize, the type of
@@ -194,13 +196,26 @@ object Compact {
           else require(fs.rename(s.getPath, leaf), // crash between the two renames
             s"compact: could not restore $leaf from crash residue ${s.getPath}")
         } else if (!n.startsWith(".") &&
-            (n.endsWith("__compact_tmp") || n.endsWith("__compact_old")) &&
-            fs.exists(partner(p, n,
+            (n.endsWith("__compact_tmp") || n.endsWith("__compact_old"))) {
+          if (fs.exists(partner(p, n,
               if (n.endsWith("__compact_tmp")) "__compact_tmp" else "__compact_old")))
-          // legacy (pre-dot-prefix) residue, provably redundant: the
-          // partner leaf holds the data
-          fs.delete(s.getPath, true)
-        else if (d > 1 && !graft.sql.Partitions.hidden(n) && n.contains("="))
+            // legacy (pre-dot-prefix) residue, provably redundant: the
+            // partner leaf holds the data
+            fs.delete(s.getPath, true)
+          else
+            // UNPARTNERED bare residue: either a user partition whose
+            // escaped value happens to end in the suffix (must not be
+            // touched) or pre-r18 crash residue holding the ONLY copy of
+            // a now-invisible partition. The sweep cannot tell them
+            // apart, so it surfaces the ambiguity instead of acting —
+            // an operator can restore by renaming away the suffix.
+            logger.warn(
+              s"compact sweep: leaving ambiguous directory ${s.getPath} in place " +
+                s"(no partner '${partner(p, n, if (n.endsWith("__compact_tmp")) "__compact_tmp" else "__compact_old").getName}' leaf). " +
+                "If this is pre-upgrade crash residue it holds the only copy of that " +
+                "partition and is invisible to readers — restore it manually by " +
+                "renaming away the __compact_* suffix.")
+        } else if (d > 1 && !graft.sql.Partitions.hidden(n) && n.contains("="))
           scan(s.getPath, d - 1)
       }
     }

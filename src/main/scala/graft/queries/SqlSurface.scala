@@ -109,6 +109,56 @@ object SqlSurface {
           |FROM part_orders_q97 GROUP BY o_orderpriority""".stripMargin)
     }),
 
+    // ---- FLIP-190 plan-file lifecycle (r19 directive #7; reference
+    // ddl/SqlCompilePlan.java, dml/SqlExecutePlan.java, executed by
+    // TableEnvironmentImpl.compilePlanAndWrite:771): a dialect source
+    // table is materialized, a VIEW is laid over it, and an INSERT that
+    // reads ONLY the view is compiled to a plan file. A fresh env with
+    // every registration dropped then EXECUTE PLANs the file — the
+    // envelope must restore the source table, the sink table AND the
+    // view closure (the r19 transitive-closure fix) before the insert
+    // re-runs. The final read hashes against the oracle's equivalent
+    // aggregate over the raw table, so a restore that loses the view's
+    // filter or projection fails the gate. Scale: COMPILE/EXECUTE are
+    // metadata + file I/O; the insert is the only Spark job.
+    "q98_plan_lifecycle" -> ((s, dir) => {
+      val env = graft.sql.SqlEnv(s).registerTestdata(dir)
+      val root = sinkDir("planlc", dir)
+      org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(root))
+      env.executeSql("DROP TABLE IF EXISTS plan_src_q98")
+      env.executeSql("DROP TABLE IF EXISTS plan_sink_q98")
+      env.executeSql("DROP VIEW IF EXISTS plan_view_q98")
+      env.executeSql(
+        s"""CREATE TABLE plan_src_q98 (c_custkey BIGINT, c_acctbal DOUBLE,
+           |  c_mktsegment STRING)
+           |WITH ('connector' = 'filesystem', 'path' = '$root/src',
+           |      'format' = 'parquet')""".stripMargin)
+      env.executeSql(
+        """INSERT INTO plan_src_q98
+          |SELECT c_custkey, c_acctbal, c_mktsegment FROM customer""".stripMargin)
+      env.executeSql(
+        """CREATE VIEW plan_view_q98 AS
+          |SELECT c_mktsegment AS seg,
+          |       CAST(round(c_acctbal * 100) AS BIGINT) AS cents
+          |FROM plan_src_q98 WHERE c_acctbal > 0""".stripMargin)
+      env.executeSql(
+        s"""CREATE TABLE plan_sink_q98 (seg STRING, n BIGINT, cents BIGINT)
+           |WITH ('connector' = 'filesystem', 'path' = '$root/sink',
+           |      'format' = 'parquet')""".stripMargin)
+      env.executeSql(
+        s"""COMPILE PLAN '$root/q98_plan.json' FOR
+           |INSERT INTO plan_sink_q98
+           |SELECT seg, count(*), sum(cents) FROM plan_view_q98 GROUP BY seg""".stripMargin)
+      // fresh-session analog: a new env, with the session-global temp
+      // registrations dropped so only the plan file + on-disk src remain
+      val env2 = graft.sql.SqlEnv(s)
+      env2.executeSql("DROP VIEW plan_view_q98")
+      env2.executeSql("DROP TABLE plan_sink_q98")
+      env2.executeSql("DROP TABLE plan_src_q98")
+      env2.executeSql(s"EXECUTE PLAN '$root/q98_plan.json'")
+      env2.executeSql("SELECT seg, n, cents FROM plan_sink_q98")
+    }),
+
     "q83_ddl_enriched" -> ((s, dir) => {
       val env = graft.sql.SqlEnv(s)
       val hi = sinkDir("hi", dir); val lo = sinkDir("lo", dir)
@@ -302,6 +352,13 @@ object SqlSurface {
         |  CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT) AS cents
         |FROM orders WHERE o_orderpriority <> '1-URGENT'
         |GROUP BY o_orderpriority""".stripMargin,
+    // the plan file's insert aggregates the view (positive balances in
+    // cents) — the oracle recomputes from the raw customer table
+    "q98_plan_lifecycle" ->
+      """SELECT c_mktsegment AS seg, count(*) AS n,
+        |  CAST(sum(CAST(round(c_acctbal * 100) AS BIGINT)) AS BIGINT) AS cents
+        |FROM customer WHERE c_acctbal > 0
+        |GROUP BY 1""".stripMargin,
     "q83_ddl_enriched" ->
       """SELECT CASE WHEN o_totalprice > 150000 THEN 'hi' ELSE 'lo' END AS side,
         |  CAST(year(o_orderdate) AS INT) AS o_year,

@@ -98,9 +98,14 @@ object Jdbc {
       val conn = connectionFactory()
       // drivers default autoCommit=true, where commit() THROWS — open an
       // explicit transaction for batch atomicity; a connection that
-      // cannot switch (test stubs) keeps its own commit semantics
+      // cannot switch (test stubs) keeps its own commit semantics.
+      // Only the driver saying "can't" degrades — a fatal Throwable
+      // (OOM, dead connection) must surface, not silently drop atomicity
       val txn = try { conn.setAutoCommit(false); true }
-                catch { case _: Throwable => false }
+                catch {
+                  case _: java.sql.SQLException => false
+                  case _: UnsupportedOperationException => false
+                }
       try {
         val up = conn.prepareStatement(upsert)
         val del = conn.prepareStatement(delete)

@@ -106,12 +106,17 @@ object Kafka {
     * single-field key contract); a COMPOSITE key serializes as JSON —
     * a separator join would collide distinct keys ('a|b'+'c' vs
     * 'a'+'b|c') and silently DROP null components, corrupting
-    * compaction on the topic.
+    * compaction on the topic. The JSON wire is PINNED (null fields
+    * always serialized) rather than inherited from the session's
+    * `spark.sql.jsonGenerator.ignoreNullFields` — two writers with
+    * different session settings must produce byte-identical keys for
+    * the same logical key, or topic compaction splits the key space.
     */
   def keyColumn(keyCols: Seq[String]): org.apache.spark.sql.Column = {
     require(keyCols.nonEmpty, "kafka sink needs at least one key column")
     if (keyCols.length == 1) col(keyCols.head).cast("string")
-    else to_json(struct(keyCols.map(col): _*))
+    else to_json(struct(keyCols.map(col): _*),
+      Map("ignoreNullFields" -> "false"))
   }
 
   /** Write a stream to Kafka as JSON values; `keyCols` become the

@@ -33,6 +33,36 @@ object Partitions {
   def hidden(name: String): Boolean =
     name.startsWith("_") || name.startsWith(".")
 
+  /** Partition-properties sidecar: `ADD PARTITION ... WITH (props)` is
+    * durable CATALOG state in the reference
+    * (`Catalog.getPartition().getProperties()`), so the filesystem
+    * analog persists the props UNDER THE LEAF in the same dot-prefixed
+    * hidden namespace the compactor stages in — Spark's file index
+    * skips it, readers never see it, and DROP PARTITION removes it
+    * with the leaf. One small file per propertied partition:
+    * metadata-scale, no Spark job. */
+  private val PropsFileName = ".graft_partition_props.json"
+  private val propsMapper = new com.fasterxml.jackson.databind.ObjectMapper()
+
+  /** Persist partition properties under `leaf` (overwrites). */
+  def writeProps(fs: FileSystem, leaf: Path, props: Map[String, String]): Unit = {
+    val node = propsMapper.createObjectNode()
+    props.toSeq.sortBy(_._1).foreach { case (k, v) => node.put(k, v) }
+    val out = fs.create(new Path(leaf, PropsFileName), true)
+    try out.write(propsMapper.writeValueAsBytes(node)) finally out.close()
+  }
+
+  /** Read the properties sidecar under `leaf` (empty when absent). */
+  def readProps(fs: FileSystem, leaf: Path): Map[String, String] = {
+    val p = new Path(leaf, PropsFileName)
+    if (!fs.exists(p)) return Map.empty
+    val in = fs.open(p)
+    val bytes = try org.apache.commons.io.IOUtils.toByteArray(in) finally in.close()
+    import scala.jdk.CollectionConverters._
+    propsMapper.readTree(bytes).properties().asScala
+      .map(e => e.getKey -> e.getValue.asText).toMap
+  }
+
   /** Visible `k=v` leaf directories exactly `depth` levels under
     * `root` (the Hive layout of a `depth`-column partitioned table).
     * Listing cost is bounded by partition count — metadata-scale. */

@@ -25,25 +25,40 @@ import com.fasterxml.jackson.databind.node.ObjectNode
   */
 object PlanFiles {
 
-  private val Version = 1
+  /** Version 1 carried statement + referenced-table DDL; version 2
+    * (r19) adds the VIEW closure — every graft view the statement
+    * reaches directly or through other views, as `[{name, query}]` in
+    * discovery order — so an INSERT that reads a view restores in a
+    * fresh session (the reference never had the gap because it
+    * persists the fully-inlined ExecNodeGraph,
+    * `TableEnvironmentImpl.compilePlanAndWrite:771`; the view closure
+    * is the statement-text analog of that inlining). Version-1 files
+    * still read (they simply have no views). */
+  private val Version = 2
   // ObjectMapper is thread-safe once configured; one shared instance
   private val mapper = new ObjectMapper()
 
   /** Write the plan envelope. `tables` maps each referenced dialect
-    * table to its reconstructed CREATE TABLE DDL. */
+    * table to its reconstructed CREATE TABLE DDL; `views` is the
+    * transitive view closure as (name, body-query) pairs. */
   def write(file: java.io.File, statement: String,
-            tables: Map[String, String]): Unit = {
+            tables: Map[String, String],
+            views: Seq[(String, String)] = Nil): Unit = {
     val root = mapper.createObjectNode()
     root.put("graftPlanVersion", Version)
     root.put("statement", statement)
     val t = root.putObject("tables")
     tables.toSeq.sortBy(_._1).foreach { case (k, v) => t.put(k, v) }
+    val vs = root.putArray("views")
+    views.foreach { case (name, query) =>
+      val v = vs.addObject(); v.put("name", name); v.put("query", query)
+    }
     Option(file.getParentFile).foreach(_.mkdirs())
     mapper.writerWithDefaultPrettyPrinter().writeValue(file, root)
   }
 
-  /** Read a plan envelope back: (statement, table → DDL). */
-  def read(file: java.io.File): (String, Map[String, String]) = {
+  /** Read a plan envelope back: (statement, table → DDL, views). */
+  def read(file: java.io.File): (String, Map[String, String], Seq[(String, String)]) = {
     require(file.exists,
       s"EXECUTE PLAN: plan file '${file.getPath}' does not exist " +
         "(COMPILE PLAN '<file>' FOR <insert> writes it)")
@@ -57,13 +72,19 @@ object PlanFiles {
       root.hasNonNull("graftPlanVersion"),
       s"EXECUTE PLAN: '${file.getPath}' is not a graft plan file " +
         "(missing statement/graftPlanVersion)")
-    require(root.get("graftPlanVersion").asInt == Version,
+    require(root.get("graftPlanVersion").asInt <= Version &&
+      root.get("graftPlanVersion").asInt >= 1,
       s"EXECUTE PLAN: unsupported plan version ${root.get("graftPlanVersion")} " +
-        s"in '${file.getPath}' (this build reads version $Version)")
+        s"in '${file.getPath}' (this build reads versions 1..$Version)")
     val tables = Option(root.get("tables")).collect { case o: ObjectNode =>
       import scala.jdk.CollectionConverters._
       o.properties().asScala.map(e => e.getKey -> e.getValue.asText).toMap
     }.getOrElse(Map.empty[String, String])
-    (root.get("statement").asText, tables)
+    val views = Option(root.get("views")).toSeq.flatMap { arr =>
+      import scala.jdk.CollectionConverters._
+      arr.elements().asScala.map(v =>
+        v.get("name").asText -> v.get("query").asText).toSeq
+    }
+    (root.get("statement").asText, tables, views)
   }
 }

@@ -489,8 +489,15 @@ class SqlEnv private (val spark: SparkSession) {
             // a spec skipped under IF NOT EXISTS skips its props too —
             // the reference's createPartition(ignoreIfExists) never
             // touches the existing partition's properties
-            if (addedSet(pn))
-              partitionProps.put(s"$name/$pn", Ddl.parseOptionPairs(p))
+            if (addedSet(pn)) {
+              val parsed = Ddl.parseOptionPairs(p)
+              partitionProps.put(s"$name/$pn", parsed)
+              // durable like the reference's CatalogPartition state —
+              // a hidden sidecar under the leaf (r18 left these
+              // session-only; see Partitions.writeProps)
+              val fs = leaf.getFileSystem(spark.sparkContext.hadoopConfiguration)
+              Partitions.writeProps(fs, leaf, parsed)
+            }
           }
         }
         if (added.nonEmpty) {
@@ -574,13 +581,29 @@ class SqlEnv private (val spark: SparkSession) {
         compilePlanFile(file, ifNotExists = false, body)
         return executeSql(body.trim.replaceAll(";\\s*$", ""))
       case executePlanRe(file) =>
-        val (stmt, tables) = PlanFiles.read(new java.io.File(file))
+        val (stmt, tables, views) = PlanFiles.read(new java.io.File(file))
         // restore referenced dialect tables absent from this session
         // (create-only — an existing same-name table wins, like the
         // reference resolving against the live catalog)
         tables.foreach { case (t, ddl) =>
           if (!tableDefs.containsKey(t)) executeSql(ddl)
         }
+        // restore the view closure (create-only, like tables). The
+        // envelope stores discovery order, not dependency order, so
+        // retry to a fixpoint: a view over a not-yet-created view
+        // fails this pass and succeeds once its dependency lands (the
+        // closure is a DAG, so each pass creates at least one).
+        var pending = views.filterNot { case (v, _) => createdViews.containsKey(v) }
+        var progress = true
+        while (pending.nonEmpty && progress) {
+          val failed = pending.filter { case (v, body) =>
+            scala.util.Try(executeSql(s"CREATE VIEW $v AS $body")).isFailure
+          }
+          progress = failed.size < pending.size
+          pending = failed
+        }
+        if (pending.nonEmpty) // surface the real error, not a swallow
+          executeSql(s"CREATE VIEW ${pending.head._1} AS ${pending.head._2}")
         return executeSql(stmt)
       // modules (ModuleManager): 'core' is the only module shipped in
       // this engine build; loading anything else fails exactly like the
@@ -1294,9 +1317,26 @@ class SqlEnv private (val spark: SparkSession) {
     * analog of the reference's `Catalog.getPartition().getProperties()`
     * (the 1.16 dialect ships no SQL statement that reads them back;
     * Table-API users read them through exactly this kind of accessor).
-    * `partitionName` is the SHOW PARTITIONS rendering (`k=v[/k2=v2]`). */
+    * `partitionName` is the SHOW PARTITIONS rendering (`k=v[/k2=v2]`).
+    * Reads through to the durable leaf sidecar when the session map
+    * misses — props written in one session are catalog state, visible
+    * in a fresh session that re-declares the table (the leaf is
+    * matched by its RENDERED name, so escaped values resolve exactly). */
   def partitionProperties(table: String, partitionName: String): Map[String, String] =
-    Option(partitionProps.get(s"$table/$partitionName")).getOrElse(Map.empty)
+    Option(partitionProps.get(s"$table/$partitionName")).getOrElse {
+      Option(tableDefs.get(table))
+        .filter(d => d.connector == "filesystem" && d.partitionedBy.nonEmpty)
+        .map { d =>
+          val rootP = new org.apache.hadoop.fs.Path(d.path)
+          val fs = rootP.getFileSystem(spark.sparkContext.hadoopConfiguration)
+          val n = d.partitionedBy.length
+          val props = Partitions.leafDirs(fs, rootP, n)
+            .find(Partitions.partName(_, n) == partitionName)
+            .map(Partitions.readProps(fs, _)).getOrElse(Map.empty)
+          if (props.nonEmpty) partitionProps.put(s"$table/$partitionName", props)
+          props
+        }.getOrElse(Map.empty)
+    }
   // FLIP-190 plan statements (ddl/SqlCompilePlan.java: file path first,
   // then optional IF NOT EXISTS, then FOR <insert|statement set>)
   private val compilePlanRe =
@@ -1322,13 +1362,43 @@ class SqlEnv private (val spark: SparkSession) {
             "file or, if you're debugging your job, set the option " +
             "'table.plan.force-recompile' to true.")
     }
-    // dialect tables the statement references ride along as DDL so
-    // EXECUTE PLAN can restore them in a fresh session
-    val referenced = asScala.toMap.filter { case (t, _) =>
-      ("""(?i)\b""" + java.util.regex.Pattern.quote(t) + """\b""").r
-        .findFirstIn(stmt).isDefined
+    // dialect tables AND views the statement reaches ride along so
+    // EXECUTE PLAN can restore them in a fresh session. The reach is
+    // TRANSITIVE through the view registry: the statement's text is
+    // scanned for registered names, and each matched view's body is
+    // scanned in turn — so an INSERT that reads only a view still
+    // persists the view DDL and the underlying tables' DDL (the
+    // closure analog of the reference persisting the fully-inlined
+    // ExecNodeGraph, TableEnvironmentImpl.compilePlanAndWrite:771).
+    val (tables, views) = planClosure(stmt)
+    PlanFiles.write(f, stmt,
+      tables.map { case (t, d) => t -> Ddl.showCreate(d) }, views)
+  }
+
+  /** Transitive (tables, views) closure of a statement's text through
+    * the view registry — views in DISCOVERY order (statement first,
+    * then each view body as it is reached). */
+  private def planClosure(stmt: String)
+      : (Map[String, Ddl.TableDef], Seq[(String, String)]) = {
+    import scala.jdk.CollectionConverters._
+    val tables = scala.collection.mutable.LinkedHashMap.empty[String, Ddl.TableDef]
+    val views = scala.collection.mutable.LinkedHashMap.empty[String, String]
+    def mentions(name: String, text: String): Boolean =
+      ("""(?i)\b""" + java.util.regex.Pattern.quote(name) + """\b""").r
+        .findFirstIn(text).isDefined
+    def scan(text: String): Unit = {
+      asScala.foreach { case (t, d) =>
+        if (!tables.contains(t) && mentions(t, text)) tables += t -> d
+      }
+      createdViews.asScala.foreach { case (v, body) =>
+        if (!views.contains(v) && mentions(v, text)) {
+          views += v -> body
+          scan(body)
+        }
+      }
     }
-    PlanFiles.write(f, stmt, referenced.map { case (t, d) => t -> Ddl.showCreate(d) })
+    scan(stmt)
+    (tables.toMap, views.toSeq)
   }
   // ALTER TABLE ADD/MODIFY (column) — parse-only in the 1.16 reference:
   // SqlAlterTableAdd/Modify exist in the parser but

@@ -203,6 +203,28 @@ class HashFunctionsSpec extends AnyFunSuite {
     val tr = spark.sql(
       "SELECT truncate(1e19, 2) AS big, truncate(3.14159, 2) AS small").collect()(0)
     assert(tr.getDouble(0) == 1e19 && tr.getDouble(1) == 3.14)
+    // r19 ADVICE: the band |x| < 2^53 <= |x*10^d| still carries
+    // sub-10^-d precision (x ~ 9.1e13 has ulp 1/64) — the decimal
+    // path must agree with the reference's BigDecimal ROUND_DOWN of
+    // BigDecimal.valueOf(x), where the old identity shortcut diverged
+    for (x <- Seq(9.1e13 + 1.0 / 64, -(9.1e13 + 1.0 / 64), 2.5e14 + 0.03,
+                  9.007e15 - 0.5, 123456789.987654321)) {
+      for (d <- Seq(1, 2, 5, 17)) {
+        val want = java.math.BigDecimal.valueOf(x)
+          .setScale(d, java.math.RoundingMode.DOWN).doubleValue()
+        val got = spark.sql(s"SELECT truncate(CAST($x AS DOUBLE), $d) AS t")
+          .collect()(0).getDouble(0)
+        assert(got == want, s"truncate($x, $d): got $got want $want")
+        val gotCol = Seq(x).toDF("x")
+          .select(graft.functions.Strings.truncateNum(col("x"), d).as("t"))
+          .collect()(0).getDouble(0)
+        assert(gotCol == want, s"truncateNum($x, $d): got $gotCol want $want")
+      }
+    }
+    // d >= 18: identity (a shortest double representation in the band
+    // has at most 17 significant digits — nothing below 10^-18 to chop)
+    assert(spark.sql("SELECT truncate(CAST(0.5 AS DOUBLE), 18) AS t")
+      .collect()(0).getDouble(0) == 0.5)
     // split_index: separators containing regex text (incl. the \E that
     // breaks \Q..\E quoting) stay literal
     val si = spark.sql(

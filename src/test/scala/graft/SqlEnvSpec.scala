@@ -1,7 +1,7 @@
 package graft
 
 import org.scalatest.funsuite.AnyFunSuite
-import graft.sql.SqlEnv
+import graft.sql.{PlanFiles, SqlEnv}
 import graft.streaming.StatefulOps
 
 /** The user-facing SQL surface: a reference user's `executeSql`
@@ -2025,6 +2025,107 @@ class SqlEnvSpec extends AnyFunSuite {
     intercept[IllegalArgumentException] {
       env2.executeSql(s"EXPLAIN EXECUTE PLAN '$plan'")
     }
+  }
+
+  test("COMPILE PLAN closes over views and indirectly-referenced tables (r19)") {
+    val env = SqlEnv(spark).registerTestdata(TestSpark.sfDir)
+    val dir = "/tmp/graft_sql_plan19"
+    org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(dir))
+    Seq("plan19_src", "plan19_sink").foreach(t =>
+      env.executeSql(s"DROP TABLE IF EXISTS $t"))
+    Seq("plan19_v1", "plan19_v2").foreach(v =>
+      env.executeSql(s"DROP VIEW IF EXISTS $v"))
+    env.executeSql(
+      s"""CREATE TABLE plan19_src (k BIGINT, nm STRING)
+         |WITH ('connector' = 'filesystem', 'path' = '$dir/src',
+         |      'format' = 'parquet')""".stripMargin)
+    env.executeSql("INSERT INTO plan19_src SELECT r_regionkey, r_name FROM region")
+    // a view over the dialect table, and a view over THAT view — the
+    // statement below mentions only plan19_v2, so both the view chain
+    // and plan19_src are reachable only transitively
+    env.executeSql("CREATE VIEW plan19_v1 AS SELECT k, upper(nm) AS nm FROM plan19_src")
+    env.executeSql("CREATE VIEW plan19_v2 AS SELECT k, nm FROM plan19_v1 WHERE k < 4")
+    env.executeSql(
+      s"""CREATE TABLE plan19_sink (k BIGINT, nm STRING)
+         |WITH ('connector' = 'filesystem', 'path' = '$dir/sink',
+         |      'format' = 'parquet')""".stripMargin)
+    val plan = s"$dir/view_plan.json"
+    env.executeSql(
+      s"COMPILE PLAN '$plan' FOR INSERT INTO plan19_sink SELECT k, nm FROM plan19_v2")
+    // the envelope carries the full closure: both tables (src reached
+    // only through view bodies) and both views
+    val (_, tables, views) = PlanFiles.read(new java.io.File(plan))
+    assert(tables.keySet == Set("plan19_sink", "plan19_src"),
+      s"closure tables: ${tables.keySet}")
+    assert(views.map(_._1).toSet == Set("plan19_v1", "plan19_v2"),
+      s"closure views: ${views.map(_._1)}")
+    // FRESH session analog: new env, session temp views dropped so
+    // nothing survives but the plan file and the src table's data
+    val env2 = SqlEnv(spark)
+    Seq("plan19_v2", "plan19_v1").foreach(v => env2.executeSql(s"DROP VIEW $v"))
+    Seq("plan19_src", "plan19_sink").foreach(t => env2.executeSql(s"DROP TABLE $t"))
+    env2.executeSql(s"EXECUTE PLAN '$plan'")
+    val rows = env2.executeSql("SELECT k, nm FROM plan19_sink ORDER BY k")
+      .collect().map(r => (r.getLong(0), r.getString(1))).toSeq
+    assert(rows.size == 4 && rows.forall { case (k, nm) => k < 4 && nm == nm.toUpperCase },
+      s"restored view chain must filter and uppercase: $rows")
+    // the restored views are first-class in the new session
+    assert(env2.executeSql("SHOW VIEWS").collect().map(_.getString(0)).toSet
+      .intersect(Set("plan19_v1", "plan19_v2")) == Set("plan19_v1", "plan19_v2"))
+    // version-1 envelopes (no views) still read — forward-compatible
+    val v1file = new java.io.File(s"$dir/v1_style.json")
+    java.nio.file.Files.write(v1file.toPath,
+      ("""{"graftPlanVersion": 1, "statement":
+         | "INSERT INTO plan19_sink SELECT k, nm FROM plan19_src",
+         | "tables": {}}""".stripMargin.replace("\n", "")).getBytes)
+    env2.executeSql(s"EXECUTE PLAN '${v1file.getPath}'")
+    assert(env2.executeSql("SELECT count(*) AS c FROM plan19_sink")
+      .collect()(0).getLong(0) == 9) // 4 + all 5 regions appended
+  }
+
+  test("ADD PARTITION WITH props are durable catalog state (r19)") {
+    val env = SqlEnv(spark)
+    val dir = "/tmp/graft_sql_partprops19"
+    org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(dir))
+    env.executeSql("DROP TABLE IF EXISTS pp19_t")
+    val ddl =
+      s"""CREATE TABLE pp19_t (x INT, a STRING)
+         |PARTITIONED BY (a)
+         |WITH ('connector' = 'filesystem', 'path' = '$dir/t',
+         |      'format' = 'parquet')""".stripMargin
+    env.executeSql(ddl)
+    env.executeSql(
+      "ALTER TABLE pp19_t ADD PARTITION (a='cold') WITH ('note' = 'cold', 'tier' = 's3')")
+    // a value that ESCAPES on disk reads back through the rendered name
+    env.executeSql(
+      "ALTER TABLE pp19_t ADD PARTITION (a='m/1') WITH ('note' = 'slash')")
+    assert(env.partitionProperties("pp19_t", "a=cold") ==
+      Map("note" -> "cold", "tier" -> "s3"))
+    // the sidecar lives in the hidden namespace: readers see a normal
+    // empty partition, SHOW PARTITIONS lists no phantom entries
+    assert(env.executeSql("SELECT count(*) AS c FROM pp19_t")
+      .collect()(0).getLong(0) == 0)
+    assert(env.executeSql("SHOW PARTITIONS pp19_t").collect()
+      .map(_.getString(0)).toSeq == Seq("a=cold", "a=m/1"))
+    // FRESH session analog: a new env that re-declares the table reads
+    // the props back from the leaf sidecar (the reference's
+    // Catalog.getPartition().getProperties() is durable catalog state)
+    val envF = SqlEnv(spark)
+    envF.executeSql(ddl)
+    assert(envF.partitionProperties("pp19_t", "a=cold") ==
+      Map("note" -> "cold", "tier" -> "s3"),
+      "props must survive into a fresh session")
+    assert(envF.partitionProperties("pp19_t", "a=m/1") == Map("note" -> "slash"),
+      "escaped-value partitions resolve by their rendered name")
+    assert(envF.partitionProperties("pp19_t", "a=nope").isEmpty)
+    // DROP PARTITION removes the props with the leaf — durably
+    envF.executeSql("ALTER TABLE pp19_t DROP PARTITION (a='cold')")
+    val envF2 = SqlEnv(spark)
+    envF2.executeSql(ddl)
+    assert(envF2.partitionProperties("pp19_t", "a=cold").isEmpty,
+      "DROP PARTITION must remove the durable props")
+    assert(envF2.partitionProperties("pp19_t", "a=m/1") == Map("note" -> "slash"))
+    envF2.executeSql("DROP TABLE pp19_t")
   }
 
   test("COMPACT: MemorySize option notation and provenance on bad units") {

@@ -227,6 +227,196 @@ class StatementFuzzSpec extends AnyFunSuite {
     }
   }
 
+  // ---- r19 directive #4: post-fuzz statement classes -------------------
+  // The r17 fuzz commit predates the FLIP-162 EXPLAIN details, the
+  // interactive statement-set mode, bare EXECUTE, COMPILE/EXECUTE PLAN
+  // and the SHOW USER/FROM/LIKE variants — generator coverage follows.
+
+  test("EXPLAIN detail permutations: every subset/order plans, duplicates rejected (40 samples)") {
+    val dir = "/tmp/graft_fuzz19/explain"
+    org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(dir))
+    env.executeSql("DROP TABLE IF EXISTS fz_ex_t")
+    env.executeSql(
+      s"""CREATE TABLE fz_ex_t (x BIGINT) WITH ('connector' = 'filesystem',
+         |  'path' = '$dir/t', 'format' = 'parquet')""".stripMargin)
+    val allDetails = Seq("ESTIMATED_COST", "CHANGELOG_MODE", "JSON_EXECUTION_PLAN")
+    val detailSubset: Gen[Seq[String]] = for {
+      n <- Gen.choose(0, 3)
+      ds <- Gen.pick(n, allDetails)
+      shuffled <- Gen.const(ds.toSeq.reverse) // order varies with n
+      cased <- Gen.oneOf(identity[String] _, (s: String) => s.toLowerCase)
+    } yield shuffled.map(cased)
+    val bodies: Gen[(String, Int)] = Gen.oneOf(
+      ("SELECT 1 AS one", 0),
+      ("INSERT INTO fz_ex_t SELECT CAST(5 AS BIGINT)", 0),
+      ("STATEMENT SET BEGIN INSERT INTO fz_ex_t SELECT CAST(1 AS BIGINT); " +
+        "INSERT INTO fz_ex_t SELECT CAST(2 AS BIGINT); END", 2))
+    val gen = for {
+      ex <- kw("EXPLAIN")
+      ds <- detailSubset
+      (body, sections) <- bodies
+      s <- semi
+    } yield (ex, ds, body, sections, s)
+    samples(gen, 40).zipWithIndex.foreach { case ((ex, ds, body, sections, s), i) =>
+      val sql = s"$ex ${if (ds.isEmpty) "" else ds.mkString(", ") + " "}$body$s"
+      val txt = env.executeSql(sql).collect()(0).getString(0)
+      assert(txt.nonEmpty, s"#$i: $sql")
+      // each requested detail contributes its section, none executes
+      if (ds.exists(_.equalsIgnoreCase("CHANGELOG_MODE")))
+        assert(txt.contains("== Changelog Mode =="), s"#$i: $sql")
+      if (ds.exists(_.equalsIgnoreCase("JSON_EXECUTION_PLAN")))
+        assert(txt.contains("== Physical Execution Plan (JSON) =="), s"#$i: $sql")
+      if (sections > 0)
+        (1 to sections).foreach(k =>
+          assert(txt.contains(s"== Statement $k =="), s"#$i: $sql"))
+      assert(!new java.io.File(s"$dir/t").exists,
+        s"#$i: EXPLAIN must never execute the insert ($sql)")
+    }
+    // duplicate details rejected with the parser's exact message, at
+    // any position and any case mix
+    val dupGen = for {
+      d <- Gen.oneOf(allDetails)
+      other <- Gen.oneOf(allDetails)
+      mid <- Gen.oneOf(true, false)
+      lower <- Gen.oneOf(true, false)
+    } yield (d, if (lower) d.toLowerCase else d, other, mid)
+    samples(dupGen, 20).zipWithIndex.foreach { case ((d, second, other, mid), i) =>
+      val ds = if (mid) Seq(d, other, second) else Seq(d, second, other)
+      // `other` may equal d: then the list duplicates regardless — fine
+      val e = intercept[IllegalArgumentException] {
+        env.executeSql(s"EXPLAIN ${ds.mkString(", ")} SELECT 1")
+      }
+      assert(e.getMessage.contains("Duplicate EXPLAIN DETAIL is not allowed."),
+        s"dup #$i (${ds.mkString(",")}): ${e.getMessage}")
+    }
+  }
+
+  test("statement-set interleavings: buffering, illegal members, END discipline (25 samples)") {
+    val dir = "/tmp/graft_fuzz19/stmtset"
+    org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(dir))
+    // a dedicated env so a failing sample can never strand the SHARED
+    // env in set mode
+    val env2 = graft.sql.SqlEnv(spark)
+    env2.executeSql("DROP TABLE IF EXISTS fz_ss_t")
+    env2.executeSql(
+      s"""CREATE TABLE fz_ss_t (x BIGINT) WITH ('connector' = 'filesystem',
+         |  'path' = '$dir/t', 'format' = 'parquet')""".stripMargin)
+    // read the sink DIRECTLY: a SELECT through executeSql would itself
+    // be rejected mid-set (the very discipline under test)
+    def count(): Long =
+      try spark.read.parquet(s"$dir/t").count()
+      catch { case _: Exception => 0L } // unmaterialized yet
+    val gen = for {
+      begin <- kw("BEGIN STATEMENT SET")
+      end <- kw("END")
+      k <- Gen.choose(1, 3)
+      illegal <- Gen.option(Gen.oneOf(
+        "SELECT 17", "SHOW TABLES", "DROP TABLE fz_ss_t"))
+      s <- semi
+    } yield (begin, end, k, illegal, s)
+    var expected = 0L
+    samples(gen, 25).zipWithIndex.foreach { case ((begin, end, k, illegal, s), i) =>
+      val before = count()
+      assert(before == expected, s"#$i: stale rows before sample")
+      env2.executeSql(s"$begin$s")
+      (1 to k).foreach(v =>
+        env2.executeSql(s"INSERT INTO fz_ss_t SELECT CAST($v AS BIGINT)"))
+      assert(count() == before, s"#$i: nothing may be written before END")
+      illegal.foreach { bad =>
+        val e = intercept[IllegalArgumentException] { env2.executeSql(bad) }
+        assert(e.getMessage.contains("Only INSERT statement is allowed in Statement Set."),
+          s"#$i: ${e.getMessage}")
+        // the reference CLI stays in set mode after a rejected member
+        env2.executeSql(s"INSERT INTO fz_ss_t SELECT CAST(99 AS BIGINT)")
+      }
+      env2.executeSql(s"$end$s")
+      expected = before + k + (if (illegal.isDefined) 1 else 0)
+      assert(count() == expected, s"#$i: END must submit the full buffer")
+      // END with no open set: the CLI's exact guidance
+      val loose = intercept[IllegalArgumentException] { env2.executeSql(s"$end$s") }
+      assert(loose.getMessage.contains("No Statement Set to submit"), s"#$i")
+    }
+  }
+
+  test("COMPILE/EXECUTE PLAN near-misses: overwrite guard, bad envelopes, version gate (15 samples)") {
+    val dir = "/tmp/graft_fuzz19/plans"
+    org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(dir))
+    new java.io.File(dir).mkdirs()
+    env.executeSql("DROP TABLE IF EXISTS fz_pl_t")
+    env.executeSql(
+      s"""CREATE TABLE fz_pl_t (x BIGINT) WITH ('connector' = 'filesystem',
+         |  'path' = '$dir/t', 'format' = 'parquet')""".stripMargin)
+    val ins = "INSERT INTO fz_pl_t SELECT CAST(1 AS BIGINT)"
+    val gen = for {
+      compile <- kw("COMPILE PLAN")
+      execute <- kw("EXECUTE PLAN")
+      ine <- kw("IF NOT EXISTS")
+      s <- semi
+    } yield (compile, execute, ine, s)
+    samples(gen, 15).zipWithIndex.foreach { case ((compile, execute, ine, s), i) =>
+      val plan = s"$dir/p_$i.json"
+      env.executeSql(s"$compile '$plan' FOR $ins$s")
+      assert(new java.io.File(plan).isFile, s"#$i")
+      // overwrite guard fires regardless of statement case/shape
+      val over = intercept[IllegalArgumentException] {
+        env.executeSql(s"$compile '$plan' FOR $ins")
+      }
+      assert(over.getMessage.contains("Cannot overwrite the plan file"), s"#$i")
+      env.executeSql(s"$compile '$plan' $ine FOR $ins") // silent skip
+      // non-JSON garbage and a future version both carry provenance
+      val garbled = s"$dir/garbled_$i.json"
+      java.nio.file.Files.write(java.nio.file.Paths.get(garbled),
+        s"not json at all #$i".getBytes)
+      val bad = intercept[IllegalArgumentException] {
+        env.executeSql(s"$execute '$garbled'")
+      }
+      assert(bad.getMessage.contains("not a graft plan file"), s"#$i: ${bad.getMessage}")
+      val future = s"$dir/future_$i.json"
+      java.nio.file.Files.write(java.nio.file.Paths.get(future),
+        s"""{"graftPlanVersion": 99, "statement": "$ins", "tables": {}}""".getBytes)
+      val ver = intercept[IllegalArgumentException] {
+        env.executeSql(s"$execute '$future'")
+      }
+      assert(ver.getMessage.contains("unsupported plan version"), s"#$i: ${ver.getMessage}")
+    }
+  }
+
+  test("SHOW TABLES LIKE / NOT LIKE: SQL-LIKE semantics against a reference predicate (60 samples)") {
+    val names = Seq("fzs19a", "fzs19ab", "fzs19abc", "fzs19xyz", "fzs19x_z")
+    names.foreach { n =>
+      env.executeSql(s"DROP TABLE IF EXISTS $n")
+      env.executeSql(s"CREATE TABLE $n (x INT) WITH ('connector' = 'blackhole')")
+    }
+    // independent LIKE implementation: % = any run, _ = one char
+    def likeRef(pat: String, s: String): Boolean =
+      ("(?s)^" + pat.flatMap {
+        case '%' => ".*"
+        case '_' => "."
+        case c => java.util.regex.Pattern.quote(c.toString)
+      } + "$").r.findFirstIn(s).isDefined
+    val patGen = for {
+      suffix <- Gen.listOfN(3, Gen.oneOf("a", "b", "c", "x", "%", "_", ""))
+      not <- Gen.oneOf("", "NOT ")
+      like <- kw("LIKE")
+      show <- kw("SHOW TABLES")
+    } yield (s"fzs19${suffix.mkString}", not, like, show)
+    samples(patGen, 60).zipWithIndex.foreach { case ((pat, not, like, show), i) =>
+      val got = env.executeSql(s"$show $not$like '$pat'").collect()
+        .map(_.getString(0)).toSet.intersect(names.toSet)
+      val want = names.filter(n => likeRef(pat, n) != (not == "NOT ")).toSet
+      assert(got == want, s"#$i: pattern '$pat' not=${not.nonEmpty} got=$got want=$want")
+    }
+    // SHOW USER FUNCTIONS lists exactly the CREATE FUNCTION'd names
+    env.executeSql("DROP FUNCTION IF EXISTS fz_suf19")
+    val withoutFn = env.executeSql("SHOW USER FUNCTIONS").collect().map(_.getString(0)).toSet
+    assert(!withoutFn.contains("fz_suf19"))
+    env.executeSql("CREATE FUNCTION fz_suf19 AS 'graft.TestUdfUpper'")
+    val withFn = env.executeSql("SHOW USER FUNCTIONS").collect().map(_.getString(0)).toSet
+    assert(withFn.contains("fz_suf19"), s"got $withFn")
+    env.executeSql("DROP FUNCTION fz_suf19")
+    names.foreach(n => env.executeSql(s"DROP TABLE $n"))
+  }
+
   // ---- 4: statement keywords inside literals are not intercepted ------
 
   test("preservation: statement text inside string literals passes through to Spark (60 samples)") {
