@@ -53,15 +53,14 @@ object Cep {
       ExpressionEncoder(RowEncoder.encoderFor(schema))
     implicit val keyEnc = org.apache.spark.sql.Encoders.STRING
 
-    def tsMicros(r: Row): Long = r.get(tsIdx) match {
-      case t: java.sql.Timestamp => t.getTime * 1000 + (t.getNanos / 1000) % 1000
-      case t: java.time.Instant => t.getEpochSecond * 1000000L + t.getNano / 1000
-      case l: Long => l
-    }
+    def tsMicros(r: Row): Long = StatefulOps.tsMicros(r, tsIdx)
 
-    df.groupByKey(r => String.valueOf(r.get(keyIdx)))
+    // encodeKey, not String.valueOf: a NULL key and the literal string
+    // "null" must be separate groups (StatefulOps.encodeKey's contract)
+    // or a pattern could chain across two distinct keys' events
+    df.groupByKey(r => StatefulOps.encodeKey(r, Seq(keyIdx)))
       .flatMapGroups { (_: String, it: Iterator[Row]) =>
-        val events = it.toArray.sortBy(tsMicros)
+        val events = it.toArray.sortBy(r => (tsMicros(r), String.valueOf(r.get(idIdx))))
         val n = events.length
         val out = scala.collection.mutable.ArrayBuffer.empty[Row]
         var i = 0
@@ -304,7 +303,8 @@ object Cep {
     implicit val keyEnc = org.apache.spark.sql.Encoders.STRING
     val runner = new PatternRunner(schema, keyCol, tsCol, idCol,
       branches, withinSec, afterMatch, withBranch)
-    df.groupByKey(r => String.valueOf(r.get(keyIdx)))
+    // encodeKey: NULL key vs literal "null" stay distinct groups
+    df.groupByKey(r => StatefulOps.encodeKey(r, Seq(keyIdx)))
       .flatMapGroups { (_: String, it: Iterator[Row]) =>
         val events = it.toArray.sortBy(runner.sortKey)
         runner.emitMatches(events, 0, events.length, runner.NoCursor)._1.iterator
@@ -381,7 +381,8 @@ object Cep {
     // one empty invocation — emitting any watermark-decidable matches —
     // then its buffer + skip cursor are purged.
     val timeout = StatefulOps.ttlTimeout(df, ttlSec)
-    df.groupByKey(r => String.valueOf(r.get(keyIdx)))
+    // encodeKey: NULL key vs literal "null" stay distinct groups
+    df.groupByKey(r => StatefulOps.encodeKey(r, Seq(keyIdx)))
       .flatMapGroupsWithState[Row, Row](
         OutputMode.Append, timeout)(StatefulOps.withTtl(timeout, ttlSec) {
         (_: String, rows: Iterator[Row], state: GroupState[Row]) =>
@@ -425,11 +426,7 @@ object Cep {
     private val idIdx = schema.fieldIndex(idCol)
     private val names = unionNames(branches).toIndexedSeq
 
-    def tsMicros(r: Row): Long = r.get(tsIdx) match {
-      case t: java.sql.Timestamp => t.getTime * 1000 + (t.getNanos / 1000) % 1000
-      case t: java.time.Instant => t.getEpochSecond * 1000000L + t.getNano / 1000
-      case l: Long => l
-    }
+    def tsMicros(r: Row): Long = StatefulOps.tsMicros(r, tsIdx)
     def sortKey(r: Row): (Long, String) = (tsMicros(r), String.valueOf(r.get(idIdx)))
 
     /** Suppression cursor — the skip strategy's resume position as a

@@ -143,20 +143,36 @@ object Changelog {
           else {
             val it = rows.buffered
             val keyVals = keyIdx.map(it.head.get)
-            var (cnt, sum) = if (state.exists) state.get else (0L, 0.0)
+            val hadState = state.exists
+            var (cnt, sum) = if (hadState) state.get else (0L, 0.0)
+            var sawAccumulate = false
+            // Fold ORDER-INSENSITIVELY (transient negatives allowed):
+            // the group iterator does not guarantee within-trigger
+            // arrival order, so a -U folded before its own +U must
+            // still net correctly — addition commutes, per-element
+            // ignore-on-empty would not.
             it.foreach { r =>
               val acc = r.getString(kindIdx) match {
                 case Insert | UpdateAfter => 1
                 case _ => -1
               }
+              if (acc > 0) sawAccumulate = true
               cnt += acc
               sum += acc * num(r)
             }
-            if (cnt <= 0) { if (state.exists) state.remove() }
+            // A NEGATIVE net is excess retractions (TTL-purged state or
+            // a replayed -D): the reference's GroupAggFunction ignores
+            // a retraction with no accumulator, so clamp at zero and —
+            // when the batch held nothing BUT ignored retractions —
+            // emit nothing at all, never a cnt = -1 row
+            if (cnt < 0) { cnt = 0; sum = 0.0 }
+            if (cnt == 0) { if (hadState) state.remove() }
             else state.update((cnt, sum))
             // a fully-retracted key reports an exact zero sum (no float
-            // residue from the +x/-x cancellation)
-            Iterator(Row.fromSeq(keyVals ++ Seq(cnt, if (cnt <= 0) 0.0 else sum)))
+            // residue from the +x/-x cancellation); a batch of ONLY
+            // ignored retractions on an unknown key emits nothing
+            if (cnt == 0 && !sawAccumulate && !hadState) Iterator.empty
+            else Iterator(Row.fromSeq(keyVals ++ Seq(cnt, if (cnt == 0) 0.0 else sum)))
           }
       })
   }

@@ -80,19 +80,51 @@ object ChangelogJoin {
     * Multisets key on the row's DATA columns only (kind/seq excluded),
     * so a -D retracts the +I that carried the same payload — the
     * record-equality contract of JoinRecordStateView.
+    *
+    * Keys are CANONICALIZED ([[canon]]): BinaryType values arrive as
+    * `Array[Byte]`, whose Scala `Seq`/map equality is reference-based —
+    * without wrapping, a retraction's fresh array instance would never
+    * match the accumulated row and the join would serve stale output
+    * forever. `ByteBuffer` carries content equality and can never be a
+    * genuine Spark row value, so the wrap is unambiguous and reversible.
     */
+  private def canon(v: Any): Any = v match {
+    case b: Array[Byte] => java.nio.ByteBuffer.wrap(b)
+    case r: Row => Row.fromSeq(r.toSeq.map(canon))
+    case s: Seq[_] => s.map(canon)
+    case m: Map[_, _] => m.map { case (k, x) => canon(k) -> canon(x) }
+    case o => o
+  }
+  private def decanon(v: Any): Any = v match {
+    case b: java.nio.ByteBuffer => b.array()
+    case r: Row => Row.fromSeq(r.toSeq.map(decanon))
+    case s: Seq[_] => s.map(decanon)
+    case m: Map[_, _] => m.map { case (k, x) => decanon(k) -> decanon(x) }
+    case o => o
+  }
+
   private final class JoinState {
-    // multiset per side: data-column values → multiplicity
+    // multiset per side: CANONICAL data-column values → multiplicity,
+    // plus a running element total so the first/last-row transitions in
+    // process() are O(1) instead of a full map sum per element
     val lm = scala.collection.mutable.LinkedHashMap.empty[Seq[Any], Int]
     val rm = scala.collection.mutable.LinkedHashMap.empty[Seq[Any], Int]
+    private var lTotal = 0
+    private var rTotal = 0
+    def total(m: scala.collection.mutable.LinkedHashMap[Seq[Any], Int]): Int =
+      if (m eq lm) lTotal else rTotal
+    private def bump(m: scala.collection.mutable.LinkedHashMap[Seq[Any], Int],
+                     by: Int): Unit =
+      if (m eq lm) lTotal += by else rTotal += by
     def add(m: scala.collection.mutable.LinkedHashMap[Seq[Any], Int],
-            k: Seq[Any]): Unit =
-      m.update(k, m.getOrElse(k, 0) + 1)
+            k: Seq[Any], count: Int = 1): Unit = {
+      m.update(k, m.getOrElse(k, 0) + count); bump(m, count)
+    }
     def remove(m: scala.collection.mutable.LinkedHashMap[Seq[Any], Int],
                k: Seq[Any]): Boolean =
       m.get(k) match {
-        case Some(1) => m.remove(k); true
-        case Some(c) => m.update(k, c - 1); true
+        case Some(1) => m.remove(k); bump(m, -1); true
+        case Some(c) => m.update(k, c - 1); bump(m, -1); true
         case None => false // retraction of a record we never saw: ignore
       }
   }
@@ -100,13 +132,15 @@ object ChangelogJoin {
   private object JoinState {
     def fromRow(s: Row): JoinState = {
       val st = new JoinState()
-      s.getSeq[Row](0).foreach(e => st.lm.update(e.getStruct(0).toSeq, e.getInt(1)))
-      s.getSeq[Row](1).foreach(e => st.rm.update(e.getStruct(0).toSeq, e.getInt(1)))
+      s.getSeq[Row](0).foreach(e =>
+        st.add(st.lm, e.getStruct(0).toSeq.map(canon), e.getInt(1)))
+      s.getSeq[Row](1).foreach(e =>
+        st.add(st.rm, e.getStruct(0).toSeq.map(canon), e.getInt(1)))
       st
     }
     def toRow(st: JoinState): Row = Row(
-      st.lm.iterator.map { case (v, c) => Row(Row.fromSeq(v), c) }.toSeq,
-      st.rm.iterator.map { case (v, c) => Row(Row.fromSeq(v), c) }.toSeq)
+      st.lm.iterator.map { case (v, c) => Row(Row.fromSeq(v.map(decanon)), c) }.toSeq,
+      st.rm.iterator.map { case (v, c) => Row(Row.fromSeq(v.map(decanon)), c) }.toSeq)
   }
 
   /** Everything derived from the two input schemas: the tagged union,
@@ -197,6 +231,7 @@ object ChangelogJoin {
       val row = if (fromLeft) t.getStruct(2) else t.getStruct(3)
       val vals: Seq[Any] =
         if (fromLeft) lDataIdx.map(row.get) else rDataIdx.map(row.get)
+      val key = vals.map(canon) // content-equality key (binary-safe)
       val acc = isAccumulate(row.getString(if (fromLeft) lKindIdx else rKindIdx))
       val mine = if (fromLeft) st.lm else st.rm
       val other = if (fromLeft) st.rm else st.lm
@@ -207,14 +242,15 @@ object ChangelogJoin {
         else joined(kind, otherVals, mineVals)
 
       val out = scala.collection.mutable.ArrayBuffer.empty[Row]
-      val mineBefore = mine.valuesIterator.sum
-      if (acc) st.add(mine, vals)
-      else if (!st.remove(mine, vals)) return Nil
-      val mineAfter = mine.valuesIterator.sum
+      val mineBefore = st.total(mine)
+      if (acc) st.add(mine, key)
+      else if (!st.remove(mine, key)) return Nil
+      val mineAfter = st.total(mine)
       val kind = if (acc) Insert else Delete
       if (other.isEmpty) {
         if (padMine) out += pair(kind, vals, null)
-      } else other.foreach { case (oVals, c) =>
+      } else other.foreach { case (oKey, c) =>
+        val oVals = oKey.map(decanon)
         var i = 0
         while (i < c) {
           if (acc) {

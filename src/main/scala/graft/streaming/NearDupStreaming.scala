@@ -74,26 +74,35 @@ object NearDupStreaming {
   def bucketOwners(banded: DataFrame,
                    ttlSec: Long = StatefulOps.DefaultTtlSec): DataFrame = {
     val schema = banded.schema
-    val outSchema = StructType(schema.fields :+ StructField("owner", LongType))
+    val idIdx = schema.fieldIndex("doc_id")
+    // the owner column mirrors the caller's id type — ids are opaque
+    // here (long keys, uuids, urls all work); state holds one owner
+    // value per bucket in a single-field row of that same type
+    val idField = schema(idIdx)
+    val outSchema = StructType(schema.fields :+ idField.copy(name = "owner"))
     implicit val outEnc: ExpressionEncoder[Row] =
       ExpressionEncoder(RowEncoder.encoderFor(outSchema))
     implicit val keyEnc = Encoders.STRING
+    val stateEnc: ExpressionEncoder[Row] =
+      ExpressionEncoder(RowEncoder.encoderFor(
+        StructType(Seq(idField.copy(name = "owner", nullable = true)))))
     val keyIdx = Seq(schema.fieldIndex("band"), schema.fieldIndex("bucket"))
-    val idIdx = schema.fieldIndex("doc_id")
     val timeout = StatefulOps.ttlTimeout(banded, ttlSec)
     banded.groupByKey(r => StatefulOps.encodeKey(r, keyIdx))
-      .flatMapGroupsWithState[Long, Row](
+      .flatMapGroupsWithState[Row, Row](
         OutputMode.Append, timeout)(StatefulOps.withTtl(timeout, ttlSec) {
-        (_: String, rows: Iterator[Row], state: GroupState[Long]) =>
-          var owner = if (state.exists) state.get else Long.MinValue
+        (_: String, rows: Iterator[Row], state: GroupState[Row]) =>
+          var hasOwner = state.exists
+          var owner: Any = if (hasOwner) state.get.get(0) else null
           val out = rows.map { r =>
-            if (owner == Long.MinValue) {
-              owner = r.getLong(idIdx)
-              state.update(owner)
+            if (!hasOwner) {
+              owner = r.get(idIdx)
+              hasOwner = true
+              state.update(Row(owner))
             }
             Row.fromSeq(r.toSeq :+ owner)
           }.toSeq
           out.iterator
-      })(Encoders.scalaLong, outEnc)
+      })(stateEnc, outEnc)
   }
 }

@@ -20,7 +20,11 @@ import org.apache.spark.sql.types.{StructField, StructType}
   * lives with the key's shuffle partition, so the op scales to any
   * number of executors.
   */
-object StatefulOps {
+// Serializable: closures that call helpers like tsMicros/encodeKey from
+// inside a local def capture the module instance (the lambda body
+// compiles as an instance method), so tasks serialize it; the object is
+// stateless and Scala modules deserialize back to MODULE$.
+object StatefulOps extends Serializable {
 
   private[streaming] def rowEnc(schema: StructType): ExpressionEncoder[Row] =
     ExpressionEncoder(RowEncoder.encoderFor(schema))
@@ -169,6 +173,22 @@ object StatefulOps {
     * binary rows (BinaryRowData), which are unambiguous by
     * construction; a flat string concat is not.
     */
+  /** Event-time value at `idx` in MICROS — the ONE package-wide decode
+    * (r19 review: seven hand-rolled copies had silently divergent type
+    * handling, one of which read Long as SECONDS). Timestamp/Instant
+    * decode at micro precision; Long/Int are already micros. Ops whose
+    * domain is MILLIS (window assignment, watermark alignment) keep
+    * their own millis() — this helper pins the micros convention for
+    * everything else.
+    */
+  private[streaming] def tsMicros(r: Row, idx: Int): Long = r.get(idx) match {
+    case t: java.sql.Timestamp => t.getTime * 1000 + (t.getNanos / 1000) % 1000
+    case t: java.time.Instant => t.getEpochSecond * 1000000L + t.getNano / 1000
+    case l: Long => l
+    case i: Int => i.toLong
+    case o => o.hashCode().toLong
+  }
+
   private[streaming] def encodeKey(r: Row, idx: Seq[Int]): String =
     idx.iterator.map { i =>
       val v = r.get(i)
@@ -278,8 +298,13 @@ object StatefulOps {
           val best0 = if (state.exists) Some(state.get) else None
           if (best0.isEmpty && incoming.isEmpty) Iterator.empty
           else {
-            val best = (best0 ++ incoming).maxBy(ord)
-            val changed = best0.forall(b => ord(best) > ord(b) || !(b equals best))
+            // keep-LAST: on an orderCol tie the LATER arrival wins
+            // (RowTimeDeduplicateFunction keeps the current row when
+            // its rowtime >= the stored row's) — maxBy would keep the
+            // FIRST maximum, silently discarding a same-timestamp update
+            var best = best0.orNull
+            incoming.foreach(r => if (best == null || ord(r) >= ord(best)) best = r)
+            val changed = best0.forall(b => !(b equals best))
             state.update(best)
             if (changed) Iterator.single(best) else Iterator.empty
           }
@@ -371,7 +396,11 @@ object StatefulOps {
     def millis(r: Row): Long = r.get(tsIdx) match {
       case t: java.sql.Timestamp => t.getTime
       case t: java.time.Instant => t.toEpochMilli
-      case l: Long => l * 1000L
+      // Long = epoch MILLIS, the package-wide convention (keepLast,
+      // watermark alignment, the over-agg ops) — this op briefly read
+      // Long as seconds (*1000), putting windows and timers 1000x off
+      case l: Long => l
+      case i: Int => i.toLong
       case o => o.hashCode().toLong
     }
     def windowStartMs(r: Row): Long = {
@@ -493,12 +522,7 @@ object StatefulOps {
     implicit val keyEnc = Encoders.STRING
     val tsIdx = schema.fieldIndex(tsCol)
     val tieIdx = tieBreak.map(schema.fieldIndex)
-    def micros(r: Row): Long = r.get(tsIdx) match {
-      case t: java.sql.Timestamp => t.getTime * 1000 + (t.getNanos / 1000) % 1000
-      case l: Long => l
-      case i: Int => i.toLong
-      case o => o.hashCode().toLong
-    }
+    def micros(r: Row): Long = tsMicros(r, tsIdx)
     def sortKey(r: Row): (Long, String) =
       (micros(r), tieIdx.map(i => String.valueOf(r.get(i))).mkString("|"))
     val timeout = ttlTimeout(df, ttlSec)
@@ -598,12 +622,7 @@ object StatefulOps {
     val tsIdx = schema.fieldIndex(tsCol)
     val valIdx = schema.fieldIndex(valueCol)
     val tieIdx = tieBreak.map(schema.fieldIndex)
-    def micros(r: Row): Long = r.get(tsIdx) match {
-      case t: java.sql.Timestamp => t.getTime * 1000 + (t.getNanos / 1000) % 1000
-      case l: Long => l
-      case i: Int => i.toLong
-      case o => o.hashCode().toLong
-    }
+    def micros(r: Row): Long = tsMicros(r, tsIdx)
     def sortKey(r: Row): (Long, String) =
       (micros(r), tieIdx.map(i => String.valueOf(r.get(i))).mkString("|"))
     def num(r: Row): Double = r.get(valIdx) match {
@@ -662,12 +681,7 @@ object StatefulOps {
     val valIdx = schema.fieldIndex(valueCol)
     val tieIdx = tieBreak.map(schema.fieldIndex)
     val rangeMicros = rangeSec * 1000000L
-    def micros(r: Row): Long = r.get(tsIdx) match {
-      case t: java.sql.Timestamp => t.getTime * 1000 + (t.getNanos / 1000) % 1000
-      case l: Long => l
-      case i: Int => i.toLong
-      case o => o.hashCode().toLong
-    }
+    def micros(r: Row): Long = tsMicros(r, tsIdx)
     def sortKey(r: Row): (Long, String) =
       (micros(r), tieIdx.map(i => String.valueOf(r.get(i))).mkString("|"))
     def num(r: Row): Double = r.get(valIdx) match {
@@ -858,12 +872,7 @@ object StatefulOps {
     implicit val keyEnc = Encoders.STRING
     val keyIdx = keys.map(schema.fieldIndex)
     val tsIdx = schema.fieldIndex(tsCol)
-    def micros(r: Row): Long = r.get(tsIdx) match {
-      case t: java.sql.Timestamp => t.getTime * 1000 + (t.getNanos / 1000) % 1000
-      case l: Long => l
-      case i: Int => i.toLong
-      case o => o.hashCode().toLong
-    }
+    def micros(r: Row): Long = tsMicros(r, tsIdx)
     df.groupByKey(r => StatefulOps.encodeKey(r, keyIdx))
       .flatMapGroupsWithState[Long, Row](
         OutputMode.Append, GroupStateTimeout.NoTimeout) {
@@ -1291,12 +1300,7 @@ object StatefulOps {
     val vKeyIdx = Seq(vSchema.fieldIndex(versionKey))
     val eTimeIdx = eSchema.fieldIndex(eventTime)
     val vTimeIdx = vSchema.fieldIndex(versionTime)
-    def micros(r: Row, i: Int): Long = r.get(i) match {
-      case t: java.sql.Timestamp => t.getTime * 1000 + (t.getNanos / 1000) % 1000
-      case t: java.time.Instant => t.getEpochSecond * 1000000L + t.getNano / 1000
-      case l: Long => l
-      case x: Int => x.toLong
-    }
+    def micros(r: Row, i: Int): Long = tsMicros(r, i)
     val nulls: Seq[Any] = vKeep.map(_ => null)
     events.groupByKey(r => encodeKey(r, eKeyIdx))(keyEnc)
       .cogroup(versions.groupByKey(r => encodeKey(r, vKeyIdx))(keyEnc)) {
@@ -1419,14 +1423,20 @@ private[streaming] class LateFireTimersProcessor(
     val touched = scala.collection.mutable.Set.empty[Long]
     var dropped = Map.empty[Long, (Long, Double)]
     it.foreach { r =>
-      val ws = math.floorDiv(r.getLong(tsmsIdx), wMs) * wMs
-      if (ws + wMs - 1 + latenessMs <= wm) {
-        val (dc, dsum) = dropped.getOrElse(ws, (0L, 0.0))
-        dropped = dropped.updated(ws, (dc + 1, dsum + r.getDouble(valIdx)))
-      } else {
-        val (c, s, fin) = wins.getOrElse(ws, (0L, 0.0, false))
-        wins = wins.updated(ws, (c + 1, s + r.getDouble(valIdx), fin))
-        touched += ws
+      // null-safe like every sibling op's num(): a NULL value counts
+      // as 0.0, and a NULL timestamp row is unwindowable — the window()
+      // builtin the non-timer path aggregates through drops it too
+      if (!r.isNullAt(tsmsIdx)) {
+        val v = if (r.isNullAt(valIdx)) 0.0 else r.getDouble(valIdx)
+        val ws = math.floorDiv(r.getLong(tsmsIdx), wMs) * wMs
+        if (ws + wMs - 1 + latenessMs <= wm) {
+          val (dc, dsum) = dropped.getOrElse(ws, (0L, 0.0))
+          dropped = dropped.updated(ws, (dc + 1, dsum + v))
+        } else {
+          val (c, s, fin) = wins.getOrElse(ws, (0L, 0.0, false))
+          wins = wins.updated(ws, (c + 1, s + v, fin))
+          touched += ws
+        }
       }
     }
     val out = scala.collection.mutable.ArrayBuffer.empty[Row]

@@ -87,7 +87,15 @@ object WatermarkAlignment {
         OutputMode.Append, GroupStateTimeout.NoTimeout) {
         (part: String, rows: Iterator[Row], _: GroupState[Long]) =>
           var mx = Long.MinValue; var n = 0L
-          rows.foreach { r => val m = millis(r); if (m > mx) mx = m; n += 1 }
+          rows.foreach { r =>
+            // the heartbeat schema pins partition non-null; rejecting
+            // here also prevents a NULL id silently merging with a
+            // partition literally named "null" under String.valueOf
+            require(r.get(pIdx) != null,
+              s"partition column '$partitionCol' must be non-null — a null " +
+                "partition id cannot drive watermark alignment")
+            val m = millis(r); if (m > mx) mx = m; n += 1
+          }
           if (n == 0L) Iterator.empty
           else Iterator.single(Row(part, mx, n))
       }(Encoders.scalaLong, outEnc)

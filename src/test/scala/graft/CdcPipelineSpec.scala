@@ -119,4 +119,33 @@ class CdcPipelineSpec extends AnyFunSuite {
       assert((r.getLong(0), r.getDouble(1)) == ((1L, 6.0)))
     } finally q.stop()
   }
+
+  test("retractGroupAgg ignores excess retractions instead of emitting cnt = -1 (r19 review)") {
+    implicit val sc = spark.sqlContext
+    val in = MemoryStream[Chg]
+    val agg = Changelog.retractGroupAgg(in.toDF(), Seq("k"), "price")
+    val q = agg.writeStream.format("memory").queryName("cdc_agg_neg")
+      .outputMode(OutputMode.Update).start()
+    try {
+      // a -D for a key with NO accumulator (replayed retraction / TTL-
+      // purged state): GroupAggFunction ignores it — no state, no row
+      in.addData(Chg("-D", "ghost", 5.0))
+      q.processAllAvailable()
+      assert(spark.sql("SELECT * FROM cdc_agg_neg WHERE k = 'ghost'").collect().isEmpty,
+        "an ignored retraction must not emit")
+      // the key still accumulates normally afterwards, from zero
+      in.addData(Chg("+I", "ghost", 7.0))
+      q.processAllAvailable()
+      val r = spark.sql("SELECT cnt, sum_val FROM cdc_agg_neg WHERE k = 'ghost'")
+        .collect().last
+      assert((r.getLong(0), r.getDouble(1)) == ((1L, 7.0)))
+      // a batch netting NEGATIVE on a live key clamps at the full
+      // retraction (exact zero), never below
+      in.addData(Chg("-D", "ghost", 7.0), Chg("-D", "ghost", 7.0))
+      q.processAllAvailable()
+      val last = spark.sql("SELECT cnt, sum_val FROM cdc_agg_neg WHERE k = 'ghost'")
+        .collect().last
+      assert((last.getLong(0), last.getDouble(1)) == ((0L, 0.0)))
+    } finally q.stop()
+  }
 }

@@ -44,6 +44,35 @@ class CepSpec extends AnyFunSuite {
     assert(m.getLong(m.fieldIndex("c_id")) == 3L)
   }
 
+  test("a NULL key and the literal string 'null' are distinct groups (r19 review)") {
+    def is(k: String) = (r: org.apache.spark.sql.Row) =>
+      r.getString(r.fieldIndex("kind")) == k
+    // step A exists only under the NULL key, step B only under "null" —
+    // a String.valueOf grouping would merge them and fabricate an A→B
+    // match that happened on neither key
+    val mixed = Seq(
+      (1L, null.asInstanceOf[String], ts("2024-01-01 00:00:00"), "A"),
+      (2L, "null", ts("2024-01-01 00:05:00"), "B"))
+      .toDF("event_id", "user", "ts", "kind")
+    assert(Cep.matchSequence(mixed, "user", "ts", "event_id",
+      Seq("a" -> is("A"), "b" -> is("B")), 3600L).collect().isEmpty)
+    assert(Cep.matchPattern(mixed, "user", "ts", "event_id",
+      Seq(Cep.Step.once("a", is("A")), Cep.Step.once("b", is("B"))), 3600L)
+      .collect().isEmpty)
+    // each key alone still matches its own complete chain
+    val both = Seq(
+      (1L, null.asInstanceOf[String], ts("2024-01-01 00:00:00"), "A"),
+      (2L, null.asInstanceOf[String], ts("2024-01-01 00:05:00"), "B"),
+      (3L, "null", ts("2024-01-01 00:00:00"), "A"),
+      (4L, "null", ts("2024-01-01 00:05:00"), "B"))
+      .toDF("event_id", "user", "ts", "kind")
+    val out = Cep.matchSequence(both, "user", "ts", "event_id",
+      Seq("a" -> is("A"), "b" -> is("B")), 3600L).collect()
+    assert(out.length == 2)
+    assert(out.map(r => Option(r.getString(r.fieldIndex("user")))).toSet ==
+      Set(None, Some("null")))
+  }
+
   // ---- matchPattern: MATCH_RECOGNIZE subset (quantifiers, strict
   // contiguity, skip strategies) — shapes mirror the reference's
   // MatchRecognizeITCase --------------------------------------------

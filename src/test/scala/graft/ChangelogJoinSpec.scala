@@ -7,6 +7,7 @@ import graft.streaming.ChangelogJoin
 
 case class LRow(row_kind: String, seq: Long, k: String, lv: String)
 case class RRow(row_kind: String, seq: Long, rk: String, rv: String)
+case class BinRow(row_kind: String, seq: Long, k: String, payload: Array[Byte])
 
 /** Retracting stream-stream join ITCase — the scenario shapes of the
   * reference's StreamingJoinOperator tests: inserts and retractions on
@@ -131,5 +132,33 @@ class ChangelogJoinSpec extends AnyFunSuite {
         ("-D", "l1", null), ("+I", "l1", "r1"),
         ("-D", "l1", "r1"), ("+I", "l1", null)))
     } finally q.stop()
+  }
+
+  test("binary payloads: a retraction's fresh array instance matches state (r19 review)") {
+    // Array[Byte] carries reference equality under Seq/map keys — the
+    // canonical ByteBuffer wrap must make the -D (a NEW array instance
+    // after deserialization) retract the +I that carried equal bytes
+    val ls = Seq(
+      BinRow("+I", 1, "a", Array[Byte](1, 2, 3)),
+      BinRow("-D", 3, "a", Array[Byte](1, 2, 3)))
+    val rs = Seq(R("+I", 2, "a", "r1"))
+    val out = ChangelogJoin(ls.toDF(), Seq("k"), rs.toDF(), Seq("rk"), "seq", "inner")
+      .collect()
+      .map(r => (r.getString(0), r.getAs[Array[Byte]]("payload").toSeq, r.getString(4)))
+      .toList
+    assert(out == List(
+      ("+I", Seq[Byte](1, 2, 3), "r1"),
+      ("-D", Seq[Byte](1, 2, 3), "r1")),
+      s"retraction must find the accumulated binary row: $out")
+    // duplicate binary payloads are multiset-counted, not fragmented
+    val dup = ChangelogJoin(
+      Seq(BinRow("+I", 1, "a", Array[Byte](9)),
+          BinRow("+I", 2, "a", Array[Byte](9)),
+          BinRow("-D", 4, "a", Array[Byte](9))).toDF(), Seq("k"),
+      Seq(R("+I", 3, "a", "r1")).toDF(), Seq("rk"), "seq", "inner")
+      .collect().map(_.getString(0)).toList
+    // +I(dup1,r1) +I(dup2,r1) on the right arrival... the right arrives
+    // after both: 2 inserts, then one delete
+    assert(dup.count(_ == "+I") == 2 && dup.count(_ == "-D") == 1, dup.toString)
   }
 }

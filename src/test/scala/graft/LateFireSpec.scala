@@ -8,6 +8,7 @@ import java.sql.Timestamp
 import graft.streaming.StatefulOps
 
 case class LfEv(k: String, ts: Timestamp, v: Double)
+case class LfEvN(k: String, ts: Timestamp, v: java.lang.Double)
 
 /** allowedLateness + late-fire corrections (WindowedStream.allowedLateness,
   * EventTimeTrigger late firings): the window fires a final once the
@@ -131,6 +132,45 @@ class LateFireSpec extends AnyFunSuite {
     * own next arrival; the TWS op uses real event-time timers
     * ([[TwsProbeSpec]] pins the mechanism).
     */
+  test("timer op: NULL value counts 0.0 and NULL timestamp drops, never an NPE (r19 review)") {
+    implicit val sc = spark.sqlContext
+    implicit val enc = Encoders.product[LfEvN]
+    val prev = spark.conf.getOption("spark.sql.streaming.stateStore.providerClass")
+    spark.conf.set("spark.sql.streaming.stateStore.providerClass",
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    val in = MemoryStream[LfEvN]
+    val out = StatefulOps.lateFireWindowAggTimers(
+      in.toDF(), keys = Seq("k"), tsCol = "ts", valueCol = "v",
+      windowSec = 60L, latenessMs = 0L)
+    val q = out.writeStream.format("memory").queryName("latefire_nulls")
+      .outputMode(OutputMode.Append)
+      .option("checkpointLocation",
+        java.nio.file.Files.createTempDirectory("latefire_n").toString)
+      .start()
+    try {
+      in.addData(
+        LfEvN("a", ts("2024-01-01 10:00:10"), null),            // null value → 0.0
+        LfEvN("a", ts("2024-01-01 10:00:20"), 2.0),
+        LfEvN("a", null, 5.0))                                  // null ts → unwindowable
+      q.processAllAvailable()
+      in.addData(LfEvN("b", ts("2024-01-01 10:02:00"), 0.0))
+      q.processAllAvailable()
+      in.addData(LfEvN("b", ts("2024-01-01 10:03:00"), 0.0))
+      q.processAllAvailable()
+      val a = spark.sql(
+        "SELECT cnt, sum_val FROM latefire_nulls WHERE k = 'a' AND emit_kind = 'final'")
+        .collect().map(r => (r.getLong(0), r.getDouble(1))).toList
+      assert(a == List((2L, 2.0)),
+        s"null value folds as 0.0 and the null-ts row is dropped: $a")
+    } finally {
+      q.stop()
+      prev match {
+        case Some(p) => spark.conf.set("spark.sql.streaming.stateStore.providerClass", p)
+        case None => spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
+      }
+    }
+  }
+
   test("timer op: idle key's final fires and purges on another key's watermark advance") {
     implicit val sc = spark.sqlContext
     implicit val enc = Encoders.product[LfEv]

@@ -5,6 +5,7 @@ import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
 import graft.streaming.NearDupStreaming
 
 case class Doc(doc_id: Long, text: String)
+case class SDoc(doc_uuid: String, text: String)
 
 /** Streaming MinHash-LSH near-dup tagging: an exact copy arriving in
   * a later trigger is flagged against the original (cross-trigger
@@ -44,6 +45,27 @@ class StreamingNearDupSpec extends AnyFunSuite {
       assert(flagged.size == 1)
       val survivor = Seq(5L, 6L).filterNot(flagged.contains).head
       assert(tags(flagged.head)._2.contains(survivor))
+    } finally q.stop()
+  }
+
+  test("non-Long doc ids work end-to-end (r19 review: ids are opaque)") {
+    implicit val sc = spark.sqlContext
+    val in = MemoryStream[SDoc]
+    val tags = scala.collection.mutable.Map[String, (Boolean, Option[String])]()
+    val q = NearDupStreaming.nearDupTagStreaming(in.toDF(), "doc_uuid", "text")(
+      b => b.collect().foreach { r =>
+        tags(r.getString(0)) = (r.getBoolean(1),
+          if (r.isNullAt(2)) None else Some(r.getString(2)))
+      })
+    try {
+      val base = "string identified documents flow through banding and bucket owner state"
+      in.addData(SDoc("uuid-alpha", base))
+      q.processAllAvailable()
+      assert(tags("uuid-alpha") == ((false, None)))
+      in.addData(SDoc("uuid-beta", base)) // exact copy, later trigger
+      q.processAllAvailable()
+      assert(tags("uuid-beta") == ((true, Some("uuid-alpha"))),
+        s"string-id near-dup must resolve to the first owner: $tags")
     } finally q.stop()
   }
 }

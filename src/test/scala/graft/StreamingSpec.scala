@@ -8,6 +8,7 @@ import java.sql.Timestamp
 import graft.streaming.{Changelog, StatefulOps, Windows}
 
 case class Ev(ts: Timestamp, user: String, tpe: String, value: Double)
+case class EvMs(ts: Timestamp, tsms: Long, user: String, tpe: String, value: Double)
 case class Up(kind: String, key: String, seq: Long, v: Double)
 case class TwoKey(k1: String, k2: String, ts: Timestamp, v: Double)
 
@@ -160,6 +161,14 @@ class StreamingSpec extends AnyFunSuite {
       val rows = spark.sql("SELECT tpe FROM dedupLast").collect().map(_.getString(0)).toList
       assert(rows.contains("a") && rows.contains("b"))
       assert(!rows.contains("c")) // superseded within the same batch
+      // r19 review: an update TYING the stored row's timestamp must win
+      // (RowTimeDeduplicateFunction keeps the current row on >=) — the
+      // old maxBy kept the first maximum and silently dropped it
+      in.addData(Ev(ts("2024-01-01 00:00:05"), "u1", "tie-update", 9.0))
+      q.processAllAvailable()
+      val after = spark.sql("SELECT tpe FROM dedupLast").collect().map(_.getString(0)).toList
+      assert(after.contains("tie-update"),
+        s"a same-timestamp update must supersede the stored row: $after")
     } finally q.stop()
   }
 
@@ -576,6 +585,38 @@ class StreamingSpec extends AnyFunSuite {
       assert(spark.sql(
         "SELECT count(*) FROM winrank WHERE window_start = timestamp'2024-01-01 00:00:00'")
         .collect()(0).getLong(0) == 2)
+    } finally q.stop()
+  }
+
+  test("windowRankStreaming reads a Long time column as epoch MILLIS (r19 review)") {
+    implicit val sc = spark.sqlContext
+    implicit val enc = org.apache.spark.sql.Encoders.product[EvMs]
+    val in = MemoryStream[EvMs]
+    // watermark rides the Timestamp column; windows assign from the
+    // Long column — which the package convention reads as epoch millis
+    // (the old *1000 seconds read armed timers in year ~56000: nothing
+    // would ever fire)
+    val out = StatefulOps.windowRankStreaming(
+      in.toDF().withWatermark("ts", "1 minute"),
+      "tsms", windowSec = 600L, keys = Seq("tpe"),
+      scoreCol = "value", descending = true, n = 1)
+    val q = out.writeStream.format("memory").queryName("winrank_ms")
+      .outputMode(OutputMode.Append).start()
+    try {
+      def ev(s: String, user: String, v: Double) =
+        EvMs(ts(s), ts(s).getTime, user, "a", v)
+      in.addData(ev("2024-01-01 00:01:00", "u1", 10.0),
+                 ev("2024-01-01 00:02:00", "u2", 30.0))
+      q.processAllAvailable()
+      in.addData(ev("2024-01-01 00:20:00", "u9", 1.0))
+      q.processAllAvailable()
+      in.addData(ev("2024-01-01 00:21:00", "u9", 1.0))
+      q.processAllAvailable()
+      val rows = spark.sql(
+        "SELECT user, window_start FROM winrank_ms WHERE rank_no = 1")
+        .collect().map(r => (r.getString(0), r.getTimestamp(1))).toList
+      assert(rows.contains(("u2", ts("2024-01-01 00:00:00"))),
+        s"Long-millis windows must close on the real watermark: $rows")
     } finally q.stop()
   }
 
