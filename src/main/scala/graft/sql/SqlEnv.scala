@@ -99,6 +99,7 @@ class SqlEnv private (val spark: SparkSession) {
         return spark.emptyDataFrame
       case dropRe(name) =>
         tableDefs.remove(name); createdViews.remove(name); tableDb.remove(name)
+        dirtyTables.remove(name)
         partitionProps.keySet.removeIf(_.startsWith(s"$name/"))
         spark.catalog.dropTempView(name)
         return spark.emptyDataFrame
@@ -457,7 +458,7 @@ class SqlEnv private (val spark: SparkSession) {
           fs.delete(old, true)
         }
         spark.catalog.refreshByPath(d.path)
-        Ddl.register(spark, d)
+        dirtyTables.add(name) // stale index points at deleted files
         return spark.emptyDataFrame
       // ALTER TABLE ADD/DROP PARTITION (ddl/SqlAddPartitions.java /
       // SqlDropPartitions.java — the last converter-wired 1.16 table
@@ -475,6 +476,7 @@ class SqlEnv private (val spark: SparkSession) {
           s"ALTER TABLE ADD PARTITION supports filesystem tables (got ${d.connector})")
         require(d.partitionedBy.nonEmpty,
           s"ALTER TABLE ADD PARTITION: '$name' is not a partitioned table")
+        validateSpecTail(tail, "ALTER TABLE ADD PARTITION")
         val specs = partSpecRe.findAllMatchIn(tail)
           .map(m => (parsePartSpec(m.group(1)), Option(m.group(2)))).toSeq
         require(specs.nonEmpty, "ALTER TABLE ADD PARTITION: no PARTITION (...) spec")
@@ -502,7 +504,7 @@ class SqlEnv private (val spark: SparkSession) {
         }
         if (added.nonEmpty) {
           spark.catalog.refreshByPath(d.path)
-          Ddl.executeCreate(spark, d) // registers the view if now readable
+          dirtyTables.add(name) // re-registered lazily at next read
         }
         return spark.emptyDataFrame
       case alterDropPartRe(name, ifExists, tail) =>
@@ -513,6 +515,9 @@ class SqlEnv private (val spark: SparkSession) {
           s"ALTER TABLE DROP PARTITION supports filesystem tables (got ${d.connector})")
         require(d.partitionedBy.nonEmpty,
           s"ALTER TABLE DROP PARTITION: '$name' is not a partitioned table")
+        validateSpecTail(tail, "ALTER TABLE DROP PARTITION")
+        require(partSpecRe.findAllMatchIn(tail).forall(_.group(2) == null),
+          "ALTER TABLE DROP PARTITION does not take WITH (...) properties")
         val specs = partSpecRe.findAllMatchIn(tail).map(m => parsePartSpec(m.group(1))).toSeq
         require(specs.nonEmpty, "ALTER TABLE DROP PARTITION: no PARTITION (...) spec")
         val dropped = Partitions.drop(spark, d.path, d.partitionedBy,
@@ -520,7 +525,7 @@ class SqlEnv private (val spark: SparkSession) {
         dropped.foreach(p => partitionProps.remove(s"$name/$p"))
         if (dropped.nonEmpty) {
           spark.catalog.refreshByPath(d.path)
-          if (spark.catalog.tableExists(name)) Ddl.register(spark, d)
+          dirtyTables.add(name) // re-registered lazily at next read
         }
         return spark.emptyDataFrame
       // SHOW PARTITIONS (dql/SqlShowPartitions): Hive-style k=v[/k=v]
@@ -701,6 +706,7 @@ class SqlEnv private (val spark: SparkSession) {
             s"ALTER TABLE: '$oldName' was not created via CREATE TABLE"))
         tableDefs.put(newName, d.copy(name = newName))
         Option(tableDb.remove(oldName)).foreach(tableDb.put(newName, _))
+        if (dirtyTables.remove(oldName)) dirtyTables.add(newName)
         locally { // partition props follow the rename
           import scala.jdk.CollectionConverters._
           partitionProps.asScala.keys.filter(_.startsWith(s"$oldName/")).toSeq
@@ -748,6 +754,7 @@ class SqlEnv private (val spark: SparkSession) {
       // the Spark-shaped cost of statistics on a view-backed table
       // (persist a catalog table for the 100 TB path — README §ANALYZE).
       case analyzeRe(name, tail) =>
+        refreshDirty(name) // stats scan the live layout
         val t = tail.trim.replaceAll("\\s+", " ")
         require(t.toUpperCase.startsWith("COMPUTE STATISTICS") ||
           t.toUpperCase.startsWith("PARTITION"),
@@ -925,9 +932,15 @@ class SqlEnv private (val spark: SparkSession) {
       return spark.emptyDataFrame
     }
     // only route INSERTs whose target came from OUR CREATE TABLE;
-    // anything else stays Spark-native
-    if (Ddl.insertTarget(sql).exists(tableDefs.containsKey))
-      return Ddl.executeInsert(spark, asScala.toMap, sql, executeSql)
+    // anything else stays Spark-native. Dirty SOURCES refresh through
+    // the body's recursive executeSql; the TARGET re-registers inside
+    // executeInsert after the write, clearing any dirty mark.
+    if (Ddl.insertTarget(sql).exists(tableDefs.containsKey)) {
+      val out = Ddl.executeInsert(spark, asScala.toMap, sql, executeSql)
+      Ddl.insertTarget(sql).foreach(dirtyTables.remove)
+      return out
+    }
+    refreshDirty(sql) // layout-changed tables re-register before a read
     val afterTj = TemporalJoinSql.rewrite(spark, asScala.toMap, sql,
       () => s"__graft_tj_${viewCounter.incrementAndGet()}")
     val afterMr = MatchRecognizeSql.rewrite(spark, afterTj,
@@ -1145,6 +1158,26 @@ class SqlEnv private (val spark: SparkSession) {
   /** CREATE TABLE definitions by name (drives INSERT routing). */
   private val tableDefs =
     new java.util.concurrent.ConcurrentHashMap[String, Ddl.TableDef]()
+  /** Tables whose on-disk layout changed under a registered view
+    * (partition ADD/DROP, COMPACT). Re-registration costs a FULL file
+    * listing — O(partitions) — so the DDL statements MARK instead of
+    * re-listing (a bulk-ADD session touching 10k partitions must not
+    * pay 10k listings; the reference's catalog mutations are O(1) and
+    * queries resolve against the live catalog at plan time). The next
+    * statement that can read the table re-registers it lazily. */
+  private val dirtyTables =
+    java.util.concurrent.ConcurrentHashMap.newKeySet[String]()
+  private def refreshDirty(sql: String): Unit =
+    if (!dirtyTables.isEmpty) {
+      import scala.jdk.CollectionConverters._
+      dirtyTables.asScala.toSeq.foreach { t =>
+        if (("""(?i)\b""" + java.util.regex.Pattern.quote(t) + """\b""").r
+              .findFirstIn(sql).isDefined) {
+          dirtyTables.remove(t)
+          Option(tableDefs.get(t)).foreach(Ddl.executeCreate(spark, _))
+        }
+      }
+    }
   /** Views created through CREATE VIEW: name → body SQL (drives SHOW
     * VIEWS and SHOW CREATE VIEW — the reference's ShowCreateUtil
     * reconstructs the view from its stored expanded query). */
@@ -1283,15 +1316,30 @@ class SqlEnv private (val spark: SparkSession) {
   // PARTITION (spec) [WITH (props)] groups; DROP takes comma-separated
   // PARTITION (spec) groups — both per the reference grammar
   // (parserImpls.ftl SqlAlterTable's partition branches)
+  // The tail is captured FLAT (`PARTITION\b.+`) and validated by
+  // [[validateSpecTail]], not by a `(PARTITION...)+` repetition: the
+  // java.util.regex engine recurses per repetition element, so a bulk
+  // statement naming thousands of partitions — routine at catalog
+  // scale, and exactly what PartitionsProbe drives — would
+  // StackOverflow in the matcher before the handler ever ran.
   private val alterAddPartRe =
     ("""(?is)^\s*ALTER\s+TABLE\s+`?([\w.]+)`?\s+ADD\s+(IF\s+NOT\s+EXISTS\s+)?""" +
-      s"""((?:PARTITION\\s*\\($specBody\\)\\s*(?:WITH\\s*\\($specBody\\)\\s*)?)+);?\\s*$$""").r
+      """(PARTITION\b.+?);?\s*$""").r
   private val alterDropPartRe =
     ("""(?is)^\s*ALTER\s+TABLE\s+`?([\w.]+)`?\s+DROP\s+(IF\s+EXISTS\s+)?""" +
-      s"""((?:PARTITION\\s*\\($specBody\\)\\s*,?\\s*)+);?\\s*$$""").r
+      """(PARTITION\b.+?);?\s*$""").r
   /** One PARTITION (spec) [WITH (props)] group inside the ADD/DROP tail. */
   private val partSpecRe =
     s"""(?is)PARTITION\\s*\\(($specBody)\\)(?:\\s*WITH\\s*\\(($specBody)\\))?""".r
+  /** Reject a spec-list tail that is not PURELY `PARTITION (...)
+    * [WITH (...)]` groups separated by whitespace/commas — the
+    * validation the old repetition regex did structurally, now done
+    * iteratively (scan + residue check) so it scales to bulk DDL. */
+  private def validateSpecTail(tail: String, stmt: String): Unit = {
+    val residue = partSpecRe.replaceAllIn(tail, "").replaceAll("[\\s,]+", "")
+    require(residue.isEmpty,
+      s"$stmt: malformed PARTITION spec list near '${residue.take(40)}'")
+  }
   /** Parse `k = 'v'[, k2 = v2]` partition-spec text into ordered pairs
     * (quote-aware item split — a quoted value may contain commas; a
     * doubled quote inside a quoted value is SQL's escaped quote). */
