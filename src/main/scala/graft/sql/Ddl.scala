@@ -660,8 +660,15 @@ object Ddl {
       case "blackhole" => data.write.format("noop").mode("overwrite").save()
       case "print" => data.show(20, truncate = false)
       case "filesystem" =>
+        // Partitioned OVERWRITE replaces only the partitions the write
+        // touches — static-spec AND dynamic alike ("only the
+        // corresponding partition will be overwritten, not the entire
+        // table", filesystem.md:87; FileSystemCommitter deletes just the
+        // committed partitions). Spark's static mode would wipe the
+        // whole table on a dynamic overwrite, so dynamic mode is keyed
+        // on the table being partitioned, not on a static spec.
         writeFilesystem(spark, d, data.toDF(d.schema.fieldNames.toIndexedSeq: _*),
-          mode, dynamicPartitions = staticParts.nonEmpty)
+          mode, dynamicPartitions = d.partitionedBy.nonEmpty)
         // ANALYZE TABLE on a graft temp view caches the relation
         // (SqlEnv's analyze handler); without invalidation the
         // re-registered view would keep serving PRE-insert rows — the

@@ -69,8 +69,13 @@ object RetractTopN {
           rows.foreach { r =>
             val id = String.valueOf(r.get(idIdx))
             r.getString(kindIdx) match {
-              case Delete => m -= id
-              case UpdateBefore => // no-op: UPDATE_AFTER carries the new image
+              // UPDATE_BEFORE is a retract message exactly like DELETE
+              // (RetractableTopNFunction.java:148 gates on isAccumulateMsg,
+              // which is only +I/+U). Treating -U as a no-op would strand
+              // the old image when the rank PARTITION KEY changes: the -U
+              // arrives at the old group (where the +U never follows) and
+              // the stale row would hold a top-N slot forever.
+              case Delete | UpdateBefore => m -= id
               case Insert | UpdateAfter | _ => m += id -> r
             }
           }

@@ -56,4 +56,45 @@ class RetractTopNSpec extends AnyFunSuite {
       assert(live.keySet.map(_._1) == Set("a", "b"))
     } finally q.stop()
   }
+
+  test("UPDATE_BEFORE retracts: rank-key migration does not strand the old image") {
+    // RetractableTopNFunction.java:148 treats every non-accumulate kind
+    // (-U and -D alike) as a retraction. A -U whose +U lands in a
+    // DIFFERENT rank partition (the row's key column changed) must
+    // remove the old image from the old group's state — a no-op -U
+    // would hold its top-N slot forever.
+    implicit val sc = spark.sqlContext
+    val in = MemoryStream[Score]
+    val out = RetractTopN(in.toDF(), keys = Seq("grp"), idCol = "id",
+      scoreCol = "score", n = 2)
+    val q = out.writeStream.format("memory").queryName("rtopn_mig")
+      .outputMode(OutputMode.Append).start()
+    def emitted() = spark.sql("SELECT row_kind, grp, id, score, rank_no FROM rtopn_mig")
+      .collect().map(r => (r.getString(0), r.getString(1), r.getString(2),
+        r.getDouble(3), r.getInt(4))).toList
+    try {
+      in.addData(Score("+I", "g1", "x", 5), Score("+I", "g1", "y", 3))
+      q.processAllAvailable()
+      val first = emitted()
+      assert(first.toSet == Set(
+        ("+I", "g1", "x", 5.0, 1), ("+I", "g1", "y", 3.0, 2)))
+
+      // x migrates g1 → g2: the -U carries the OLD image (old group),
+      // the +U the new one. g1 must retract x@1 and promote y to 1;
+      // g2 inserts x@1.
+      in.addData(Score("-U", "g1", "x", 5), Score("+U", "g2", "x", 5))
+      q.processAllAvailable()
+      val second = emitted().diff(first)
+      assert(second.toSet == Set(
+        ("-D", "g1", "x", 5.0, 1), ("-D", "g1", "y", 3.0, 2),
+        ("+I", "g1", "y", 3.0, 1), ("+I", "g2", "x", 5.0, 1)))
+
+      // same-group score update still works as a -U/+U pair
+      in.addData(Score("-U", "g1", "y", 3), Score("+U", "g1", "y", 9))
+      q.processAllAvailable()
+      val third = emitted().diff(first ++ second)
+      assert(third.toSet == Set(
+        ("-D", "g1", "y", 3.0, 1), ("+I", "g1", "y", 9.0, 1)))
+    } finally q.stop()
+  }
 }

@@ -903,6 +903,37 @@ class SqlEnvSpec extends AnyFunSuite {
     assert(err.getMessage.contains("PARTITIONED BY"))
   }
 
+  test("dynamic INSERT OVERWRITE replaces only the written partitions") {
+    // filesystem.md:87: "When you insert overwrite to a partitioned
+    // table, only the corresponding partition will be overwritten, not
+    // the entire table" — that contract covers DYNAMIC partition values
+    // too (FileSystemCommitter deletes just the committed partitions),
+    // not only the static-spec form the previous test pins.
+    val tmp = java.nio.file.Files.createTempDirectory("graft_dynpart").toString
+    val env = SqlEnv(spark).registerTestdata(TestSpark.sfDir)
+    env.executeSql(
+      s"""CREATE TABLE dyn_sink (k BIGINT, p DOUBLE, dt STRING)
+         |PARTITIONED BY (dt)
+         |WITH ('connector' = 'filesystem', 'path' = '$tmp/t', 'format' = 'parquet')""".stripMargin)
+    env.executeSql(
+      """INSERT INTO dyn_sink
+        |SELECT o_orderkey, o_totalprice,
+        |       CASE WHEN o_orderkey % 2 = 0 THEN 'a' ELSE 'b' END
+        |FROM orders""".stripMargin)
+    val before = spark.table("dyn_sink").groupBy("dt").count().collect()
+      .map(r => (r.getString(0), r.getLong(1))).toMap
+    assert(before.keySet == Set("a", "b"))
+    // dynamic overwrite writing ONLY dt='a' rows: 'b' must survive
+    env.executeSql(
+      """INSERT OVERWRITE dyn_sink
+        |SELECT o_orderkey, o_totalprice, 'a'
+        |FROM orders WHERE o_orderkey % 2 = 0 AND o_totalprice > 150000""".stripMargin)
+    val after = spark.table("dyn_sink").groupBy("dt").count().collect()
+      .map(r => (r.getString(0), r.getLong(1))).toMap
+    assert(after("b") == before("b"), "untouched partition survives a dynamic overwrite")
+    assert(after("a") < before("a"))
+  }
+
   test("ignore-parse-errors skips malformed records (json/csv formats)") {
     val tmp = java.nio.file.Files.createTempDirectory("graft_badrows")
     val jsonDir = tmp.resolve("j"); java.nio.file.Files.createDirectory(jsonDir)
