@@ -54,6 +54,24 @@ object StreamBench {
     val batches = sys.env.getOrElse("SPARK_GRAFT_STREAM_BATCHES", "8").toInt
     val levels = sys.env.getOrElse("SPARK_GRAFT_STREAM_PARALLELISM", "8,32")
       .split(",").map(_.trim.toInt).toSeq
+    // The HEADLINE level (first row size × first parallelism — the
+    // round-over-round `ops` map) is the median of this many full
+    // passes (r19: two same-session passes disagreed up to 4× per op
+    // in BOTH directions — a 350k-row op finishes in 2-10 s, so one
+    // contended stretch or an unlucky trigger boundary dominates a
+    // single sample). The comparative axes (level sweep, partitions
+    // sweep) stay single-sample: they compare within one session,
+    // where the shared conditions cancel.
+    val opRuns = math.max(1, sys.env.getOrElse("SPARK_GRAFT_STREAM_OP_RUNS", "3").toInt)
+    def medianMap(samples: Seq[collection.Map[String, Double]])
+        : collection.Map[String, Double] = {
+      val out = scala.collection.mutable.LinkedHashMap.empty[String, Double]
+      samples.head.keys.foreach { k =>
+        val vs = samples.map(_(k)).sorted
+        out(k) = vs(vs.length / 2)
+      }
+      out
+    }
     def m(kv: Iterable[(String, Double)]): String =
       kv.map { case (k, v) => f""""$k":${v}%.2f""" }.mkString("{", ",", "}")
     // SPARK_GRAFT_STREAM_STORE=rocksdb swaps the state store provider —
@@ -75,8 +93,10 @@ object StreamBench {
         val spark = storeProvider.fold(b0)(p =>
           b0.config("spark.sql.streaming.stateStore.providerClass", p)).getOrCreate()
         spark.sparkContext.setLogLevel("ERROR")
-        println(s"[stream-bench] --- rows=$rows parallelism=$cpus ---")
-        byLevel(cpus) = benchAll(spark, rows, batches)
+        val headline = rows == rowSizes.head && cpus == levels.head
+        val passes = if (headline) opRuns else 1
+        println(s"[stream-bench] --- rows=$rows parallelism=$cpus (passes=$passes) ---")
+        byLevel(cpus) = medianMap((1 to passes).map(_ => benchAll(spark, rows, batches)))
         spark.stop()
         // a fresh session (not getOrCreate reuse) per level
         SparkSession.clearActiveSession(); SparkSession.clearDefaultSession()
@@ -137,6 +157,7 @@ object StreamBench {
     val json =
       s"""{"metric":"stream_rows_per_sec",""" +
       s""""store_provider":"${storeProvider.getOrElse("default")}",""" +
+      s""""op_runs":$opRuns,""" +
       s""""completion":{"_default":"process_all_available","proctime_window_agg":"offset",""" +
       s""""proctime_over_range":"offset","proctime_over_rows":"offset"},""" +
       s""""ops":${m(runJsons.head._1.map { case (k, v) => k -> v })},""" +
