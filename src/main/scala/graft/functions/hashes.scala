@@ -568,6 +568,18 @@ object functions {
     // HASH_CODE(str) — FlinkSqlOperatorTable straggler
     reg.createOrReplaceTempFunction("hash_code",
       es => JavaHashCode(Cast(es.head, StringType)), "built-in")
+    // r19 coverage sweep of BuiltInFunctionDefinitions (see misc.scala):
+    // INITCAP shadows the Spark builtin with the reference's
+    // any-non-alphanumeric word boundaries (SqlFunctionUtils.initcap);
+    // TYPEOF renders Flink type text; TO_TIMESTAMP_LTZ(numeric, p)
+    // implements DateTimeUtils.toTimestampData (p=0 seconds / p=3
+    // millis, truncation + range semantics)
+    reg.createOrReplaceTempFunction("initcap",
+      es => InitCapFlink(Cast(es.head, StringType)), "built-in")
+    reg.createOrReplaceTempFunction("typeof",
+      es => TypeOfFlink(es.head), "built-in")
+    reg.createOrReplaceTempFunction("to_timestamp_ltz",
+      es => ToTimestampLtz(es.head, Cast(es(1), IntegerType)), "built-in")
     // Remaining FlinkSqlOperatorTable names with no Spark builtin,
     // registered as SQL scalar functions (inlined at plan time, so they
     // stay inside whole-stage codegen):
@@ -610,7 +622,14 @@ object functions {
         |RETURNS BOOLEAN RETURN
         |s rlike '^[+-]?([0-9]+(\\.[0-9]*)?|\\.[0-9]+)([eE][+-]?[0-9]+)?$'""".stripMargin,
       """CREATE OR REPLACE TEMPORARY FUNCTION rand_integer(n INT)
-        |RETURNS INT RETURN CAST(floor(rand() * n) AS INT)""".stripMargin
+        |RETURNS INT RETURN CAST(floor(rand() * n) AS INT)""".stripMargin,
+      // TO_BASE64/FROM_BASE64 (SqlFunctionUtils.toBase64:1172 /
+      // fromBase64:1176 — java.util.Base64's basic unchunked codec,
+      // the same one Spark 4's base64/unbase64 use)
+      """CREATE OR REPLACE TEMPORARY FUNCTION to_base64(s STRING)
+        |RETURNS STRING RETURN base64(CAST(s AS BINARY))""".stripMargin,
+      """CREATE OR REPLACE TEMPORARY FUNCTION from_base64(s STRING)
+        |RETURNS STRING RETURN CAST(unbase64(s) AS STRING)""".stripMargin
     ).foreach(spark.sql(_))
   }
 }

@@ -1,0 +1,158 @@
+package graft.functions
+
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
+import org.apache.spark.sql.catalyst.expressions._
+import org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback
+import org.apache.spark.sql.types._
+import org.apache.spark.unsafe.types.UTF8String
+
+/** The last BuiltInFunctionDefinitions stragglers with no same-named,
+  * same-semantics Spark builtin (r19 coverage sweep of the reference's
+  * function table):
+  *
+  *  - INITCAP — the reference's SqlFunctionUtils.initcap:1278 treats
+  *    [A-Za-z0-9] as word characters and EVERYTHING else as a word
+  *    boundary ("foo-bar" → "Foo-Bar"); Spark's builtin splits on
+  *    spaces only ("Foo-bar"). [[InitCapFlink]] reproduces the
+  *    reference's single-pass algorithm; the dialect registration
+  *    shadows the Spark builtin so graft SQL gets reference semantics.
+  *  - TYPEOF — returns the FLINK rendering of the argument's type
+  *    ("BIGINT", "DOUBLE NOT NULL", ...) via the same Spark→Flink name
+  *    map SHOW CREATE TABLE uses; Spark's builtin renders Spark names
+  *    ("bigint").
+  *  - TO_TIMESTAMP_LTZ(numeric, precision) —
+  *    DateTimeUtils.toTimestampData:330: precision 0 = epoch seconds
+  *    (range-guarded to years 0000–9999, NULL outside), precision 3 =
+  *    epoch millis; fractional inputs truncate toward zero, DECIMAL
+  *    chops scale with ROUND_DOWN; any other precision raises the
+  *    reference's exact message. Out-of-range millis → NULL
+  *    (timestampDataFromEpochMills).
+  *
+  * TO_BASE64 / FROM_BASE64 register as SQL-text functions over Spark's
+  * base64/unbase64 (both engines use java.util.Base64's basic,
+  * unchunked codec); FROM_UNIXTIME and IFNULL are Spark builtins with
+  * matching names and semantics and need no shim (exercised by the
+  * q99 oracle row).
+  */
+object InitCapFlink {
+  /** Static kernel shared by eval and generated code — the reference's
+    * algorithm verbatim: digits keep case-state, A-Z/a-z flip at word
+    * starts, anything else re-arms the word start.
+    */
+  def compute(s: UTF8String): UTF8String = {
+    val str = s.toString
+    val len = str.length
+    val out = new java.lang.StringBuilder(len)
+    var start = true
+    var i = 0
+    while (i < len) {
+      var c = str.charAt(i)
+      if (start) {
+        if (c >= '0' && c <= '9') start = false
+        else if (c >= 'A' && c <= 'Z') start = false
+        else if (c >= 'a' && c <= 'z') { c = (c - 32).toChar; start = false }
+        // anything else: still before a word
+      } else {
+        if (c >= 'A' && c <= 'Z') c = (c + 32).toChar
+        else if (!((c >= '0' && c <= '9') || (c >= 'a' && c <= 'z')))
+          start = true // word boundary: any non-[A-Za-z0-9]
+      }
+      out.append(c)
+      i += 1
+    }
+    UTF8String.fromString(out.toString)
+  }
+}
+
+case class InitCapFlink(child: Expression) extends UnaryExpression {
+  override def dataType: DataType = StringType
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case StringType => TypeCheckResult.TypeCheckSuccess
+    case _ => TypeCheckResult.TypeCheckFailure("initcap expects STRING")
+  }
+  override def nullSafeEval(s: Any): Any =
+    InitCapFlink.compute(s.asInstanceOf[UTF8String])
+  override protected def doGenCode(ctx: codegen.CodegenContext,
+      ev: codegen.ExprCode): codegen.ExprCode =
+    nullSafeCodeGen(ctx, ev, s =>
+      s"${ev.value} = graft.functions.InitCapFlink.compute($s);")
+  override protected def withNewChildInternal(c: Expression): Expression =
+    copy(child = c)
+  override def prettyName: String = "initcap"
+}
+
+/** TYPEOF(x) with the reference's type TEXT (BuiltInFunctionDefinitions
+  * TYPEOF → LogicalType summary strings, e.g. "BIGINT NOT NULL").
+  */
+case class TypeOfFlink(child: Expression)
+    extends UnaryExpression with CodegenFallback {
+  override def dataType: DataType = StringType
+  override def nullable: Boolean = false
+  // foldable: ConstantFolding turns this into a Literal at plan time —
+  // the CodegenFallback path never actually runs per row
+  override def foldable: Boolean = true
+  @transient private lazy val text: UTF8String = UTF8String.fromString(
+    graft.sql.Ddl.flinkTypeName(child.dataType) +
+      (if (child.nullable) "" else " NOT NULL"))
+  override def eval(input: InternalRow): Any = text
+  override protected def withNewChildInternal(c: Expression): Expression =
+    copy(child = c)
+  override def prettyName: String = "typeof"
+}
+
+/** TO_TIMESTAMP_LTZ(numeric, precision) — DateTimeUtils.toTimestampData. */
+case class ToTimestampLtz(left: Expression, right: Expression)
+    extends BinaryExpression with CodegenFallback {
+  override def dataType: DataType = TimestampType
+  override def nullable: Boolean = true
+  override def checkInputDataTypes(): TypeCheckResult =
+    (left.dataType, right.dataType) match {
+      case (_: NumericType, IntegerType) => TypeCheckResult.TypeCheckSuccess
+      case _ => TypeCheckResult.TypeCheckFailure(
+        "to_timestamp_ltz expects (numeric, int precision)")
+    }
+
+  // years 0000-01-01 .. 9999-12-31 (DateTimeUtils.java:125-134)
+  private val MinEpochMillis = -62167219200000L
+  private val MaxEpochMillis = 253402300799999L
+  private val MinEpochSeconds = -62167219200L
+  private val MaxEpochSeconds = 253402300799L
+
+  private def fromMillis(ms: Long): Any =
+    if (MinEpochMillis <= ms && ms <= MaxEpochMillis) ms * 1000L else null
+
+  override def nullSafeEval(v: Any, p: Any): Any = {
+    val precision = p.asInstanceOf[Int]
+    if (precision != 0 && precision != 3)
+      throw new IllegalArgumentException(
+        s"The precision value '$precision' for function " +
+          "TO_TIMESTAMP_LTZ(numeric, precision) is unsupported, " +
+          "the supported value is '0' for second or '3' for millisecond.")
+    v match {
+      case d: Decimal =>
+        // setScale(0, ROUND_DOWN).longValue on both precisions
+        val chopped = d.toBigDecimal.setScale(0, scala.math.BigDecimal.RoundingMode.DOWN).toLong
+        fromMillis(if (precision == 0) chopped * 1000L else chopped)
+      case f: Float => evalFractional(f.toDouble, precision)
+      case dd: Double => evalFractional(dd, precision)
+      case n: Number =>
+        val l = n.longValue()
+        if (precision == 0) {
+          if (MinEpochSeconds <= l && l <= MaxEpochSeconds) fromMillis(l * 1000L)
+          else null
+        } else fromMillis(l)
+    }
+  }
+
+  private def evalFractional(d: Double, precision: Int): Any =
+    if (precision == 0) {
+      if (MinEpochSeconds <= d && d <= MaxEpochSeconds)
+        fromMillis((d * 1000L).toLong) // truncate toward zero, like (long) in Java
+      else null
+    } else fromMillis(d.toLong)
+
+  override protected def withNewChildrenInternal(l: Expression, r: Expression): Expression =
+    copy(left = l, right = r)
+  override def prettyName: String = "to_timestamp_ltz"
+}

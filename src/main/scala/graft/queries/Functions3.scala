@@ -401,6 +401,34 @@ object Functions3 {
     // ---- Values (inline relation) — SURVEY §2.2 Values -----------------
     // The reference's LogicalValues/BatchExecValues: a table from
     // literal rows, through the SQL-text path.
+    // ---- r19 BuiltInFunctionDefinitions coverage sweep ------------------
+    // The last reference builtins with no exercised graft path:
+    // TO_BASE64/FROM_BASE64 (SqlFunctionUtils.toBase64:1172 — dialect
+    // SQL functions over Spark's same-codec base64/unbase64),
+    // TO_TIMESTAMP_LTZ (DateTimeUtils.toTimestampData:330 — p=0
+    // seconds / p=3 millis, ToTimestampLtz expression), FROM_UNIXTIME
+    // and IFNULL (same-named same-semantics Spark builtins). INITCAP
+    // and TYPEOF are spec-gated instead (DuckDB lacks initcap and
+    // renders its own type text). Rendering goes through explicit
+    // date_format patterns on both sides so the hash compares VALUES,
+    // not engine-default timestamp formatting.
+    "q99_misc_functions" -> ((s, dir) => {
+      graft.functions.functions.register(s)
+      Tables.load(s, dir, "customer")
+        .select(col("c_custkey"),
+          expr("to_base64(c_mktsegment)").as("b64"),
+          expr("from_base64(to_base64(c_name))").as("name_rt"),
+          expr("from_unixtime(c_custkey * 1000)").as("futime"),
+          expr("date_format(to_timestamp_ltz(c_custkey * 1000, 0), 'yyyy-MM-dd HH:mm:ss')").as("ts0"),
+          expr("date_format(to_timestamp_ltz(c_custkey * 86400123, 3), 'yyyy-MM-dd HH:mm:ss.SSS')").as("ts3"),
+          expr("ifnull(nullif(c_mktsegment, 'BUILDING'), 'DEFAULT')").as("ifn"),
+          // TO_TIMESTAMP/TO_DATE string parsing and the ENCODE/DECODE
+          // charset pair — same-named Spark builtins, exercised
+          expr("date_format(to_timestamp(from_unixtime(c_custkey * 1000)), 'yyyy-MM-dd HH:mm:ss')").as("ts_parse"),
+          expr("CAST(to_date(from_unixtime(c_custkey * 1000)) AS STRING)").as("d_parse"),
+          expr("decode(encode(c_name, 'UTF-8'), 'UTF-8')").as("enc_rt"))
+    }),
+
     "q65_values" -> ((s, _) => s.sql(
       """SELECT id, name, CAST(price AS DOUBLE) AS price,
         |       CAST(price * 2 AS DOUBLE) AS doubled
@@ -442,6 +470,22 @@ object Functions3 {
         .as("overlaps_hour_head"))
 
   def oracles: Map[String, String] = Map(
+    // base64 legs via DuckDB's blob codec (same java.util.Base64
+    // alphabet); timestamp legs re-derived from epoch micros with
+    // explicit strftime patterns (%g = millis), so both engines render
+    // through pinned formats — the session is UTC on both sides.
+    "q99_misc_functions" ->
+      """SELECT c_custkey,
+        |  to_base64(CAST(c_mktsegment AS BLOB)) AS b64,
+        |  decode(from_base64(to_base64(CAST(c_name AS BLOB)))) AS name_rt,
+        |  strftime(make_timestamp(c_custkey * 1000 * 1000000), '%Y-%m-%d %H:%M:%S') AS futime,
+        |  strftime(make_timestamp(c_custkey * 1000 * 1000000), '%Y-%m-%d %H:%M:%S') AS ts0,
+        |  strftime(make_timestamp(c_custkey * 86400123 * 1000), '%Y-%m-%d %H:%M:%S.%g') AS ts3,
+        |  ifnull(nullif(c_mktsegment, 'BUILDING'), 'DEFAULT') AS ifn,
+        |  strftime(make_timestamp(c_custkey * 1000 * 1000000), '%Y-%m-%d %H:%M:%S') AS ts_parse,
+        |  strftime(make_timestamp(c_custkey * 1000 * 1000000), '%Y-%m-%d') AS d_parse,
+        |  c_name AS enc_rt
+        |FROM customer""".stripMargin,
     "q57_csv_roundtrip" -> "SELECT * FROM nation",
     "q58_json_roundtrip" -> "SELECT * FROM supplier",
     "q59_orc_roundtrip" -> "SELECT * FROM region",

@@ -242,9 +242,10 @@ object Ddl {
   }
 
   /** Split statements on top-level semicolons (quote- and
-    * paren-aware) — the STATEMENT SET body separator.
+    * paren-aware) — the STATEMENT SET body separator (also used by
+    * the [[graft.tools.SqlPlan]] CLI).
     */
-  private[sql] def splitTopLevelSemi(s: String): Seq[String] = {
+  private[graft] def splitTopLevelSemi(s: String): Seq[String] = {
     val out = scala.collection.mutable.ArrayBuffer.empty[String]
     val cur = new StringBuilder
     var depth = 0; var inStr = false
