@@ -230,26 +230,53 @@ object Cep {
             // Interior notFollowedBy: let the next step match at pos or
             // any later position, provided every skipped row fails the
             // negated predicate. Earliest continuation first (the SQL
-            // earliest-match discipline).
-            def gap(p: Int): Boolean =
-              go(p, s + 1) || (p < limit && !st.pred(events(p)) && gap(p + 1))
-            gap(pos)
+            // earliest-match discipline). ITERATIVE (r19): the
+            // recursive gap(p + 1) form burned one stack frame per
+            // skipped row — a within-window holding tens of thousands
+            // of rows overflowed the stack (CepSpec depth pin).
+            var p = pos
+            var ok = go(p, s + 1)
+            while (!ok && p < limit && !st.pred(events(p))) {
+              p += 1
+              ok = go(p, s + 1)
+            }
+            ok
           }
         } else {
-        def reps(p: Int, c: Int): Boolean = {
-          def take(): Boolean =
-            c < st.max && p < limit && st.pred(events(p)) && {
-              val prev = res(s)
-              res(s) = (if (c == 0) p else prev._1, p, c + 1)
-              if (reps(p + 1, c + 1)) true else { res(s) = prev; false }
-            }
-          def advance(): Boolean = c >= st.min && {
-            if (c == 0) res(s) = (-1, -1, 0)
-            go(p, s + 1)
+          // Quantified repetition, ITERATIVE over the consumed count
+          // (r19): the recursive take() consumed one stack frame per
+          // row — a hot key with ~20k consecutive matches inside its
+          // within-window crashed the task with StackOverflowError
+          // (probed; CepSpec "quantifier depth" pins the fix). Strict
+          // contiguity means the reachable counts are exactly the
+          // prefixes of the maximal consecutive matching run, so the
+          // old exploration order is preserved verbatim: greedy peels
+          // from the longest run down to min, reluctant extends from
+          // min up — recursion remains only ACROSS steps (depth =
+          // pattern length).
+          val maxRun = {
+            var p = pos
+            while (p - pos < st.max && p < limit && st.pred(events(p))) p += 1
+            p - pos
           }
-          if (st.greedy) take() || advance() else advance() || take()
-        }
-        reps(pos, 0)
+          def setRes(c: Int): Unit =
+            res(s) = if (c == 0) (-1, -1, 0) else (pos, pos + c - 1, c)
+          var found = false
+          if (st.greedy) {
+            var c = maxRun
+            while (!found && c >= st.min) {
+              setRes(c)
+              if (go(pos + c, s + 1)) found = true else c -= 1
+            }
+          } else {
+            var c = st.min
+            while (!found && c <= maxRun) {
+              setRes(c)
+              if (go(pos + c, s + 1)) found = true else c += 1
+            }
+          }
+          if (!found) res(s) = (-1, -1, 0)
+          found
         }
       }
     }

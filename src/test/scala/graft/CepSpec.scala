@@ -538,4 +538,36 @@ class CepSpec extends AnyFunSuite {
     assert(out.length == 1)
     assert(out(0).getLong(out(0).fieldIndex("b_id")) == 2L)
   }
+
+  test("quantifier depth: a 20k-row A+ run matches without stack overflow") {
+    // r19: the recursive take()/gap() exploration burned one stack
+    // frame per consumed/skipped row — a hot key with ~20k consecutive
+    // matches inside its within-window crashed the task with
+    // StackOverflowError. The iterative rewrite keeps the exploration
+    // order (greedy peels longest→min; gaps advance earliest-first)
+    // with recursion only ACROSS steps.
+    val n = 20000
+    val rows = (0 until n).map(i =>
+      ("k", new java.sql.Timestamp(1700000000000L + i * 10L), s"e$i", "t1"))
+    val df = rows.toDF("user", "ts", "eid", "tpe")
+    def is(k: String) = (r: org.apache.spark.sql.Row) =>
+      r.getString(r.fieldIndex("tpe")) == k
+    // greedy A+ consumes the whole run in ONE match
+    val greedy = Cep.matchPattern(df, "user", "ts", "eid",
+      Seq(Cep.Step.oneOrMore("a", is("t1"))), withinSec = 86400L).collect()
+    assert(greedy.length == 1)
+    assert(greedy(0).getInt(greedy(0).fieldIndex("a_count")) == n)
+    // a long gap through an interior notFollowedBy is also iterative:
+    // anchor, then 20k-row B-free gap, then the closing C
+    val gapped = (("k", new java.sql.Timestamp(1699999999000L), "anchor", "t0") +:
+      rows) :+ ("k", new java.sql.Timestamp(1700000000000L + n * 10L), "end", "t2")
+    val out2 = Cep.matchPattern(gapped.toDF("user", "ts", "eid", "tpe"),
+      "user", "ts", "eid",
+      Seq(Cep.Step.once("a", is("t0")),
+          Cep.Step.notFollowedBy("nb", is("t9")),
+          Cep.Step.zeroOrMore("fill", is("t1")),
+          Cep.Step.once("c", is("t2"))), withinSec = 86400L).collect()
+    assert(out2.length == 1)
+    assert(out2(0).getInt(out2(0).fieldIndex("fill_count")) == n)
+  }
 }
