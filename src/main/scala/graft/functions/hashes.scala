@@ -580,6 +580,14 @@ object functions {
       es => TypeOfFlink(es.head), "built-in")
     reg.createOrReplaceTempFunction("to_timestamp_ltz",
       es => ToTimestampLtz(es.head, Cast(es(1), IntegerType)), "built-in")
+    // TRUNCATE accepts BOTH arities (FlinkSqlOperatorTable:226:
+    // NUMERIC_INTEGER or bare NUMERIC — TRUNCATE(x) chops to 0 dp).
+    // SQL-text functions are fixed-arity, so the public name is an
+    // arity-dispatching builder over the 2-arg body (__truncate2).
+    reg.createOrReplaceTempFunction("truncate",
+      es => org.apache.spark.sql.catalyst.analysis.UnresolvedFunction(
+        "__truncate2", Seq(es.head, es.lift(1).getOrElse(Literal(0))),
+        isDistinct = false), "built-in")
     // Remaining FlinkSqlOperatorTable names with no Spark builtin,
     // registered as SQL scalar functions (inlined at plan time, so they
     // stay inside whole-stage codegen):
@@ -604,7 +612,7 @@ object functions {
         |CASE WHEN i < 0 THEN CAST(NULL AS STRING)
         |     ELSE get(split(s,
         |       regexp_replace(sep, '([\\\\^$.|?*+()\\[\\]{}])', '\\\\$1'), -1), i) END""".stripMargin,
-      """CREATE OR REPLACE TEMPORARY FUNCTION truncate(x DOUBLE, d INT)
+      """CREATE OR REPLACE TEMPORARY FUNCTION __truncate2(x DOUBLE, d INT)
         |RETURNS DOUBLE RETURN
         |CASE WHEN abs(x) >= 9007199254740992D THEN x
         |     WHEN abs(x * pow(10, d)) < 9007199254740992D

@@ -67,6 +67,14 @@ class MiscFunctionsSpec extends AnyFunSuite {
     assert(one("to_base64(CAST(NULL AS STRING))") == null)
   }
 
+  test("TRUNCATE accepts both arities like the reference (bare numeric = 0 dp)") {
+    // FlinkSqlOperatorTable:226 — NUMERIC_INTEGER or bare NUMERIC
+    assert(one("truncate(42.195D)") == 42.0)
+    assert(one("truncate(-1.9D)") == -1.0)
+    assert(one("truncate(42.195D, 2)") == 42.19)
+    assert(one("truncate(CAST(NULL AS DOUBLE))") == null)
+  }
+
   test("from_unixtime and ifnull are the same-named Spark builtins") {
     assert(one("from_unixtime(86400)") == "1970-01-02 00:00:00")
     assert(one("ifnull(CAST(NULL AS STRING), 'fallback')") == "fallback")
