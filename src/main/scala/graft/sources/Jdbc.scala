@@ -133,10 +133,20 @@ object Jdbc {
           del.executeBatch()
           pending.clear()
         }
+        // the reduce map needs CONTENT equality on the key: a BinaryType
+        // key arrives as Array[Byte] (reference equality), so a -D and
+        // +I carrying equal bytes would not reduce — and with upserts
+        // executing before deletes, the row would be wrongly dropped
+        // (the same Array[Byte]-equality class the r19 ChangelogJoin
+        // fix closed; ByteBuffer carries content equality)
+        def keyOf(r: Row): Seq[Any] = keyIdx.map(i => r.get(i) match {
+          case b: Array[Byte] => java.nio.ByteBuffer.wrap(b)
+          case v => v
+        })
         it.foreach { r =>
           val kind = if (hasKind) r.getString(kindIdx) else graft.streaming.Changelog.Insert
           if (kind != graft.streaming.Changelog.UpdateBefore) { // -U superseded by +U
-            pending.put(keyIdx.map(r.get), (kind, r))
+            pending.put(keyOf(r), (kind, r))
             if (pending.size >= batchSize) flush()
           }
         }

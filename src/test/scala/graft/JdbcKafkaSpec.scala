@@ -34,8 +34,12 @@ object FakeJdbc {
             case "executeBatch" =>
               batch.foreach { vals =>
                 // key = leading columns (upsert data lists keys first
-                // in these tests; DELETE binds only the key)
-                val key = vals.take(keyCount).mkString("|")
+                // in these tests; DELETE binds only the key); byte-array
+                // keys render by CONTENT so distinct instances agree
+                val key = vals.take(keyCount).map {
+                  case b: Array[Byte] => b.map("%02x".format(_)).mkString
+                  case v => v
+                }.mkString("|")
                 if (isDelete) rows.remove(key) else rows.put(key, vals)
               }
               val n = Array.fill(batch.size)(1)
@@ -149,6 +153,26 @@ class JdbcKafkaSpec extends AnyFunSuite {
     import scala.jdk.CollectionConverters._
     val rows = FakeJdbc.rows.asScala.map { case (k, v) => k -> v.last }.toMap
     assert(rows == Map("k1" -> 3.0))
+  }
+
+  test("writeBatchUpsert: BINARY keys reduce by content, not array identity") {
+    // A BinaryType key arrives as Array[Byte] whose equality is
+    // reference-based: without canonicalization the -D and +I below
+    // land as SEPARATE pending entries, and with upserts executing
+    // before deletes the row would be wrongly dropped (the r19
+    // ChangelogJoin bug class, here in the sink's last-wins reduce).
+    FakeJdbc.clear()
+    val k = "bin-key".getBytes("UTF-8")
+    val batch = Seq(
+      ("+I", k.clone(), 1.0),
+      ("-D", k.clone(), 1.0),
+      ("+I", k.clone(), 7.0))  // final action: row exists with 7.0
+      .toDF("row_kind", "id", "score").coalesce(1)
+    Jdbc.writeBatchUpsert(batch, "t", Seq("id"), "postgres",
+      () => FakeJdbc.connection(1), batchSize = 500)
+    import scala.jdk.CollectionConverters._
+    val rows = FakeJdbc.rows.asScala.map { case (_, v) => v.last }.toList
+    assert(rows == List(7.0))
   }
 
   test("writeBatchUpsert: +I then -D of one key in one batch deletes the row") {
