@@ -576,10 +576,35 @@ object functions {
     // millis, truncation + range semantics)
     reg.createOrReplaceTempFunction("initcap",
       es => InitCapFlink(Cast(es.head, StringType)), "built-in")
+    // TYPEOF(x[, force_serializable]) — the optional boolean picks
+    // asSerializableString; it must be a literal (the reference
+    // requires a constant flag). Arity outside 1..2 is a dialect error.
     reg.createOrReplaceTempFunction("typeof",
-      es => TypeOfFlink(es.head), "built-in")
+      es => es match {
+        case Seq(x) => TypeOfFlink(x)
+        case Seq(x, Literal(b: Boolean, BooleanType)) => TypeOfFlink(x, b)
+        case Seq(_, _) => throw new org.apache.spark.sql.AnalysisException(
+          errorClass = "INTERNAL_ERROR",
+          messageParameters = Map("message" ->
+            "TYPEOF(input, force_serializable): force_serializable must be a BOOLEAN literal"))
+        case _ => throw new org.apache.spark.sql.AnalysisException(
+          errorClass = "INTERNAL_ERROR",
+          messageParameters = Map("message" ->
+            (s"TYPEOF expects 1 or 2 arguments, got ${es.length}")))
+      }, "built-in")
+    // Fixed 2-arg arity: a 1-arg call (Spark's builtin string form this
+    // registration shadows) gets a dialect error, not an
+    // IndexOutOfBoundsException from es(1).
     reg.createOrReplaceTempFunction("to_timestamp_ltz",
-      es => ToTimestampLtz(es.head, Cast(es(1), IntegerType)), "built-in")
+      es => {
+        if (es.length != 2) throw new org.apache.spark.sql.AnalysisException(
+          errorClass = "INTERNAL_ERROR",
+          messageParameters = Map("message" ->
+            ("TO_TIMESTAMP_LTZ(numeric, precision) expects exactly 2 arguments, " +
+              s"got ${es.length}; the supported precision is '0' for second " +
+              "or '3' for millisecond")))
+        ToTimestampLtz(es.head, Cast(es(1), IntegerType))
+      }, "built-in")
     // TRUNCATE accepts BOTH arities (FlinkSqlOperatorTable:226:
     // NUMERIC_INTEGER or bare NUMERIC — TRUNCATE(x) chops to 0 dp).
     // SQL-text functions are fixed-arity, so the public name is an

@@ -82,10 +82,15 @@ case class InitCapFlink(child: Expression) extends UnaryExpression {
   override def prettyName: String = "initcap"
 }
 
-/** TYPEOF(x) with the reference's type TEXT (BuiltInFunctionDefinitions
-  * TYPEOF → LogicalType summary strings, e.g. "BIGINT NOT NULL").
+/** TYPEOF(x[, force_serializable]) with the reference's type TEXT
+  * (BuiltInFunctionDefinitions TYPEOF → LogicalType summary strings,
+  * e.g. "BIGINT NOT NULL"). The optional second argument selects
+  * `asSerializableString` over `asSummaryString`; for every type graft
+  * can represent the two renderings coincide (they only diverge on
+  * Flink's RAW/legacy types, which have no graft surface), so the flag
+  * is accepted and type-checked but both paths print the same text.
   */
-case class TypeOfFlink(child: Expression)
+case class TypeOfFlink(child: Expression, serializable: Boolean = false)
     extends UnaryExpression with CodegenFallback {
   override def dataType: DataType = StringType
   override def nullable: Boolean = false
@@ -122,13 +127,27 @@ case class ToTimestampLtz(left: Expression, right: Expression)
   private def fromMillis(ms: Long): Any =
     if (MinEpochMillis <= ms && ms <= MaxEpochMillis) ms * 1000L else null
 
-  override def nullSafeEval(v: Any, p: Any): Any = {
-    val precision = p.asInstanceOf[Int]
+  private def checkPrecision(precision: Int): Unit =
     if (precision != 0 && precision != 3)
       throw new IllegalArgumentException(
         s"The precision value '$precision' for function " +
           "TO_TIMESTAMP_LTZ(numeric, precision) is unsupported, " +
           "the supported value is '0' for second or '3' for millisecond.")
+
+  // The reference validates precision UNCONDITIONALLY — an unsupported
+  // precision errors even when the value argument is NULL, so the check
+  // must run before BinaryExpression's null short-circuit.
+  override def eval(input: InternalRow): Any = {
+    val p = right.eval(input)
+    if (p == null) return null
+    checkPrecision(p.asInstanceOf[Int])
+    val v = left.eval(input)
+    if (v == null) null else nullSafeEval(v, p)
+  }
+
+  override def nullSafeEval(v: Any, p: Any): Any = {
+    val precision = p.asInstanceOf[Int]
+    checkPrecision(precision)
     v match {
       case d: Decimal =>
         // setScale(0, ROUND_DOWN).longValue on both precisions

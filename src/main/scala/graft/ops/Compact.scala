@@ -176,15 +176,31 @@ object Compact {
     * (`_` is never path-escaped), so the pre-r18 unprefixed residue
     * shapes are swept only when the partner leaf `X` exists — which
     * proves residue (a completed rewrite whose cleanup failed, or an
-    * abandoned tmp) and makes deletion safe; an unpartnered bare name
-    * is left untouched rather than risk renaming user data.
+    * abandoned tmp) and makes deletion safe. An UNPARTNERED bare
+    * `__compact_old` is REPAIRED (r20): the pre-r18 compactor only
+    * ever produced that shape by crashing between its two renames, in
+    * which case it holds the ONLY copy of a partition that is
+    * invisible to readers — the sweep renames the suffix away so the
+    * data is readable again, and logs what it did (the pathological
+    * alternative — a user partition whose value literally ends in
+    * `__compact_old` — was already unreadable under graft's own
+    * compactor namespace contract). An unpartnered bare
+    * `__compact_tmp` stays warn-only: a tmp may be a HALF-WRITTEN
+    * rewrite, and surfacing truncated data would be worse than the
+    * ambiguity. `__compact_old` entries are processed before
+    * `__compact_tmp` in each directory so a compound crash (both
+    * residues present) converges in one sweep: the restore makes the
+    * tmp partnered, and the partnered tmp is then deleted.
     */
   private[graft] def sweepStaging(fs: FileSystem, root: Path, depth: Int): Unit = {
     def partner(p: Path, n: String, suffix: String): Path =
       new Path(p, n.stripPrefix(".").stripSuffix(suffix))
     def scan(p: Path, d: Int): Unit = {
       if (!fs.exists(p)) return
-      fs.listStatus(p).filter(_.isDirectory).foreach { s =>
+      val entries = fs.listStatus(p).filter(_.isDirectory)
+      // _old before _tmp: a restored _old creates the partner that
+      // proves a sibling bare _tmp redundant within this same pass
+      entries.sortBy(s => !s.getPath.getName.endsWith("__compact_old")).foreach { s =>
         val n = s.getPath.getName
         if (n.startsWith(".") && n.endsWith("__compact_tmp"))
           // never the only copy: the leaf (write crashed) or its old
@@ -195,26 +211,38 @@ object Compact {
           if (fs.exists(leaf)) fs.delete(s.getPath, true) // rewrite done, cleanup failed
           else require(fs.rename(s.getPath, leaf), // crash between the two renames
             s"compact: could not restore $leaf from crash residue ${s.getPath}")
-        } else if (!n.startsWith(".") &&
-            (n.endsWith("__compact_tmp") || n.endsWith("__compact_old"))) {
-          if (fs.exists(partner(p, n,
-              if (n.endsWith("__compact_tmp")) "__compact_tmp" else "__compact_old")))
+        } else if (!n.startsWith(".") && n.endsWith("__compact_old")) {
+          val leaf = partner(p, n, "__compact_old")
+          if (fs.exists(leaf))
             // legacy (pre-dot-prefix) residue, provably redundant: the
             // partner leaf holds the data
             fs.delete(s.getPath, true)
+          else {
+            // unpartnered: pre-r18 crash between the two renames — this
+            // is the only copy of the partition and it is invisible to
+            // readers until the suffix comes off
+            require(fs.rename(s.getPath, leaf),
+              s"compact: could not restore $leaf from crash residue ${s.getPath}")
+            logger.warn(
+              s"compact sweep: restored ${s.getPath} to $leaf — pre-upgrade crash " +
+                "residue held the only copy of this partition (it was invisible " +
+                "to readers until now)")
+          }
+        } else if (!n.startsWith(".") && n.endsWith("__compact_tmp")) {
+          if (fs.exists(partner(p, n, "__compact_tmp")))
+            // legacy residue, provably redundant
+            fs.delete(s.getPath, true)
           else
-            // UNPARTNERED bare residue: either a user partition whose
+            // UNPARTNERED bare tmp: either a user partition whose
             // escaped value happens to end in the suffix (must not be
-            // touched) or pre-r18 crash residue holding the ONLY copy of
-            // a now-invisible partition. The sweep cannot tell them
-            // apart, so it surfaces the ambiguity instead of acting —
-            // an operator can restore by renaming away the suffix.
+            // touched) or a HALF-WRITTEN pre-r18 rewrite — restoring
+            // could surface truncated data, so the sweep surfaces the
+            // ambiguity instead of acting.
             logger.warn(
               s"compact sweep: leaving ambiguous directory ${s.getPath} in place " +
-                s"(no partner '${partner(p, n, if (n.endsWith("__compact_tmp")) "__compact_tmp" else "__compact_old").getName}' leaf). " +
-                "If this is pre-upgrade crash residue it holds the only copy of that " +
-                "partition and is invisible to readers — restore it manually by " +
-                "renaming away the __compact_* suffix.")
+                s"(no partner '${partner(p, n, "__compact_tmp").getName}' leaf). " +
+                "If this is pre-upgrade crash residue it may be a half-written " +
+                "rewrite — inspect before renaming away the __compact_tmp suffix.")
         } else if (d > 1 && !graft.sql.Partitions.hidden(n) && n.contains("="))
           scan(s.getPath, d - 1)
       }

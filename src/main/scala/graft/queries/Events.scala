@@ -225,6 +225,22 @@ object Events {
                 col("event_id"), col("value"), col("rank_no"))
     }),
 
+    // ---- Window rank over BIGINT-epoch time (r20, judge directive #7):
+    // oracle-gates the Long-as-epoch-MILLIS convention the r19 review
+    // fixed in windowRankStreaming (Long read as seconds put windows
+    // 1000x off). The time column here is a BIGINT epoch-millis value;
+    // a wrong-unit read shifts every window start 1000x and the DuckDB
+    // hash compare catches it.
+    "q100_window_rank_epoch" -> ((s, dir) => {
+      val e = Tables.load(s, dir, "events")
+        .withColumn("ts_ms", unix_millis(col("ts"))).drop("ts")
+      graft.streaming.Windows
+        .windowRank(e, col("ts_ms"), "1 hour", Seq("event_type"),
+          Seq(col("value").desc, col("event_id")), n = 2)
+        .select(unix_millis(col("window.start")).as("window_start_ms"),
+                col("event_type"), col("event_id"), col("value"), col("rank_no"))
+    }),
+
     // ---- Window deduplicate — SURVEY §2.5 window dedup ----------------
     // First event per (1h tumbling window × user) in event-time order.
     "q56_window_dedup" -> ((s, dir) => {
@@ -460,6 +476,16 @@ object Events {
         |           PARTITION BY time_bucket(INTERVAL '1 hour', ts), event_type
         |           ORDER BY value DESC, event_id) AS rank_no
         |  FROM events) WHERE rank_no <= 2""".stripMargin,
+
+    "q100_window_rank_epoch" ->
+      """SELECT window_start_ms, event_type, event_id, value, rank_no FROM (
+        |  SELECT ts_ms - ts_ms % 3600000 AS window_start_ms,
+        |         event_type, event_id, value,
+        |         ROW_NUMBER() OVER (
+        |           PARTITION BY ts_ms // 3600000, event_type
+        |           ORDER BY value DESC, event_id) AS rank_no
+        |  FROM (SELECT epoch_ms(ts) AS ts_ms, event_type, event_id, value
+        |        FROM events)) WHERE rank_no <= 2""".stripMargin,
 
     "q56_window_dedup" ->
       """SELECT window_start, user_id, event_id, CAST(ts AS TIMESTAMP) AS ts FROM (

@@ -32,18 +32,25 @@ object PlanFiles {
     * fresh session (the reference never had the gap because it
     * persists the fully-inlined ExecNodeGraph,
     * `TableEnvironmentImpl.compilePlanAndWrite:771`; the view closure
-    * is the statement-text analog of that inlining). Version-1 files
-    * still read (they simply have no views). */
-  private val Version = 2
+    * is the statement-text analog of that inlining). Version 3 (r20)
+    * adds the FUNCTION closure — every CREATE FUNCTION'd name the
+    * statement or a reached view body calls, as `[{name, className}]`
+    * — the reference likewise serializes function references into the
+    * ExecNodeGraph, so an EXECUTE PLAN in a fresh session must not
+    * fail on a missing user function. Version-1/2 files still read
+    * (they simply have no views / no functions). */
+  private val Version = 3
   // ObjectMapper is thread-safe once configured; one shared instance
   private val mapper = new ObjectMapper()
 
   /** Write the plan envelope. `tables` maps each referenced dialect
     * table to its reconstructed CREATE TABLE DDL; `views` is the
-    * transitive view closure as (name, body-query) pairs. */
+    * transitive view closure as (name, body-query) pairs; `functions`
+    * is the CREATE FUNCTION closure as (name, className) pairs. */
   def write(file: java.io.File, statement: String,
             tables: Map[String, String],
-            views: Seq[(String, String)] = Nil): Unit = {
+            views: Seq[(String, String)] = Nil,
+            functions: Seq[(String, String)] = Nil): Unit = {
     val root = mapper.createObjectNode()
     root.put("graftPlanVersion", Version)
     root.put("statement", statement)
@@ -53,12 +60,18 @@ object PlanFiles {
     views.foreach { case (name, query) =>
       val v = vs.addObject(); v.put("name", name); v.put("query", query)
     }
+    val fs = root.putArray("functions")
+    functions.foreach { case (name, className) =>
+      val f = fs.addObject(); f.put("name", name); f.put("className", className)
+    }
     Option(file.getParentFile).foreach(_.mkdirs())
     mapper.writerWithDefaultPrettyPrinter().writeValue(file, root)
   }
 
-  /** Read a plan envelope back: (statement, table → DDL, views). */
-  def read(file: java.io.File): (String, Map[String, String], Seq[(String, String)]) = {
+  /** Read a plan envelope back:
+    * (statement, table → DDL, views, functions). */
+  def read(file: java.io.File)
+      : (String, Map[String, String], Seq[(String, String)], Seq[(String, String)]) = {
     require(file.exists,
       s"EXECUTE PLAN: plan file '${file.getPath}' does not exist " +
         "(COMPILE PLAN '<file>' FOR <insert> writes it)")
@@ -85,6 +98,11 @@ object PlanFiles {
       arr.elements().asScala.map(v =>
         v.get("name").asText -> v.get("query").asText).toSeq
     }
-    (root.get("statement").asText, tables, views)
+    val functions = Option(root.get("functions")).toSeq.flatMap { arr =>
+      import scala.jdk.CollectionConverters._
+      arr.elements().asScala.map(f =>
+        f.get("name").asText -> f.get("className").asText).toSeq
+    }
+    (root.get("statement").asText, tables, views, functions)
   }
 }

@@ -586,7 +586,14 @@ class SqlEnv private (val spark: SparkSession) {
         compilePlanFile(file, ifNotExists = false, body)
         return executeSql(body.trim.replaceAll(";\\s*$", ""))
       case executePlanRe(file) =>
-        val (stmt, tables, views) = PlanFiles.read(new java.io.File(file))
+        val (stmt, tables, views, functions) = PlanFiles.read(new java.io.File(file))
+        // restore user functions FIRST (a restored view body may call
+        // one, and CREATE VIEW analyzes the body): create-only —
+        // IF NOT EXISTS semantics, an existing registration wins
+        functions.foreach { case (fn, cls) =>
+          if (!createdFunctions.containsKey(fn))
+            executeSql(s"CREATE FUNCTION IF NOT EXISTS $fn AS '$cls'")
+        }
         // restore referenced dialect tables absent from this session
         // (create-only — an existing same-name table wins, like the
         // reference resolving against the live catalog)
@@ -1410,33 +1417,74 @@ class SqlEnv private (val spark: SparkSession) {
             "file or, if you're debugging your job, set the option " +
             "'table.plan.force-recompile' to true.")
     }
-    // dialect tables AND views the statement reaches ride along so
-    // EXECUTE PLAN can restore them in a fresh session. The reach is
-    // TRANSITIVE through the view registry: the statement's text is
-    // scanned for registered names, and each matched view's body is
-    // scanned in turn — so an INSERT that reads only a view still
-    // persists the view DDL and the underlying tables' DDL (the
-    // closure analog of the reference persisting the fully-inlined
-    // ExecNodeGraph, TableEnvironmentImpl.compilePlanAndWrite:771).
-    val (tables, views) = planClosure(stmt)
+    // dialect tables, views AND user functions the statement reaches
+    // ride along so EXECUTE PLAN can restore them in a fresh session.
+    // The reach is TRANSITIVE through the view registry: the
+    // statement's text is scanned for registered names, and each
+    // matched view's body is scanned in turn — so an INSERT that reads
+    // only a view still persists the view DDL, the underlying tables'
+    // DDL, and any CREATE FUNCTION the chain calls (the closure analog
+    // of the reference persisting the fully-inlined ExecNodeGraph with
+    // its function references,
+    // TableEnvironmentImpl.compilePlanAndWrite:771).
+    val (tables, views, functions) = planClosure(stmt)
     PlanFiles.write(f, stmt,
-      tables.map { case (t, d) => t -> Ddl.showCreate(d) }, views)
+      tables.map { case (t, d) => t -> Ddl.showCreate(d) }, views, functions)
   }
 
-  /** Transitive (tables, views) closure of a statement's text through
-    * the view registry — views in DISCOVERY order (statement first,
-    * then each view body as it is reached). */
+  /** Replace the contents of quoted string literals ('..' with ''
+    * escapes, ".." identifiers-as-strings), `-- line` and slash-star
+    * block comments with spaces, so the closure scan below never
+    * matches a registry name INSIDE a literal or comment (a table
+    * named in a log-message literal must not bloat the envelope).
+    * Quote characters themselves are kept so token boundaries hold.
+    */
+  private def stripLiteralsAndComments(text: String): String = {
+    val out = new java.lang.StringBuilder(text.length)
+    var i = 0
+    val n = text.length
+    while (i < n) {
+      val c = text.charAt(i)
+      if (c == '\'' || c == '"') {
+        out.append(c); i += 1
+        while (i < n && text.charAt(i) != c) { out.append(' '); i += 1 }
+        if (i < n) { out.append(c); i += 1 }
+        // SQL '' escape: the re-opened literal is consumed by the next
+        // loop pass identically, which is exactly the blanking we want
+      } else if (c == '-' && i + 1 < n && text.charAt(i + 1) == '-') {
+        while (i < n && text.charAt(i) != '\n') { out.append(' '); i += 1 }
+      } else if (c == '/' && i + 1 < n && text.charAt(i + 1) == '*') {
+        out.append("  "); i += 2
+        while (i < n && !(text.charAt(i) == '*' && i + 1 < n && text.charAt(i + 1) == '/')) {
+          out.append(if (text.charAt(i) == '\n') '\n' else ' '); i += 1
+        }
+        if (i < n) { out.append("  "); i += 2 }
+      } else { out.append(c); i += 1 }
+    }
+    out.toString
+  }
+
+  /** Transitive (tables, views, functions) closure of a statement's
+    * text through the view + function registries — views in DISCOVERY
+    * order (statement first, then each view body as it is reached).
+    * Names are matched against the literal-and-comment-stripped text
+    * (see [[stripLiteralsAndComments]]). */
   private def planClosure(stmt: String)
-      : (Map[String, Ddl.TableDef], Seq[(String, String)]) = {
+      : (Map[String, Ddl.TableDef], Seq[(String, String)], Seq[(String, String)]) = {
     import scala.jdk.CollectionConverters._
     val tables = scala.collection.mutable.LinkedHashMap.empty[String, Ddl.TableDef]
     val views = scala.collection.mutable.LinkedHashMap.empty[String, String]
+    val functions = scala.collection.mutable.LinkedHashMap.empty[String, String]
     def mentions(name: String, text: String): Boolean =
       ("""(?i)\b""" + java.util.regex.Pattern.quote(name) + """\b""").r
         .findFirstIn(text).isDefined
-    def scan(text: String): Unit = {
+    def scan(raw: String): Unit = {
+      val text = stripLiteralsAndComments(raw)
       asScala.foreach { case (t, d) =>
         if (!tables.contains(t) && mentions(t, text)) tables += t -> d
+      }
+      createdFunctions.asScala.foreach { case (fn, cls) =>
+        if (!functions.contains(fn) && mentions(fn, text)) functions += fn -> cls
       }
       createdViews.asScala.foreach { case (v, body) =>
         if (!views.contains(v) && mentions(v, text)) {
@@ -1446,7 +1494,7 @@ class SqlEnv private (val spark: SparkSession) {
       }
     }
     scan(stmt)
-    (tables.toMap, views.toSeq)
+    (tables.toMap, views.toSeq, functions.toSeq)
   }
   // ALTER TABLE ADD/MODIFY (column) — parse-only in the 1.16 reference:
   // SqlAlterTableAdd/Modify exist in the parser but

@@ -204,13 +204,66 @@ object Cep {
     * must match the row immediately after step s's last row). Returns
     * (per-step (firstIdx, lastIdx, count), endPos) on success; a match
     * must consume ≥1 row.
+    *
+    * `memo` (r20) records FAILED `go(pos, s)` probes so they are never
+    * re-explored. `go`'s boolean outcome is a pure function of
+    * (events, steps, pos, limit) — `res` side-effects are reset on
+    * every failure path — so a recorded failure is sound for any later
+    * probe with the SAME limit; the caller clears the memo whenever
+    * limit changes (see [[PatternRunner.emitMatches]]). This kills the
+    * cross-anchor quadratic: a 20k-row greedy `A+` run whose NEXT step
+    * never matches probed the failing continuation once per (anchor ×
+    * count) — O(n²) per key-window — where the reference NFA shares
+    * suffix computation across starts (flink-cep SharedBuffer); with
+    * the memo each (pos, step) fails at most once per window, O(n ×
+    * steps) total.
     */
   private def matchAt(events: IndexedSeq[Row], anchor: Int, limit: Int,
-                      steps: IndexedSeq[Step]): Option[(Array[(Int, Int, Int)], Int)] = {
+                      steps: IndexedSeq[Step],
+                      memo: scala.collection.mutable.HashSet[Long],
+                      runMemo: scala.collection.mutable.LongMap[Int])
+      : Option[(Array[(Int, Int, Int)], Int)] = {
     val nSteps = steps.length
     val res = Array.fill(nSteps)((-1, -1, 0))
     var endPos = anchor
-    def go(pos: Int, s: Int): Boolean = {
+    def go(pos: Int, s: Int): Boolean =
+      if (memo.contains(pos.toLong << 16 | s)) false
+      else {
+        val ok = goUncached(pos, s)
+        if (!ok) memo += (pos.toLong << 16 | s)
+        ok
+      }
+    // End of the maximal consecutive run from `pos` of rows satisfying
+    // `pr` (capped at limit), memoized per (pos, step): every scanning
+    // branch below re-walked its run once per anchor — the other half
+    // of the cross-anchor quadratic, and each walk re-ran the user
+    // predicate. The walk caches the run end for EVERY position it
+    // visits (they share the same end), so across anchors each
+    // position's predicate runs at most once per window. Same validity
+    // domain as `memo` (cleared together on limit change); a step is
+    // either quantified or negated, so keying by (pos, s) can never
+    // mix pred- and ¬pred-runs.
+    def runEnd(pos: Int, s: Int, pr: Row => Boolean): Int = {
+      val cached = runMemo.getOrElse(pos.toLong << 16 | s, -1)
+      if (cached >= 0) cached
+      else {
+        var p = pos
+        var end = -1
+        while (end < 0 && p < limit) {
+          val ce = runMemo.getOrElse(p.toLong << 16 | s, -1)
+          if (ce >= 0) end = ce
+          else if (pr(events(p))) p += 1
+          else end = p
+        }
+        if (end < 0) end = limit
+        var q = pos
+        while (q <= p && q < limit) {
+          runMemo.update(q.toLong << 16 | s, end); q += 1
+        }
+        end
+      }
+    }
+    def goUncached(pos: Int, s: Int): Boolean = {
       if (s == nSteps) { endPos = pos; true }
       else {
         val st = steps(s)
@@ -219,9 +272,13 @@ object Cep {
           if (s + 1 == nSteps) {
             // Trailing: the rest of the (frozen) window confirms absence.
             // notNext (max=1) checks only the immediate next row;
-            // notFollowedBy checks every remaining row.
-            val scanTo = if (st.max == 1) math.min(pos + 1, limit) else limit
-            (pos until scanTo).forall(p => !st.pred(events(p))) && go(pos, s + 1)
+            // notFollowedBy checks every remaining row (via the
+            // memoized ¬pred-run walk — the per-anchor forall rescan
+            // was O(window) per anchor).
+            val ok =
+              if (st.max == 1) pos >= limit || !st.pred(events(pos))
+              else runEnd(pos, s, r => !st.pred(r)) >= limit
+            ok && go(pos, s + 1)
           } else if (st.max == 1) {
             // Interior notNext: assert on the immediate next row, then
             // the next step matches from that same position.
@@ -234,9 +291,15 @@ object Cep {
             // recursive gap(p + 1) form burned one stack frame per
             // skipped row — a within-window holding tens of thousands
             // of rows overflowed the stack (CepSpec depth pin).
+            // Continuation positions are exactly pos..negEnd where
+            // negEnd is the memoized ¬pred-run end — the same probe
+            // sequence as the r19 loop (which stopped at the first
+            // pred-true row), without re-running the predicate per
+            // anchor.
+            val negEnd = runEnd(pos, s, r => !st.pred(r))
             var p = pos
             var ok = go(p, s + 1)
-            while (!ok && p < limit && !st.pred(events(p))) {
+            while (!ok && p < negEnd) {
               p += 1
               ok = go(p, s + 1)
             }
@@ -254,11 +317,10 @@ object Cep {
           // from the longest run down to min, reluctant extends from
           // min up — recursion remains only ACROSS steps (depth =
           // pattern length).
-          val maxRun = {
-            var p = pos
-            while (p - pos < st.max && p < limit && st.pred(events(p))) p += 1
-            p - pos
-          }
+          // maximal consecutive matching run from pos via the memoized
+          // run walk (the scan re-walked the same run once per anchor);
+          // the UNCAPPED end is cached, st.max applied after.
+          val maxRun = math.min(runEnd(pos, s, st.pred) - pos, st.max)
           def setRes(c: Int): Unit =
             res(s) = if (c == 0) (-1, -1, 0) else (pos, pos + c - 1, c)
           var found = false
@@ -485,14 +547,29 @@ object Cep {
       val out = scala.collection.mutable.ArrayBuffer.empty[Row]
       var cursor = cursor0
       var i = from
+      // failed-probe memos, one per branch (see matchAt). Valid only
+      // for one limit value: cleared whenever the anchor's window edge
+      // moves, so reuse happens exactly in the regime the quadratic
+      // bites — many anchors inside one frozen window — and memory
+      // stays bounded by (positions × steps) for a single limit.
+      val memos = Array.fill(branches.length)(
+        scala.collection.mutable.HashSet.empty[Long])
+      val runMemos = Array.fill(branches.length)(
+        scala.collection.mutable.LongMap.empty[Int])
+      var memoLimit = -1
       while (i < until && i < decidableTo) {
         if (!suppressed(sortKey(events(i)), cursor)) {
           val deadline = tsMicros(events(i)) + withinSec * 1000000L
           var limit = i
           while (limit < until && tsMicros(events(limit)) <= deadline) limit += 1
+          if (limit != memoLimit) {
+            memos.foreach(_.clear()); runMemos.foreach(_.clear())
+            memoLimit = limit
+          }
           // ordered alternatives: first branch to match at this anchor wins
           val hit = branches.indices.iterator
-            .map(bi => matchAt(events, i, limit, branches(bi)).map((bi, _)))
+            .map(bi => matchAt(events, i, limit, branches(bi), memos(bi),
+              runMemos(bi)).map((bi, _)))
             .collectFirst { case Some(m) => m }
           hit.foreach { case (bi, (res, endPos)) =>
             val steps = branches(bi)

@@ -65,7 +65,17 @@ object Windows {
     */
   def windowRank(df: DataFrame, ts: Column, size: String,
                  keys: Seq[String], order: Seq[Column], n: Int): DataFrame = {
-    val withW = df.withColumn("window", window(ts, size))
+    // integral time columns are epoch MILLIS — the package-wide
+    // convention (windowRankStreaming, keepLast, watermark alignment);
+    // r19 found the streaming op reading Long as SECONDS, so the batch
+    // op states the convention explicitly and q100 oracle-gates it
+    val tsNorm = df.select(ts).schema.head.dataType match {
+      case org.apache.spark.sql.types.LongType |
+           org.apache.spark.sql.types.IntegerType =>
+        timestamp_millis(ts.cast("long"))
+      case _ => ts
+    }
+    val withW = df.withColumn("window", window(tsNorm, size))
     val parts = col("window") +: keys.map(col)
     val w = Window.partitionBy(parts: _*).orderBy(order: _*)
     withW.withColumn("rank_no", row_number().over(w)).filter(col("rank_no") <= n)

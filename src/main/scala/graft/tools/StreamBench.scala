@@ -66,9 +66,12 @@ object StreamBench {
     def medianMap(samples: Seq[collection.Map[String, Double]])
         : collection.Map[String, Double] = {
       val out = scala.collection.mutable.LinkedHashMap.empty[String, Double]
+      // median of the passes that REPORTED the key — a pass missing an
+      // op (e.g. a filtered op set) must not NoSuchElementException the
+      // whole bench run
       samples.head.keys.foreach { k =>
-        val vs = samples.map(_(k)).sorted
-        out(k) = vs(vs.length / 2)
+        val vs = samples.flatMap(_.get(k)).sorted
+        if (vs.nonEmpty) out(k) = vs(vs.length / 2)
       }
       out
     }

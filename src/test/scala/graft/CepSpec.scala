@@ -570,4 +570,45 @@ class CepSpec extends AnyFunSuite {
     assert(out2.length == 1)
     assert(out2(0).getInt(out2(0).fieldIndex("fill_count")) == n)
   }
+
+  test("quantifier worst case is LINEAR, not quadratic (r20): A+ with a never-matching continuation") {
+    // r19's iterative rewrite fixed the stack, not the probe count: a
+    // 20k-row greedy A+ run whose NEXT step never matches probed the
+    // failing continuation once per (anchor × count) and re-walked the
+    // run once per anchor — O(n²) per key-window (the reference NFA
+    // shares suffix computation across starts, flink-cep
+    // SharedBuffer). The r20 memo (failed go-probes + run ends, valid
+    // per frozen window) makes each position's predicate run at most
+    // once per window. The assertion is on PREDICATE CALLS — a
+    // complexity proxy immune to timing noise.
+    val n = 20000
+    val rows = (0 until n).map(i =>
+      ("k", new java.sql.Timestamp(1700000000000L + i * 10L), s"e$i", "t1"))
+    val df = rows.toDF("user", "ts", "eid", "tpe").coalesce(1)
+    CepSpec.aCalls.set(0); CepSpec.bCalls.set(0)
+    val out = Cep.matchPattern(df, "user", "ts", "eid",
+      Seq(Cep.Step.oneOrMore("a", r => {
+            CepSpec.aCalls.incrementAndGet()
+            r.getString(r.fieldIndex("tpe")) == "t1"
+          }),
+          Cep.Step.once("b", r => {
+            CepSpec.bCalls.incrementAndGet()
+            r.getString(r.fieldIndex("tpe")) == "t9" // never
+          })),
+      withinSec = 86400L).collect()
+    assert(out.isEmpty, "A+ B with no B must not match")
+    val (a, b) = (CepSpec.aCalls.get(), CepSpec.bCalls.get())
+    // pre-memo this shape cost ~n²/2 ≈ 200M probes; linear means a few
+    // multiples of n (the run is walked once, each continuation
+    // position fails once)
+    assert(a <= 10L * n, s"A-predicate calls must be O(n): $a for n=$n")
+    assert(b <= 10L * n, s"B-predicate calls must be O(n): $b for n=$n")
+  }
+}
+
+object CepSpec {
+  // predicate-call counters for the complexity probe (tasks run in the
+  // local[32] JVM, so a static counter sees every call)
+  val aCalls = new java.util.concurrent.atomic.AtomicLong
+  val bCalls = new java.util.concurrent.atomic.AtomicLong
 }

@@ -120,6 +120,43 @@ class CompactionSpec extends AnyFunSuite {
       !fs.exists(p(s"$root/.grp=8__compact_tmp")))
   }
 
+  test("sweep REPAIRS unpartnered bare __compact_old residue (r20): the only copy becomes readable again") {
+    val base = Files.createTempDirectory("graft_compact_repair").toString
+    val root = s"$base/t"
+    spark.range(0, 200).selectExpr("id", "CAST(id % 2 AS STRING) AS grp")
+      .repartition(4).write.partitionBy("grp").mode("overwrite").parquet(root)
+    val fs = new org.apache.hadoop.fs.Path(root)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    def p(s: String) = new org.apache.hadoop.fs.Path(s)
+    // pre-r18 compactor crash between its two renames: the leaf was
+    // renamed to the BARE old name (no dot prefix back then) and the
+    // new files never moved in — grp=1 is gone, its only copy sits
+    // under a name readers treat as a different partition value
+    require(fs.rename(p(s"$root/grp=1"), p(s"$root/grp=1__compact_old")))
+    // the compound variant: the same crash also left a bare tmp
+    fs.mkdirs(p(s"$root/grp=1__compact_tmp"))
+    spark.catalog.refreshByPath(root)
+    assert(!fs.exists(p(s"$root/grp=1")), "fixture: partition invisible")
+    ops.Compact.compactPartitioned(spark, root, targetBytes = 64L << 20, partDepth = 1)
+    spark.catalog.refreshByPath(root)
+    // the sweep restored grp=1 from the unpartnered bare old (it could
+    // only be crash residue holding the only copy), and the restore
+    // made the sibling bare tmp PARTNERED — deleted in the same pass
+    assert(fs.exists(p(s"$root/grp=1")), "repair must restore the leaf")
+    assert(!fs.exists(p(s"$root/grp=1__compact_old")))
+    assert(!fs.exists(p(s"$root/grp=1__compact_tmp")),
+      "restored partner proves the bare tmp redundant within the same sweep")
+    assert(spark.read.parquet(root).count() == 200,
+      "all rows readable again after the repair")
+    // an unpartnered bare TMP with no old sibling stays warn-only (it
+    // may be a half-written rewrite or a lookalike user partition)
+    spark.range(0, 7).selectExpr("id").write.mode("overwrite")
+      .parquet(s"$root/grp=5__compact_tmp")
+    ops.Compact.compactPartitioned(spark, root, targetBytes = 64L << 20, partDepth = 1)
+    assert(fs.exists(p(s"$root/grp=5__compact_tmp")),
+      "unpartnered bare tmp must survive — restoring could surface a truncated rewrite")
+  }
+
   test("clusterBy sorts within each output file") {
     val base = Files.createTempDirectory("graft_compact2").toString
     val in = s"$base/in"; val out = s"$base/out"

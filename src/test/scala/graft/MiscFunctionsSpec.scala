@@ -37,6 +37,14 @@ class MiscFunctionsSpec extends AnyFunSuite {
     assert(one("typeof(CAST(1 AS BIGINT))") == "BIGINT NOT NULL")
     assert(one("typeof(CAST(NULL AS STRING))") == "STRING")
     assert(one("typeof(CAST(1.5 AS DOUBLE))") == "DOUBLE NOT NULL")
+    // the optional force_serializable flag (reference TYPEOF arity 2):
+    // accepted as a boolean literal; both renderings coincide for every
+    // graft-representable type
+    assert(one("typeof(1, true)") == "INT NOT NULL")
+    assert(one("typeof(1, false)") == "INT NOT NULL")
+    // a non-literal/non-boolean flag or arity > 2 is a dialect error
+    intercept[Exception] { one("typeof(1, 'yes')") }
+    intercept[Exception] { one("typeof(1, true, true)") }
   }
 
   test("to_timestamp_ltz: seconds/millis precisions, truncation, range, error") {
@@ -58,6 +66,14 @@ class MiscFunctionsSpec extends AnyFunSuite {
     val e = intercept[Exception] { one("to_timestamp_ltz(0, 5)") }
     assert(e.getMessage.contains("The precision value '5' for function " +
       "TO_TIMESTAMP_LTZ(numeric, precision) is unsupported"))
+    // ... UNCONDITIONALLY: a NULL value argument does not short-circuit
+    // the precision check (the reference validates precision first)
+    val e2 = intercept[Exception] { one("to_timestamp_ltz(CAST(NULL AS INT), 5)") }
+    assert(e2.getMessage.contains("The precision value '5'"))
+    // wrong arity gets a dialect validation error, not
+    // IndexOutOfBoundsException from the builder
+    val e3 = intercept[Exception] { one("to_timestamp_ltz(0)") }
+    assert(e3.getMessage.contains("expects exactly 2 arguments"))
   }
 
   test("to_base64/from_base64 roundtrip, incl. non-ASCII UTF-8") {

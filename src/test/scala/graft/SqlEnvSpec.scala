@@ -2085,7 +2085,7 @@ class SqlEnvSpec extends AnyFunSuite {
       s"COMPILE PLAN '$plan' FOR INSERT INTO plan19_sink SELECT k, nm FROM plan19_v2")
     // the envelope carries the full closure: both tables (src reached
     // only through view bodies) and both views
-    val (_, tables, views) = PlanFiles.read(new java.io.File(plan))
+    val (_, tables, views, _) = PlanFiles.read(new java.io.File(plan))
     assert(tables.keySet == Set("plan19_sink", "plan19_src"),
       s"closure tables: ${tables.keySet}")
     assert(views.map(_._1).toSet == Set("plan19_v1", "plan19_v2"),
@@ -2112,6 +2112,73 @@ class SqlEnvSpec extends AnyFunSuite {
     env2.executeSql(s"EXECUTE PLAN '${v1file.getPath}'")
     assert(env2.executeSql("SELECT count(*) AS c FROM plan19_sink")
       .collect()(0).getLong(0) == 9) // 4 + all 5 regions appended
+  }
+
+  test("COMPILE PLAN closes over CREATE FUNCTION DDL (envelope v3, r20)") {
+    val env = SqlEnv(spark).registerTestdata(TestSpark.sfDir)
+    val dir = "/tmp/graft_sql_plan20"
+    org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(dir))
+    Seq("plan20_src", "plan20_sink", "plan20_decoy").foreach(t =>
+      env.executeSql(s"DROP TABLE IF EXISTS $t"))
+    env.executeSql("DROP VIEW IF EXISTS plan20_v")
+    env.executeSql("DROP FUNCTION IF EXISTS plan20_upper")
+    env.executeSql(
+      s"""CREATE TABLE plan20_src (k BIGINT, nm STRING)
+         |WITH ('connector' = 'filesystem', 'path' = '$dir/src',
+         |      'format' = 'parquet')""".stripMargin)
+    env.executeSql("INSERT INTO plan20_src SELECT r_regionkey, r_name FROM region")
+    // a table the statement mentions ONLY inside a string literal and a
+    // comment — it must NOT ride along in the envelope
+    env.executeSql(
+      s"""CREATE TABLE plan20_decoy (x INT)
+         |WITH ('connector' = 'filesystem', 'path' = '$dir/decoy',
+         |      'format' = 'parquet')""".stripMargin)
+    env.executeSql(
+      "CREATE FUNCTION plan20_upper AS 'graft.TestUdfUpper'")
+    // the function is reached only through the VIEW body — the INSERT
+    // statement itself never names it
+    env.executeSql(
+      "CREATE VIEW plan20_v AS SELECT k, plan20_upper(nm) AS nm FROM plan20_src")
+    env.executeSql(
+      s"""CREATE TABLE plan20_sink (k BIGINT, nm STRING, tag STRING)
+         |WITH ('connector' = 'filesystem', 'path' = '$dir/sink',
+         |      'format' = 'parquet')""".stripMargin)
+    val plan = s"$dir/fn_plan.json"
+    env.executeSql(
+      s"""COMPILE PLAN '$plan' FOR
+         |INSERT INTO plan20_sink
+         |SELECT k, nm, 'from plan20_decoy literal' AS tag -- plan20_decoy in comment
+         |FROM plan20_v /* plan20_decoy here too */""".stripMargin)
+    val (_, tables, views, functions) = PlanFiles.read(new java.io.File(plan))
+    assert(tables.keySet == Set("plan20_sink", "plan20_src"),
+      s"decoy (literal/comment-only mention) must not ride along: ${tables.keySet}")
+    assert(views.map(_._1) == Seq("plan20_v"))
+    assert(functions == Seq("plan20_upper" -> "graft.TestUdfUpper"),
+      s"function closure: $functions")
+    // FRESH-session analog: drop EVERYTHING the plan needs to restore —
+    // function included (dropped via the env that created it, which
+    // also clears the shared session registry)
+    env.executeSql("DROP FUNCTION plan20_upper")
+    val env2 = SqlEnv(spark)
+    env2.executeSql("DROP VIEW plan20_v")
+    Seq("plan20_src", "plan20_sink").foreach(t => env2.executeSql(s"DROP TABLE $t"))
+    env2.executeSql(s"EXECUTE PLAN '$plan'")
+    val rows = env2.executeSql("SELECT k, nm FROM plan20_sink ORDER BY k")
+      .collect().map(r => (r.getLong(0), r.getString(1))).toSeq
+    assert(rows.size == 5 && rows.forall { case (_, nm) => nm == nm.toUpperCase },
+      s"restored function must uppercase through the restored view: $rows")
+    // the restored function is first-class: SHOW USER FUNCTIONS lists it
+    assert(env2.executeSql("SHOW USER FUNCTIONS").collect().map(_.getString(0))
+      .contains("plan20_upper"))
+    // version-2 envelopes (views, no functions section) still read
+    val v2file = new java.io.File(s"$dir/v2_style.json")
+    java.nio.file.Files.write(v2file.toPath,
+      ("""{"graftPlanVersion": 2, "statement":
+         | "INSERT INTO plan20_sink SELECT k, nm, 'x' FROM plan20_v",
+         | "tables": {}, "views": []}""".stripMargin.replace("\n", "")).getBytes)
+    env2.executeSql(s"EXECUTE PLAN '${v2file.getPath}'")
+    assert(env2.executeSql("SELECT count(*) AS c FROM plan20_sink")
+      .collect()(0).getLong(0) == 10)
   }
 
   test("ADD PARTITION WITH props are durable catalog state (r19)") {

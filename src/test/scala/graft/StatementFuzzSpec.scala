@@ -417,6 +417,60 @@ class StatementFuzzSpec extends AnyFunSuite {
     names.foreach(n => env.executeSql(s"DROP TABLE $n"))
   }
 
+  test("plan-closure scan: literal/comment decoys never ride along, prefix-overlapping and keyword-prefixed names resolve by word boundary (16 samples)") {
+    val dir = "/tmp/graft_fuzz20/closure"
+    org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(dir))
+    // decoy contexts: the decoy table's name appears ONLY here — inside
+    // a string literal (with '' escapes), a -- line comment, or a
+    // /* block */ comment — and must NOT enter the envelope
+    val decoyCtx: Gen[String => String] = Gen.oneOf(
+      (d: String) => s"'$d went here' AS tag",
+      (d: String) => s"'it''s $d quoted' AS tag",
+      (d: String) => s"'x' AS tag -- reading from $d\n",
+      (d: String) => s"'x' AS tag /* $d and again $d */",
+      (d: String) => s"'x' AS tag /* multi\n line $d */")
+    // view-name shapes: keyword-prefixed and underscore-adjacent names
+    // stress the \b word-boundary matching
+    val nameShape: Gen[(String, String)] = Gen.oneOf(
+      ("v", "v2"), ("select_v", "select_v2"), ("values_x", "values_x_y"),
+      ("insert_into", "insert_into2"))
+    val gen = for { ctx <- decoyCtx; ns <- nameShape } yield (ctx, ns)
+    samples(gen, 16).zipWithIndex.foreach { case ((ctx, (vaSuf, vbSuf)), i) =>
+      val (src, sink, decoy) = (s"fzc${i}_src", s"fzc${i}_sink", s"fzc${i}_dec")
+      val (va, vb) = (s"fzc${i}_$vaSuf", s"fzc${i}_$vbSuf")
+      Seq(src, sink, decoy).foreach(t => env.executeSql(s"DROP TABLE IF EXISTS $t"))
+      Seq(va, vb).foreach(v => env.executeSql(s"DROP VIEW IF EXISTS $v"))
+      Seq(src, decoy).foreach(t => env.executeSql(
+        s"""CREATE TABLE $t (k BIGINT, nm STRING)
+           |WITH ('connector' = 'filesystem', 'path' = '$dir/${t}',
+           |      'format' = 'parquet')""".stripMargin))
+      env.executeSql(
+        s"""CREATE TABLE $sink (k BIGINT, nm STRING, tag STRING)
+           |WITH ('connector' = 'filesystem', 'path' = '$dir/$sink',
+           |      'format' = 'parquet')""".stripMargin)
+      env.executeSql(s"INSERT INTO $src VALUES (1, 'a'), (2, 'b')")
+      env.executeSql(s"CREATE VIEW $va AS SELECT k, upper(nm) AS nm FROM $src")
+      // vb's body mentions va — vb itself is NOT referenced by the
+      // statement below, so neither may enter the envelope (forward
+      // closure only, and \b must not let '$va' capture via '$vb')
+      env.executeSql(s"CREATE VIEW $vb AS SELECT k FROM $va WHERE k > 1")
+      val plan = s"$dir/p_$i.json"
+      env.executeSql(
+        s"COMPILE PLAN '$plan' FOR INSERT INTO $sink SELECT k, nm, ${ctx(decoy)} FROM $va")
+      val (_, tables, views, _) = graft.sql.PlanFiles.read(new java.io.File(plan))
+      assert(tables.keySet == Set(src, sink),
+        s"#$i: decoy/overspill in tables: ${tables.keySet} (decoy=$decoy)")
+      assert(views.map(_._1) == Seq(va),
+        s"#$i: view closure must be exactly [$va]: ${views.map(_._1)}")
+      // the compiled statement still EXECUTES with the adversarial text
+      env.executeSql(s"EXECUTE PLAN '$plan'")
+      assert(env.executeSql(s"SELECT count(*) AS c FROM $sink")
+        .collect()(0).getLong(0) == 2, s"#$i")
+      Seq(vb, va).foreach(v => env.executeSql(s"DROP VIEW $v"))
+      Seq(src, sink, decoy).foreach(t => env.executeSql(s"DROP TABLE $t"))
+    }
+  }
+
   // ---- 4: statement keywords inside literals are not intercepted ------
 
   test("preservation: statement text inside string literals passes through to Spark (60 samples)") {
