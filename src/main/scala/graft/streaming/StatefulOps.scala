@@ -616,7 +616,8 @@ object StatefulOps extends Serializable {
     val stateEnc: ExpressionEncoder[Row] = rowEnc(StructType(Seq(
       StructField("buf", org.apache.spark.sql.types.ArrayType(schema)),
       StructField("sum", org.apache.spark.sql.types.DoubleType),
-      StructField("count", org.apache.spark.sql.types.LongType))))
+      StructField("count", org.apache.spark.sql.types.LongType),
+      StructField("ttl_deadline", org.apache.spark.sql.types.LongType))))
     implicit val keyEnc = Encoders.STRING
     val keyIdx = keys.map(schema.fieldIndex)
     val tsIdx = schema.fieldIndex(tsCol)
@@ -630,25 +631,53 @@ object StatefulOps extends Serializable {
       case l: Long => l.toDouble; case i: Int => i.toDouble
       case b: java.math.BigDecimal => b.doubleValue(); case _ => 0.0
     }
-    val timeout = ttlTimeout(df, ttlSec)
+    // r20: timely release — an event-time timer at the earliest pending
+    // row's timestamp fires when the WATERMARK passes it, so a key that
+    // goes quiet while other keys advance the watermark releases then,
+    // not at TTL (the reference's row-time OVER functions register
+    // exactly this per-timestamp timer). TTL purge keeps its semantics:
+    // the horizon (wm + ttl, refreshed on data only) rides in state.
+    val timeout =
+      if (hasWatermark(df)) GroupStateTimeout.EventTimeTimeout
+      else GroupStateTimeout.NoTimeout
     df.groupByKey(r => StatefulOps.encodeKey(r, keyIdx))
       .flatMapGroupsWithState[Row, Row](
-        OutputMode.Append, timeout)(withTtl(timeout, ttlSec) {
+        OutputMode.Append, timeout) {
         (_: String, rows: Iterator[Row], state: GroupState[Row]) =>
-          var (buf, sum, count) =
+          val hadTimeout = state.hasTimedOut
+          var (buf, sum, count, prevTtl) =
             if (state.exists)
-              (state.get.getSeq[Row](0), state.get.getDouble(1), state.get.getLong(2))
-            else (Seq.empty[Row], 0.0, 0L)
-          buf = buf ++ rows
-          val wmMicros = state.getCurrentWatermarkMs() * 1000L
+              (state.get.getSeq[Row](0), state.get.getDouble(1),
+                state.get.getLong(2), state.get.getLong(3))
+            else (Seq.empty[Row], 0.0, 0L, 0L)
+          if (!hadTimeout) buf = buf ++ rows
+          val wmMs = state.getCurrentWatermarkMs()
+          val wmMicros = wmMs * 1000L
           val (ready, pending) = buf.partition(micros(_) <= wmMicros)
           val out = ready.sortBy(sortKey).map { r =>
             sum += num(r); count += 1
             Row.fromSeq(r.toSeq ++ Seq[Any](sum, count))
           }
-          state.update(Row(pending, sum, count))
+          if (hadTimeout && prevTtl > 0L && wmMs >= prevTtl) {
+            state.remove() // idle past TTL: releasable rows just emitted
+          } else {
+            val ttlDeadline =
+              if (!hadTimeout && ttlSec > 0 && wmMs > 0L) wmMs + ttlSec * 1000L
+              else prevTtl
+            state.update(Row(pending, sum, count, ttlDeadline))
+            if (timeout == GroupStateTimeout.EventTimeTimeout) {
+              val nextRelease =
+                if (pending.nonEmpty) Some(pending.iterator.map(micros).min / 1000L)
+                else None
+              val arm = (nextRelease, Some(ttlDeadline).filter(_ > 0L)) match {
+                case (Some(e), Some(t)) => Some(math.min(e, t))
+                case (a, b) => a.orElse(b)
+              }
+              arm.foreach(ms => state.setTimeoutTimestamp(math.max(ms, wmMs + 1L)))
+            }
+          }
           out.iterator
-      })(stateEnc, outEnc)
+      }(stateEnc, outEnc)
   }
 
   /** Streaming RANGE-BOUNDED preceding OVER aggregate in event time —
@@ -672,9 +701,11 @@ object StatefulOps extends Serializable {
       StructField("range_count", org.apache.spark.sql.types.LongType)))
     implicit val outEnc: ExpressionEncoder[Row] = rowEnc(outSchema)
     // state: pending (not yet released) + released tail (inside range)
+    // + the TTL purge horizon (see runningAggEventTimeStreaming)
     val stateEnc: ExpressionEncoder[Row] = rowEnc(StructType(Seq(
       StructField("pending", org.apache.spark.sql.types.ArrayType(schema)),
-      StructField("tail", org.apache.spark.sql.types.ArrayType(schema)))))
+      StructField("tail", org.apache.spark.sql.types.ArrayType(schema)),
+      StructField("ttl_deadline", org.apache.spark.sql.types.LongType))))
     implicit val keyEnc = Encoders.STRING
     val keyIdx = keys.map(schema.fieldIndex)
     val tsIdx = schema.fieldIndex(tsCol)
@@ -689,16 +720,23 @@ object StatefulOps extends Serializable {
       case l: Long => l.toDouble; case i: Int => i.toDouble
       case b: java.math.BigDecimal => b.doubleValue(); case _ => 0.0
     }
-    val timeout = ttlTimeout(df, ttlSec)
+    // r20: timely release via an event-time timer at the earliest
+    // pending row's timestamp (see runningAggEventTimeStreaming)
+    val timeout =
+      if (hasWatermark(df)) GroupStateTimeout.EventTimeTimeout
+      else GroupStateTimeout.NoTimeout
     df.groupByKey(r => StatefulOps.encodeKey(r, keyIdx))
       .flatMapGroupsWithState[Row, Row](
-        OutputMode.Append, timeout)(withTtl(timeout, ttlSec) {
+        OutputMode.Append, timeout) {
         (_: String, rows: Iterator[Row], state: GroupState[Row]) =>
-          var (pending, tail) =
-            if (state.exists) (state.get.getSeq[Row](0), state.get.getSeq[Row](1))
-            else (Seq.empty[Row], Seq.empty[Row])
-          pending = pending ++ rows
-          val wmMicros = state.getCurrentWatermarkMs() * 1000L
+          val hadTimeout = state.hasTimedOut
+          var (pending, tail, prevTtl) =
+            if (state.exists)
+              (state.get.getSeq[Row](0), state.get.getSeq[Row](1), state.get.getLong(2))
+            else (Seq.empty[Row], Seq.empty[Row], 0L)
+          if (!hadTimeout) pending = pending ++ rows
+          val wmMs = state.getCurrentWatermarkMs()
+          val wmMicros = wmMs * 1000L
           val (ready, stillPending) = pending.partition(micros(_) <= wmMicros)
           // Incremental accumulate/retract like the reference's function
           // (it adds the new row and retracts expired ones from a kept
@@ -717,11 +755,29 @@ object StatefulOps extends Serializable {
             }
             Row.fromSeq(r.toSeq ++ Seq[Any](wSum, wCount))
           }
-          // rows older than watermark − range can't serve any future row
-          val keepTail = window.dropWhile(w => micros(w) < wmMicros - rangeMicros).toSeq
-          state.update(Row(stillPending, keepTail))
+          if (hadTimeout && prevTtl > 0L && wmMs >= prevTtl) {
+            state.remove() // idle past TTL: releasable rows just emitted
+          } else {
+            // rows older than watermark − range can't serve any future row
+            val keepTail = window.dropWhile(w => micros(w) < wmMicros - rangeMicros).toSeq
+            val ttlDeadline =
+              if (!hadTimeout && ttlSec > 0 && wmMs > 0L) wmMs + ttlSec * 1000L
+              else prevTtl
+            state.update(Row(stillPending, keepTail, ttlDeadline))
+            if (timeout == GroupStateTimeout.EventTimeTimeout) {
+              val nextRelease =
+                if (stillPending.nonEmpty)
+                  Some(stillPending.iterator.map(micros).min / 1000L)
+                else None
+              val arm = (nextRelease, Some(ttlDeadline).filter(_ > 0L)) match {
+                case (Some(e), Some(t)) => Some(math.min(e, t))
+                case (a, b) => a.orElse(b)
+              }
+              arm.foreach(ms => state.setTimeoutTimestamp(math.max(ms, wmMs + 1L)))
+            }
+          }
           out.iterator
-      })(stateEnc, outEnc)
+      }(stateEnc, outEnc)
   }
 
   /** PROCESSING-TIME RANGE-bounded preceding OVER aggregate — the

@@ -234,4 +234,71 @@ class CepDifferentialFuzzSpec extends AnyFunSuite {
       }
     }
   }
+
+  test("matchPatternStreaming agrees with batch matchPattern (12 seed-pinned scenarios, chunked triggers)") {
+    // the streaming path is the subtle one — watermark-frozen anchors,
+    // cross-trigger cursor persistence, state eviction. Equivalence
+    // contract: once the watermark passes every anchor's deadline, the
+    // streaming output equals the batch output on the same rows. Rows
+    // feed in 1–3 chunks with a full trigger between, so matches that
+    // DECIDE in a later trigger than the match that suppresses them
+    // exercise the persisted cursor.
+    implicit val sqlCtx = spark.sqlContext
+    val base = 1700000000L
+    samples(scenarioGen, 12).zipWithIndex.foreach { case (sc, i) =>
+      val tsSec = sc.gapsSec.scanLeft(0L)(_ + _).take(sc.syms.length)
+      val maxTs = tsSec.last
+      // two flush rows with a symbol no predicate matches drive the
+      // watermark past every real anchor's deadline; they are part of
+      // the data on BOTH sides (a gap may skip them), and neither can
+      // anchor a match (Z fails every positive predicate; a pure-gap
+      // exploration resolves empty first and is discarded)
+      val allRows = sc.syms.zipWithIndex.map { case (sym, idx) =>
+        (new java.sql.Timestamp((base + tsSec(idx)) * 1000L), "k",
+          f"e$idx%04d", sym.toString)
+      } ++ Seq(
+        (new java.sql.Timestamp((base + maxTs + sc.withinSec + 100) * 1000L),
+          "k", "zz01", "Z"),
+        (new java.sql.Timestamp((base + maxTs + sc.withinSec + 200) * 1000L),
+          "k", "zz02", "Z"))
+      val steps = sc.steps.map { st =>
+        val sym = st.sym.toString
+        Cep.Step(st.name, r => r.getString(r.fieldIndex("tpe")) == sym,
+          st.min, st.max, st.greedy, st.negated)
+      }
+      def key(r: org.apache.spark.sql.Row): String = {
+        val meas = sc.steps.map { st => Seq(
+          Option(r.get(r.fieldIndex(s"${st.name}_first_id"))).map(_.toString).getOrElse("-"),
+          Option(r.get(r.fieldIndex(s"${st.name}_last_id"))).map(_.toString).getOrElse("-"),
+          r.getInt(r.fieldIndex(s"${st.name}_count")).toString).mkString(",")
+        }.mkString("|")
+        s"${r.getTimestamp(r.fieldIndex("match_start_ts")).getTime}" +
+          s"/${r.getTimestamp(r.fieldIndex("match_end_ts")).getTime}|$meas"
+      }
+      val want = Cep.matchPattern(allRows.toDF("ts", "user", "eid", "tpe"),
+        "user", "ts", "eid", steps, sc.withinSec, sc.skip)
+        .collect().map(key).sorted.toSeq
+      val in = org.apache.spark.sql.execution.streaming.runtime
+        .MemoryStream[(java.sql.Timestamp, String, String, String)]
+      val out = Cep.matchPatternStreaming(
+        in.toDF().toDF("ts", "user", "eid", "tpe").withWatermark("ts", "1 second"),
+        "user", "ts", "eid", steps, sc.withinSec, sc.skip)
+      val qn = s"cepdiffstream$i"
+      val q = out.writeStream.format("memory").queryName(qn)
+        .outputMode(org.apache.spark.sql.streaming.OutputMode.Append).start()
+      try {
+        val nChunks = 1 + (i % 3)
+        val size = math.max(1, allRows.length / nChunks)
+        allRows.grouped(size).foreach { chunk =>
+          in.addData(chunk: _*)
+          q.processAllAvailable()
+        }
+        val got = spark.sql(s"SELECT * FROM $qn").collect().map(key).sorted.toSeq
+        assert(got == want,
+          s"#$i: streaming/batch divergence\nsyms=${sc.syms.mkString} " +
+            s"steps=${sc.steps} within=${sc.withinSec} skip=${sc.skip} chunks=$nChunks\n" +
+            s"got=$got\nwant=$want")
+      } finally q.stop()
+    }
+  }
 }

@@ -571,6 +571,41 @@ class CepSpec extends AnyFunSuite {
     assert(out2(0).getInt(out2(0).fieldIndex("fill_count")) == n)
   }
 
+  test("matchPatternStreaming: a QUIET key emits on watermark alone (r20 timer fix)") {
+    // the abandoned-cart shape: u1's events stop entirely; only u2's
+    // later traffic advances the watermark. Pre-r20 the decided u1
+    // match sat unemitted until new u1 data or TTL — the reference's
+    // CepOperator registers an event-time timer at the window deadline
+    // and emits then.
+    implicit val sc = spark.sqlContext
+    val in = org.apache.spark.sql.execution.streaming.runtime.MemoryStream[Ev]
+    val steps = Seq(
+      Cep.Step.once("a", (r: org.apache.spark.sql.Row) =>
+        r.getString(r.fieldIndex("tpe")) == "A"),
+      Cep.Step.notFollowedBy("nb", (r: org.apache.spark.sql.Row) =>
+        r.getString(r.fieldIndex("tpe")) == "B"))
+    val out = Cep.matchPatternStreaming(
+      in.toDF().withWatermark("ts", "1 second")
+        .withColumn("eid", org.apache.spark.sql.functions.concat_ws(
+          "-", $"user", $"ts".cast("long"))),
+      "user", "ts", "eid", steps, withinSec = 60L)
+    val q = out.writeStream.format("memory").queryName("cepquiet")
+      .outputMode(org.apache.spark.sql.streaming.OutputMode.Append).start()
+    try {
+      in.addData(Ev(ts("2024-01-01 00:00:00"), "u1", "A", 1.0))
+      q.processAllAvailable()
+      assert(spark.sql("SELECT * FROM cepquiet").count() == 0, "window not frozen yet")
+      // ONLY u2 traffic from here on — u1 never sends again
+      in.addData(Ev(ts("2024-01-01 00:05:00"), "u2", "X", 0.0))
+      q.processAllAvailable()
+      in.addData(Ev(ts("2024-01-01 00:06:00"), "u2", "X", 0.0))
+      q.processAllAvailable()
+      val rows = spark.sql("SELECT user FROM cepquiet").collect().map(_.getString(0))
+      assert(rows.toSeq == Seq("u1"),
+        s"u1's not-followed-by match must emit on watermark alone: ${rows.toSeq}")
+    } finally q.stop()
+  }
+
   test("quantifier worst case is LINEAR, not quadratic (r20): A+ with a never-matching continuation") {
     // r19's iterative rewrite fixed the stack, not the probe count: a
     // 20k-row greedy A+ run whose NEXT step never matches probed the

@@ -88,8 +88,65 @@ class StreamingSpec extends AnyFunSuite {
         (ts("2024-01-01 00:20:00"), 1.0, 1.0, 1L),
         (ts("2024-01-01 00:35:00"), 4.0, 5.0, 2L),   // late arrival, correct position
         (ts("2024-01-01 00:40:00"), 2.0, 7.0, 3L),
-        (ts("2024-01-01 01:00:00"), 8.0, 15.0, 4L)))
+        (ts("2024-01-01 01:00:00"), 8.0, 15.0, 4L),
+        // r20 timer fix: trigger 5 pushes the watermark to 01:50, and
+        // the event-time timer releases the 01:10 row THEN — the old
+        // data-driven release would have held it for a sixth trigger
+        (ts("2024-01-01 01:10:00"), 16.0, 31.0, 5L)))
     } finally q.stop()
+  }
+
+  test("event-time OVER aggs: a QUIET key releases on watermark alone (r20 timer fix)") {
+    // u1 buffers rows then goes silent; only u2 traffic advances the
+    // watermark. Pre-r20, u1's releasable rows sat pending until new
+    // u1 data or TTL — the reference's row-time OVER functions register
+    // per-timestamp event-time timers and release then.
+    implicit val sc = spark.sqlContext
+    val in = MemoryStream[Ev]
+    val out = StatefulOps.runningAggEventTimeStreaming(
+      in.toDF().withWatermark("ts", "1 minute"),
+      Seq("user"), "ts", "value")
+    val q = out.writeStream.format("memory").queryName("quietover")
+      .outputMode(OutputMode.Append).start()
+    try {
+      in.addData(Ev(ts("2024-01-01 00:00:00"), "u1", "a", 1.0),
+                 Ev(ts("2024-01-01 00:00:30"), "u1", "a", 2.0))
+      q.processAllAvailable()
+      assert(spark.sql("SELECT * FROM quietover").count() == 0,
+        "watermark has not passed u1's rows yet")
+      // u1 never sends again; u2 drives the watermark past u1's rows
+      in.addData(Ev(ts("2024-01-01 00:10:00"), "u2", "x", 0.0))
+      q.processAllAvailable()
+      in.addData(Ev(ts("2024-01-01 00:11:00"), "u2", "x", 0.0))
+      q.processAllAvailable()
+      val u1 = spark.sql(
+        "SELECT running_sum FROM quietover WHERE user = 'u1' ORDER BY running_count")
+        .collect().map(_.getDouble(0)).toList
+      assert(u1 == List(1.0, 3.0),
+        s"u1 must release on watermark alone (event-time timer): $u1")
+    } finally q.stop()
+
+    // same contract for the RANGE-bounded variant
+    val in2 = MemoryStream[Ev]
+    val out2 = StatefulOps.boundedRangeAggEventTimeStreaming(
+      in2.toDF().withWatermark("ts", "1 minute"),
+      Seq("user"), "ts", "value", rangeSec = 60L)
+    val q2 = out2.writeStream.format("memory").queryName("quietrange")
+      .outputMode(OutputMode.Append).start()
+    try {
+      in2.addData(Ev(ts("2024-01-01 00:00:00"), "u1", "a", 1.0),
+                  Ev(ts("2024-01-01 00:00:30"), "u1", "a", 2.0))
+      q2.processAllAvailable()
+      in2.addData(Ev(ts("2024-01-01 00:10:00"), "u2", "x", 0.0))
+      q2.processAllAvailable()
+      in2.addData(Ev(ts("2024-01-01 00:11:00"), "u2", "x", 0.0))
+      q2.processAllAvailable()
+      val u1 = spark.sql(
+        "SELECT range_sum FROM quietrange WHERE user = 'u1' ORDER BY ts")
+        .collect().map(_.getDouble(0)).toList
+      assert(u1 == List(1.0, 3.0),
+        s"range variant must release on watermark alone: $u1")
+    } finally q2.stop()
   }
 
   test("boundedRangeAggEventTimeStreaming sums the trailing range window") {
@@ -123,7 +180,11 @@ class StreamingSpec extends AnyFunSuite {
         (ts("2024-01-01 00:00:00"), 1.0, 1L),
         (ts("2024-01-01 00:07:00"), 17.0, 2L),  // 00:00 still in range
         (ts("2024-01-01 00:12:00"), 20.0, 2L),  // 00:00 aged out, 00:07 in
-        (ts("2024-01-01 00:40:00"), 0.0, 1L)))  // alone in its range
+        (ts("2024-01-01 00:40:00"), 0.0, 1L),   // alone in its range
+        // r20 timer fix: the final trigger's watermark (01:00) releases
+        // the 00:50 row via the event-time timer — the old data-driven
+        // release would have held it for another trigger
+        (ts("2024-01-01 00:50:00"), 0.0, 2L)))  // 00:40 still in range
     } finally q.stop()
   }
 
