@@ -244,7 +244,10 @@ object Cep {
     * must consume ≥1 row. See [[ScanMemo]] for the cross-anchor
     * memoization (r20).
     */
-  private def matchAt(events: IndexedSeq[Row], anchor: Int, limit: Int,
+  // takes Array (not IndexedSeq): the lone call site holds an Array,
+  // and the implicit Array→IndexedSeq wrap COPIED all n rows per
+  // anchor — an O(n²) allocation tail the run probe caught at 300k
+  private def matchAt(events: Array[Row], anchor: Int, limit: Int,
                       steps: IndexedSeq[Step],
                       scanMemo: ScanMemo)
       : Option[(Array[(Int, Int, Int)], Int)] = {
@@ -643,10 +646,16 @@ object Cep {
       // memory stays bounded by (positions × steps) for a single limit.
       val memos = branches.map(b => new ScanMemo(b.length)).toArray
       var memoLimit = -1
+      // the window edge is MONOTONE across anchors (events are
+      // time-sorted, deadlines only grow), so the scan resumes from
+      // the previous edge — recomputing from each anchor was O(n) per
+      // anchor, the LAST O(n²) term in the long-run worst case (the
+      // matcher itself is O(1) per anchor once the memos warm)
+      var limit = from
       while (i < until && i < decidableTo) {
         if (!suppressed(sortKey(events(i)), cursor)) {
           val deadline = tsMicros(events(i)) + withinSec * 1000000L
-          var limit = i
+          if (limit < i) limit = i
           while (limit < until && tsMicros(events(limit)) <= deadline) limit += 1
           if (limit != memoLimit) {
             memos.foreach(_.clear())

@@ -38,11 +38,12 @@ class CepDifferentialFuzzSpec extends AnyFunSuite {
                               steps: Vector[MStep], withinSec: Long,
                               skip: Cep.AfterMatch)
 
-  /** The oracle: list of matches as
-    * (anchorIdx, endPos, perStep (first,last,count)). */
-  private def oracleMatches(sc: Scenario): Seq[(Int, Int, Vector[(Int, Int, Int)])] = {
+  /** Single-anchor enumerating matcher: Some((endPos, perStep meas))
+    * if the pattern matches anchored exactly at `anchor`. */
+  private def oracleMatchAt(sc: Scenario, anchor0: Int)
+      : Option[(Int, Vector[(Int, Int, Int)])] = {
     val n = sc.syms.length
-    val tsSec = sc.gapsSec.scanLeft(0L)(_ + _).take(n) // seconds from epoch base
+    val tsSec = sc.gapsSec.scanLeft(0L)(_ + _).take(n)
     def matchesAt(anchor: Int): Option[(Int, Vector[(Int, Int, Int)])] = {
       val deadline = tsSec(anchor) + sc.withinSec
       val limit = tsSec.count(_ <= deadline) // rows are time-sorted
@@ -116,6 +117,13 @@ class CepDifferentialFuzzSpec extends AnyFunSuite {
         if (pos > anchor) Some((pos, meas)) else None
       }
     }
+    matchesAt(anchor0)
+  }
+
+  /** The oracle: list of matches as
+    * (anchorIdx, endPos, perStep (first,last,count)). */
+  private def oracleMatches(sc: Scenario): Seq[(Int, Int, Vector[(Int, Int, Int)])] = {
+    val n = sc.syms.length
     val out = scala.collection.mutable.ArrayBuffer.empty[(Int, Int, Vector[(Int, Int, Int)])]
     // skip cursor as (tsSec, idIdx) — ids are "e<idx>" and times are
     // strictly increasing, so index order IS sort order
@@ -124,7 +132,7 @@ class CepDifferentialFuzzSpec extends AnyFunSuite {
     var i = 0
     while (i < n) {
       val supp = i < cursorIdx || (i == cursorIdx && cursorIncl)
-      if (!supp) matchesAt(i).foreach { case (endPos, meas) =>
+      if (!supp) oracleMatchAt(sc, i).foreach { case (endPos, meas) =>
         out += ((i, endPos, meas))
         sc.skip match {
           case Cep.SkipPastLastRow => cursorIdx = endPos - 1; cursorIncl = true
@@ -232,6 +240,81 @@ class CepDifferentialFuzzSpec extends AnyFunSuite {
           s"#$i match $mi: got ($gTs, $gE, $gM) vs oracle ($wTs, $wE, $wM)\n" +
             s"syms=${sc.syms.mkString} steps=${sc.steps} within=${sc.withinSec} skip=${sc.skip}")
       }
+    }
+  }
+
+  test("matchPatternBranches agrees with a two-branch oracle (24 seed-pinned scenarios)") {
+    // ordered alternation: at each anchor the branches are tried left
+    // to right, first match wins, ONE shared skip cursor. The oracle
+    // composes the single-branch enumerator per branch and replays the
+    // shared-cursor scan independently of the production runner.
+    val gen = for {
+      sc1 <- scenarioGen
+      steps2 <- Gen.listOfN(2, stepGen)
+    } yield (sc1, steps2.zipWithIndex.map { case (s, i) => s.copy(name = s"t$i") }.toVector)
+    samples(gen, 24).zipWithIndex.foreach { case ((sc1, branch2), i) =>
+      val branches = Vector(sc1.steps, branch2)
+      // oracle: per-anchor, first branch whose enumerator matches
+      def oracle: Seq[(Int, Int, Int, Vector[(Int, Int, Int)])] = {
+        val n = sc1.syms.length
+        val out = scala.collection.mutable.ArrayBuffer
+          .empty[(Int, Int, Int, Vector[(Int, Int, Int)])]
+        var cursorIdx = -1
+        var cursorIncl = true
+        var j = 0
+        while (j < n) {
+          val supp = j < cursorIdx || (j == cursorIdx && cursorIncl)
+          if (!supp) {
+            val hit = branches.zipWithIndex.iterator.map { case (steps, bi) =>
+              oracleMatchAt(sc1.copy(steps = steps), j)
+                .map { case (endPos, meas) => (bi, endPos, meas) }
+            }.collectFirst { case Some(m) => m }
+            hit.foreach { case (bi, endPos, meas) =>
+              out += ((j, bi, endPos, meas))
+              sc1.skip match {
+                case Cep.SkipPastLastRow => cursorIdx = endPos - 1; cursorIncl = true
+                case Cep.SkipToNextRow => cursorIdx = j; cursorIncl = true
+                case Cep.SkipToFirst(v) =>
+                  val si = branches(bi).indexWhere(_.name == v)
+                  val (f, _, c) = if (si >= 0) meas(si) else (-1, -1, 0)
+                  if (si >= 0 && c > 0 && f > j) { cursorIdx = f; cursorIncl = false }
+                  else { cursorIdx = j; cursorIncl = true }
+                case Cep.SkipToLast(v) =>
+                  val si = branches(bi).indexWhere(_.name == v)
+                  val (_, l, c) = if (si >= 0) meas(si) else (-1, -1, 0)
+                  if (si >= 0 && c > 0 && l > j) { cursorIdx = l; cursorIncl = false }
+                  else { cursorIdx = j; cursorIncl = true }
+              }
+            }
+          }
+          j += 1
+        }
+        out.toSeq
+      }
+      val tsSec = sc1.gapsSec.scanLeft(0L)(_ + _).take(sc1.syms.length)
+      val base = 1700000000L
+      val rows = sc1.syms.zipWithIndex.map { case (sym, idx) =>
+        ("k", new java.sql.Timestamp((base + tsSec(idx)) * 1000L),
+          f"e$idx%04d", sym.toString)
+      }
+      val df = rows.toDF("user", "ts", "eid", "tpe").coalesce(1)
+      val cepBranches = branches.map(_.map { st =>
+        val sym = st.sym.toString
+        Cep.Step(st.name, r => r.getString(r.fieldIndex("tpe")) == sym,
+          st.min, st.max, st.greedy, st.negated)
+      }.toSeq)
+      val got = Cep.matchPatternBranches(df, "user", "ts", "eid",
+        cepBranches, sc1.withinSec, sc1.skip)
+        .collect().map { r =>
+          (r.getTimestamp(r.fieldIndex("match_start_ts")).getTime / 1000L - base,
+           r.getInt(r.fieldIndex("branch")))
+        }.sortBy(identity).toSeq
+      val want = oracle.map { case (anchor, bi, _, _) => (tsSec(anchor), bi) }
+        .sortBy(identity)
+      assert(got == want,
+        s"#$i: branch divergence\nsyms=${sc1.syms.mkString} " +
+          s"b0=${branches(0)} b1=${branches(1)} within=${sc1.withinSec} skip=${sc1.skip}\n" +
+          s"got=$got\nwant=$want")
     }
   }
 
