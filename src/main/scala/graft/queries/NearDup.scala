@@ -206,17 +206,30 @@ object NearDup {
     // against a leaf. On a cluster this would be checkpoint() to
     // reliable storage for executor-loss tolerance.
     "n54_connected_components" -> ((s, dir) => {
-      val b = bandedTable(s, dir)
-      var labels = b.select(col("doc_id")).distinct()
+      // r21: the banded table feeds TWO joins per round — keyed on
+      // doc_id and on (band, bucket) — and the old loop re-scanned the
+      // parquet and re-shuffled it for BOTH joins in EVERY round.
+      // Materialize it once per layout (localCheckpoint pins the
+      // hash partitioning, so EnsureRequirements plans the per-round
+      // joins exchange-free on the b side; labels/next inherit the
+      // same doc_id partitioning from their checkpointed join output).
+      // On a cluster this is checkpoint() to reliable storage — the
+      // standard iterative-graph preparation (partition the edge list
+      // by each join key once, iterate over it).
+      val nPart = s.conf.get("spark.sql.shuffle.partitions").toInt
+      val b0 = bandedTable(s, dir)
+      val bByDoc = b0.repartition(nPart, col("doc_id")).localCheckpoint()
+      val bByBucket = b0.repartition(nPart, col("band"), col("bucket")).localCheckpoint()
+      var labels = bByDoc.select(col("doc_id")).distinct()
         .withColumn("label", col("doc_id"))
       var changed = 1L
       var iter = 0
       var prevCkpt: DataFrame = null
       while (changed > 0 && iter < 20) {
-        val bucketMin = b.join(labels, "doc_id")
+        val bucketMin = bByDoc.join(labels, "doc_id")
           .groupBy(col("band"), col("bucket"))
           .agg(min(col("label")).as("bmin"))
-        val cand = b.join(bucketMin, Seq("band", "bucket"))
+        val cand = bByBucket.join(bucketMin, Seq("band", "bucket"))
           .groupBy(col("doc_id")).agg(min(col("bmin")).as("cand"))
         val next = labels.join(cand, Seq("doc_id"))
           .select(col("doc_id"),
@@ -237,6 +250,9 @@ object NearDup {
       require(changed == 0,
         s"n54 label propagation did not converge in $iter rounds ($changed moved)")
       System.err.println(s"[n54] label propagation converged in $iter rounds")
+      // the final result depends only on the last labels checkpoint —
+      // release the two pinned b layouts
+      bByDoc.unpersist(); bByBucket.unpersist()
       val sizes = labels.groupBy(col("label"))
         .agg(count(lit(1)).as("component_size"))
       labels.join(sizes, "label")

@@ -175,18 +175,27 @@ object TextOps {
       val kg = s.read.parquet(p)
       // One window pass: min(h) gives the fingerprint hash; min_by over
       // the (h, -pos) ordering gives the RIGHTMOST position of that
-      // min. All three functions share one frame → a single WindowExec,
-      // no self-join (the join-based first cut was 2.5× slower at
-      // sf0.1). The oracle keeps the equivalent join formulation —
-      // independent derivations agreeing is the point of the gate.
-      val frame = Window.partitionBy(col("doc_id")).orderBy(col("pos"))
-        .rowsBetween(Window.currentRow, WinnowW - 1)
+      // min. ALL functions — including the full-window test — share the
+      // ONE (doc_id, pos) window spec → a single WindowExec + a single
+      // sort, no self-join (the join-based first cut was 2.5× slower at
+      // sf0.1). The old partition-only count() was a SECOND window spec
+      // — a second buffered pass over every doc's rows (r21). The
+      // full-window test is `lead(pos, W-1) IS NOT NULL` — an O(1)
+      // offset function, NOT a sliding-frame aggregate (a frame count
+      // re-aggregates W rows per row): positions are dense, so a row
+      // W-1 ahead exists exactly when a full window starts here. The
+      // `pos = 0` disjunct keeps the short-doc (cnt < W) selection the
+      // old greatest(cnt-W, 0) bound kept. The oracle keeps the
+      // equivalent join formulation — independent derivations agreeing
+      // is the point of the gate.
+      val byPos = Window.partitionBy(col("doc_id")).orderBy(col("pos"))
+      val frame = byPos.rowsBetween(Window.currentRow, WinnowW - 1)
       kg.select(col("doc_id"), col("pos"),
-          count(lit(1)).over(Window.partitionBy(col("doc_id"))).as("cnt"),
+          lead(col("pos"), WinnowW - 1).over(byPos).as("wend"),
           min(col("h")).over(frame).as("fp_hash"),
           min_by(col("pos"), struct(col("h"), (-col("pos")).as("np")))
             .over(frame).as("fp_pos"))
-        .filter(col("pos") <= greatest(col("cnt") - WinnowW, lit(0)))
+        .filter(col("wend").isNotNull || col("pos") === 0)
         .select(col("doc_id"), col("fp_pos"), col("fp_hash"))
         .distinct()
     }),

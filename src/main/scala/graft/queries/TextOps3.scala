@@ -127,9 +127,21 @@ object TextOps3 {
               .otherwise(array().cast("array<string>")))).as("g"))
         .select(col("doc_id"), col("lang"),
           substring(md5(col("g")), 1, 3).as("bucket"))
-      val counts = grams.groupBy(col("bucket"))
-        .agg(count(lit(1)).as("raw_cnt"),
-          sum(when(col("lang") === "en", 1L).otherwise(0L)).as("tgt_cnt"))
+      // ONE corpus pass (r21): the explode+md5 gram derivation used to
+      // run TWICE — once under the bucket-count agg and once under the
+      // final per-doc join — because Spark plans each reference
+      // independently. Aggregate to (doc, bucket) counts first and
+      // localCheckpoint that small frame (≤ |docs|·4096 rows, gram
+      // multiplicity collapsed): bucket totals re-aggregate from it
+      // exactly (integer sums), and the per-doc importance is the
+      // n-weighted bucket-weight mean — the same Σw/N over the same
+      // multiset of grams.
+      val perDoc = grams.groupBy(col("doc_id"), col("lang"), col("bucket"))
+        .agg(count(lit(1)).as("n"))
+        .localCheckpoint()
+      val counts = perDoc.groupBy(col("bucket"))
+        .agg(sum(col("n")).as("raw_cnt"),
+          sum(when(col("lang") === "en", col("n")).otherwise(0L)).as("tgt_cnt"))
       val totals = counts.agg(sum(col("raw_cnt")).as("raw_tot"),
         sum(col("tgt_cnt")).as("tgt_tot"))
       val weights = counts.crossJoin(broadcast(totals))
@@ -137,10 +149,10 @@ object TextOps3 {
           log((col("tgt_cnt") + alpha) / (col("tgt_tot") + alpha * nBuckets)) -
             log((col("raw_cnt") + alpha) / (col("raw_tot") + alpha * nBuckets)))
         .select(col("bucket"), col("w"))
-      grams.join(broadcast(weights), "bucket")
+      perDoc.join(broadcast(weights), "bucket")
         .groupBy(col("doc_id"))
-        .agg(count(lit(1)).as("n_grams"),
-          avg(col("w")).as("importance"))
+        .agg(sum(col("n")).as("n_grams"),
+          (sum(col("w") * col("n")) / sum(col("n")).cast("double")).as("importance"))
     }),
 
     // ---- Gopher quality rules (Rae et al. 2021, Appendix A) -----------
@@ -205,18 +217,23 @@ object TextOps3 {
       val dRows = 4
       val d = Tables.load(s, dir, "documents")
       val toks = d.select(explode(tokens).as("token"))
-      def probes(df: org.apache.spark.sql.DataFrame) = df.select(col("token"),
+      // ONE corpus pass (r21): collapse the raw token stream into the
+      // Zipf-bounded (token, count) table FIRST — one token-keyed
+      // shuffle with map-side combine — and checkpoint it; the sketch's
+      // per-bucket count is the sum of its tokens' counts (identical
+      // integers to counting raw probe rows), and the candidate probes
+      // expand off the SAME vocab table. The old shape md5'd the corpus
+      // ×4 for the sketch AND shuffled the corpus a second time for
+      // distinct(); now md5 runs over 4×|vocab| rows total.
+      val vocab = toks.groupBy(col("token")).agg(count(lit(1)).as("tok_cnt"))
+        .localCheckpoint()
+      val vprobes = vocab.select(col("token"), col("tok_cnt"),
           explode(expr(s"transform(sequence(0, ${dRows - 1}), " +
             "r -> struct(r AS hrow, substring(md5(concat(r, ':', token)), 1, 3) AS bucket))")).as("rb"))
-        .select(col("token"), col("rb.hrow"), col("rb.bucket"))
-      // sketch update over the RAW token stream — the true streaming-CMS
-      // cost; map-side combine bounds the shuffle at 4 x 4096 partials
-      val sketch = probes(toks).groupBy(col("hrow"), col("bucket"))
-        .agg(count(lit(1)).as("cnt"))
-      // candidates: distinct TOKENS first (corpus-row shuffle), THEN
-      // expand their 4 probes map-side — the old probes(toks).distinct()
-      // shuffled corpus x 4 full-width rows and md5'd the corpus twice
-      val est = probes(toks.distinct())
+        .select(col("token"), col("tok_cnt"), col("rb.hrow"), col("rb.bucket"))
+      val sketch = vprobes.groupBy(col("hrow"), col("bucket"))
+        .agg(sum(col("tok_cnt")).as("cnt"))
+      val est = vprobes
         .join(broadcast(sketch), Seq("hrow", "bucket"))
         .groupBy(col("token"))
         .agg(min(col("cnt")).as("est"))

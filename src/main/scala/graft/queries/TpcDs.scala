@@ -308,14 +308,23 @@ object TpcDs {
         .filter(col("d_year") === 1996 && col("d_qtr").isin(1, 2))
       val rev = base.groupBy(col("n_name"), col("channel"), col("d_qtr"))
         .agg(sum(dec6(net)).cast("double").as("rev"))
-      def slice(ch: String, q: Int, as: String) =
-        rev.filter(col("channel") === ch && col("d_qtr") === q)
-          .select(col("n_name").as(s"${as}_n"), col("rev").as(as))
-      slice("store", 1, "ss1").join(slice("store", 2, "ss2"), col("ss1_n") === col("ss2_n"))
-        .join(slice("web", 1, "ws1"), col("ss1_n") === col("ws1_n"))
-        .join(slice("web", 2, "ws2"), col("ss1_n") === col("ws2_n"))
+      // r21: the four (channel, qtr) slices used to be four DataFrame
+      // references to `rev` — Spark plans each independently, so the
+      // full lineitem⋈orders⋈customer subtree ran FOUR times (the
+      // before-plan shows the quadrupled scan). One pass + a pivot on
+      // the ≤|nation|·3·2-row frame is the same 4-way inner join:
+      // rev is unique per (nation, channel, qtr), so max() picks the
+      // slice value and a NULL cell means the slice is absent (the
+      // inner join's row-dropping), filtered identically.
+      def cell(ch: String, q: Int) =
+        max(when(col("channel") === ch && col("d_qtr") === q, col("rev")))
+      rev.groupBy(col("n_name"))
+        .agg(cell("store", 1).as("ss1"), cell("store", 2).as("ss2"),
+             cell("web", 1).as("ws1"), cell("web", 2).as("ws2"))
+        .filter(col("ss1").isNotNull && col("ss2").isNotNull &&
+                col("ws1").isNotNull && col("ws2").isNotNull)
         .filter(col("ws2") / col("ws1") > col("ss2") / col("ss1"))
-        .select(col("ss1_n").as("n_name"), col("ss1"), col("ss2"), col("ws1"), col("ws2"),
+        .select(col("n_name"), col("ss1"), col("ss2"), col("ws1"), col("ws2"),
                 (col("ss2") / col("ss1")).as("store_ratio"),
                 (col("ws2") / col("ws1")).as("web_ratio"))
     }),

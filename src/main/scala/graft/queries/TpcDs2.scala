@@ -202,14 +202,21 @@ object TpcDs2 {
     // Parts with store-channel sales but NO web-channel sales that
     // year — LEFT JOIN + IS NULL filter on the aggregated web side.
     "d22_store_only_parts" -> ((s, dir) => {
-      val st = sales(s, dir).filter(col("channel") === "store")
+      // r21: one conditional-aggregate pass replaces two full `sales`
+      // subtrees + an outer join — the channels live in ONE fact table
+      // here, so per-channel sums are CASE sums over a single
+      // (partkey, year) shuffle. sum(CASE ... ELSE NULL) is NULL iff
+      // the group has no rows of that channel, which is exactly the
+      // old outer join's null-extension: store-side presence =
+      // s_qty_dec IS NOT NULL, web-side absence = w_qty_dec IS NULL.
+      // Decimal sums run over the identical row sets → identical
+      // values. The lineitem⋈orders join and shuffle now run once.
+      sales(s, dir).filter(col("channel").isin("store", "web"))
         .groupBy(col("l_partkey"), col("d_year"))
-        .agg(sum(dec(col("l_quantity"))).as("s_qty_dec"), sum(dec6(net)).as("s_amt_dec"))
-      val wb = sales(s, dir).filter(col("channel") === "web")
-        .groupBy(col("l_partkey").as("w_partkey"), col("d_year").as("w_year"))
-        .agg(sum(dec(col("l_quantity"))).as("w_qty_dec"))
-      st.join(wb, col("l_partkey") === col("w_partkey") && col("d_year") === col("w_year"), "left_outer")
-        .filter(col("w_qty_dec").isNull)
+        .agg(sum(when(col("channel") === "store", dec(col("l_quantity")))).as("s_qty_dec"),
+             sum(when(col("channel") === "store", dec6(net))).as("s_amt_dec"),
+             sum(when(col("channel") === "web", dec(col("l_quantity")))).as("w_qty_dec"))
+        .filter(col("s_qty_dec").isNotNull && col("w_qty_dec").isNull)
         .select(col("l_partkey"), col("d_year"),
                 col("s_qty_dec").cast("double").as("s_qty"),
                 col("s_amt_dec").cast("double").as("s_amt"),

@@ -184,18 +184,33 @@ object TpcH {
     // Q7: volume shipping between two nations — nation dim joined twice
     // under different roles, disjunctive nation-pair predicate.
     "h07_volume_shipping" -> ((s, dir) => {
-      val n1 = t(s, dir, "nation")
+      // r21: the OR-of-pairs predicate implies supp_nation ∈ {N1,N2}
+      // and cust_nation ∈ {N1,N2} — an implication Catalyst does not
+      // derive (no OR-expansion). Pushing it onto the nation dims
+      // BEFORE the fact joins shrinks supplier and customer to 2/25 of
+      // their rows, so the broadcast joins prune ~92% of lineitem and
+      // orders map-side before the orderkey shuffle (guide §3.2's
+      // reduce-the-big-side-before-the-exchange). The exact pair
+      // filter still runs at the end — results are identical.
+      val nats = Seq("NATION_1", "NATION_2")
+      val n1 = t(s, dir, "nation").filter(col("n_name").isin(nats: _*))
         .select(col("n_nationkey").as("s_nk"), col("n_name").as("supp_nation"))
-      val n2 = t(s, dir, "nation")
+      val n2 = t(s, dir, "nation").filter(col("n_name").isin(nats: _*))
         .select(col("n_nationkey").as("c_nk"), col("n_name").as("cust_nation"))
-      t(s, dir, "supplier")
-        .join(t(s, dir, "lineitem")
-            .filter(col("l_shipdate").between(ts("1996-01-01"), ts("1997-12-31"))),
-          col("s_suppkey") === col("l_suppkey"))
-        .join(t(s, dir, "orders"), col("o_orderkey") === col("l_orderkey"))
-        .join(t(s, dir, "customer"), col("c_custkey") === col("o_custkey"))
+      val sup = t(s, dir, "supplier")
         .join(broadcast(n1), col("s_nationkey") === col("s_nk"))
+        .select(col("s_suppkey"), col("supp_nation"))
+      val cust = t(s, dir, "customer")
         .join(broadcast(n2), col("c_nationkey") === col("c_nk"))
+        .select(col("c_custkey"), col("cust_nation"))
+      // no broadcast() hint on sup/cust: dimension-scale tables
+      // auto-broadcast at these SFs; at cluster scale the planner may
+      // legitimately shuffle them (they grow with SF, unlike nation)
+      t(s, dir, "lineitem")
+        .filter(col("l_shipdate").between(ts("1996-01-01"), ts("1997-12-31")))
+        .join(sup, col("s_suppkey") === col("l_suppkey"))
+        .join(t(s, dir, "orders"), col("o_orderkey") === col("l_orderkey"))
+        .join(cust, col("c_custkey") === col("o_custkey"))
         .filter((col("supp_nation") === "NATION_1" && col("cust_nation") === "NATION_2") ||
                 (col("supp_nation") === "NATION_2" && col("cust_nation") === "NATION_1"))
         .withColumn("l_year", year(col("l_shipdate")))
@@ -205,20 +220,28 @@ object TpcH {
 
     // Q8: national market share — conditional sum over a 8-way join.
     "h08_market_share" -> ((s, dir) => {
+      // r21: resolve nation⋈region(AMERICA) FIRST (25×5-row dim work)
+      // and shrink CUSTOMER to the American slice before it meets
+      // orders — the old plan carried every customer through the
+      // o_custkey join and only then dropped ~80% at the region join.
+      // Same §3.2 reduce-before-the-exchange shape as h07; the final
+      // aggregate is unchanged.
       val n1 = t(s, dir, "nation")
-        .select(col("n_nationkey").as("c_nk"), col("n_regionkey").as("c_rk"))
+        .join(broadcast(t(s, dir, "region").filter(col("r_name") === "AMERICA")),
+          col("n_regionkey") === col("r_regionkey"))
+        .select(col("n_nationkey").as("c_nk"))
       val n2 = t(s, dir, "nation")
         .select(col("n_nationkey").as("s_nk"), col("n_name").as("nation"))
+      val cust = t(s, dir, "customer")
+        .join(broadcast(n1), col("c_nationkey") === col("c_nk"))
+        .select(col("c_custkey"))
       t(s, dir, "part").filter(col("p_type") === "ECONOMY")
         .join(t(s, dir, "lineitem"), col("p_partkey") === col("l_partkey"))
         .join(t(s, dir, "supplier"), col("s_suppkey") === col("l_suppkey"))
         .join(t(s, dir, "orders")
             .filter(col("o_orderdate").between(ts("1996-01-01"), ts("1997-12-31"))),
           col("l_orderkey") === col("o_orderkey"))
-        .join(t(s, dir, "customer"), col("o_custkey") === col("c_custkey"))
-        .join(broadcast(n1), col("c_nationkey") === col("c_nk"))
-        .join(broadcast(t(s, dir, "region").filter(col("r_name") === "AMERICA")),
-          col("c_rk") === col("r_regionkey"))
+        .join(cust, col("o_custkey") === col("c_custkey"))
         .join(broadcast(n2), col("s_nationkey") === col("s_nk"))
         .withColumn("o_year", year(col("o_orderdate")))
         .groupBy(col("o_year"))
@@ -228,10 +251,19 @@ object TpcH {
 
     // Q9: product type profit — derived ps supplies ps_supplycost.
     "h09_product_profit" -> ((s, dir) => {
-      t(s, dir, "part").filter(col("p_name").contains("red"))
+      // r21: semi-join ps down to the red parts BEFORE its
+      // (partkey, suppkey) exchange — the old plan shuffled the FULL
+      // derived partsupp relation (data-scale: one row per distinct
+      // (part, supp) pair) against a lineitem side that the part
+      // broadcast join had already pruned. §2.3: shuffle fewer bytes.
+      val redParts = t(s, dir, "part").filter(col("p_name").contains("red"))
+      val psRed = ps(s, dir).join(
+        broadcast(redParts.select(col("p_partkey").as("rp_partkey"))),
+        col("ps_partkey") === col("rp_partkey"), "left_semi")
+      redParts
         .join(t(s, dir, "lineitem"), col("p_partkey") === col("l_partkey"))
         .join(t(s, dir, "supplier"), col("s_suppkey") === col("l_suppkey"))
-        .join(ps(s, dir),
+        .join(psRed,
           col("ps_suppkey") === col("l_suppkey") && col("ps_partkey") === col("l_partkey"))
         .join(t(s, dir, "orders"), col("o_orderkey") === col("l_orderkey"))
         .join(broadcast(t(s, dir, "nation")), col("s_nationkey") === col("n_nationkey"))
@@ -437,14 +469,27 @@ object TpcH {
       }
       val late = s.read.parquet(latePath)
       val l1 = late.filter(col("o_orderstatus") === "F")
-      // the EXISTS side needs only (orderkey, suppkey) existence, which
-      // lineitem alone provides — skips a whole lineitem⋈orders join
-      val l2 = t(s, dir, "lineitem")
-        .select(col("l_orderkey").as("k2"), col("l_suppkey").as("sk2"))
-      val l3 = late
-        .select(col("l_orderkey").as("k3"), col("l_suppkey").as("sk3"))
-      l1.join(l2, col("l_orderkey") === col("k2") && col("l_suppkey") =!= col("sk2"), "left_semi")
-        .join(l3, col("l_orderkey") === col("k3") && col("l_suppkey") =!= col("sk3"), "left_anti")
+      // r21: the EXISTS/NOT-EXISTS pair decorrelates to per-order
+      // supplier-set AGGREGATES instead of row-level semi/anti joins —
+      // guide §2.3 "aggregate before you shuffle". EXISTS another
+      // supplier in the order ⟺ the order has ≥2 distinct suppliers
+      // (l1's own supplier is one of them) ⟺ min < max over
+      // l_suppkey; NOT EXISTS another LATE supplier ⟺ the order's
+      // late rows all carry one supplier (l1's own row is late, so
+      // distinct-late-suppliers = 1 ⟺ min = max). Both sides shrink
+      // to pre-filtered order-key lists before any join — the old
+      // shape shuffled the full (orderkey, suppkey) projection of
+      // lineitem AND of late through non-equi semi/anti joins.
+      val multiSupp = t(s, dir, "lineitem")
+        .groupBy(col("l_orderkey").as("k2"))
+        .agg(min(col("l_suppkey")).as("mn2"), max(col("l_suppkey")).as("mx2"))
+        .filter(col("mn2") < col("mx2")).select(col("k2"))
+      val soleLate = late
+        .groupBy(col("l_orderkey").as("k3"))
+        .agg(min(col("l_suppkey")).as("mn3"), max(col("l_suppkey")).as("mx3"))
+        .filter(col("mn3") === col("mx3")).select(col("k3"))
+      l1.join(multiSupp, col("l_orderkey") === col("k2"), "left_semi")
+        .join(soleLate, col("l_orderkey") === col("k3"), "left_semi")
         .join(t(s, dir, "supplier"), col("l_suppkey") === col("s_suppkey"))
         .join(broadcast(t(s, dir, "nation").filter(col("n_name") === "NATION_2")),
           col("s_nationkey") === col("n_nationkey"))

@@ -17,7 +17,7 @@ object ExplainAudit {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
-    val dir = "/root/testdata/sf0.001"
+    val dir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.001")
     val names = if (args.nonEmpty) args.toSeq
       else Seq("q1_pricing_summary", "q2_local_revenue", "q3_shipping_priority",
         "q11_topn_per_group", "q33_lookup_join", "v42_ann_topk",
