@@ -501,6 +501,74 @@ case class CosineSimilarity(left: Expression, right: Expression)
   override def prettyName: String = "cosine_sim"
 }
 
+/** Σ aᵢ·bᵢ of two float vectors in double, left-to-right — the dot
+  * kernel of [[CosineSimilarity]] alone. Lets a pair scan HOIST the
+  * two norm terms out of the O(pairs) loop: cosine(a,b) =
+  * dot(a,b) / (sqrt(dot(a,a)) · sqrt(dot(b,b))), and the self-dots
+  * depend on one side each, so they can be computed once per ROW
+  * before the join instead of once per PAIR inside it — 3× fewer
+  * multiply-adds on the quadratic edge, with bit-identical results
+  * (same accumulation order, same sqrt/× /÷ sequence as the fused
+  * kernel, so the oracle comparison is unaffected).
+  */
+case class DotProduct(left: Expression, right: Expression)
+    extends BinaryExpression {
+  override def dataType: DataType = DoubleType
+  override def checkInputDataTypes(): TypeCheckResult = (left.dataType, right.dataType) match {
+    case (ArrayType(FloatType, _), ArrayType(FloatType, _)) => TypeCheckResult.TypeCheckSuccess
+    case _ => TypeCheckResult.TypeCheckFailure("dot_product expects two array<float>")
+  }
+  @transient private lazy val mayHaveNulls: Boolean =
+    left.dataType.asInstanceOf[ArrayType].containsNull ||
+      right.dataType.asInstanceOf[ArrayType].containsNull
+  override def nullable: Boolean = super.nullable || mayHaveNulls
+  override def nullSafeEval(a: Any, b: Any): Any = {
+    val x = a.asInstanceOf[ArrayData]
+    val y = b.asInstanceOf[ArrayData]
+    val n = math.min(x.numElements(), y.numElements())
+    if (mayHaveNulls) {
+      var i = 0
+      while (i < n) {
+        if (x.isNullAt(i) || y.isNullAt(i)) return null
+        i += 1
+      }
+    }
+    var dot = 0.0
+    var i = 0
+    while (i < n) {
+      dot += x.getFloat(i).toDouble * y.getFloat(i).toDouble
+      i += 1
+    }
+    dot
+  }
+  override protected def doGenCode(ctx: codegen.CodegenContext,
+      ev: codegen.ExprCode): codegen.ExprCode =
+    nullSafeCodeGen(ctx, ev, (a, b) => {
+      val i = ctx.freshName("i"); val n = ctx.freshName("n")
+      val dot = ctx.freshName("dot")
+      val nullScan =
+        if (mayHaveNulls)
+          s"""for (int $i = 0; $i < $n && !${ev.isNull}; $i++) {
+             |  if ($a.isNullAt($i) || $b.isNullAt($i)) ${ev.isNull} = true;
+             |}""".stripMargin
+        else ""
+      s"""
+         |int $n = java.lang.Math.min($a.numElements(), $b.numElements());
+         |double $dot = 0.0;
+         |$nullScan
+         |if (!${ev.isNull}) {
+         |  for (int $i = 0; $i < $n; $i++) {
+         |    $dot += (double) $a.getFloat($i) * (double) $b.getFloat($i);
+         |  }
+         |}
+         |${ev.value} = $dot;
+       """.stripMargin
+    })
+  override protected def withNewChildrenInternal(l: Expression, r: Expression): Expression =
+    copy(left = l, right = r)
+  override def prettyName: String = "dot_product"
+}
+
 /** `HASH_CODE(str)` — reference: SqlFunctionUtils.java:996
   * (`Math.abs(str.hashCode())`, Java String semantics, so
   * `Integer.MIN_VALUE` stays negative exactly like the reference).
@@ -541,6 +609,24 @@ object functions {
   def cosine_sim(a: Column, b: Column): Column =
     column(CosineSimilarity(Cast(expression(a), ArrayType(FloatType)),
       Cast(expression(b), ArrayType(FloatType))))
+  def dot_product(a: Column, b: Column): Column =
+    column(DotProduct(Cast(expression(a), ArrayType(FloatType)),
+      Cast(expression(b), ArrayType(FloatType))))
+
+  /** cosine_sim with the per-side norm terms precomputed: feed
+    * `l2norm` of each side (computed ONCE per row, before the pair
+    * join) and only the dot runs per pair. Same arithmetic sequence
+    * as [[CosineSimilarity]] → bit-identical doubles.
+    */
+  def l2norm(a: Column): Column = {
+    import org.apache.spark.sql.functions.sqrt
+    sqrt(dot_product(a, a))
+  }
+  def cosine_from_parts(dot: Column, normA: Column, normB: Column): Column = {
+    import org.apache.spark.sql.functions.{lit, when}
+    when(normA === 0.0 || normB === 0.0, lit(0.0))
+      .otherwise(dot / (normA * normB))
+  }
 
   /** Register SQL names (idempotent) so `spark.sql` can use them. */
   def register(spark: SparkSession): Unit = {

@@ -72,12 +72,18 @@ object Media {
       val img = new BufferedImage(side, side, BufferedImage.TYPE_INT_RGB)
       if (bytes.isEmpty) return img // all-black, like AudioCodec's empty guard
       val n = bytes.length
+      // write the packed-int raster directly — setRGB routes every
+      // pixel through the ColorModel; for TYPE_INT_RGB the buffer IS
+      // the 24-bit packed value, so the stored pixels (and thus the
+      // encoded PNG bytes) are identical (r21)
+      val buf = img.getRaster.getDataBuffer
+        .asInstanceOf[java.awt.image.DataBufferInt].getData
       var p = 0
       while (p < side * side) {
         val r = bytes((p * 3) % n) & 0xff
         val g = bytes((p * 3 + 1) % n) & 0xff
         val b = bytes((p * 3 + 2) % n) & 0xff
-        img.setRGB(p % side, p / side, (r << 16) | (g << 8) | b)
+        buf(p) = (r << 16) | (g << 8) | b
         p += 1
       }
       img
@@ -100,18 +106,17 @@ object Media {
       val bins = new Array[Double](8)
       var sum = 0.0
       val w = img.getWidth; val h = img.getHeight
-      var y = 0
-      while (y < h) {
-        var x = 0
-        while (x < w) {
-          val rgb = img.getRGB(x, y)
-          val lum = 0.299 * ((rgb >> 16) & 0xff) +
-                    0.587 * ((rgb >> 8) & 0xff) + 0.114 * (rgb & 0xff)
-          bins(math.min((lum / 32.0).toInt, 7)) += 1.0
-          sum += lum
-          x += 1
-        }
-        y += 1
+      // one bulk getRGB instead of w·h ColorModel round-trips — the
+      // returned ARGB ints are identical to per-pixel getRGB (r21)
+      val px = img.getRGB(0, 0, w, h, null, 0, w)
+      var i = 0
+      while (i < px.length) {
+        val rgb = px(i)
+        val lum = 0.299 * ((rgb >> 16) & 0xff) +
+                  0.587 * ((rgb >> 8) & 0xff) + 0.114 * (rgb & 0xff)
+        bins(math.min((lum / 32.0).toInt, 7)) += 1.0
+        sum += lum
+        i += 1
       }
       val n = (w * h).toDouble
       (bins.map(_ / n), sum / n)

@@ -217,17 +217,31 @@ object Compact {
             // legacy (pre-dot-prefix) residue, provably redundant: the
             // partner leaf holds the data
             fs.delete(s.getPath, true)
-          else {
-            // unpartnered: pre-r18 crash between the two renames — this
-            // is the only copy of the partition and it is invisible to
-            // readers until the suffix comes off
+          else if (fs.exists(new Path(p,
+              n.stripSuffix("__compact_old") + "__compact_tmp"))) {
+            // unpartnered, CORROBORATED (r21, review finding): a pre-r18
+            // crash between the two renames always leaves the fully
+            // written bare tmp next to the bare old — so old+tmp with no
+            // leaf proves crash residue holding the only copy of the
+            // partition, invisible to readers until the suffix comes off.
             require(fs.rename(s.getPath, leaf),
               s"compact: could not restore $leaf from crash residue ${s.getPath}")
             logger.warn(
               s"compact sweep: restored ${s.getPath} to $leaf — pre-upgrade crash " +
                 "residue held the only copy of this partition (it was invisible " +
                 "to readers until now)")
-          }
+          } else
+            // unpartnered with NO tmp sibling: no pre-r18 crash produces
+            // this shape, but a user partition whose value literally
+            // ends in '__compact_old' DOES look like this ('_' is never
+            // path-escaped) and Spark's file index reads it as partition
+            // value 'v__compact_old' — renaming would silently CHANGE
+            // that partition's value and query results. Warn-only.
+            logger.warn(
+              s"compact sweep: leaving ambiguous directory ${s.getPath} in place " +
+                s"(no partner leaf and no '__compact_tmp' sibling to corroborate " +
+                "crash residue). If this is pre-upgrade residue whose tmp was " +
+                "removed by hand, rename away the __compact_old suffix manually.")
         } else if (!n.startsWith(".") && n.endsWith("__compact_tmp")) {
           if (fs.exists(partner(p, n, "__compact_tmp")))
             // legacy residue, provably redundant

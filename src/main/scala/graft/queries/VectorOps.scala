@@ -59,14 +59,25 @@ object VectorOps {
     // ---- Cosine-similar pairs within label blocks ---------------------
     "v41_cosine_pairs" -> ((s, dir) => {
       val e = Tables.load(s, dir, "embeddings")
-      val v = e.select(col("label"), col("vec_id"), col("embedding"))
-      val a = v.select(col("label"), col("vec_id").as("id_a"), col("embedding").as("emb_a"))
-      val b = v.select(col("label"), col("vec_id").as("id_b"), col("embedding").as("emb_b"))
+      // r21: hoist the norm terms out of the quadratic pair loop —
+      // each side's sqrt(Σx²) is computed once per ROW before the
+      // join, so the per-PAIR work is the dot alone (3× fewer
+      // multiply-adds on the |bucket|²-shaped edge). Same accumulation
+      // order and ÷/sqrt sequence as the fused cosine_sim →
+      // bit-identical doubles (see functions.cosine_from_parts).
+      val v = e.select(col("label"), col("vec_id"), col("embedding"),
+        graft.functions.functions.l2norm(col("embedding")).as("nrm"))
+      val a = v.select(col("label"), col("vec_id").as("id_a"),
+        col("embedding").as("emb_a"), col("nrm").as("nrm_a"))
+      val b = v.select(col("label"), col("vec_id").as("id_b"),
+        col("embedding").as("emb_b"), col("nrm").as("nrm_b"))
       a.join(b, Seq("label")).filter(col("id_a") < col("id_b"))
         // 0.35 keeps the gate non-trivial at every SF (the fixture's
         // max within-label cosine is ~0.45–0.51 across sf0.001–sf0.1,
         // so a 0.5 cut matched zero rows and proved nothing).
-        .withColumn("cos_sim", cosine_sim(col("emb_a"), col("emb_b")))
+        .withColumn("cos_sim", graft.functions.functions.cosine_from_parts(
+          graft.functions.functions.dot_product(col("emb_a"), col("emb_b")),
+          col("nrm_a"), col("nrm_b")))
         .filter(col("cos_sim") >= 0.35)
         .select(col("label"), col("id_a"), col("id_b"), col("cos_sim"))
     }),
@@ -369,19 +380,26 @@ object VectorOps {
       val scArr = array(rg.map(r => lit(r.getDouble(2))): _*)
       // asymmetric distance: dequantize the candidate code map-side
       // (float-rounded like a real SQ store), cosine vs the float query
+      // r21: per-side norms hoisted out of the |Q|×|C| ADC scan — the
+      // dequantized candidate's norm is computed once per candidate
+      // row, the query's once before the broadcast (v41 note)
       val cands = s.read.parquet(s"$base/sq53_codes")
         .select(col("vec_id").as("cand_id"),
           zip_with(col("codes"),
             sequence(lit(0), lit(rg.length - 1)),
             (c, i) => (((c + lit(128)).cast("double") * element_at(scArr, i + 1))
               + element_at(loArr, i + 1)).cast("float")).as("c_deq"))
+        .withColumn("c_nrm", graft.functions.functions.l2norm(col("c_deq")))
       val q = e.filter(col("vec_id") % 50 === 0)
         .select(col("vec_id").as("query_id"),
-          col("embedding").cast("array<float>").as("q_emb"))
+          col("embedding").cast("array<float>").as("q_emb"),
+          graft.functions.functions.l2norm(col("embedding")).as("q_nrm"))
       val wShort = Window.partitionBy(col("query_id"))
         .orderBy(col("sq_sim").desc, col("cand_id"))
       val shortlist = cands.join(broadcast(q), col("query_id") =!= col("cand_id"))
-        .withColumn("sq_sim", cosine_sim(col("q_emb"), col("c_deq")))
+        .withColumn("sq_sim", graft.functions.functions.cosine_from_parts(
+          graft.functions.functions.dot_product(col("q_emb"), col("c_deq")),
+          col("q_nrm"), col("c_nrm")))
         .withColumn("srk", row_number().over(wShort))
         .filter(col("srk") <= 30)
         .select(col("query_id"), col("cand_id"))
@@ -545,12 +563,18 @@ object VectorOps {
         .select(col("cell"), col("vec_id"), col("embedding"))
         .write.mode("overwrite").parquet(s"$base/semdedup_assign")
       val assigned = s.read.parquet(s"$base/semdedup_assign")
+      // r21: per-side norms hoisted out of the in-cell pair scan
+      // (v41 note) — computed once per row on each branch of the join
       val a = assigned.select(col("cell"), col("vec_id").as("id_a"),
-        col("embedding").as("emb_a"))
+        col("embedding").as("emb_a"),
+        graft.functions.functions.l2norm(col("embedding")).as("nrm_a"))
       val b = assigned.select(col("cell"), col("vec_id").as("id_b"),
-        col("embedding").as("emb_b"))
+        col("embedding").as("emb_b"),
+        graft.functions.functions.l2norm(col("embedding")).as("nrm_b"))
       val close = a.join(b, Seq("cell")).where(col("id_a") < col("id_b"))
-        .withColumn("cos_sim", cosine_sim(col("emb_a"), col("emb_b")))
+        .withColumn("cos_sim", graft.functions.functions.cosine_from_parts(
+          graft.functions.functions.dot_product(col("emb_a"), col("emb_b")),
+          col("nrm_a"), col("nrm_b")))
         .filter(col("cos_sim") >= 0.35)
       val dups = close.groupBy(col("cell"), col("id_b").as("vec_id"))
         .agg(count(lit(1)).as("n_close"))
@@ -563,11 +587,16 @@ object VectorOps {
     // ---- Brute-force ANN top-3 per query vector -----------------------
     "v42_ann_topk" -> ((s, dir) => {
       val e = Tables.load(s, dir, "embeddings")
+      // r21: per-side norms hoisted out of the |Q|×|C| scan (v41 note)
       val q = e.filter(col("vec_id") % 50 === 0)
-        .select(col("vec_id").as("query_id"), col("embedding").as("q_emb"))
-      val c = e.select(col("vec_id").as("cand_id"), col("embedding").as("c_emb"))
+        .select(col("vec_id").as("query_id"), col("embedding").as("q_emb"),
+          graft.functions.functions.l2norm(col("embedding")).as("q_nrm"))
+      val c = e.select(col("vec_id").as("cand_id"), col("embedding").as("c_emb"),
+        graft.functions.functions.l2norm(col("embedding")).as("c_nrm"))
       val scored = q.join(c, col("query_id") =!= col("cand_id"))
-        .withColumn("cos_sim", cosine_sim(col("q_emb"), col("c_emb")))
+        .withColumn("cos_sim", graft.functions.functions.cosine_from_parts(
+          graft.functions.functions.dot_product(col("q_emb"), col("c_emb")),
+          col("q_nrm"), col("c_nrm")))
       val w = Window.partitionBy(col("query_id"))
         .orderBy(col("cos_sim").desc, col("cand_id"))
       scored.withColumn("rk", row_number().over(w))

@@ -155,6 +155,22 @@ class CompactionSpec extends AnyFunSuite {
     ops.Compact.compactPartitioned(spark, root, targetBytes = 64L << 20, partDepth = 1)
     assert(fs.exists(p(s"$root/grp=5__compact_tmp")),
       "unpartnered bare tmp must survive — restoring could surface a truncated rewrite")
+    // an unpartnered bare OLD with no tmp sibling is NOT restorable
+    // (r21 review finding): no pre-r18 crash produces that shape, but a
+    // user partition whose value ends in '__compact_old' IS readable
+    // under exactly that name — renaming it would silently change the
+    // partition value. The sweep must leave it in place.
+    spark.range(0, 9).selectExpr("id").write.mode("overwrite")
+      .parquet(s"$root/grp=6__compact_old")
+    spark.catalog.refreshByPath(root)
+    val lookalikeRows = spark.read.parquet(s"$root/grp=6__compact_old").count()
+    ops.Compact.compactPartitioned(spark, root, targetBytes = 64L << 20, partDepth = 1)
+    assert(fs.exists(p(s"$root/grp=6__compact_old")),
+      "uncorroborated bare old must survive — it may be a user partition " +
+        "whose value ends in __compact_old")
+    assert(!fs.exists(p(s"$root/grp=6")),
+      "the sweep must not invent a grp=6 partition from the lookalike")
+    assert(lookalikeRows == 9)
   }
 
   test("clusterBy sorts within each output file") {
