@@ -70,6 +70,91 @@ object PqKernels {
     }
     total
   }
+
+  /** Per-query ADC lookup table — the standard PQ search trick (Jégou
+    * et al. §IV.A, FAISS's precomputed tables): lut[s·K + c] =
+    * ||q_sub(s) − cb[s][c]||², computed ONCE per query (M·K·dSub work),
+    * after which every candidate costs M array reads + M adds instead
+    * of M·dSub multiply-adds. Each entry is the exact inner sum of
+    * [[adc]] (i ascending), so summing entries in s-ascending order
+    * reproduces adc's accumulation sequence bit-for-bit.
+    */
+  def adcLut(q: ArrayData, codebooks: Array[Array[Array[Float]]]): ArrayData = {
+    val m = codebooks.length
+    val k = codebooks(0).length
+    val out = new Array[Double](m * k)
+    var s = 0
+    while (s < m) {
+      val cb = codebooks(s)
+      val dSub = cb(0).length
+      val off = s * dSub
+      var c = 0
+      while (c < k) {
+        val cw = cb(c)
+        var sub = 0.0
+        var i = 0
+        while (i < dSub) {
+          val diff = q.getFloat(off + i).toDouble - cw(i).toDouble
+          sub += diff * diff
+          i += 1
+        }
+        out(s * k + c) = sub
+        c += 1
+      }
+      s += 1
+    }
+    UnsafeArrayData.fromPrimitiveArray(out)
+  }
+
+  /** Residual-ADC lookup table (IVF-PQ): lut[s·K + c] =
+    * ||q_sub − cent_sub − cb[s][c]||², the exact inner sum of
+    * [[PqResidualKernels.adcResidual]]. One table per (query, cell)
+    * probe row.
+    */
+  def adcLutResidual(q: ArrayData, cent: ArrayData,
+                     codebooks: Array[Array[Array[Float]]]): ArrayData = {
+    val m = codebooks.length
+    val k = codebooks(0).length
+    val out = new Array[Double](m * k)
+    var s = 0
+    while (s < m) {
+      val cb = codebooks(s)
+      val dSub = cb(0).length
+      val off = s * dSub
+      var c = 0
+      while (c < k) {
+        val cw = cb(c)
+        var sub = 0.0
+        var i = 0
+        while (i < dSub) {
+          val d = q.getFloat(off + i).toDouble -
+            cent.getFloat(off + i).toDouble - cw(i).toDouble
+          sub += d * d
+          i += 1
+        }
+        out(s * k + c) = sub
+        c += 1
+      }
+      s += 1
+    }
+    UnsafeArrayData.fromPrimitiveArray(out)
+  }
+
+  /** Candidate scoring from a precomputed table: Σ_s lut[s·K +
+    * codes[s]], s ascending — the same outer `total += sub` sequence
+    * as [[adc]]/[[PqResidualKernels.adcResidual]] over identical
+    * per-subspace values → bit-identical totals.
+    */
+  def adcFromLut(lut: ArrayData, codes: ArrayData, k: Int): Double = {
+    val m = codes.numElements()
+    var total = 0.0
+    var s = 0
+    while (s < m) {
+      total += lut.getDouble(s * k + codes.getInt(s))
+      s += 1
+    }
+    total
+  }
 }
 
 object PqResidualKernels {
@@ -173,6 +258,68 @@ case class PqAdc(left: Expression, right: Expression,
   override def prettyName: String = "pq_adc"
 }
 
+case class PqAdcLut(child: Expression, codebooks: Array[Array[Array[Float]]])
+    extends UnaryExpression {
+  override def dataType: DataType = ArrayType(DoubleType, containsNull = false)
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ArrayType(FloatType, _) => TypeCheckResult.TypeCheckSuccess
+    case _ => TypeCheckResult.TypeCheckFailure("pq_adc_lut expects array<float>")
+  }
+  override def nullSafeEval(q: Any): Any =
+    PqKernels.adcLut(q.asInstanceOf[ArrayData], codebooks)
+  override protected def doGenCode(ctx: codegen.CodegenContext,
+      ev: codegen.ExprCode): codegen.ExprCode = {
+    val cbRef = ctx.addReferenceObj("pqCodebooks", codebooks, "float[][][]")
+    nullSafeCodeGen(ctx, ev, q =>
+      s"${ev.value} = graft.functions.PqKernels.adcLut($q, $cbRef);")
+  }
+  override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
+  override def prettyName: String = "pq_adc_lut"
+}
+
+case class PqAdcLutResidual(left: Expression, right: Expression,
+                            codebooks: Array[Array[Array[Float]]])
+    extends BinaryExpression {
+  override def dataType: DataType = ArrayType(DoubleType, containsNull = false)
+  override def checkInputDataTypes(): TypeCheckResult = (left.dataType, right.dataType) match {
+    case (ArrayType(FloatType, _), ArrayType(FloatType, _)) => TypeCheckResult.TypeCheckSuccess
+    case _ => TypeCheckResult.TypeCheckFailure(
+      "pq_adc_lut_residual expects (array<float> q, array<float> centroid)")
+  }
+  override def nullSafeEval(q: Any, cent: Any): Any =
+    PqKernels.adcLutResidual(q.asInstanceOf[ArrayData], cent.asInstanceOf[ArrayData], codebooks)
+  override protected def doGenCode(ctx: codegen.CodegenContext,
+      ev: codegen.ExprCode): codegen.ExprCode = {
+    val cbRef = ctx.addReferenceObj("pqCodebooks", codebooks, "float[][][]")
+    nullSafeCodeGen(ctx, ev, (q, c) =>
+      s"${ev.value} = graft.functions.PqKernels.adcLutResidual($q, $c, $cbRef);")
+  }
+  override protected def withNewChildrenInternal(l: Expression, r: Expression): Expression =
+    copy(left = l, right = r)
+  override def prettyName: String = "pq_adc_lut_residual"
+}
+
+case class PqAdcFromLut(left: Expression, right: Expression, k: Int)
+    extends BinaryExpression {
+  require(k > 0)
+  override def dataType: DataType = DoubleType
+  override def checkInputDataTypes(): TypeCheckResult = (left.dataType, right.dataType) match {
+    case (ArrayType(DoubleType, _), ArrayType(IntegerType, _)) =>
+      TypeCheckResult.TypeCheckSuccess
+    case _ => TypeCheckResult.TypeCheckFailure(
+      "pq_adc_from_lut expects (array<double> lut, array<int> codes)")
+  }
+  override def nullSafeEval(lut: Any, codes: Any): Any =
+    PqKernels.adcFromLut(lut.asInstanceOf[ArrayData], codes.asInstanceOf[ArrayData], k)
+  override protected def doGenCode(ctx: codegen.CodegenContext,
+      ev: codegen.ExprCode): codegen.ExprCode =
+    nullSafeCodeGen(ctx, ev, (lut, codes) =>
+      s"${ev.value} = graft.functions.PqKernels.adcFromLut($lut, $codes, $k);")
+  override protected def withNewChildrenInternal(l: Expression, r: Expression): Expression =
+    copy(left = l, right = r)
+  override def prettyName: String = "pq_adc_from_lut"
+}
+
 object PqFns {
   import org.apache.spark.sql.GraftBridge.{column, expression}
   def pq_encode(vec: Column, codebooks: Array[Array[Array[Float]]]): Column =
@@ -182,4 +329,11 @@ object PqFns {
   def pq_adc_residual(q: Column, cent: Column, codes: Column,
                       codebooks: Array[Array[Array[Float]]]): Column =
     column(PqAdcResidual(expression(q), expression(cent), expression(codes), codebooks))
+  def pq_adc_lut(q: Column, codebooks: Array[Array[Array[Float]]]): Column =
+    column(PqAdcLut(expression(q), codebooks))
+  def pq_adc_lut_residual(q: Column, cent: Column,
+                          codebooks: Array[Array[Array[Float]]]): Column =
+    column(PqAdcLutResidual(expression(q), expression(cent), codebooks))
+  def pq_adc_from_lut(lut: Column, codes: Column, k: Int): Column =
+    column(PqAdcFromLut(expression(lut), expression(codes), k))
 }

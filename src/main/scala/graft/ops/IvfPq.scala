@@ -110,13 +110,21 @@ object IvfPq {
   def scoreProbes(probes: DataFrame, index: Index, topK: Int): DataFrame = {
     val w = Window.partitionBy(col("query_id"))
       .orderBy(col("adc_dist"), col("cand_id"))
+    // r21: the centroid join moves BEFORE the codes join so the
+    // residual ADC lookup table (Jégou §IV.A / FAISS precomputed
+    // tables) is built once per (query, cell) PROBE row — probe-scale
+    // work — and every candidate in the probed cell costs M array
+    // reads + M adds instead of M·dSub subtract-square chains. Table
+    // entries are adcResidual's exact per-subspace sums, summed in
+    // the same order → bit-identical distances.
+    val k = index.codebooks(0).length
     probes
+      .join(broadcast(index.cents), Seq("cell"))
+      .withColumn("q_lut", PqFns.pq_adc_lut_residual(
+        col("q_emb"), col("centroid").cast("array<float>"), index.codebooks))
       .join(index.codes, Seq("cell"))
       .filter(col("query_id") =!= col("cand_id"))
-      .join(broadcast(index.cents), Seq("cell"))
-      .withColumn("adc_dist", PqFns.pq_adc_residual(
-        col("q_emb"), col("centroid").cast("array<float>"),
-        col("codes"), index.codebooks))
+      .withColumn("adc_dist", PqFns.pq_adc_from_lut(col("q_lut"), col("codes"), k))
       .withColumn("rk", row_number().over(w))
       .filter(col("rk") <= topK)
       .select(col("query_id"), col("cell"), col("rk"), col("cand_id"), col("adc_dist"))

@@ -157,16 +157,26 @@ object Pq {
 
   /** Top-k by asymmetric distance: each query keeps its exact
     * embedding; candidates are scored from their 8-byte codes alone.
+    *
+    * r21: scoring goes through the standard per-query ADC lookup
+    * table (Jégou et al. §IV.A / FAISS precomputed tables) — the
+    * M·K·dSub table is built ONCE per query on the broadcast side,
+    * so each of the |Q|·|C| candidate scores is M array reads + M
+    * adds instead of M·dSub multiply-adds. Table entries are the
+    * exact per-subspace sums of pq_adc and are summed in the same
+    * order → bit-identical distances (oracle replays unchanged).
     */
   def searchTopK(queries: DataFrame, queryIdCol: String, queryEmbCol: String,
                  codes: DataFrame, cbs: Array[Array[Array[Float]]],
                  topK: Int): DataFrame = {
+    val k = cbs(0).length
     val q = queries.select(col(queryIdCol).as("query_id"),
-      col(queryEmbCol).cast("array<float>").as("q_emb"))
+        col(queryEmbCol).cast("array<float>").as("q_emb"))
+      .withColumn("q_lut", PqFns.pq_adc_lut(col("q_emb"), cbs))
     val w = Window.partitionBy(col("query_id"))
       .orderBy(col("adc_dist"), col("cand_id"))
     codes.join(broadcast(q), col("query_id") =!= col("cand_id"))
-      .withColumn("adc_dist", PqFns.pq_adc(col("q_emb"), col("codes"), cbs))
+      .withColumn("adc_dist", PqFns.pq_adc_from_lut(col("q_lut"), col("codes"), k))
       .withColumn("rk", row_number().over(w))
       .filter(col("rk") <= topK)
       .select(col("query_id"), col("rk"), col("cand_id"), col("adc_dist"))

@@ -226,18 +226,25 @@ object TpcDs {
 
     // ---- d08: month-over-month self-join ratio (TPC-DS q59 shape) ----
     "d08_mom_revenue_ratio" -> ((s, dir) => {
-      val rev = sales(s, dir)
+      // r21: the two year slices were two references to `rev` — Spark
+      // planned the sales⋈customer⋈nation subtree TWICE (the d12
+      // disease). One conditional-sum pass per (nation, month) is the
+      // same self-join: per-year sums run over the identical row sets
+      // (identical decimals → identical doubles) and a NULL year cell
+      // reproduces the inner join's row-dropping. The year filter now
+      // also prunes 1995-only rows before the aggregate.
+      sales(s, dir)
         .join(t(s, dir, "customer"), col("o_custkey") === col("c_custkey"))
         .join(broadcast(t(s, dir, "nation")), col("c_nationkey") === col("n_nationkey"))
-        .groupBy(col("n_name"), col("d_year"), col("d_month"))
-        .agg(sum(dec6(net)).cast("double").as("rev"))
-      val y1 = rev.filter(col("d_year") === 1996)
-        .select(col("n_name"), col("d_month"), col("rev").as("rev1996"))
-      val y2 = rev.filter(col("d_year") === 1997)
-        .select(col("n_name").as("n2"), col("d_month").as("m2"), col("rev").as("rev1997"))
-      y1.join(y2, col("n_name") === col("n2") && col("d_month") === col("m2"))
-        .select(col("n_name"), col("d_month"), col("rev1996"), col("rev1997"),
-                (col("rev1997") / col("rev1996")).as("ratio"))
+        .filter(col("d_year").isin(1996, 1997))
+        .groupBy(col("n_name"), col("d_month"))
+        .agg(sum(when(col("d_year") === 1996, dec6(net))).as("s96"),
+             sum(when(col("d_year") === 1997, dec6(net))).as("s97"))
+        .filter(col("s96").isNotNull && col("s97").isNotNull)
+        .select(col("n_name"), col("d_month"),
+                col("s96").cast("double").as("rev1996"),
+                col("s97").cast("double").as("rev1997"),
+                (col("s97").cast("double") / col("s96").cast("double")).as("ratio"))
     }),
 
     // ---- d09: correlated EXISTS chain (TPC-DS q54 shape) -------------

@@ -49,6 +49,36 @@ class PqSpec extends AnyFunSuite {
     assert(got == expected)
   }
 
+  test("LUT-scored ADC is bit-identical to the fused kernels (r21)") {
+    // the r21 search paths score through a per-query lookup table
+    // (Jégou §IV.A); the contract is BIT equality with the fused
+    // pq_adc / pq_adc_residual over every (query, candidate) pair
+    val codes = ops.Pq.encode(e, "vec_id", "embedding", cbs)
+    val q = e.limit(5).select(col("vec_id").as("query_id"),
+        col("embedding").cast("array<float>").as("q_emb"))
+      .withColumn("q_lut", functions.PqFns.pq_adc_lut(col("q_emb"), cbs))
+    val k = cbs(0).length
+    val mismatch = codes.crossJoin(q)
+      .select(
+        functions.PqFns.pq_adc(col("q_emb"), col("codes"), cbs).as("fused"),
+        functions.PqFns.pq_adc_from_lut(col("q_lut"), col("codes"), k).as("lut"))
+      .filter(col("fused") =!= col("lut")).count()
+    assert(mismatch == 0, "LUT ADC must be bit-identical to fused ADC")
+    // residual variant: centroid = first vector (any float lattice works)
+    val cent = e.orderBy("vec_id").limit(1)
+      .select(col("embedding").cast("array<float>")).head().getSeq[Float](0)
+    val qr = q.withColumn("cent", typedLit(cent))
+      .withColumn("r_lut", functions.PqFns.pq_adc_lut_residual(
+        col("q_emb"), col("cent"), cbs))
+    val mismatchR = codes.crossJoin(qr)
+      .select(
+        functions.PqFns.pq_adc_residual(
+          col("q_emb"), col("cent"), col("codes"), cbs).as("fused"),
+        functions.PqFns.pq_adc_from_lut(col("r_lut"), col("codes"), k).as("lut"))
+      .filter(col("fused") =!= col("lut")).count()
+    assert(mismatchR == 0, "residual LUT ADC must be bit-identical")
+  }
+
   test("recall@3 vs exact L2 clears the floor at the v45 config") {
     import org.apache.spark.sql.expressions.Window
     val cfg = ops.Pq.train(e, "vec_id", "embedding", m = 16, k = 64, iters = 2)
