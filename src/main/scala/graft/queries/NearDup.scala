@@ -231,12 +231,21 @@ object NearDup {
           .agg(min(col("label")).as("bmin"))
         val cand = bByBucket.join(bucketMin, Seq("band", "bucket"))
           .groupBy(col("doc_id")).agg(min(col("bmin")).as("cand"))
+        // r21: the convergence count rides the checkpoint job as an
+        // observed metric (CollectMetrics is a pass-through, so the
+        // pinned partitioning is unchanged) — the old shape paid a
+        // SECOND job per round just to count `moved` over the
+        // checkpointed blocks. One distributed job per round now.
+        val obs = new org.apache.spark.sql.Observation(s"n54_round_$iter")
         val next = labels.join(cand, Seq("doc_id"))
           .select(col("doc_id"),
             least(col("label"), col("cand")).as("label"),
             (col("cand") < col("label")).as("moved"))
+          .observe(obs, sum(when(col("moved"), 1L).otherwise(0L)).as("n_moved"))
           .localCheckpoint()
-        changed = next.filter(col("moved")).count()
+        // sum over zero rows is NULL — an empty label frame means
+        // nothing moved (the old count() returned 0 there)
+        changed = Option(obs.get("n_moved")).map(_.asInstanceOf[Long]).getOrElse(0L)
         // checkpoint blocks are pinned (non-recomputable) — release the
         // superseded round's or they accumulate for the JVM lifetime
         if (prevCkpt != null) prevCkpt.unpersist()
