@@ -589,8 +589,23 @@ class SqlEnv private (val spark: SparkSession) {
         val (stmt, tables, views, functions) = PlanFiles.read(new java.io.File(file))
         // restore user functions FIRST (a restored view body may call
         // one, and CREATE VIEW analyzes the body): create-only —
-        // IF NOT EXISTS semantics, an existing registration wins
+        // IF NOT EXISTS semantics, an existing registration wins.
+        // r21 review finding: the plan file is user-editable on disk
+        // and these values are interpolated into SQL text — validate
+        // the shapes (identifier / dotted Java class name) so a
+        // crafted envelope cannot smuggle statements through the
+        // quotes, and reject loudly with graft provenance.
+        val fnNameRe = "^[A-Za-z_][A-Za-z0-9_]*$".r
+        val clsNameRe = "^[A-Za-z_$][A-Za-z0-9_$]*(\\.[A-Za-z_$][A-Za-z0-9_$]*)*$".r
         functions.foreach { case (fn, cls) =>
+          if (fnNameRe.findFirstIn(fn).isEmpty)
+            throw new IllegalArgumentException(
+              s"graft EXECUTE PLAN: invalid function name '$fn' in plan envelope " +
+                s"'$file' (expected a bare identifier) — refusing to restore")
+          if (clsNameRe.findFirstIn(cls).isEmpty)
+            throw new IllegalArgumentException(
+              s"graft EXECUTE PLAN: invalid function class '$cls' in plan envelope " +
+                s"'$file' (expected a dotted Java class name) — refusing to restore")
           if (!createdFunctions.containsKey(fn))
             executeSql(s"CREATE FUNCTION IF NOT EXISTS $fn AS '$cls'")
         }
@@ -1447,7 +1462,16 @@ class SqlEnv private (val spark: SparkSession) {
       val c = text.charAt(i)
       if (c == '\'' || c == '"') {
         out.append(c); i += 1
-        while (i < n && text.charAt(i) != c) { out.append(' '); i += 1 }
+        // Backslash escapes (r21 review finding): Spark's default
+        // dialect accepts \' inside a single-quoted literal — skipping
+        // the escaped char keeps the literal tracking aligned (an
+        // unhandled \' would flip blanked/unblanked for the rest of
+        // the statement and could blank a genuinely referenced name
+        // out of the closure scan).
+        while (i < n && text.charAt(i) != c) {
+          if (text.charAt(i) == '\\' && i + 1 < n) { out.append("  "); i += 2 }
+          else { out.append(' '); i += 1 }
+        }
         if (i < n) { out.append(c); i += 1 }
         // SQL '' escape: the re-opened literal is consumed by the next
         // loop pass identically, which is exactly the blanking we want

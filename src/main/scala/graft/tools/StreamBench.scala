@@ -68,8 +68,10 @@ object StreamBench {
       val out = scala.collection.mutable.LinkedHashMap.empty[String, Double]
       // median of the passes that REPORTED the key — a pass missing an
       // op (e.g. a filtered op set) must not NoSuchElementException the
-      // whole bench run
-      samples.head.keys.foreach { k =>
+      // whole bench run. Keys come from the UNION of all passes (r21
+      // review finding): an op absent from the FIRST pass but present
+      // in later ones was silently dropped from the report.
+      samples.flatMap(_.keys).distinct.foreach { k =>
         val vs = samples.flatMap(_.get(k)).sorted
         if (vs.nonEmpty) out(k) = vs(vs.length / 2)
       }

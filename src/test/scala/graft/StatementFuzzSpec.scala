@@ -379,6 +379,38 @@ class StatementFuzzSpec extends AnyFunSuite {
       }
       assert(ver.getMessage.contains("unsupported plan version"), s"#$i: ${ver.getMessage}")
     }
+    // r21 review finding: the plan file is user-editable, and the
+    // function envelope's values are interpolated into a CREATE
+    // FUNCTION statement — a crafted className (or name) must be
+    // REJECTED with graft provenance, never smuggled through the
+    // quotes into executeSql
+    val malicious = s"$dir/malicious_fn.json"
+    java.nio.file.Files.write(java.nio.file.Paths.get(malicious),
+      ("""{"graftPlanVersion": 3, "statement": "SELECT 1", "tables": {},""" +
+        """ "views": [], "functions": [{"name": "evil",""" +
+        """ "className": "x'; DROP TABLE fz_pl_t; --"}]}""").getBytes)
+    val inj = intercept[IllegalArgumentException] {
+      env.executeSql(s"EXECUTE PLAN '$malicious'")
+    }
+    assert(inj.getMessage.contains("graft EXECUTE PLAN") &&
+      inj.getMessage.contains("invalid function class"), inj.getMessage)
+    val badName = s"$dir/malicious_fn_name.json"
+    java.nio.file.Files.write(java.nio.file.Paths.get(badName),
+      ("""{"graftPlanVersion": 3, "statement": "SELECT 1", "tables": {},""" +
+        """ "views": [], "functions": [{"name": "a b; --",""" +
+        """ "className": "graft.TestUdfUpper"}]}""").getBytes)
+    val injN = intercept[IllegalArgumentException] {
+      env.executeSql(s"EXECUTE PLAN '$badName'")
+    }
+    assert(injN.getMessage.contains("invalid function name"), injN.getMessage)
+    // a well-shaped dotted class name still restores fine
+    val good = s"$dir/good_fn.json"
+    java.nio.file.Files.write(java.nio.file.Paths.get(good),
+      ("""{"graftPlanVersion": 3, "statement": "SELECT 1", "tables": {},""" +
+        """ "views": [], "functions": [{"name": "fz_pl_ok",""" +
+        """ "className": "graft.TestUdfUpper"}]}""").getBytes)
+    env.executeSql(s"EXECUTE PLAN '$good'")
+    env.executeSql("DROP FUNCTION IF EXISTS fz_pl_ok")
   }
 
   test("SHOW TABLES LIKE / NOT LIKE: SQL-LIKE semantics against a reference predicate (60 samples)") {
@@ -428,7 +460,13 @@ class StatementFuzzSpec extends AnyFunSuite {
       (d: String) => s"'it''s $d quoted' AS tag",
       (d: String) => s"'x' AS tag -- reading from $d\n",
       (d: String) => s"'x' AS tag /* $d and again $d */",
-      (d: String) => s"'x' AS tag /* multi\n line $d */")
+      (d: String) => s"'x' AS tag /* multi\n line $d */",
+      // r21 review finding: a backslash-escaped quote inside the
+      // literal — the dialect Spark actually parses — must not
+      // misalign the scanner (the old tracker closed the literal at
+      // \' and then blanked the REAL references that followed,
+      // producing an envelope EXECUTE PLAN could not restore)
+      (d: String) => s"'$d is\\'nt here' AS tag")
     // view-name shapes: keyword-prefixed and underscore-adjacent names
     // stress the \b word-boundary matching
     val nameShape: Gen[(String, String)] = Gen.oneOf(
@@ -467,6 +505,28 @@ class StatementFuzzSpec extends AnyFunSuite {
       assert(env.executeSql(s"SELECT count(*) AS c FROM $sink")
         .collect()(0).getLong(0) == 2, s"#$i")
       Seq(vb, va).foreach(v => env.executeSql(s"DROP VIEW $v"))
+      Seq(src, sink, decoy).foreach(t => env.executeSql(s"DROP TABLE $t"))
+    }
+    // deterministic pin of the backslash-escape case (not left to the
+    // sampler): the decoy rides inside a \'-escaped literal and the
+    // REAL table reference after the literal must stay in the closure
+    locally {
+      val (src, sink, decoy) = ("fzcbs_src", "fzcbs_sink", "fzcbs_dec")
+      Seq(src, sink, decoy).foreach(t => env.executeSql(s"DROP TABLE IF EXISTS $t"))
+      Seq(src, decoy).foreach(t => env.executeSql(
+        s"""CREATE TABLE $t (k BIGINT) WITH ('connector' = 'filesystem',
+           |  'path' = '$dir/$t', 'format' = 'parquet')""".stripMargin))
+      env.executeSql(
+        s"""CREATE TABLE $sink (k BIGINT, tag STRING) WITH ('connector' = 'filesystem',
+           |  'path' = '$dir/$sink', 'format' = 'parquet')""".stripMargin)
+      env.executeSql(s"INSERT INTO $src VALUES (1), (2)")
+      val plan = s"$dir/p_backslash.json"
+      env.executeSql(s"COMPILE PLAN '$plan' FOR INSERT INTO $sink " +
+        s"SELECT k, '$decoy is\\'nt here' AS tag FROM $src")
+      val (_, tables, _, _) = graft.sql.PlanFiles.read(new java.io.File(plan))
+      assert(tables.keySet == Set(src, sink),
+        s"backslash-escaped literal misaligned the closure scan: ${tables.keySet}")
+      env.executeSql(s"EXECUTE PLAN '$plan'")
       Seq(src, sink, decoy).foreach(t => env.executeSql(s"DROP TABLE $t"))
     }
   }
