@@ -236,11 +236,25 @@ object NearDup {
         // pinned partitioning is unchanged) — the old shape paid a
         // SECOND job per round just to count `moved` over the
         // checkpointed blocks. One distributed job per round now.
+        //
+        // r21 pointer jumping: after the hash-to-min step, follow the
+        // new label ONE hop (labels are doc_ids, so label-of-label is
+        // a self-join of the stepped frame) — the classic shortcut
+        // that turns O(diameter) rounds into O(log diameter). Labels
+        // stay within the component and only decrease (mid ≤ old,
+        // jumped ≤ mid), and the fixpoints coincide: jumped = old for
+        // every doc forces mid = old (jumped ≤ mid ≤ old), which is
+        // exactly the pre-jump termination condition — so the
+        // converged labels are the same component minima the oracle's
+        // recursive closure computes.
         val obs = new org.apache.spark.sql.Observation(s"n54_round_$iter")
-        val next = labels.join(cand, Seq("doc_id"))
-          .select(col("doc_id"),
-            least(col("label"), col("cand")).as("label"),
-            (col("cand") < col("label")).as("moved"))
+        val stepped = labels.join(cand, Seq("doc_id"))
+          .select(col("doc_id"), col("label").as("old"),
+            least(col("label"), col("cand")).as("mid"))
+        val hop = stepped.select(col("doc_id").as("m_doc"), col("mid").as("m_lab"))
+        val next = stepped.join(hop, col("mid") === col("m_doc"))
+          .select(col("doc_id"), col("m_lab").as("label"),
+            (col("m_lab") < col("old")).as("moved"))
           .observe(obs, sum(when(col("moved"), 1L).otherwise(0L)).as("n_moved"))
           .localCheckpoint()
         // sum over zero rows is NULL — an empty label frame means
