@@ -189,5 +189,28 @@ class CompactionSpec extends AnyFunSuite {
       .filter(col("prev").isNotNull && col("o_orderdate") < col("prev"))
       .count()
     assert(bad == 0)
+    // r21 (range distribution): files carry DISJOINT key ranges — the
+    // min/max footer stats of distinct files may touch at a shared
+    // boundary key but never properly interleave, so a reader's
+    // point/range predicate prunes to the files that can match instead
+    // of opening every footer (the old round-robin placement made
+    // every file span ~the full key range). A smaller target forces
+    // multiple output files so the assertion has teeth at this SF.
+    val outMulti = s"$base/out_multi"
+    ops.Compact.compact(spark, in, outMulti, targetBytes = 64L << 10,
+      clusterBy = Seq("o_orderdate"))
+    val ranges = spark.read.parquet(outMulti)
+      .groupBy(input_file_name().as("f"))
+      .agg(min(col("o_orderdate").cast("timestamp").cast("long")).as("lo"),
+        max(col("o_orderdate").cast("timestamp").cast("long")).as("hi"))
+      .collect().map(r => (r.getLong(1), r.getLong(2)))
+      .sortBy(_._1)
+    val interleaved = ranges.sliding(2).exists {
+      case Array((_, hi1), (lo2, _)) => lo2 < hi1
+      case _ => false
+    }
+    assert(ranges.length > 1, "fixture must produce multiple output files")
+    assert(!interleaved,
+      s"range-clustered files must not properly interleave: ${ranges.mkString(", ")}")
   }
 }
