@@ -253,26 +253,37 @@ object TextOps2 {
       // min orders (doc_id, pos) lexicographically = globally first;
       // ≥2 distinct docs ⟺ min(doc_id) ≠ max(doc_id).
       val wg = Window.partitionBy(col("g"))
-      val rem = occ
+      // r21: decide with small rows, move big rows once (guide §8).
+      // The old shape re-exploded EVERY doc's tokens, anti-joined the
+      // full (doc, pos, word) stream against the removal list on
+      // (doc_id, p) and re-assembled docs with a collect_list groupBy —
+      // two full token-stream shuffles whose bytes dwarf the corpus.
+      // The removal DECISIONS are proportional to duplicated spans
+      // only, so: aggregate them to one small (doc_id, rm-positions)
+      // row per affected doc, join THAT to the corpus (one payload
+      // move, broadcastable when small), and cut tokens in place with
+      // an indexed higher-order filter — same surviving tokens in the
+      // same order, no token ever shuffled.
+      val remSets = occ
         .withColumn("first", min(struct(col("doc_id"), col("pos"))).over(wg))
         .withColumn("multi", min(col("doc_id")).over(wg) =!= max(col("doc_id")).over(wg))
         .filter(col("multi") &&
           !(col("doc_id") === col("first.doc_id") && col("pos") === col("first.pos")))
-        .select(col("doc_id"), explode(expr("sequence(pos, pos + 3)")).as("p"))
-        .distinct()
-      val tok = d.select(col("doc_id"), posexplode(col("toks")).as(Seq("pi", "w")))
-        .select(col("doc_id"), (col("pi") + 1).cast("long").as("p"), col("w"))
-      val kc = tok.join(rem, Seq("doc_id", "p"), "left_anti")
         .groupBy("doc_id")
-        .agg(count(lit(1)).as("n_kept"),
-          concat_ws(" ", transform(
-            array_sort(collect_list(struct(col("p"), col("w")))),
-            x => x.getField("w"))).as("cleaned_text"))
-      d.select(col("doc_id"), size(col("toks")).cast("long").as("n_tokens"))
-        .join(kc, Seq("doc_id"), "left")
-        .select(col("doc_id"), col("n_tokens"),
-          (col("n_tokens") - coalesce(col("n_kept"), lit(0L))).as("n_removed"),
-          coalesce(col("cleaned_text"), lit("")).as("cleaned_text"))
+        .agg(array_distinct(flatten(collect_list(
+          expr("sequence(pos, pos + 3)")))).as("rm"))
+      // array_except (hash-set membership on primitive arrays, left
+      // order preserved) keeps the per-doc cut O(n_tokens + |rm|); a
+      // per-token array_contains would be O(n_tokens·|rm|) — quadratic
+      // on a fully-duplicated doc.
+      d.join(remSets, Seq("doc_id"), "left")
+        .withColumn("kept", expr(
+          "CASE WHEN rm IS NULL THEN toks " +
+            "ELSE transform(array_except(sequence(CAST(1 AS BIGINT), CAST(size(toks) AS BIGINT)), rm), " +
+            "p -> element_at(toks, CAST(p AS INT))) END"))
+        .select(col("doc_id"), size(col("toks")).cast("long").as("n_tokens"),
+          (size(col("toks")) - size(col("kept"))).cast("long").as("n_removed"),
+          concat_ws(" ", col("kept")).as("cleaned_text"))
     })
   )
 
@@ -292,6 +303,12 @@ object TextOps2 {
       .localCheckpoint()
     var prev = words
     val rules = Seq.newBuilder[(Long, String, String, Long)]
+    // r21 note: folding the argmax into the resegment job (broadcast
+    // 1-row best-pair join + rule read-back from the checkpoint) was
+    // tried and MEASURED SLOWER (t55 1.03→1.47 s same-window 7-run
+    // medians): the broadcast build is its own job, and the rule
+    // read-back adds a third — the "merged" round pays 3 job barriers
+    // where this shape pays 2. Kept as-is.
     for (rank <- 1 to nMerges) {
       val best = words.filter(size(col("syms")) >= 2)
         .select(col("wc"), explode(expr(

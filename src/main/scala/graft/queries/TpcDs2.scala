@@ -101,24 +101,31 @@ object TpcDs2 {
     // cumulatively ahead. Cumulative sums run over DECIMAL so both
     // engines accumulate exactly (order-independent).
     "d17_cumulative_channels" -> ((s, dir) => {
-      val base = sales(s, dir).filter(col("d_year") === 1996)
+      // r21: the two channel branches were two references to `base` —
+      // Spark planned the sales⋈part fact subtree TWICE and full-outer
+      // joined the cumulated results (the d08/d12/d22 disease; in real
+      // TPC-DS q51 the channels are different fact tables, here they
+      // live in ONE). One conditional-sum pass per (brand, month) is
+      // the same join: the merged frame's row set (months where store
+      // OR web sold) is exactly the full outer's, the running sums skip
+      // NULL months so each channel's cumulative equals its own-branch
+      // window (decimal sums over identical row sets), and
+      // `when(m_dec IS NOT NULL, cum)` reproduces the outer join's
+      // null-extension — a month without store sales had NULL
+      // store_cum, not the carried value.
+      val monthly = sales(s, dir)
+        .filter(col("d_year") === 1996 && col("channel").isin("store", "web"))
         .join(t(s, dir, "part"), col("l_partkey") === col("p_partkey"))
-      def channelCum(ch: String, b: String, m: String, c: String) = {
-        val monthly = base.filter(col("channel") === ch)
-          .groupBy(col("p_brand"), col("d_month"))
-          .agg(sum(dec6(net)).as("m_dec"))
-        val w = Window.partitionBy(col("p_brand")).orderBy(col("d_month"))
-          .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-        monthly.select(col("p_brand").as(b), col("d_month").as(m),
-          sum(col("m_dec")).over(w).cast("double").as(c))
-      }
-      val st = channelCum("store", "s_brand", "s_month", "store_cum")
-      val wb = channelCum("web", "w_brand", "w_month", "web_cum")
-      st.join(wb, col("s_brand") === col("w_brand") && col("s_month") === col("w_month"), "full_outer")
+        .groupBy(col("p_brand"), col("d_month"))
+        .agg(sum(when(col("channel") === "store", dec6(net))).as("s_dec"),
+             sum(when(col("channel") === "web", dec6(net))).as("w_dec"))
+      val w = Window.partitionBy(col("p_brand")).orderBy(col("d_month"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      monthly
+        .select(col("p_brand"), col("d_month"),
+          when(col("s_dec").isNotNull, sum(col("s_dec")).over(w).cast("double")).as("store_cum"),
+          when(col("w_dec").isNotNull, sum(col("w_dec")).over(w).cast("double")).as("web_cum"))
         .filter(coalesce(col("store_cum"), lit(0.0)) > coalesce(col("web_cum"), lit(0.0)))
-        .select(coalesce(col("s_brand"), col("w_brand")).as("p_brand"),
-                coalesce(col("s_month"), col("w_month")).as("d_month"),
-                col("store_cum"), col("web_cum"))
     }),
 
     // ---- d18: seasonal deviation + LAG/LEAD (TPC-DS q47/q57) ---------
@@ -179,18 +186,23 @@ object TpcDs2 {
 
     // ---- d21: year-over-year decline across channels (TPC-DS q75) ----
     "d21_yoy_decline" -> ((s, dir) => {
-      val chanSales = sales(s, dir)
+      // r21: the 1996/1997 slices were two references to `yearly` —
+      // Spark planned the sales⋈part subtree twice and self-joined the
+      // aggregates (the d08 disease). One conditional-sum pass per
+      // brand is the same self-join: a per-(brand, year) sum is NULL
+      // iff the brand has no rows that year, which is exactly the inner
+      // join's row-dropping, and each year's decimal sum runs over the
+      // identical row set → identical values.
+      sales(s, dir)
         .filter(col("channel").isin("store", "web") && col("d_year").isin(1996, 1997))
         .join(t(s, dir, "part"), col("l_partkey") === col("p_partkey"))
-        .select(col("p_brand"), col("d_year"), dec(col("l_quantity")).as("qty_dec"),
-                dec6(net).as("amt_dec"))
-      val yearly = chanSales.groupBy(col("p_brand"), col("d_year"))
-        .agg(sum(col("qty_dec")).as("qty"), sum(col("amt_dec")).as("amt"))
-      val prev = yearly.filter(col("d_year") === 1996)
-        .select(col("p_brand").as("pb"), col("qty").as("prev_qty_dec"), col("amt").as("prev_amt_dec"))
-      val cur = yearly.filter(col("d_year") === 1997)
-      cur.join(prev, col("p_brand") === col("pb"))
-        .filter(col("qty") < col("prev_qty_dec"))
+        .groupBy(col("p_brand"))
+        .agg(sum(when(col("d_year") === 1996, dec(col("l_quantity")))).as("prev_qty_dec"),
+             sum(when(col("d_year") === 1996, dec6(net))).as("prev_amt_dec"),
+             sum(when(col("d_year") === 1997, dec(col("l_quantity")))).as("qty"),
+             sum(when(col("d_year") === 1997, dec6(net))).as("amt"))
+        .filter(col("qty").isNotNull && col("prev_qty_dec").isNotNull &&
+                col("qty") < col("prev_qty_dec"))
         .select(col("p_brand"),
                 col("prev_qty_dec").cast("double").as("prev_qty"),
                 col("qty").cast("double").as("cur_qty"),
@@ -232,14 +244,25 @@ object TpcDs2 {
       val ret = t(s, dir, "lineitem").filter(col("l_returnflag") === "R")
         .select(col("l_orderkey").as("r_ok"), col("l_linenumber").as("r_ln"),
                 col("l_quantity").as("r_qty"))
-      t(s, dir, "lineitem")
-        .join(t(s, dir, "orders"), col("l_orderkey") === col("o_orderkey"))
+      // r21: aggregate the per-line adjusted terms to ORDER grain
+      // before orders joins in (guide §2.3 aggregate-before-you-
+      // shuffle). The old plan shuffled lineitem⋈orders at LINE grain
+      // (carrying o_custkey) into the (orderkey, linenumber) return
+      // join; per-order decimal partials shrink that orderkey exchange
+      // to one row per order, and decimal sums reassociate exactly —
+      // each joined row's dec6 term is unchanged, only the summation
+      // tree differs. Orders without lines / lines without orders drop
+      // identically under the inner join on either side of the agg.
+      val adj = t(s, dir, "lineitem")
         .join(ret, col("l_orderkey") === col("r_ok") && col("l_linenumber") === col("r_ln"), "left_outer")
-        .select(col("o_custkey"),
+        .select(col("l_orderkey"),
           dec6((col("l_quantity") - coalesce(col("r_qty"), lit(0.0))) *
                col("l_extendedprice") * (lit(1.0) - col("l_discount"))).as("adj_dec"))
+        .groupBy(col("l_orderkey"))
+        .agg(sum(col("adj_dec")).as("o_adj"))
+      adj.join(t(s, dir, "orders"), col("l_orderkey") === col("o_orderkey"))
         .groupBy(col("o_custkey"))
-        .agg(sum(col("adj_dec")).cast("double").as("total"))
+        .agg(sum(col("o_adj")).cast("double").as("total"))
         .orderBy(col("total").desc, col("o_custkey").asc)
         .limit(100)
     }),

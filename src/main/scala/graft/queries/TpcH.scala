@@ -114,14 +114,23 @@ object TpcH {
     // Q2: minimum-cost supplier — correlated MIN subquery, decorrelated
     // as a per-part min aggregate re-joined on (partkey, cost).
     "h02_min_cost_supplier" -> ((s, dir) => {
+      // r21: semi-join eu down to the filtered parts BEFORE both of its
+      // references (the h17 discipline): only ~5% of partkeys survive
+      // the p_size/p_type probe, the per-partkey min is unchanged when
+      // whole partkeys drop, and eu is planned twice (min subquery +
+      // outer probe) — so the pruning pays off double. The min-agg +
+      // re-join decorrelation idiom itself is unchanged.
+      val partF = t(s, dir, "part").filter(col("p_size") <= 15 && col("p_type") === "LARGE")
       val eu = ps(s, dir)
+        .join(broadcast(partF.select(col("p_partkey").as("fp_partkey"))),
+          col("ps_partkey") === col("fp_partkey"), "left_semi")
         .join(t(s, dir, "supplier"), col("ps_suppkey") === col("s_suppkey"))
         .join(broadcast(t(s, dir, "nation")), col("s_nationkey") === col("n_nationkey"))
         .join(broadcast(t(s, dir, "region").filter(col("r_name") === "EUROPE")),
           col("n_regionkey") === col("r_regionkey"))
       val minCost = eu.groupBy(col("ps_partkey").as("mc_partkey"))
         .agg(min(col("ps_supplycost")).as("mc_cost"))
-      t(s, dir, "part").filter(col("p_size") <= 15 && col("p_type") === "LARGE")
+      partF
         .join(eu, col("p_partkey") === col("ps_partkey"))
         .join(minCost,
           col("p_partkey") === col("mc_partkey") && col("ps_supplycost") === col("mc_cost"))
@@ -159,16 +168,34 @@ object TpcH {
 
     // Q5: local supplier volume — 6-way join, c_nationkey = s_nationkey.
     "h05_local_supplier_volume" -> ((s, dir) => {
-      t(s, dir, "customer")
+      // r21: resolve nation⋈region(ASIA) FIRST (25×5-row dim work) and
+      // prune BOTH customer and supplier to the ASIA slice before they
+      // meet the fact tables — the old plan filtered region LAST, so
+      // every customer rode the o_custkey join and every supplier the
+      // l_suppkey join. c_nationkey = s_nationkey ∈ ASIA is implied by
+      // the original join chain, so the pre-filters drop only rows the
+      // final plan dropped anyway (§3.2 reduce-before-the-exchange;
+      // same shape as h07/h08). No broadcast hint on cust/sup: they
+      // grow with SF — the 5-row asiaN dim is the only pinned
+      // broadcast.
+      val asiaN = t(s, dir, "nation")
+        .join(broadcast(t(s, dir, "region").filter(col("r_name") === "ASIA")),
+          col("n_regionkey") === col("r_regionkey"))
+      val cust = t(s, dir, "customer")
+        .join(broadcast(asiaN.select(col("n_nationkey").as("c_nk"))),
+          col("c_nationkey") === col("c_nk"))
+        .select(col("c_custkey"), col("c_nationkey"))
+      val sup = t(s, dir, "supplier")
+        .join(broadcast(asiaN.select(col("n_nationkey").as("s_nk"), col("n_name"))),
+          col("s_nationkey") === col("s_nk"))
+        .select(col("s_suppkey"), col("s_nationkey"), col("n_name"))
+      cust
         .join(t(s, dir, "orders")
             .filter(col("o_orderdate") >= ts("1996-01-01") && col("o_orderdate") < ts("1997-01-01")),
           col("c_custkey") === col("o_custkey"))
         .join(t(s, dir, "lineitem"), col("l_orderkey") === col("o_orderkey"))
-        .join(t(s, dir, "supplier"),
+        .join(sup,
           col("l_suppkey") === col("s_suppkey") && col("c_nationkey") === col("s_nationkey"))
-        .join(broadcast(t(s, dir, "nation")), col("s_nationkey") === col("n_nationkey"))
-        .join(broadcast(t(s, dir, "region").filter(col("r_name") === "ASIA")),
-          col("n_regionkey") === col("r_regionkey"))
         .groupBy(col("n_name"))
         .agg(sum(dec6(revenueCol)).cast("double").as("revenue"))
     }),
@@ -401,17 +428,25 @@ object TpcH {
 
     // Q18: large-volume customers — IN over a grouped HAVING → semi join.
     "h18_large_volume" -> ((s, dir) => {
+      // r21: the HAVING aggregate already IS the output aggregate — the
+      // old plan semi-joined orders to the >300 orderkeys and then
+      // re-scanned lineitem, re-joined it and re-summed l_quantity per
+      // order. Carrying `q` through an inner join removes the second
+      // fact scan, its orderkey shuffle and the final groupBy outright
+      // (guide §2.4 remove-shuffles-outright). o_orderkey is the orders
+      // PK, so the inner join keeps exactly one row per qualifying
+      // order — the same groups the old groupBy emitted — and the
+      // decimal sum is computed over the identical row set.
       val li = t(s, dir, "lineitem")
       val big = li.groupBy(col("l_orderkey").as("big_okey"))
         .agg(sum(dec(col("l_quantity"))).as("q"))
-        .filter(col("q") > 300).select(col("big_okey"))
+        .filter(col("q") > 300)
       t(s, dir, "customer")
         .join(t(s, dir, "orders"), col("c_custkey") === col("o_custkey"))
-        .join(big, col("o_orderkey") === col("big_okey"), "left_semi")
-        .join(li, col("o_orderkey") === col("l_orderkey"))
-        .groupBy(col("c_name"), col("c_custkey"), col("o_orderkey"),
-          col("o_orderdate"), col("o_totalprice"))
-        .agg(sum(dec(col("l_quantity"))).cast("double").as("sum_qty"))
+        .join(big, col("o_orderkey") === col("big_okey"))
+        .select(col("c_name"), col("c_custkey"), col("o_orderkey"),
+          col("o_orderdate"), col("o_totalprice"),
+          col("q").cast("double").as("sum_qty"))
         .orderBy(col("o_totalprice").desc, col("o_orderdate"), col("o_orderkey"))
         .limit(100)
     }),
