@@ -40,7 +40,13 @@ object ExplainAudit {
         "q92_csv_time_roundtrip", "q93_json_time_roundtrip",
         "q94_avro_time_roundtrip",
         // r17: CTAS read-back + ORC numeric TIME wire
-        "q95_ctas", "q96_orc_time_roundtrip")
+        "q95_ctas", "q96_orc_time_roundtrip",
+        // r21: re-planned rows — keep the single-pass / pruned shapes
+        // (conditional-sum collapses, order-grain partials, dim-first
+        // pruning, payload-moves-once t59) visible in the audit
+        "d17_cumulative_channels", "d21_yoy_decline", "d23_returns_adjusted",
+        "h02_min_cost_supplier", "h05_local_supplier_volume",
+        "h18_large_volume", "t59_exact_substr_removal")
     names.foreach { n =>
       println(s"\n========== $n ==========")
       graft.SparkEntry.queries(n)(spark, dir).explain("formatted")
