@@ -290,8 +290,13 @@ object TpcDs {
       val freqParts = t(s, dir, "lineitem")
         .groupBy(col("l_partkey")).agg(count(lit(1)).as("pc"))
         .filter(col("pc") > 35).select(col("l_partkey").as("f_partkey"))
+      // r21: `spend` feeds both the average subquery and the best-
+      // customer filter — checkpoint the customer-grain aggregate once
+      // instead of planning the orders scan+agg twice (t54/t52
+      // discipline).
       val spend = t(s, dir, "orders")
         .groupBy(col("o_custkey")).agg(sum(dec(col("o_totalprice"))).as("spend_dec"))
+        .localCheckpoint()
       val avgSpend = spend.agg(
         (sum(col("spend_dec")).cast("double") / count(lit(1))).as("avg_spend"))
       val best = spend.crossJoin(broadcast(avgSpend))

@@ -327,8 +327,12 @@ object TpcH {
         .join(broadcast(t(s, dir, "nation").filter(col("n_name") === "NATION_7")),
           col("s_nationkey") === col("n_nationkey"))
         .select(col("ps_partkey"), (col("ps_supplycost") * col("ps_availqty")).as("v"))
+      // r21: `grouped` feeds both the threshold subquery and the final
+      // probe — without a checkpoint the ps⋈supplier⋈nation subtree is
+      // planned (and scanned) twice for one part-grain aggregate.
       val grouped = natPs.groupBy(col("ps_partkey"))
         .agg(sum(dec6(col("v"))).cast("double").as("value"))
+        .localCheckpoint()
       val thr = grouped.agg(
         (lit(3.0) * sum(col("value").cast(DecimalType(24, 6))).cast("double") /
           count(lit(1))).as("thr"))
@@ -376,10 +380,16 @@ object TpcH {
 
     // Q15: top supplier — revenue view + scalar MAX equality join.
     "h15_top_supplier" -> ((s, dir) => {
+      // r21: `rev` is referenced twice (MAX subquery + equality probe)
+      // and Spark plans each reference independently — two full
+      // lineitem scans + aggregates for one supplier-grain view.
+      // localCheckpoint the small aggregate once (the t54/t52
+      // discipline); the scalar-MAX equality-join idiom is unchanged.
       val rev = t(s, dir, "lineitem")
         .filter(col("l_shipdate") >= ts("1997-01-01") && col("l_shipdate") < ts("1997-04-01"))
         .groupBy(col("l_suppkey").as("supplier_no"))
         .agg(sum(dec6(revenueCol)).cast("double").as("total_revenue"))
+        .localCheckpoint()
       val maxRev = rev.agg(max(col("total_revenue")).as("max_revenue"))
       t(s, dir, "supplier")
         .join(rev, col("s_suppkey") === col("supplier_no"))
